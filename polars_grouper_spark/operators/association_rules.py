@@ -1,0 +1,238 @@
+"""Co-occurrence association-rule mining — fully relational Spark SQL.
+
+Reference parity: ``/root/reference/src/association_rule_graph_mining.rs``
+and ``/root/reference/polars_grouper/__init__.py:455-550``.
+
+This is NOT classic Apriori — only 1-item antecedent → 1-item consequent
+pairwise co-occurrence, plus graph-derived "patterns".  The reference's
+observable quirks, all replicated:
+
+- Rows with any null field are dropped; missing frequency column ⇒ 1.0.
+- ``support_count[item]`` accumulates *per row* (an item twice in one
+  transaction counts twice): ``+= freq`` if weighted else ``+= 1.0``
+  (``association_rule_graph_mining.rs:37-42``).
+- ``total_transactions`` = number of distinct transaction ids.
+- Valid items: ``support/total >= min_support`` (support = freq-sum when
+  weighted else row-count).
+- Transactions with more than ``max_itemset_size`` rows are skipped for
+  association building only (``:65-67``).
+- For every ordered pair of *row positions* with distinct valid items in a
+  kept transaction: confidence = ``freq1*freq2/support_count[antecedent]``
+  (weighted) or ``support_count[antecedent]/total`` (unweighted — the
+  consequent is ignored; quirk, ``:77-81``).  Pairs with confidence >=
+  ``min_confidence`` accumulate WITHOUT dedup across transactions/rows.
+- ``lift_score`` = sum of all of an item's association confidences.
+- ``pattern`` = DFS-forest id over the directed association graph,
+  visiting items in first-appearance order (``:114-135``).  Equivalent
+  closed form (provable): an item's pattern root is the minimum-id item
+  that can *reach* it; patterns are numbered 1..k by root id ascending.
+  Computed here via min-label propagation along reversed edges — a small
+  driver-side loop over the items-level graph (|items| rows, tiny next to
+  the row-level data).
+- Output rows: valid items in first-appearance order; ``consequents`` /
+  ``confidence_scores`` are the top-5 associations by confidence
+  descending.  The reference's tie order within equal confidences is
+  unstable (HashMap iteration); we define the deterministic tie-break
+  (consequent name ascending).
+
+Scale notes: the heavy steps are the transaction self-join (shuffle on
+transaction_id — AQE skew-join handles hot transactions; oversized
+transactions are filtered *before* the join, which also caps the quadratic
+blowup per transaction at max_itemset_size²) and the per-antecedent
+aggregations (map-side combinable).  The pattern loop runs on the distinct
+item-pair graph, which is bounded by |valid items|², not by data volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from polars_grouper_spark.plans.iteration import fingerprint, truncate_lineage
+
+_PATTERN_MAX_ROUNDS = 64
+
+
+def _pattern_labels(assoc_edges: DataFrame) -> DataFrame:
+    """Min-reachable-root labels over the directed item graph.
+
+    assoc_edges: (a long, c long) distinct directed edges (antecedent id →
+    consequent id).  Returns (iid long, root long): root = min item id that
+    reaches iid (including itself).
+    """
+    nodes = assoc_edges.select(F.col("a").alias("iid")).union(
+        assoc_edges.select(F.col("c").alias("iid"))
+    ).distinct()
+    labels = truncate_lineage(nodes.select("iid", F.col("iid").alias("root")))
+    prev = None
+    for _ in range(_PATTERN_MAX_ROUNDS):
+        prop = (
+            assoc_edges.join(labels, assoc_edges["a"] == labels["iid"])
+            .select(F.col("c").alias("iid"), F.col("root"))
+        )
+        new_labels = (
+            labels.union(prop).groupBy("iid").agg(F.min("root").alias("root"))
+        )
+        new_labels = truncate_lineage(new_labels)
+        fp = fingerprint(new_labels, "iid", "root")
+        if fp == prev:
+            break
+        prev = fp
+        labels = new_labels
+    return labels
+
+
+def graph_association_rules(
+    df: DataFrame,
+    transaction_col: str = "transaction_id",
+    item_col: str = "item_id",
+    frequency_col: str | None = "frequency",
+    min_support: float = 0.05,
+    min_confidence: float = 0.5,
+    max_itemset_size: int = 50,
+    weighted: bool = False,
+) -> DataFrame:
+    """Table function → ``(item, support, lift_score, pattern, consequents,
+    confidence_scores)`` — the reference struct, pre-flattened."""
+    freq = (
+        F.col(frequency_col).cast("double")
+        if frequency_col is not None
+        else F.lit(1.0)
+    )
+    t = df.select(
+        F.col(transaction_col).cast("long").alias("tx"),
+        F.col(item_col).cast("string").alias("item"),
+        freq.alias("freq"),
+        F.monotonically_increasing_id().alias("_i"),
+    ).where(F.col("tx").isNotNull() & F.col("item").isNotNull() & F.col("freq").isNotNull())
+    t = truncate_lineage(t)
+
+    total_tx = t.select(F.countDistinct("tx")).first()[0]
+    if total_tx == 0:
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [],
+            schema=(
+                "item string, support double, lift_score double, pattern long, "
+                "consequents array<string>, confidence_scores array<double>"
+            ),
+        )
+
+    # Per-item metrics; iid = first-appearance order (reference intern order).
+    items = t.groupBy("item").agg(
+        F.min("_i").alias("iid"),
+        F.count(F.lit(1)).alias("row_count"),
+        F.sum("freq").alias("freq_sum"),
+    )
+    support_col = F.col("freq_sum") if weighted else F.col("row_count").cast("double")
+    items = items.select(
+        "item",
+        "iid",
+        support_col.alias("support_count"),
+        (support_col / F.lit(float(total_tx)) >= F.lit(min_support)).alias("valid"),
+    )
+    items = truncate_lineage(items)
+    valid_items = items.where("valid")
+
+    # Transactions kept for association building.
+    tx_sizes = t.groupBy("tx").agg(F.count(F.lit(1)).alias("sz"))
+    kept_tx = tx_sizes.where(F.col("sz") <= F.lit(max_itemset_size)).select("tx")
+
+    tv = (
+        t.join(kept_tx, "tx")
+        .join(
+            valid_items.select(
+                F.col("item"), F.col("iid"), F.col("support_count")
+            ),
+            "item",
+        )
+        .select("tx", "item", "freq", "iid", "support_count")
+    )
+    tv = truncate_lineage(tv)
+
+    # Row-position-level ordered pairs within a transaction.
+    a = tv.select(
+        F.col("tx"),
+        F.col("item").alias("antecedent"),
+        F.col("iid").alias("a_iid"),
+        F.col("freq").alias("freq1"),
+        F.col("support_count").alias("a_support"),
+    )
+    b = tv.select(
+        F.col("tx"),
+        F.col("item").alias("consequent"),
+        F.col("iid").alias("c_iid"),
+        F.col("freq").alias("freq2"),
+    )
+    if weighted:
+        conf = (F.col("freq1") * F.col("freq2")) / F.col("a_support")
+    else:
+        conf = F.col("a_support") / F.lit(float(total_tx))
+    pairs = (
+        a.join(b, "tx")
+        .where(F.col("antecedent") != F.col("consequent"))
+        .select("antecedent", "a_iid", "consequent", "c_iid", conf.alias("confidence"))
+        .where(F.col("confidence") >= F.lit(min_confidence))
+    )
+    pairs = truncate_lineage(pairs)
+
+    # lift = sum of ALL association confidences (before top-5 truncation).
+    lifts = pairs.groupBy("a_iid").agg(F.sum("confidence").alias("lift_score"))
+
+    # top-5 by confidence desc, tie-break consequent asc, as parallel arrays.
+    top5 = (
+        pairs.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("a_iid").orderBy(
+                    F.col("confidence").desc(), F.col("consequent").asc()
+                )
+            ),
+        )
+        .where(F.col("rn") <= 5)
+        .groupBy("a_iid")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("rn", "consequent", "confidence"))
+            ).alias("assoc")
+        )
+        .select(
+            "a_iid",
+            F.transform("assoc", lambda x: x["consequent"]).alias("consequents"),
+            F.transform("assoc", lambda x: x["confidence"]).alias("confidence_scores"),
+        )
+    )
+
+    # patterns over the distinct directed association graph.
+    assoc_edges = pairs.select(F.col("a_iid").alias("a"), F.col("c_iid").alias("c")).distinct()
+    labels = _pattern_labels(assoc_edges)
+    item_roots = (
+        valid_items.join(labels, valid_items["iid"] == labels["iid"], "left")
+        .select(valid_items["item"], valid_items["iid"], F.coalesce("root", valid_items["iid"]).alias("root"))
+    )
+    roots = item_roots.select("root").distinct()
+    numbering = roots.withColumn(
+        "pattern", F.dense_rank().over(Window.orderBy("root")).cast("long")
+    )
+    patterns = item_roots.join(numbering, "root").select("item", "iid", "pattern")
+
+    out = (
+        valid_items.select("item", "iid", F.col("support_count").alias("support"))
+        .join(patterns.select("iid", "pattern"), "iid")
+        .join(lifts.withColumnRenamed("a_iid", "iid"), "iid", "left")
+        .join(top5.withColumnRenamed("a_iid", "iid"), "iid", "left")
+        .select(
+            "item",
+            "support",
+            F.coalesce("lift_score", F.lit(0.0)).alias("lift_score"),
+            "pattern",
+            F.coalesce("consequents", F.array().cast("array<string>")).alias("consequents"),
+            F.coalesce(
+                "confidence_scores", F.array().cast("array<double>")
+            ).alias("confidence_scores"),
+            "iid",
+        )
+        .orderBy("iid")
+        .drop("iid")
+    )
+    return out

@@ -1,0 +1,216 @@
+"""Connected components over edge-list DataFrames — Spark-native.
+
+Reference parity: ``graph_solver`` (union-find over interned string node
+ids, first-appearance component numbering starting at 1; null endpoints
+drop the edge; rows whose ``from`` node is never interned get sentinel 0
+— ``/root/reference/src/graph_solver.rs:45-103``,
+``/root/reference/src/graph_utils.rs:42-100``) and the frame wrappers
+``super_merger`` / ``super_merger_weighted``
+(``/root/reference/polars_grouper/__init__.py:246-301, :304-372``).
+
+Spark-first design (NOT a union-find translation):
+
+- Node "interning" is replaced by a ``first_seen`` long per node — the
+  minimum of ``2*row_idx`` (from-endpoint) / ``2*row_idx + 1``
+  (to-endpoint) over the rows where the node appears.  ``first_seen`` is
+  order-isomorphic to the reference's dense intern ids, so every
+  "smallest id" comparison below reproduces first-appearance semantics
+  without a global row_number.
+- Components are computed with the alternating large-star / small-star
+  DataFrame algorithm (Kiveris et al. 2014, "Connected Components in
+  MapReduce and Beyond"): O(log^2 n) rounds regardless of graph diameter,
+  every round is a plain shuffle join + aggregation that AQE can size.
+  Lineage is truncated per round (``plans.iteration``).
+- The component root is the member with the smallest ``first_seen`` — i.e.
+  the component's first-appearing node — so dense-ranking roots ascending
+  reproduces the reference's 1..k group numbering exactly.
+
+Scale notes (100 TB): all steps are key-partitioned joins/aggregations on
+the node id; no driver-side collection of edges.  The only global-order
+step is the dense_rank over *distinct component roots* (k rows, k ≪ V).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from polars_grouper_spark.plans.iteration import fingerprint, truncate_lineage
+
+_MAX_ROUNDS = 50
+
+
+def _edge_pairs(df: DataFrame, from_col: str, to_col: str, order_col: str | None):
+    """Project df to (src string, dst string, _seen long) with null edges dropped.
+
+    ``_seen`` is a per-row monotone index used to derive first-appearance
+    order; endpoints of row i get 2i (src) and 2i+1 (dst), mirroring the
+    reference's intern order (from before to, row by row).
+    """
+    idx = F.col(order_col).cast("long") if order_col else F.monotonically_increasing_id()
+    e = df.select(
+        F.col(from_col).cast("string").alias("src"),
+        F.col(to_col).cast("string").alias("dst"),
+        idx.alias("_i"),
+    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    return e
+
+
+def _node_table(edges: DataFrame) -> DataFrame:
+    """(node string, nid long) where nid = first_seen index (order-isomorphic
+    to the reference's intern ids)."""
+    endpoints = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("node"), (F.col("_i") * 2).alias("seen")),
+                F.struct(F.col("dst").alias("node"), (F.col("_i") * 2 + 1).alias("seen")),
+            )
+        ).alias("x")
+    ).select("x.node", "x.seen")
+    return endpoints.groupBy("node").agg(F.min("seen").alias("nid"))
+
+
+def _cc_assignments(edge_ids: DataFrame) -> DataFrame:
+    """Alternating large-star/small-star over (u long, v long) undirected
+    edges.  Returns (nid long, component long) for every node appearing in
+    ``edge_ids`` — component = min nid of the component.
+
+    Self-loops may be present in the input; they are dropped here (their
+    nodes are still covered by the caller's node table).
+    """
+    e = (
+        edge_ids.where(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+    )
+    e = truncate_lineage(e)
+
+    prev_fp = None
+    for _ in range(_MAX_ROUNDS):
+        # large-star: connect every neighbor larger than u to
+        # m = min(N(u) ∪ {u}).
+        nb = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = nb.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
+        large = (
+            nb.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+        # small-star: orient u > v, connect u and all smaller neighbors to
+        # the minimum neighbor.
+        ee = large.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")).distinct()
+        mins2 = ee.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            ee.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select(F.col("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        e = truncate_lineage(small)
+
+        fp = fingerprint(e, "u", "v")
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+
+    # At the fixpoint e is a star forest: (member, root) with root = min nid.
+    return e.select(F.col("u").alias("nid"), F.col("v").alias("component"))
+
+
+def connected_components(
+    df: DataFrame,
+    from_col: str = "from",
+    to_col: str = "to",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Table function: one row per distinct node.
+
+    Returns ``(node string, component long, group long)`` where ``group``
+    is the reference's first-appearance component numbering starting at 1
+    (``src/graph_solver.rs:78-89``) and ``component`` is the internal root
+    id (min first-seen index in the component).
+
+    ``order_col``: optional column defining row order for first-appearance
+    semantics.  Defaults to ``monotonically_increasing_id()`` which follows
+    file/partition order — deterministic for a single-file parquet scan or
+    a ``createDataFrame`` local relation, which is where numbering parity
+    matters.  At cluster scale pass an explicit ordering column.
+    """
+    edges = _edge_pairs(df, from_col, to_col, order_col)
+    nodes = _node_table(edges)  # (node, nid)
+
+    edge_ids = (
+        edges.join(nodes.withColumnRenamed("node", "src").withColumnRenamed("nid", "u"), "src")
+        .join(nodes.withColumnRenamed("node", "dst").withColumnRenamed("nid", "v"), "dst")
+        .select("u", "v")
+    )
+    assign = _cc_assignments(edge_ids)
+
+    # Nodes not covered by the star forest (isolated via self-loops only)
+    # root themselves.
+    labeled = (
+        nodes.join(assign, "nid", "left")
+        .select("node", "nid", F.coalesce("component", F.col("nid")).alias("component"))
+    )
+
+    # First-appearance numbering: roots ascending by first_seen == ascending
+    # by component id.  dense_rank over distinct roots only (k rows).
+    roots = labeled.select("component").distinct()
+    numbering = roots.withColumn(
+        "group", F.dense_rank().over(Window.orderBy("component")).cast("long")
+    )
+    return labeled.join(numbering, "component").select("node", "component", "group")
+
+
+def graph_solver(
+    df: DataFrame,
+    from_col: str = "from",
+    to_col: str = "to",
+    output_col: str = "group",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Row-aligned connected-component group id (reference ``graph_solver``).
+
+    Returns ``df`` with ``output_col`` (long) appended: the group of each
+    row's ``from`` node, or 0 when that node never appears in a non-null
+    edge (``src/graph_solver.rs:92-100``).
+    """
+    groups = connected_components(df, from_col, to_col, order_col).select(
+        F.col("node").alias("__node"), F.col("group").alias("__grp")
+    )
+    out = (
+        df.join(groups, F.col(from_col).cast("string") == F.col("__node"), "left")
+        .withColumn(output_col, F.coalesce(F.col("__grp"), F.lit(0)).cast("long"))
+        .drop("__node", "__grp")
+    )
+    return out
+
+
+def super_merger(
+    df: DataFrame, from_col: str = "from", to_col: str = "to", order_col: str | None = None
+) -> DataFrame:
+    """Reference ``super_merger``: df + ``group`` column
+    (``polars_grouper/__init__.py:246-301``)."""
+    return graph_solver(df, from_col, to_col, "group", order_col)
+
+
+def super_merger_weighted(
+    df: DataFrame,
+    from_col: str = "from",
+    to_col: str = "to",
+    weight_col: str = "weight",
+    weight_threshold: float = 0.1,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Reference ``super_merger_weighted``: filter ``weight >= threshold``
+    *then* group — numbering is computed on the filtered frame
+    (``polars_grouper/__init__.py:304-372``).  The filter is a plain
+    Catalyst predicate, pushed to the scan when possible.
+    """
+    filtered = df.where(F.col(weight_col) >= F.lit(weight_threshold))
+    return super_merger(filtered, from_col, to_col, order_col)

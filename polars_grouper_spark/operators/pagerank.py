@@ -1,0 +1,114 @@
+"""PageRank over edge-list DataFrames — Spark-native power iteration.
+
+Reference parity: ``/root/reference/src/page_rank.rs:52-129`` and
+``/root/reference/polars_grouper/__init__.py:158-243``.
+
+Semantics replicated exactly:
+
+- Directed graph as given; duplicate edge rows count (outdegree is the
+  number of edge *rows* leaving a node, and each duplicate contributes to
+  the target's incoming sum).
+- Init 1/n for all interned nodes; per iteration
+  ``new[v] = (1-d)/n + d * Σ_{u→v} rank[u]/outdeg(u)``.
+- Dangling nodes (outdeg 0) leak their mass — no redistribution
+  (``src/page_rank.rs:93-98``); the golden test encodes the leak.
+- Convergence: L1 norm ``Σ|new-old| < threshold`` checked *after* the
+  update is applied, then break (``:105-114``).
+- Row-aligned output: score of each row's ``from`` node; null/unknown → 0.0.
+
+Spark-first design: driver-side loop of key-partitioned joins/aggs — the
+edges⋈ranks join shuffles on the node key, the per-target sum is a
+map-side-combinable aggregation.  Lineage is truncated every round; the
+L1-diff aggregation doubles as the action that materializes the round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from polars_grouper_spark.plans.iteration import truncate_lineage
+
+
+def page_rank_nodes(
+    df: DataFrame,
+    from_col: str = "from",
+    to_col: str = "to",
+    damping_factor: float = 0.85,
+    max_iterations: int = 100,
+    convergence_threshold: float = 1e-6,
+) -> DataFrame:
+    """Table variant: ``(node string, score double)`` for every interned node."""
+    edges = df.select(
+        F.col(from_col).cast("string").alias("src"),
+        F.col(to_col).cast("string").alias("dst"),
+    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nodes = truncate_lineage(nodes)
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("score"))
+
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # Pre-divide each edge by its source outdegree once; reused every round.
+    edges_w = truncate_lineage(
+        edges.join(outdeg, "src").select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
+    )
+
+    base = (1.0 - damping_factor) / n
+    ranks = truncate_lineage(nodes.select("node", F.lit(1.0 / n).alias("score")))
+
+    for _ in range(max_iterations):
+        contrib = (
+            edges_w.join(ranks, edges_w["src"] == ranks["node"])
+            .select(F.col("dst").alias("node"), (F.col("score") * F.col("w")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inc"))
+        )
+        new_ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping_factor) * F.coalesce("inc", F.lit(0.0))).alias(
+                    "score"
+                ),
+            )
+        )
+        new_ranks = truncate_lineage(new_ranks)
+        diff = (
+            new_ranks.alias("n")
+            .join(ranks.alias("o"), "node")
+            .agg(F.sum(F.abs(F.col("n.score") - F.col("o.score"))).alias("d"))
+            .first()["d"]
+        )
+        ranks = new_ranks
+        if diff is not None and diff < convergence_threshold:
+            break
+    return ranks
+
+
+def page_rank(
+    df: DataFrame,
+    from_col: str = "from",
+    to_col: str = "to",
+    damping_factor: float = 0.85,
+    max_iterations: int = 100,
+    convergence_threshold: float = 1e-6,
+    output_col: str = "pagerank",
+) -> DataFrame:
+    """Row-aligned reference behavior: df + score of each row's ``from``
+    node (0.0 for null / never-interned nodes — ``src/page_rank.rs:118-128``).
+    """
+    scores = page_rank_nodes(
+        df, from_col, to_col, damping_factor, max_iterations, convergence_threshold
+    ).select(F.col("node").alias("__node"), F.col("score").alias("__score"))
+    return (
+        df.join(scores, F.col(from_col).cast("string") == F.col("__node"), "left")
+        .withColumn(output_col, F.coalesce(F.col("__score"), F.lit(0.0)))
+        .drop("__node", "__score")
+    )

@@ -1,0 +1,105 @@
+"""All-pairs weighted shortest paths — distributed multi-source relaxation.
+
+Reference parity: ``/root/reference/src/shortest_path.rs:129-206`` and
+``/root/reference/polars_grouper/__init__.py:78-155``.
+
+Semantics replicated exactly:
+
+- Null endpoint/weight drops the edge row.
+- Weights are quantized ``(w * 1000.0) as i64`` — i.e. truncation toward
+  zero to integer milli-units; all path arithmetic is integer; the result
+  divides back by 1000.0 (``src/shortest_path.rs:70, :95``).  Spark's
+  double→long cast truncates toward zero identically.
+- ``directed=False`` (default) mirrors every edge.
+- Unreachable pairs are omitted; self-pairs are omitted.
+- Undirected output keys each unordered pair once with the
+  lexicographically smaller name in ``from``; directed output has both
+  directions (``:164-196``).
+
+Spark-first design: instead of one Dijkstra per (source,target) pair
+(reference: O(V²) runs), ALL sources relax simultaneously — the distance
+state is a DataFrame ``(s, n, d)`` partitioned on the node key, and each
+round does frontier⋈edges → min-aggregate.  Rounds ≤ longest shortest
+path hop count; each round is a shuffle join AQE can size.  The O(V²)
+output is inherent to the operator; ``sources=`` bounds it at scale
+(documented deviation, SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from polars_grouper_spark.plans.iteration import truncate_lineage
+
+_MAX_ROUNDS = 200
+
+
+def calculate_shortest_path(
+    df: DataFrame,
+    from_col: str = "from",
+    to_col: str = "to",
+    weight_col: str = "weight",
+    directed: bool = False,
+    sources: Sequence[str] | None = None,
+) -> DataFrame:
+    """Table function → ``(from string, to string, distance double)``.
+
+    ``sources``: optional subset of source node names to bound the O(V²)
+    output at scale; ``None`` mirrors the reference (all pairs).
+    """
+    edges = df.select(
+        F.col(from_col).cast("string").alias("u"),
+        F.col(to_col).cast("string").alias("v"),
+        (F.col(weight_col).cast("double") * 1000.0).cast("long").alias("q"),
+    ).where(F.col("u").isNotNull() & F.col("v").isNotNull() & F.col(weight_col).isNotNull())
+
+    if not directed:
+        edges = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v"), "q"))
+    # Parallel edges only ever contribute their minimum; collapsing them
+    # up front keeps the per-round join small.
+    edges = truncate_lineage(edges.groupBy("u", "v").agg(F.min("q").alias("q")))
+
+    nodes = (
+        edges.select(F.col("u").alias("node")).union(edges.select(F.col("v").alias("node"))).distinct()
+    )
+    if sources is not None:
+        src_nodes = nodes.where(F.col("node").isin(list(sources)))
+    else:
+        src_nodes = nodes
+
+    # dist state: (s, n, d) — shortest known quantized distance from s to n.
+    dist = truncate_lineage(src_nodes.select(F.col("node").alias("s"), F.col("node").alias("n"), F.lit(0).cast("long").alias("d")))
+    frontier = dist
+
+    for _ in range(_MAX_ROUNDS):
+        cand = (
+            frontier.join(edges, frontier["n"] == edges["u"])
+            .select("s", F.col("v").alias("n"), (F.col("d") + F.col("q")).alias("d"))
+            .groupBy("s", "n")
+            .agg(F.min("d").alias("d"))
+        )
+        improved = (
+            cand.alias("c")
+            .join(dist.alias("x"), ["s", "n"], "left")
+            .where(F.col("x.d").isNull() | (F.col("c.d") < F.col("x.d")))
+            .select("s", "n", F.col("c.d").alias("d"))
+        )
+        improved = truncate_lineage(improved)
+        if improved.isEmpty():
+            break
+        dist = truncate_lineage(
+            dist.union(improved).groupBy("s", "n").agg(F.min("d").alias("d"))
+        )
+        frontier = improved
+
+    out = dist.where(F.col("s") != F.col("n"))
+    if not directed:
+        out = out.where(F.col("s") < F.col("n"))
+    return out.select(
+        F.col("s").alias("from"),
+        F.col("n").alias("to"),
+        (F.col("d") / 1000.0).alias("distance"),
+    )

@@ -1,0 +1,113 @@
+"""Ported reference golden tests for connected components.
+
+Reference: /root/reference/tests/test_graph_solver.py:43-87 plus null
+handling from :345-364 semantics (graph_solver sentinel 0).
+"""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from polars_grouper_spark import (
+    connected_components,
+    graph_solver,
+    super_merger,
+    super_merger_weighted,
+)
+
+
+def _edges(spark, frm, to):
+    return spark.createDataFrame(
+        [Row(**{"from": f, "to": t}) for f, t in zip(frm, to)],
+        schema="`from` string, `to` string",
+    ).coalesce(1)
+
+
+def test_graph_solver_golden(spark):
+    df = _edges(
+        spark,
+        ["A", "B", "C", "E", "F", "G", "I", "I", "AA"],
+        ["B", "C", "D", "F", "G", "J", "K", "J", "Z"],
+    )
+    result = [r.group for r in graph_solver(df).select("from", "group").orderBy("from").collect()]
+    expected = dict(
+        zip(
+            ["A", "B", "C", "E", "F", "G", "I", "I", "AA"],
+            [1, 1, 1, 2, 2, 2, 2, 2, 3],
+        )
+    )
+    got = {
+        r["from"]: r["group"]
+        for r in graph_solver(df).select("from", "group").collect()
+    }
+    assert got == expected
+
+
+def test_super_merger_golden(spark):
+    df = _edges(spark, ["A", "B", "C", "E", "F", "G", "I"], ["B", "C", "D", "F", "G", "J", "K"])
+    got = {(r["from"], r["to"]): r["group"] for r in super_merger(df).collect()}
+    expected = {
+        ("A", "B"): 1,
+        ("B", "C"): 1,
+        ("C", "D"): 1,
+        ("E", "F"): 2,
+        ("F", "G"): 2,
+        ("G", "J"): 2,
+        ("I", "K"): 3,
+    }
+    assert got == expected
+
+
+def test_super_merger_empty(spark):
+    df = spark.createDataFrame([], schema="`from` string, `to` string")
+    out = super_merger(df)
+    assert out.columns == ["from", "to", "group"]
+    assert out.count() == 0
+
+
+def test_super_merger_single_component(spark):
+    df = _edges(spark, ["A", "B", "C"], ["B", "C", "A"])
+    got = {r["from"]: r["group"] for r in super_merger(df).collect()}
+    assert got == {"A": 1, "B": 1, "C": 1}
+
+
+def test_super_merger_weighted(spark):
+    df = spark.createDataFrame(
+        [("A", "B", 1.0), ("B", "C", 0.05), ("D", "E", 0.5)],
+        schema="`from` string, `to` string, weight double",
+    ).coalesce(1)
+    out = super_merger_weighted(df, "from", "to", "weight", 0.1)
+    got = {(r["from"], r["to"]): r["group"] for r in out.collect()}
+    # B-C edge filtered out; numbering on the filtered frame.
+    assert got == {("A", "B"): 1, ("D", "E"): 2}
+
+
+def test_graph_solver_null_sentinel(spark):
+    df = spark.createDataFrame(
+        [("A", "B"), ("X", None), ("C", "A")],
+        schema="`from` string, `to` string",
+    ).coalesce(1)
+    got = {r["from"]: r["group"] for r in graph_solver(df).collect()}
+    # X's only edge is dropped -> X never interned -> sentinel 0.
+    assert got == {"A": 1, "X": 0, "C": 1}
+
+
+def test_graph_solver_self_loop_isolated(spark):
+    df = _edges(spark, ["A", "B"], ["A", "C"])
+    got = {r["from"]: r["group"] for r in graph_solver(df).collect()}
+    # Self-loop keeps A in its own component; numbering by first appearance.
+    assert got == {"A": 1, "B": 2}
+
+
+def test_connected_components_table(spark):
+    df = _edges(spark, ["A", "B", "X"], ["B", "C", "Y"])
+    rows = connected_components(df).orderBy("group", "node").collect()
+    comp = {r["node"]: r["group"] for r in rows}
+    assert comp == {"A": 1, "B": 1, "C": 1, "X": 2, "Y": 2}
+
+
+def test_integer_node_ids_coerced(spark):
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], schema="`from` long, `to` long"
+    ).coalesce(1)
+    got = {r["from"]: r["group"] for r in graph_solver(df).collect()}
+    assert got == {1: 1, 2: 1, 10: 2}
