@@ -141,11 +141,9 @@ def betweenness_centrality(
         cent = [c / 2.0 for c in cent]
     if normalized:
         nf = float(n)
-        norm = (1.0 if directed else 2.0) / ((nf - 1.0) * (nf - 2.0)) if n > 2 else float("inf")
-        if n <= 2:
-            # reference divides by zero here -> inf/nan; mirror via direct math
-            denom = (nf - 1.0) * (nf - 2.0)
-            norm = (1.0 if directed else 2.0) / denom if denom != 0 else float("inf")
+        denom = (nf - 1.0) * (nf - 2.0)
+        # n <= 2 divides by zero in the reference too (inf/nan mirrored).
+        norm = (1.0 if directed else 2.0) / denom if denom != 0.0 else float("inf")
         cent = [c * norm for c in cent]
 
     return spark.createDataFrame(

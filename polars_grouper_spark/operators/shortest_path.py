@@ -81,11 +81,15 @@ def calculate_shortest_path(
             .groupBy("s", "n")
             .agg(F.min("d").alias("d"))
         )
+        old = dist.select(
+            F.col("s").alias("xs"), F.col("n").alias("xn"), F.col("d").alias("xd")
+        )
         improved = (
-            cand.alias("c")
-            .join(dist.alias("x"), ["s", "n"], "left")
-            .where(F.col("x.d").isNull() | (F.col("c.d") < F.col("x.d")))
-            .select("s", "n", F.col("c.d").alias("d"))
+            cand.join(
+                old, (cand["s"] == old["xs"]) & (cand["n"] == old["xn"]), "left"
+            )
+            .where(F.col("xd").isNull() | (F.col("d") < F.col("xd")))
+            .select("s", "n", "d")
         )
         improved = truncate_lineage(improved)
         if improved.isEmpty():
