@@ -1,0 +1,305 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all shuffle-conscious and driver-collect-free:
+
+- :func:`exact_dedup` — hash-groupBy on (normalized) content; one shuffle.
+- :func:`ngram_jaccard_pairs` — exact shingle-set Jaccard via a
+  shingle-inverted-index self-join.  The frequent-shingle cap
+  (``max_shingle_df``) bounds the quadratic posting-list blowup that
+  otherwise melts the join at 100 TB (a shingle shared by k docs emits
+  k^2 candidate rows).
+- :func:`minhash_signatures` / :func:`minhash_lsh_pairs` — MinHash + LSH
+  banding: candidates meet only if a band signature collides, so the join
+  is equality-partitioned on (band, signature) — linear shuffle, no
+  all-pairs.  Hashes are md5-derived (``hashing.portable_hash64``) so the
+  DuckDB oracle can replicate bit-for-bit.
+- :func:`simhash` / :func:`simhash_pairs` — 60-bit SimHash; near-dup
+  candidates via the pigeonhole chunk trick (hamming <= k pairs must share
+  one of k+1 chunks), verified with ``bit_count(a XOR b)``.
+
+Embedding-space near-dup lives in ``functions.similarity``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from polars_grouper_spark.functions.hashing import portable_hash64, salted
+from polars_grouper_spark.functions.text import tokens
+
+
+def exact_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact duplicate grouping → (id, canonical_id, group_size, is_duplicate).
+
+    canonical_id = min id among identical rows.  Single shuffle on the
+    content hash; content equality (not just hash) is enforced by grouping
+    on the columns themselves.
+    """
+    content_cols = content_cols or ["text"]
+    g = df.groupBy(*content_cols).agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return (
+        df.join(g, content_cols)
+        .select(
+            F.col(id_col),
+            "canonical_id",
+            "group_size",
+            (F.col(id_col) != F.col("canonical_id")).alias("is_duplicate"),
+        )
+    )
+
+
+def word_shingles(text_col, n: int = 3):
+    """Distinct word n-gram shingles of a text column -> array<string>."""
+    toks = tokens(text_col)
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            ),
+        ).otherwise(
+            # shorter than n tokens: single shingle of the whole text
+            F.when(F.size(toks) > 0, F.array(F.concat_ws(" ", toks))).otherwise(
+                F.array().cast("array<string>")
+            )
+        )
+    )
+
+
+def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) exploded distinct shingles."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similar pairs → (id_a, id_b, jaccard).
+
+    ``max_shingle_df`` drops shingles appearing in more than that many
+    docs before the self-join (boilerplate shingles dominate cost and
+    carry no signal).  ``None`` disables the cap (exact but quadratic in
+    the hottest posting list).
+    """
+    sh = _shingle_table(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        keep = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_cnt"))
+        sh = sh.join(keep.where(F.col("df_cnt") <= max_shingle_df), "shingle").select(
+            "id", "shingle"
+        )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+
+    s1 = sh.select(F.col("id").alias("id_a"), "shingle")
+    s2 = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        s1.join(s2, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    portable: bool = True,
+) -> DataFrame:
+    """MinHash signatures → (id, perm, minhash) — ``num_hashes`` rows/doc.
+
+    H_i(s) = portable_hash64(str(i) || '|' || s); minhash_i = min over the
+    doc's distinct shingles.  One explode + one groupBy — the aggregation
+    is map-side combinable.
+    """
+    sh = _shingle_table(df, id_col, text_col, shingle_n)
+    perms = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("perm")
+    hashed = sh.select("id", "shingle", perms).select(
+        "id",
+        "perm",
+        portable_hash64(salted(F.col("perm"), F.col("shingle")), portable=portable).alias("h"),
+    )
+    return hashed.groupBy("id", "perm").agg(F.min("h").alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    portable: bool = True,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs → (id_a, id_b, est_jaccard).
+
+    Pipeline: signatures → band signature strings (rows_per_band hashes
+    concatenated) → equality join on (band, signature) → candidate pairs →
+    estimated Jaccard = fraction of agreeing minhashes, filtered at
+    ``threshold``.  Every join is equality-partitioned; no cross join.
+    """
+    assert num_hashes % bands == 0, "num_hashes must divide evenly into bands"
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, portable)
+    sig = sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+    band_sig = (
+        sig.groupBy("id", "band")
+        .agg(F.sort_array(F.collect_list(F.struct("perm", "minhash"))).alias("mh"))
+        .select(
+            "id",
+            "band",
+            F.md5(F.concat_ws(",", F.transform("mh", lambda x: x["minhash"].cast("string")))).alias(
+                "bsig"
+            ),
+        )
+    )
+    cand = (
+        band_sig.alias("x")
+        .join(band_sig.alias("y"), ["band", "bsig"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("id").alias("id_a"), "perm", F.col("minhash").alias("mh_a"))
+    sb = sig.select(F.col("id").alias("id_b"), "perm", F.col("minhash").alias("mh_b"))
+    est = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "perm"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            (F.sum((F.col("mh_a") == F.col("mh_b")).cast("int")) / F.lit(num_hashes)).alias(
+                "est_jaccard"
+            )
+        )
+        .where(F.col("est_jaccard") >= F.lit(threshold))
+    )
+    return est
+
+
+SIMHASH_BITS = 60  # stays within a non-negative long; matches portable hash width
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+    portable: bool = True,
+) -> DataFrame:
+    """Per-document SimHash → (id, simhash long).
+
+    Token-level: each distinct token weighted by its in-doc count votes
+    ±weight on each bit of its hash; bit b of the result is 1 iff the
+    vote sum is positive.  Row volume is docs × distinct_tokens × bits —
+    keep ``bits`` modest (60 default, 32 for huge corpora) or pre-trim
+    the vocabulary upstream.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    tok = tok.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("w"))
+    tok = tok.select("id", "w", portable_hash64(F.col("tok"), portable=portable).alias("h"))
+    bit = tok.select(
+        "id",
+        "w",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+    ).select(
+        "id",
+        "b",
+        F.expr("CASE WHEN (shiftright(h, b) & 1) = 1 THEN w ELSE -w END").alias("vote"),
+    )
+    return (
+        bit.groupBy("id", "b")
+        .agg(F.sum("vote").alias("s"))
+        .groupBy("id")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b) "
+                    "ELSE CAST(0 AS BIGINT) END"
+                )
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+    max_hamming: int = 3,
+    portable: bool = True,
+) -> DataFrame:
+    """SimHash near-duplicate pairs → (id_a, id_b, hamming).
+
+    Pigeonhole banding: with hamming <= k, two hashes agree exactly on at
+    least one of k+1 bit-chunks → equality join per chunk, then exact
+    hamming via bit_count(xor).
+    """
+    sh = simhash(df, id_col, text_col, bits, portable)
+    n_chunks = max_hamming + 1
+    chunk_bits = bits // n_chunks
+    chunks = sh.select(
+        "id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("chunk"),
+    ).select(
+        "id",
+        "simhash",
+        "chunk",
+        F.expr(
+            f"shiftright(simhash, chunk * {chunk_bits}) & {(1 << chunk_bits) - 1}"
+        ).alias("ckey"),
+    )
+    cand = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), ["chunk", "ckey"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.simhash").alias("h_a"),
+            F.col("y.simhash").alias("h_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("int").alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)

@@ -1,0 +1,48 @@
+"""Engine-portable 64-bit hashing.
+
+Dedup/similarity operators need hash functions that can be reproduced
+bit-for-bit by the DuckDB correctness oracle (and by any other engine).
+Spark's ``hash``/``xxhash64`` and DuckDB's ``hash`` are different
+algorithms, so we derive hashes from ``md5`` — identical everywhere — by
+taking the first 15 hex digits (60 bits, always a non-negative long).
+
+Spark side:   ``conv(substr(md5(x), 1, 15), 16, 10) :: long``
+DuckDB side:  ``CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)``
+
+md5 is ~3x slower than xxhash64 but still JVM-side, vectorized, and far
+from the bottleneck next to the shuffles these operators do.  Operators
+accept ``portable=False`` to switch to ``xxhash64`` when oracle parity is
+not needed (pure-Spark production runs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HASH_HEX_DIGITS = 15  # 60 bits -> non-negative long, matches the SQL template
+HASH_SPACE = 1 << 60
+
+
+def portable_hash64(col: Column | str, *, portable: bool = True) -> Column:
+    """60-bit non-negative hash of a string column, reproducible in SQL."""
+    c = F.col(col) if isinstance(col, str) else col
+    if portable:
+        return F.conv(F.substring(F.md5(c), 1, HASH_HEX_DIGITS), 16, 10).cast("long")
+    return F.pmod(F.xxhash64(c), F.lit(HASH_SPACE))
+
+
+def portable_hash64_sql(expr: str) -> str:
+    """DuckDB SQL fragment equivalent to :func:`portable_hash64`."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, {HASH_HEX_DIGITS})) AS BIGINT)"
+
+
+def salted(salt, col: Column | str) -> Column:
+    """Concatenate an integer salt with a string column — the per-permutation
+    seed trick for MinHash: H_i(s) = hash(i || '|' || s)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.concat(F.lit(str(salt)), F.lit("|"), c)
+
+
+def salted_sql(salt, expr: str) -> str:
+    return f"('{salt}' || '|' || {expr})"

@@ -1,0 +1,259 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- :func:`cosine_topk` — exact brute-force top-k: broadcast the (small)
+  query set against the corpus scan; the dot product is a JVM-side
+  ``aggregate(zip_with(...))`` fold (no Python), the top-k a per-query
+  window.  Scales as corpus × queries — the baseline and the verifier
+  for the approximate paths.
+- :func:`hyperplane_lsh_buckets` / :func:`lsh_topk` — random-hyperplane
+  LSH: deterministic md5-derived planes, sign-bit bucket signature,
+  candidates only within matching buckets → equality-partitioned join.
+- :func:`ivf_build` / :func:`ivf_topk` — IVF-style coarse quantizer:
+  k centroids refined by a few Lloyd rounds (all DataFrame ops), search
+  probes the ``n_probe`` nearest centroid cells only.
+
+At 100 TB the brute-force path is the per-cell scorer inside
+LSH/IVF-pruned candidate sets, never the global plan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k → (query_id, neighbor_id, cosine, rank).
+
+    ``queries`` must be broadcastable (bounded); the corpus streams.
+    Deterministic tie-break: higher cosine first, then neighbor id asc.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    )
+    joined = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        joined = joined.where(F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _deterministic_planes(n_planes: int, dim: int, seed: str = "lsh") -> list[list[float]]:
+    """Pseudo-random unit-free hyperplanes derived from md5 — reproducible
+    across engines and runs, no RNG state."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}|{p}|{d}".encode()).hexdigest()
+            v = (int(h[:15], 16) / float(1 << 60)) * 2.0 - 1.0
+            row.append(v)
+        planes.append(row)
+    return planes
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int | None = None,
+    seed: str = "lsh",
+) -> DataFrame:
+    """Sign-bit LSH bucket per vector → (id, bucket long).
+
+    bucket = Σ_p (dot(v, plane_p) > 0) << p.  Planes are md5-derived
+    literals folded into the plan (no broadcast bookkeeping needed).
+    """
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = int(first["d"]) if first else 0
+    planes = _deterministic_planes(n_planes, dim, seed)
+    bucket = F.lit(0).cast("long")
+    v = F.col(vec_col)
+    for p, plane in enumerate(planes):
+        plane_arr = F.array(*[F.lit(x) for x in plane])
+        bit = (_dot(v, plane_arr) > 0).cast("long")
+        bucket = bucket + F.shiftleft(bit, p)
+    return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 8,
+    seed: str = "lsh",
+) -> DataFrame:
+    """Approximate cosine top-k within LSH buckets → same schema as
+    :func:`cosine_topk` (may return < k rows per query; recall < 1)."""
+    cb = hyperplane_lsh_buckets(corpus, id_col, vec_col, n_planes, seed=seed)
+    qb = hyperplane_lsh_buckets(queries, id_col, vec_col, n_planes, seed=seed)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")).join(
+        cb.select(F.col("id").alias("neighbor_id"), "bucket"), "neighbor_id"
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).join(
+        qb.select(F.col("id").alias("query_id"), "bucket"), "query_id"
+    )
+    joined = c.join(q, "bucket").where(F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        (
+            _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ivf_build(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    lloyd_rounds: int = 2,
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Coarse IVF index: returns (assignments (id, cell), centroids).
+
+    Seeding is deterministic (lowest ``n_cells`` ids); a few Lloyd rounds
+    of mean-refinement, each a broadcast-scored assign + groupBy-avg.
+    Centroid list is driver-side (n_cells × dim — bounded by design).
+    """
+    seeds = (
+        df.orderBy(F.col(id_col))
+        .limit(n_cells)
+        .select(F.col(vec_col).alias("v"))
+        .collect()
+    )
+    centroids = [
+        (i, [float(x) for x in r["v"]]) for i, r in enumerate(seeds)
+    ]
+
+    def assign(cents) -> DataFrame:
+        v = F.col(vec_col)
+        best_cell, best_d = None, None
+        for cid, cvec in cents:
+            arr = F.array(*[F.lit(x) for x in cvec])
+            d = F.aggregate(
+                F.zip_with(v, arr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            if best_d is None:
+                best_cell, best_d = F.lit(cid), d
+            else:
+                cond = d < best_d
+                best_cell = F.when(cond, F.lit(cid)).otherwise(best_cell)
+                best_d = F.when(cond, d).otherwise(best_d)
+        return df.select(F.col(id_col).alias("id"), best_cell.alias("cell"), F.col(vec_col).alias("v"))
+
+    assignments = assign(centroids)
+    for _ in range(lloyd_rounds):
+        dim = len(centroids[0][1])
+        means = (
+            assignments.select(
+                "cell", F.posexplode(F.col("v")).alias("pos", "x")
+            )
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("cell")
+            .agg(F.sort_array(F.collect_list(F.struct("pos", "m"))).alias("mm"))
+            .select("cell", F.transform("mm", lambda s: s["m"]).alias("centroid"))
+            .collect()
+        )
+        centroids = [
+            (int(r["cell"]), [float(x) for x in r["centroid"]]) for r in means
+        ]
+        centroids.sort()
+        assignments = assign(centroids)
+        _ = dim
+    return assignments.select("id", "cell"), centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-pruned cosine top-k: score only vectors in the query's
+    ``n_probe`` nearest cells."""
+    assignments, centroids = ivf_build(corpus, id_col, vec_col, n_cells)
+
+    v = F.col(vec_col)
+    cells_scored = []
+    for cid, cvec in centroids:
+        arr = F.array(*[F.lit(x) for x in cvec])
+        d = F.aggregate(
+            F.zip_with(v, arr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cells_scored.append(F.struct(d.alias("d"), F.lit(cid).alias("cell")))
+    probes = F.slice(F.array_sort(F.array(*cells_scored)), 1, n_probe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(F.transform(probes, lambda s: s["cell"])).alias("cell"),
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")).join(
+        assignments.select(F.col("id").alias("neighbor_id"), "cell"), "neighbor_id"
+    )
+    joined = c.join(q, "cell").where(F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

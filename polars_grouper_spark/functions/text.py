@@ -1,0 +1,147 @@
+"""Text analysis over document tables — all JVM-side built-in expressions.
+
+Designed for the ``documents`` table shape (doc_id, text, lang, source,
+n_chars) but generic over any (id, text) pair.  Everything here stays
+inside whole-stage codegen — no Python UDFs — so it scans at parquet
+speed and scales linearly with executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small built-in stopword lists for the language-id heuristic.  Word
+# overlap across languages is fine — scores compete.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "was"],
+    "es": ["el", "la", "los", "las", "y", "de", "que", "en", "un", "por"],
+    "fr": ["le", "la", "les", "et", "de", "que", "en", "un", "pour", "est"],
+    "it": ["il", "la", "di", "che", "e", "un", "per", "con", "non", "una"],
+}
+
+ENGLISH_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization -> array<string> (empty tokens removed)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Sub-word-ish token count: splits on word/number/punct boundaries the
+    way BPE pre-tokenizers do (letters runs, digit runs, single punct)."""
+    c = F.col(text) if isinstance(text, str) else text
+    pieces = F.filter(
+        F.split(c, r"(?<=[^\p{L}\p{N}])|(?=[^\p{L}\p{N}])"),
+        lambda t: (t != F.lit("")) & (t != F.lit(" ")),
+    )
+    return F.size(pieces)
+
+
+def text_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document stats: char/token counts and character-class ratios.
+
+    Output: (id, n_chars, n_tokens, avg_token_len, punct_ratio,
+    digit_ratio, upper_ratio, space_ratio, stopword_ratio).
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    toks = tokens(t)
+    n_tokens = F.size(toks)
+    lower_toks = F.transform(toks, F.lower)
+    stop_lit = F.array(*[F.lit(w) for w in ENGLISH_STOPWORDS])
+    n_stop = F.size(F.filter(lower_toks, lambda x: F.array_contains(stop_lit, x)))
+
+    def class_ratio(pattern: str) -> Column:
+        removed = F.length(F.regexp_replace(t, pattern, ""))
+        return F.when(n_chars > 0, (n_chars - removed) / n_chars).otherwise(F.lit(0.0))
+
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.when(n_tokens > 0, (n_chars - n_tokens + 1) / n_tokens)
+        .otherwise(F.lit(0.0))
+        .alias("avg_token_len"),
+        class_ratio(r"[\p{Punct}]").alias("punct_ratio"),
+        class_ratio(r"[0-9]").alias("digit_ratio"),
+        class_ratio(r"[A-Z]").alias("upper_ratio"),
+        class_ratio(r"\s").alias("space_ratio"),
+        F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0)).alias("stopword_ratio"),
+    )
+
+
+def quality_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic [0,1] quality score — a deterministic combination of the
+    stats (length band, punctuation sanity, stopword presence).  Mirrors
+    the shape of C4/Gopher-style quality filters."""
+    s = text_stats(df, id_col, text_col)
+    length_term = F.least(F.col("n_tokens") / 50.0, F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(F.col("punct_ratio") * 4.0, F.lit(1.0))
+    stop_term = F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0))
+    digit_term = F.lit(1.0) - F.least(F.col("digit_ratio") * 5.0, F.lit(1.0))
+    return s.select(
+        id_col,
+        ((length_term + punct_term + stop_term + digit_term) / 4.0).alias("quality_score"),
+    )
+
+
+def language_id(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """n-gram/stopword language heuristic -> (id, lang_pred, lang_hits).
+
+    Scores each language by stopword hits over the token stream; argmax
+    with deterministic tie-break (language code ascending); no hits ->
+    'und'.
+    """
+    toks = F.transform(tokens(F.col(text_col)), F.lower)
+
+    def contains_pred(stop_lit):
+        return lambda x: F.array_contains(stop_lit, x)
+
+    scores = []
+    for lang in sorted(LANG_STOPWORDS):
+        stop_lit = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+        hits = F.size(F.filter(toks, contains_pred(stop_lit)))
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    # array_max on struct: max by (hits, lang) lexicographic — ties prefer
+    # the LAST lang alphabetically, so invert: order by (hits, reversed
+    # rank) is messy; instead sort desc by hits then asc by lang via
+    # negated hits in a sortable struct.
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct((-s["hits"]).alias("neg"), s["lang"].alias("lang"), s["hits"].alias("hits"))
+                for s in scores
+            ]
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
+        best["hits"].cast("long").alias("lang_hits"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Normalization-robust document fingerprint -> (id, fingerprint).
+
+    Lowercase, collapse non-alphanumerics to single spaces, trim, md5.
+    Equal fingerprints = near-identical docs up to casing/punct/whitespace.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^\p{L}\p{N}]+", " "))
+    return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))

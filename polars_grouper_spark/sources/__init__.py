@@ -1,0 +1,10 @@
+"""Sources/sinks: testdata table loaders and IO helpers."""
+
+from polars_grouper_spark.sources.tables import (
+    TABLES,
+    load_table,
+    load_tables,
+    register_views,
+)
+
+__all__ = ["TABLES", "load_table", "load_tables", "register_views"]

@@ -1,0 +1,9 @@
+"""Structured Streaming operators (batch-compatible where possible)."""
+
+from polars_grouper_spark.streaming.windows import (
+    sessionize,
+    streaming_dedup,
+    windowed_event_stats,
+)
+
+__all__ = ["sessionize", "streaming_dedup", "windowed_event_stats"]

@@ -1,0 +1,81 @@
+import math
+
+from polars_grouper_spark.functions import similarity as sim
+from polars_grouper_spark.sources import load_table
+
+
+def _vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.95, 0.05, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+        (5, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(spark):
+    df = _vectors(spark)
+    q = df.where("vec_id = 0")
+    out = sim.cosine_topk(df, q, k=2).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in out] == [1, 2]
+    assert math.isclose(out[0]["cosine"], 0.9 / math.sqrt(0.82), rel_tol=1e-6)
+
+
+def test_cosine_topk_tie_break(spark):
+    df = _vectors(spark)
+    q = df.where("vec_id = 4")
+    out = sim.cosine_topk(df, q, k=3).orderBy("rank").collect()
+    # ties at cosine 0 broken by neighbor id ascending
+    cosines = [round(r["cosine"], 9) for r in out]
+    ids = [r["neighbor_id"] for r in out]
+    assert cosines[0] > 0.0
+    assert ids[1] < ids[2]
+
+
+def test_lsh_topk_subset_of_exact(spark):
+    df = _vectors(spark)
+    q = df.where("vec_id in (0, 2)")
+    exact = sim.cosine_topk(df, q, k=3)
+    approx = sim.lsh_topk(df, q, k=3, n_planes=4)
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    # LSH candidates are a subset of the corpus; scores must agree with
+    # exact cosine for any pair both return.
+    ex = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact.collect()}
+    for r in approx.collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in ex:
+            assert math.isclose(r["cosine"], ex[key], rel_tol=1e-9)
+    assert exact_pairs  # sanity
+
+
+def test_cosine_topk_real_embeddings(spark):
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    q = emb.where("vec_id < 3")
+    out = sim.cosine_topk(emb, q, k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        cos = [r["cosine"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert cos == sorted(cos, reverse=True)
+        assert all(-1.0 - 1e-9 <= c <= 1.0 + 1e-9 for c in cos)
+
+
+def test_ivf_topk_matches_exact_for_high_recall(spark):
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    q = emb.where("vec_id < 2")
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in sim.cosine_topk(emb, q, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in sim.ivf_topk(emb, q, k=3, n_cells=4, n_probe=4).collect()
+    }
+    # probing ALL cells -> must equal exact
+    assert exact == approx

@@ -1,0 +1,60 @@
+import time
+
+from pyspark.sql import functions as F
+
+from polars_grouper_spark import streaming as st
+from polars_grouper_spark.sources import load_table
+
+
+def test_windowed_event_stats_batch(spark):
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    out = st.windowed_event_stats(ev, window_duration="1 hour")
+    rows = out.collect()
+    assert rows
+    assert out.columns == [
+        "window_start", "window_end", "event_type", "n_events", "sum_value", "n_users",
+    ]
+    total = sum(r["n_events"] for r in rows)
+    assert total == ev.count()
+
+
+def test_sessionize_batch(spark):
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    out = st.sessionize(ev, gap="10 minutes").collect()
+    assert out
+    for r in out:
+        assert r["session_end"] >= r["session_start"]
+
+
+def test_streaming_dedup_batch_degenerates(spark):
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    doubled = ev.union(ev)
+    out = st.streaming_dedup(doubled, ["event_id"])
+    assert out.count() == ev.count()
+
+
+def test_windowed_stats_on_real_stream(spark, tmp_path):
+    """Run the same operator as a real Structured Streaming query."""
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    src = str(tmp_path / "stream_src")
+    ev.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    agg = st.windowed_event_stats(stream, window_duration="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("ev_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    for _ in range(30):
+        if not q.isActive:
+            break
+        time.sleep(1)
+    result = spark.sql("select sum(n_events) as n from ev_counts").first()["n"]
+    batch = st.windowed_event_stats(ev, window_duration="1 hour").agg(
+        F.sum("n_events").alias("n")
+    ).first()["n"]
+    assert result == batch == ev.count()

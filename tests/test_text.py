@@ -1,0 +1,56 @@
+from polars_grouper_spark.functions import text as tx
+from pyspark.sql import functions as F
+
+
+def _docs(spark):
+    rows = [
+        (0, "The cat and the dog ran to the house, and it was fast."),
+        (1, "Der Hund und die Katze sind nicht mit der Maus."),
+        (2, "12345 67890 !!! ??? 000"),
+        (3, ""),
+        (4, "le chat et le chien est pour la maison"),
+    ]
+    return spark.createDataFrame(rows, schema="doc_id long, text string").coalesce(1)
+
+
+def test_text_stats(spark):
+    out = {r["doc_id"]: r for r in tx.text_stats(_docs(spark)).collect()}
+    assert out[0]["n_tokens"] == 13
+    assert out[3]["n_tokens"] == 0 and out[3]["punct_ratio"] == 0.0
+    assert out[2]["digit_ratio"] > 0.5
+    assert 0 < out[0]["stopword_ratio"] < 1
+
+
+def test_quality_score_bounds(spark):
+    rows = tx.quality_score(_docs(spark)).collect()
+    assert all(0.0 <= r["quality_score"] <= 1.0 for r in rows)
+    scores = {r["doc_id"]: r["quality_score"] for r in rows}
+    assert scores[0] > scores[2]  # prose beats digit soup
+
+
+def test_language_id(spark):
+    out = {r["doc_id"]: r["lang_pred"] for r in tx.language_id(_docs(spark)).collect()}
+    assert out[0] == "en"
+    assert out[1] == "de"
+    assert out[4] == "fr"
+    assert out[2] == "und"
+    assert out[3] == "und"
+
+
+def test_fingerprint_normalizes(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello,   World!"), (1, "hello world"), (2, "different text")],
+        schema="doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in tx.fingerprint(df).collect()}
+    assert fp[0] == fp[1]
+    assert fp[0] != fp[2]
+
+
+def test_token_counts(spark):
+    df = _docs(spark).select("doc_id", tx.token_count("text").alias("n"),
+                             tx.bpe_ish_token_count("text").alias("b"))
+    out = {r["doc_id"]: (r["n"], r["b"]) for r in df.collect()}
+    assert out[0][0] == 13
+    assert out[0][1] >= out[0][0]  # sub-word splits >= whitespace tokens
+    assert out[3] == (0, 0)
