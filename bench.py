@@ -1,0 +1,85 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is forced with a cheap action (count of the result) — results
+are small aggregates by construction, so timing measures the plan, not
+driver materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from polars_grouper_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "cc_components",
+    "super_merger_orders",
+    "pagerank_sp",
+    "shortest_path_nations",
+    "betweenness_nations",
+    "assoc_items",
+    "assoc_top5",
+    "assoc_items_weighted",
+    "dedup_exact",
+    "dedup_jaccard",
+    "dedup_minhash",
+    "dedup_simhash",
+    "text_stats",
+    "lang_id",
+    "doc_fingerprint",
+    "cosine_topk",
+    "lsh_topk",
+    "tpch_q1",
+    "revenue_by_segment",
+    "top_orders_per_customer",
+    "events_hourly",
+    "event_sessions",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+
+    spark = get_spark("polars-grouper-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.time()
+        try:
+            fn(spark, sf_dir).count()
+            dt = time.time() - t0
+        except Exception as e:  # noqa: BLE001
+            print(f"# {name} FAILED: {e}", file=sys.stderr)
+            dt = float("nan")
+        timings[name] = round(dt, 3)
+        total += dt if dt == dt else 0.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

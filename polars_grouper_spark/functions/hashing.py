@@ -38,10 +38,11 @@ def portable_hash64_sql(expr: str) -> str:
 
 
 def salted(salt, col: Column | str) -> Column:
-    """Concatenate an integer salt with a string column — the per-permutation
-    seed trick for MinHash: H_i(s) = hash(i || '|' || s)."""
+    """Concatenate a salt (literal or Column) with a string column — the
+    per-permutation seed trick for MinHash: H_i(s) = hash(i || '|' || s)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.concat(F.lit(str(salt)), F.lit("|"), c)
+    s = salt if isinstance(salt, Column) else F.lit(str(salt))
+    return F.concat(s.cast("string"), F.lit("|"), c)
 
 
 def salted_sql(salt, expr: str) -> str:
