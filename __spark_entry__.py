@@ -42,7 +42,7 @@ from polars_grouper_spark import (
 from polars_grouper_spark.functions import dedup as dd
 from polars_grouper_spark.functions import similarity as sim
 from polars_grouper_spark.functions import text as tx
-from polars_grouper_spark.functions.hashing import portable_hash64_sql, salted_sql
+from polars_grouper_spark.functions.hashing import hash_pair64_sql, portable_hash64_sql
 from polars_grouper_spark.sources import load_table
 
 
@@ -324,6 +324,7 @@ def q_assoc_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_support=_ASSOC_MIN_SUPPORT,
         min_confidence=0.0,
         weighted=False,
+        with_patterns=False,
     )
     ex = res.select(
         "item", F.posexplode("consequents").alias("pos", "consequent")
@@ -364,6 +365,7 @@ def q_assoc_items_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_support=_ASSOC_MIN_SUPPORT,
         min_confidence=0.1,
         weighted=True,
+        with_patterns=False,
     )
     return res.select("item", "support", F.round("lift_score", 4).alias("lift_score"))
 
@@ -467,12 +469,13 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dedup_minhash_sql() -> str:
     rows_per_band = _MH_HASHES // _MH_BANDS
-    h = portable_hash64_sql("(perm || '|' || shingle)")
+    h1, h2 = hash_pair64_sql("shingle")
     return f"""
 WITH sh AS ({_SHINGLES_SQL}),
+hp AS (SELECT id, {h1} AS h1, {h2} AS h2 FROM sh),
 hashed AS (
-  SELECT id, perm, min({h}) AS minhash
-  FROM sh, range({_MH_HASHES}) r(perm)
+  SELECT id, perm, min((h1 + perm * h2) % {1 << 60}) AS minhash
+  FROM hp, range({_MH_HASHES}) r(perm)
   GROUP BY id, perm
 ),
 bands AS (

@@ -25,7 +25,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from polars_grouper_spark.functions.hashing import portable_hash64, salted
+from polars_grouper_spark.functions.hashing import (
+    HASH_SPACE,
+    hash_pair64,
+    portable_hash64,
+)
 from polars_grouper_spark.functions.text import tokens
 
 
@@ -140,16 +144,25 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures → (id, perm, minhash) — ``num_hashes`` rows/doc.
 
-    H_i(s) = portable_hash64(str(i) || '|' || s); minhash_i = min over the
-    doc's distinct shingles.  One explode + one groupBy — the aggregation
-    is map-side combinable.
+    Linear-combination scheme: one md5 per shingle yields (h1, h2);
+    permutation i uses H_i = (h1 + i*h2) mod 2^60 (exact 64-bit-safe
+    arithmetic for num_hashes <= 64 — ``hashing.hash_pair64``).  This is
+    ~num_hashes× cheaper than hashing per (shingle, permutation) and
+    remains reproducible in the SQL oracle.  minhash_i = min over the
+    doc's distinct shingles; the aggregation is map-side combinable.
     """
+    assert num_hashes <= 64, "num_hashes > 64 risks 64-bit overflow in the hash mix"
     sh = _shingle_table(df, id_col, text_col, shingle_n)
-    perms = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("perm")
-    hashed = sh.select("id", "shingle", perms).select(
+    h1, h2 = hash_pair64(F.col("shingle"), portable=portable)
+    hashed = sh.select("id", h1.alias("h1"), h2.alias("h2")).select(
+        "id",
+        "h1",
+        "h2",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("perm"),
+    ).select(
         "id",
         "perm",
-        portable_hash64(salted(F.col("perm"), F.col("shingle")), portable=portable).alias("h"),
+        F.pmod(F.col("h1") + F.col("perm") * F.col("h2"), F.lit(HASH_SPACE)).alias("h"),
     )
     return hashed.groupBy("id", "perm").agg(F.min("h").alias("minhash"))
 

@@ -37,6 +37,33 @@ def portable_hash64_sql(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, {HASH_HEX_DIGITS})) AS BIGINT)"
 
 
+def hash_pair64(col: Column | str, *, portable: bool = True) -> tuple[Column, Column]:
+    """Two independent-ish hashes from ONE md5: (60-bit h1, 56-bit h2).
+
+    Used by MinHash's linear-combination scheme  H_i = (h1 + i*h2) % 2^60
+    — one md5 per shingle instead of one per (shingle, permutation).
+    Overflow bound: h1 + i*h2 < 2^60 + i*2^56 must stay below 2^63-1,
+    which holds for i <= 112 — callers cap permutations at 64 for a
+    comfortable margin (verified: i=127 actually overflows under ANSI).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if portable:
+        hx = F.md5(c)
+        h1 = F.conv(F.substring(hx, 1, 15), 16, 10).cast("long")
+        h2 = F.conv(F.substring(hx, 17, 14), 16, 10).cast("long")
+        return h1, h2
+    h = F.xxhash64(c)
+    return F.pmod(h, F.lit(HASH_SPACE)), F.pmod(F.xxhash64(h), F.lit(1 << 56))
+
+
+def hash_pair64_sql(expr: str) -> tuple[str, str]:
+    """DuckDB SQL fragments equivalent to :func:`hash_pair64`."""
+    return (
+        f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)",
+        f"CAST(('0x' || substr(md5({expr}), 17, 14)) AS BIGINT)",
+    )
+
+
 def salted(salt, col: Column | str) -> Column:
     """Concatenate a salt (literal or Column) with a string column — the
     per-permutation seed trick for MinHash: H_i(s) = hash(i || '|' || s)."""

@@ -91,9 +91,14 @@ def graph_association_rules(
     min_confidence: float = 0.5,
     max_itemset_size: int = 50,
     weighted: bool = False,
+    with_patterns: bool = True,
 ) -> DataFrame:
     """Table function → ``(item, support, lift_score, pattern, consequents,
-    confidence_scores)`` — the reference struct, pre-flattened."""
+    confidence_scores)`` — the reference struct, pre-flattened.
+
+    ``with_patterns=False`` skips the pattern-labeling loop (emits pattern
+    0) for consumers that don't need it — saves several jobs.
+    """
     freq = (
         F.col(frequency_col).cast("double")
         if frequency_col is not None
@@ -204,17 +209,26 @@ def graph_association_rules(
     )
 
     # patterns over the distinct directed association graph.
-    assoc_edges = pairs.select(F.col("a_iid").alias("a"), F.col("c_iid").alias("c")).distinct()
-    labels = _pattern_labels(assoc_edges)
-    item_roots = (
-        valid_items.join(labels, valid_items["iid"] == labels["iid"], "left")
-        .select(valid_items["item"], valid_items["iid"], F.coalesce("root", valid_items["iid"]).alias("root"))
-    )
-    roots = item_roots.select("root").distinct()
-    numbering = roots.withColumn(
-        "pattern", F.dense_rank().over(Window.orderBy("root")).cast("long")
-    )
-    patterns = item_roots.join(numbering, "root").select("item", "iid", "pattern")
+    if with_patterns:
+        assoc_edges = pairs.select(
+            F.col("a_iid").alias("a"), F.col("c_iid").alias("c")
+        ).distinct()
+        labels = _pattern_labels(assoc_edges)
+        item_roots = (
+            valid_items.join(labels, valid_items["iid"] == labels["iid"], "left")
+            .select(
+                valid_items["item"],
+                valid_items["iid"],
+                F.coalesce("root", valid_items["iid"]).alias("root"),
+            )
+        )
+        roots = item_roots.select("root").distinct()
+        numbering = roots.withColumn(
+            "pattern", F.dense_rank().over(Window.orderBy("root")).cast("long")
+        )
+        patterns = item_roots.join(numbering, "root").select("item", "iid", "pattern")
+    else:
+        patterns = valid_items.select("item", "iid", F.lit(0).cast("long").alias("pattern"))
 
     out = (
         valid_items.select("item", "iid", F.col("support_count").alias("support"))

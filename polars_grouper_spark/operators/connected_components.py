@@ -92,17 +92,17 @@ def _cc_assignments(edge_ids: DataFrame) -> DataFrame:
         nb = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = nb.groupBy("u").agg(F.min("v").alias("mn"))
         mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
+        # emitted pairs (v, m) satisfy v > u >= m, so they are already
+        # oriented u > v and never self-loops — one distinct suffices.
         large = (
             nb.join(mins, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .where(F.col("u") != F.col("v"))
-            .distinct()
         )
 
-        # small-star: orient u > v, connect u and all smaller neighbors to
-        # the minimum neighbor.
-        ee = large.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")).distinct()
+        # small-star: input oriented u > v; connect u and all smaller
+        # neighbors to the minimum neighbor.
+        ee = large.distinct()
         mins2 = ee.groupBy("u").agg(F.min("v").alias("m"))
         small = (
             ee.join(mins2, "u")
