@@ -839,6 +839,127 @@ FROM flags GROUP BY user_id
 """
 
 
+def q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping over returnflag × linestatus with exact decimal sums."""
+    li = load_table(spark, "lineitem", sf_dir)
+    g = li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_sq"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("_sq").cast("double").alias("sum_qty"),
+        "n_rows",
+    )
+
+
+_SALES_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       count(*)::BIGINT AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+_PRIORITY_ROLLUP_SQL = """
+SELECT o_orderpriority, o_orderstatus, count(*)::BIGINT AS n_orders
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with orders but none above the median-ish price —
+    EXCEPT/INTERSECT set operations."""
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    with_orders = orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    big = (
+        orders.where(F.col("o_totalprice") > 100000.0)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    keys = with_orders.exceptAll(big).intersect(cust.select("c_custkey"))
+    return keys
+
+
+_SET_OPS_SQL = """
+(SELECT o_custkey AS c_custkey FROM orders
+ EXCEPT
+ SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0)
+INTERSECT
+SELECT c_custkey FROM customer
+"""
+
+
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math scalar-function coverage on orders."""
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 1, 8)).alias("prio_upper"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.length("o_orderstatus").alias("status_len"),
+        F.round(F.sqrt(F.abs(F.col("o_totalprice"))), 6).alias("price_sqrt"),
+        F.concat_ws("-", F.col("o_orderstatus"), F.col("o_orderpriority")).alias("tag"),
+    )
+
+
+_SCALAR_FUNCS_SQL = """
+SELECT o_orderkey,
+       upper(substr(o_orderpriority, 1, 8)) AS prio_upper,
+       year(o_orderdate)::INT AS order_year,
+       month(o_orderdate)::INT AS order_month,
+       length(o_orderstatus)::INT AS status_len,
+       round(sqrt(abs(o_totalprice)), 6) AS price_sqrt,
+       o_orderstatus || '-' || o_orderpriority AS tag
+FROM orders
+"""
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the events props column."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .where(F.col("k").isNotNull())
+    )
+
+
+_EVENTS_JSON_SQL = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+"""
+
+
+def q_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (batch path of the streaming kernel)."""
+    from polars_grouper_spark.streaming.stateful import running_user_totals
+
+    ev = load_table(spark, "events", sf_dir)
+    out = running_user_totals(ev)
+    return out.select("user_id", "n_events", F.round("sum_value", 4).alias("sum_value"))
+
+
+_RUNNING_TOTALS_SQL = """
+SELECT user_id, count(*)::BIGINT AS n_events,
+       round(sum(coalesce(value, 0.0)), 4) AS sum_value
+FROM events GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -873,6 +994,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_customer": q_top_orders_per_customer,
         "events_hourly": q_events_hourly,
         "event_sessions": q_event_sessions,
+        "sales_cube": q_sales_cube,
+        "priority_rollup": q_priority_rollup,
+        "set_ops_customers": q_set_ops_customers,
+        "scalar_funcs": q_scalar_funcs,
+        "events_json": q_events_json,
+        "running_user_totals": q_running_user_totals,
     }
 
 
@@ -906,4 +1033,10 @@ def oracle_sql() -> dict[str, str]:
         "top_orders_per_customer": _TOP_ORDERS_SQL,
         "events_hourly": _EVENTS_HOURLY_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,
+        "sales_cube": _SALES_CUBE_SQL,
+        "priority_rollup": _PRIORITY_ROLLUP_SQL,
+        "set_ops_customers": _SET_OPS_SQL,
+        "scalar_funcs": _SCALAR_FUNCS_SQL,
+        "events_json": _EVENTS_JSON_SQL,
+        "running_user_totals": _RUNNING_TOTALS_SQL,
     }
