@@ -71,9 +71,11 @@ def _node_table(edges: DataFrame) -> DataFrame:
 
 
 def _cc_assignments(edge_ids: DataFrame) -> DataFrame:
-    """Alternating large-star/small-star over (u long, v long) undirected
-    edges.  Returns (nid long, component long) for every node appearing in
-    ``edge_ids`` — component = min nid of the component.
+    """Alternating large-star/small-star over (u, v) undirected edges —
+    generic over any orderable key type (string node names here; the
+    min-comparisons that drive the algorithm only need a total order).
+    Returns (nid, component) for every node appearing in ``edge_ids`` —
+    component = min key of the component.
 
     Self-loops may be present in the input; they are dropped here (their
     nodes are still covered by the caller's node table).
@@ -130,10 +132,16 @@ def connected_components(
 ) -> DataFrame:
     """Table function: one row per distinct node.
 
-    Returns ``(node string, component long, group long)`` where ``group``
-    is the reference's first-appearance component numbering starting at 1
-    (``src/graph_solver.rs:78-89``) and ``component`` is the internal root
-    id (min first-seen index in the component).
+    Returns ``(node string, component string, group long)`` where
+    ``component`` is the canonical label (min node name in the component)
+    and ``group`` is the reference's first-appearance numbering starting
+    at 1 (``src/graph_solver.rs:78-89``), derived by ranking components on
+    the minimum first-seen index of their members.
+
+    The star loop runs directly on string node keys — the algorithm only
+    needs a total order, and skipping the intern step saves two shuffles
+    of the full edge set.  ``first_seen`` is only joined per-node at the
+    end for the numbering.
 
     ``order_col``: optional column defining row order for first-appearance
     semantics.  Defaults to ``monotonically_increasing_id()`` which follows
@@ -142,27 +150,24 @@ def connected_components(
     matters.  At cluster scale pass an explicit ordering column.
     """
     edges = _edge_pairs(df, from_col, to_col, order_col)
-    nodes = _node_table(edges)  # (node, nid)
+    nodes = _node_table(edges)  # (node, nid = first_seen)
 
-    edge_ids = (
-        edges.join(nodes.withColumnRenamed("node", "src").withColumnRenamed("nid", "u"), "src")
-        .join(nodes.withColumnRenamed("node", "dst").withColumnRenamed("nid", "v"), "dst")
-        .select("u", "v")
-    )
-    assign = _cc_assignments(edge_ids)
+    assign = _cc_assignments(
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    ).select(F.col("nid").alias("node"), "component")
 
     # Nodes not covered by the star forest (isolated via self-loops only)
     # root themselves.
-    labeled = (
-        nodes.join(assign, "nid", "left")
-        .select("node", "nid", F.coalesce("component", F.col("nid")).alias("component"))
+    labeled = nodes.join(assign, "node", "left").select(
+        "node", "nid", F.coalesce("component", F.col("node")).alias("component")
     )
 
-    # First-appearance numbering: roots ascending by first_seen == ascending
-    # by component id.  dense_rank over distinct roots only (k rows).
-    roots = labeled.select("component").distinct()
-    numbering = roots.withColumn(
-        "group", F.dense_rank().over(Window.orderBy("component")).cast("long")
+    # First-appearance numbering: rank components by the min first_seen of
+    # their members.  dense_rank over distinct components only (k rows).
+    comp_first = labeled.groupBy("component").agg(F.min("nid").alias("first_seen"))
+    numbering = comp_first.select(
+        "component",
+        F.dense_rank().over(Window.orderBy("first_seen")).cast("long").alias("group"),
     )
     return labeled.join(numbering, "component").select("node", "component", "group")
 

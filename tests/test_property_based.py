@@ -1,0 +1,137 @@
+"""Property-based tests: random small graphs vs exact in-memory oracles.
+
+Each Spark action costs ~0.5-2s locally, so example counts are kept small;
+the value is in the randomized structure (cycles, self-loops, duplicate
+edges, disconnected nodes), not volume.
+"""
+
+import heapq
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from polars_grouper_spark import calculate_shortest_path, graph_solver, page_rank_nodes
+
+NODE = st.integers(min_value=0, max_value=9)
+EDGES = st.lists(st.tuples(NODE, NODE), min_size=1, max_size=14)
+
+_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _df(spark, edges):
+    return spark.createDataFrame(
+        [(str(a), str(b)) for a, b in edges], schema="`from` string, `to` string"
+    ).coalesce(1)
+
+
+def _uf_groups(edges):
+    """Reference-faithful union-find with first-appearance numbering."""
+    ids = {}
+    for a, b in edges:
+        for x in (str(a), str(b)):
+            if x not in ids:
+                ids[x] = len(ids)
+    parent = list(range(len(ids)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(ids[str(a)]), find(ids[str(b)])
+        if ra != rb:
+            parent[rb] = ra
+    group_of_root = {}
+    groups = {}
+    counter = 1
+    for node, nid in ids.items():
+        root = find(nid)
+        if root not in group_of_root:
+            group_of_root[root] = counter
+            counter += 1
+        groups[node] = group_of_root[root]
+    return groups
+
+
+@_SETTINGS
+@given(EDGES)
+def test_graph_solver_matches_union_find(spark, edges):
+    expected = _uf_groups(edges)
+    got = {
+        r["from"]: r["group"]
+        for r in graph_solver(_df(spark, edges)).select("from", "group").collect()
+    }
+    for a, _ in edges:
+        assert got[str(a)] == expected[str(a)], (edges, got, expected)
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.tuples(NODE, NODE, st.integers(min_value=1, max_value=9)),
+        min_size=1,
+        max_size=10,
+    ),
+    st.booleans(),
+)
+def test_shortest_path_matches_dijkstra(spark, wedges, directed):
+    df = spark.createDataFrame(
+        [(str(a), str(b), float(w)) for a, b, w in wedges],
+        schema="`from` string, `to` string, weight double",
+    ).coalesce(1)
+    got = {
+        (r["from"], r["to"]): r["distance"]
+        for r in calculate_shortest_path(df, directed=directed).collect()
+    }
+
+    adj = {}
+    for a, b, w in wedges:
+        q = int(float(w) * 1000)
+        adj.setdefault(str(a), []).append((str(b), q))
+        if not directed:
+            adj.setdefault(str(b), []).append((str(a), q))
+    nodes = {str(a) for a, b, _ in wedges} | {str(b) for _, b, _ in wedges}
+
+    def dij(s):
+        dist = {s: 0}
+        h = [(0, s)]
+        while h:
+            c, u = heapq.heappop(h)
+            if c > dist.get(u, 1 << 60):
+                continue
+            for v, w in adj.get(u, []):
+                if c + w < dist.get(v, 1 << 60):
+                    dist[v] = c + w
+                    heapq.heappush(h, (c + w, v))
+        return dist
+
+    expected = {}
+    for s in nodes:
+        d = dij(s)
+        for t, q in d.items():
+            if t == s:
+                continue
+            if directed:
+                expected[(s, t)] = q / 1000.0
+            elif s < t:
+                expected[(s, t)] = q / 1000.0
+    assert got == expected, (wedges, directed)
+
+
+@_SETTINGS
+@given(EDGES)
+def test_pagerank_mass_conservation(spark, edges):
+    """Σ ranks = 1 - leaked dangling mass ≤ 1, and all ranks ≥ (1-d)/n."""
+    scores = {
+        r["node"]: r["score"]
+        for r in page_rank_nodes(_df(spark, edges), max_iterations=10).collect()
+    }
+    n = len(scores)
+    assert all(s >= 0.15 / n - 1e-12 for s in scores.values())
+    assert sum(scores.values()) <= 1.0 + 1e-9
