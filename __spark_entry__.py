@@ -671,16 +671,76 @@ FROM ranked WHERE rank <= {_TOPK_K}
 """
 
 
+_LSH_PLANES = 6
+_EMB_DIM = 64
+
+
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN — rows-only check (hyperplane folds are not worth
-    replicating in SQL; correctness covered by the subset/score-agreement
-    tests against exact cosine)."""
+    """Approximate ANN within hyperplane-LSH buckets.  The md5-derived
+    plane constants are embedded verbatim in the SQL oracle, so the whole
+    bucket-then-score pipeline is replicated (a sign flip at |dot|~1e-16
+    is the only theoretical divergence)."""
     emb = load_table(spark, "embeddings", sf_dir)
     q = emb.where(F.col("vec_id") < _TOPK_QUERIES)
-    out = sim.lsh_topk(emb, q, k=_TOPK_K, n_planes=6)
+    out = sim.lsh_topk(emb, q, k=_TOPK_K, n_planes=_LSH_PLANES)
     return out.select(
-        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine")
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("cosine", 6).alias("cosine"),
     )
+
+
+def _lsh_topk_sql() -> str:
+    planes = sim._deterministic_planes(_LSH_PLANES, _EMB_DIM, "lsh")
+    vals = ", ".join(
+        f"({p}, {d}, {v!r})"
+        for p, row in enumerate(planes)
+        for d, v in enumerate(row)
+    )
+    return f"""
+WITH planes(p, d, v) AS (VALUES {vals}),
+ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+pdots AS (
+  SELECT e.vec_id, pl.p, sum(e.x * pl.v) AS dot
+  FROM ex e JOIN planes pl ON pl.d = e.i - 1
+  GROUP BY e.vec_id, pl.p
+),
+buckets AS (
+  SELECT vec_id, sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END)
+           AS bucket
+  FROM pdots GROUP BY vec_id
+),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM buckets q JOIN buckets c ON q.bucket = c.bucket
+  WHERE q.vec_id < {_TOPK_QUERIES} AND q.vec_id <> c.vec_id
+),
+dots AS (
+  SELECT cd.query_id, cd.neighbor_id, sum(qe.x * ce.x) AS dot
+  FROM cand cd
+  JOIN ex qe ON qe.vec_id = cd.query_id
+  JOIN ex ce ON ce.vec_id = cd.neighbor_id AND ce.i = qe.i
+  GROUP BY cd.query_id, cd.neighbor_id
+),
+ranked AS (
+  SELECT d.query_id, d.neighbor_id,
+         d.dot / (nq.nrm * nc.nrm) AS cosine,
+         row_number() OVER (PARTITION BY d.query_id
+                            ORDER BY d.dot / (nq.nrm * nc.nrm) DESC,
+                                     d.neighbor_id ASC) AS rank
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, rank::BIGINT AS rank, round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= {_TOPK_K}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1027,7 +1087,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_sql(),
         "doc_fingerprint": _DOC_FINGERPRINT_SQL,
         "cosine_topk": _COSINE_TOPK_SQL,
-        # lsh_topk: omitted — approximate ANN, checked against exact in tests
+        "lsh_topk": _lsh_topk_sql(),
         "tpch_q1": _TPCH_Q1_SQL,
         "revenue_by_segment": _REVENUE_BY_SEGMENT_SQL,
         "top_orders_per_customer": _TOP_ORDERS_SQL,

@@ -80,12 +80,17 @@ def page_rank_nodes(
             )
         )
         new_ranks = truncate_lineage(new_ranks)
-        diff = (
-            new_ranks.alias("n")
-            .join(ranks.alias("o"), "node")
-            .agg(F.sum(F.abs(F.col("n.score") - F.col("o.score"))).alias("d"))
-            .first()["d"]
-        )
+        if convergence_threshold > 0.0:
+            diff = (
+                new_ranks.alias("n")
+                .join(ranks.alias("o"), "node")
+                .agg(F.sum(F.abs(F.col("n.score") - F.col("o.score"))).alias("d"))
+                .first()["d"]
+            )
+        else:
+            # fixed-iteration mode: skip the L1 job entirely (the eager
+            # checkpoint above already materialized the round).
+            diff = None
         ranks = new_ranks
         if diff is not None and diff < convergence_threshold:
             break
