@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from polars_grouper_spark import (
     betweenness_centrality,
     calculate_shortest_path,
+    components,
     connected_components,
     graph_association_rules,
     page_rank_nodes,
@@ -108,12 +109,19 @@ _BRAND_TX_SQL = """
 # ---------------------------------------------------------------------------
 
 def q_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components, canonical labels (min node name per comp)."""
-    cc = connected_components(_sp_edges(spark, sf_dir), "src", "dst")
-    labels = cc.groupBy("component").agg(F.min("node").alias("comp_label"))
-    out = cc.join(labels, "component").select("node", "comp_label")
+    """Connected components, canonical labels (min node name per comp).
+
+    Uses the light ``components`` variant: the star algorithm's component
+    key IS the min node name, so no relabeling join is needed, and the
+    first-appearance-numbering machinery is skipped entirely.
+    """
+    cc = components(_sp_edges(spark, sf_dir), "src", "dst")
     grp = F.dense_rank().over(Window.orderBy("comp_label")).cast("long")
-    return out.withColumn("grp", grp).select("node", "comp_label", "grp")
+    return (
+        cc.select("node", F.col("component").alias("comp_label"))
+        .withColumn("grp", grp)
+        .select("node", "comp_label", "grp")
+    )
 
 
 def _cc_label_sql(edges_sql: str, rounds: int = 16) -> str:
@@ -743,6 +751,65 @@ FROM ranked WHERE rank <= {_TOPK_K}
 """
 
 
+_NEAR_DUP_COS = 0.4
+_ND_PLANES = 4
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH-bucket candidates + exact
+    cosine verify (the plane constants are embedded in the SQL oracle)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = sim.embedding_near_dup(
+        emb, threshold=_NEAR_DUP_COS, n_planes=_ND_PLANES
+    )
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _dedup_embedding_sql() -> str:
+    planes = sim._deterministic_planes(_ND_PLANES, _EMB_DIM, "lsh")
+    vals = ", ".join(
+        f"({p}, {d}, {v!r})"
+        for p, row in enumerate(planes)
+        for d, v in enumerate(row)
+    )
+    return f"""
+WITH planes(p, d, v) AS (VALUES {vals}),
+ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+pdots AS (
+  SELECT e.vec_id, pl.p, sum(e.x * pl.v) AS dot
+  FROM ex e JOIN planes pl ON pl.d = e.i - 1
+  GROUP BY e.vec_id, pl.p
+),
+buckets AS (
+  SELECT vec_id, sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END)
+           AS bucket
+  FROM pdots GROUP BY vec_id
+),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT cd.id_a, cd.id_b, sum(ae.x * be.x) AS dot
+  FROM cand cd
+  JOIN ex ae ON ae.vec_id = cd.id_a
+  JOIN ex be ON be.vec_id = cd.id_b AND be.i = ae.i
+  GROUP BY cd.id_a, cd.id_b
+)
+SELECT d.id_a, d.id_b, round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots d
+JOIN norms na ON na.vec_id = d.id_a
+JOIN norms nb ON nb.vec_id = d.id_b
+WHERE d.dot / (na.nrm * nb.nrm) >= {_NEAR_DUP_COS}
+"""
+
+
 # ---------------------------------------------------------------------------
 # relational / windowed queries (host-engine capabilities the reference
 # delegates — SURVEY.md §2 preamble)
@@ -1049,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "cosine_topk": q_cosine_topk,
         "lsh_topk": q_lsh_topk,
+        "dedup_embedding": q_dedup_embedding,
         "tpch_q1": q_tpch_q1,
         "revenue_by_segment": q_revenue_by_segment,
         "top_orders_per_customer": q_top_orders_per_customer,
@@ -1088,6 +1156,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _DOC_FINGERPRINT_SQL,
         "cosine_topk": _COSINE_TOPK_SQL,
         "lsh_topk": _lsh_topk_sql(),
+        "dedup_embedding": _dedup_embedding_sql(),
         "tpch_q1": _TPCH_Q1_SQL,
         "revenue_by_segment": _REVENUE_BY_SEGMENT_SQL,
         "top_orders_per_customer": _TOP_ORDERS_SQL,

@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "dedup_jaccard",
     "dedup_minhash",
     "dedup_simhash",
+    "dedup_embedding",
     "text_stats",
     "lang_id",
     "doc_fingerprint",
@@ -52,6 +53,12 @@ def main() -> None:
 
     spark = get_spark("polars-grouper-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    # Session warmup (excluded from timings): touch one parquet footer and
+    # spin up the Python worker pool once, so per-query numbers measure the
+    # steady-state plans rather than one-time JVM/worker startup.
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    spark.range(64, numPartitions=8).mapInPandas(lambda it: it, "id long").count()
 
     qs = entry_mod.queries()
     timings: dict[str, float] = {}

@@ -29,6 +29,7 @@ sessionization).
 """
 
 from polars_grouper_spark.operators.connected_components import (
+    components,
     connected_components,
     graph_solver,
     super_merger,
@@ -43,6 +44,7 @@ from polars_grouper_spark.session import get_spark
 __all__ = [
     "betweenness_centrality",
     "calculate_shortest_path",
+    "components",
     "connected_components",
     "get_spark",
     "graph_association_rules",

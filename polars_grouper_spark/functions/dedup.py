@@ -31,6 +31,7 @@ from polars_grouper_spark.functions.hashing import (
     portable_hash64,
 )
 from polars_grouper_spark.functions.text import tokens
+from polars_grouper_spark.plans.iteration import truncate_lineage
 
 
 def exact_dedup(
@@ -61,16 +62,23 @@ def exact_dedup(
 
 
 def word_shingles(text_col, n: int = 3):
-    """Distinct word n-gram shingles of a text column -> array<string>."""
+    """Distinct word n-gram shingles of a text column -> array<string>.
+
+    Built by ``zip_with`` over ``n`` pre-shifted slices of the token array —
+    one slice per offset, element-wise concat.  This stays a pure JVM
+    expression (no shuffle, no Python) and avoids the per-index
+    ``slice``-inside-``transform`` pattern, which materializes an array copy
+    per output shingle and measured ~4-6× slower at bench scale.
+    """
     toks = tokens(text_col)
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    sh = F.slice(toks, 1, m)
+    for j in range(1, n):
+        sh = F.zip_with(
+            sh, F.slice(toks, j + 1, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
     return F.array_distinct(
-        F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-            ),
-        ).otherwise(
+        F.when(F.size(toks) >= n, sh).otherwise(
             # shorter than n tokens: single shingle of the whole text
             F.when(F.size(toks) > 0, F.array(F.concat_ws(" ", toks))).otherwise(
                 F.array().cast("array<string>")
@@ -108,20 +116,32 @@ def ngram_jaccard_pairs(
         sh = sh.join(keep.where(F.col("df_cnt") <= max_shingle_df), "shingle").select(
             "id", "shingle"
         )
+    # Attach the doc's shingle count to every posting row, and checkpoint:
+    # the table feeds both sides of the self-join — without the checkpoint
+    # the tokenize+explode pipeline runs once per use.
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    shz = truncate_lineage(sh.join(sizes, "id"))
 
-    s1 = sh.select(F.col("id").alias("id_a"), "shingle")
-    s2 = sh.select(F.col("id").alias("id_b"), "shingle")
+    s1 = shz.select(F.col("id").alias("id_a"), "shingle", F.col("sz").alias("sz_a"))
+    s2 = shz.select(F.col("id").alias("id_b"), "shingle", F.col("sz").alias("sz_b"))
+    # Length-ratio prune: J >= t implies min(sz) >= t * max(sz) (since
+    # J <= min/max), so the filter below drops only pairs that cannot pass
+    # the threshold — applied BEFORE the pair aggregation it removes the
+    # bulk of candidate rows from the shuffle.  Carrying sz_a/sz_b through
+    # the grouping keys (functionally dependent on the ids) also removes
+    # the two size re-joins after the aggregation.
     inter = (
         s1.join(s2, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("sz_a") >= F.lit(threshold) * F.col("sz_b"))
+            & (F.col("sz_b") >= F.lit(threshold) * F.col("sz_a"))
+        )
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    out = (
-        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
-        .select(
+    return (
+        inter.select(
             "id_a",
             "id_b",
             (
@@ -131,7 +151,6 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= F.lit(threshold))
     )
-    return out
 
 
 def minhash_signatures(
@@ -187,7 +206,10 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0, "num_hashes must divide evenly into bands"
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, portable)
-    sig = sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+    # Checkpoint: the signature table feeds band hashing AND both sides of
+    # the verification join — uncached it would recompute the shingle+hash
+    # pipeline three times.
+    sig = truncate_lineage(sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int")))
     band_sig = (
         sig.groupBy("id", "band")
         .agg(F.sort_array(F.collect_list(F.struct("perm", "minhash"))).alias("mh"))

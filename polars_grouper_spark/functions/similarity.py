@@ -151,6 +151,50 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def embedding_near_dup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: str = "lsh",
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs → (id_a, id_b, cosine).
+
+    Scale path (default): sign-bit hyperplane LSH buckets prune candidates
+    to same-bucket pairs (equality-partitioned self-join — high-cosine
+    pairs land in the same bucket with probability
+    ``(1 - θ/π)^n_planes``), then exact cosine verifies.  ``exact=True``
+    switches to the all-pairs self-join (O(N²) — only for bounded inputs
+    or as a recall oracle).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    if exact:
+        a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+        b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+        cand = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    else:
+        bk = hyperplane_lsh_buckets(df, id_col, vec_col, n_planes, seed=seed)
+        withb = base.join(bk, "id")
+        a = withb.select(
+            F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "bucket"
+        )
+        b = withb.select(
+            F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "bucket"
+        )
+        cand = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+    return cand.select(
+        "id_a",
+        "id_b",
+        (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
+    ).where(F.col("cosine") >= F.lit(threshold))
+
+
 def ivf_build(
     df: DataFrame,
     id_col: str = "vec_id",

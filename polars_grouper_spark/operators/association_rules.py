@@ -53,13 +53,54 @@ from polars_grouper_spark.plans.iteration import fingerprint, truncate_lineage
 _PATTERN_MAX_ROUNDS = 64
 
 
+_PATTERN_DRIVER_MAX_EDGES = 200_000
+
+
+def _pattern_labels_local(rows) -> list[tuple[int, int]]:
+    """Exact min-reachable-root on a collected edge list: process roots in
+    ascending id order, DFS forward over unlabeled nodes — O(V+E).  If a
+    DFS hits a node labeled by a smaller root, everything beyond it is
+    already labeled smaller (reachability is transitive), so it prunes.
+    """
+    adj: dict[int, list[int]] = {}
+    nodes: set[int] = set()
+    for a, c in rows:
+        adj.setdefault(a, []).append(c)
+        nodes.add(a)
+        nodes.add(c)
+    label: dict[int, int] = {}
+    for r in sorted(nodes):
+        if r in label:
+            continue
+        stack = [r]
+        label[r] = r
+        while stack:
+            v = stack.pop()
+            for w in adj.get(v, ()):
+                if w not in label:
+                    label[w] = r
+                    stack.append(w)
+    return sorted(label.items())
+
+
 def _pattern_labels(assoc_edges: DataFrame) -> DataFrame:
     """Min-reachable-root labels over the directed item graph.
 
     assoc_edges: (a long, c long) distinct directed edges (antecedent id →
     consequent id).  Returns (iid long, root long): root = min item id that
     reaches iid (including itself).
+
+    The item graph is metadata-scale by construction (bounded by
+    |valid items|², independent of row volume), so when it fits under
+    ``_PATTERN_DRIVER_MAX_EDGES`` it is collected and solved exactly on the
+    driver in one pass instead of running a multi-job distributed fixpoint.
+    Larger item vocabularies fall back to the min-label propagation loop.
     """
+    spark = assoc_edges.sparkSession
+    sample = assoc_edges.limit(_PATTERN_DRIVER_MAX_EDGES + 1).collect()
+    if len(sample) <= _PATTERN_DRIVER_MAX_EDGES:
+        labeled = _pattern_labels_local([(r["a"], r["c"]) for r in sample])
+        return spark.createDataFrame(labeled, schema="iid long, root long")
     nodes = assoc_edges.select(F.col("a").alias("iid")).union(
         assoc_edges.select(F.col("c").alias("iid"))
     ).distinct()

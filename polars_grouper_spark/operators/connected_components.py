@@ -85,7 +85,10 @@ def _cc_assignments(edge_ids: DataFrame) -> DataFrame:
         .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .distinct()
     )
-    e = truncate_lineage(e)
+    # Lazy checkpoint: the plan is truncated now, materialization happens on
+    # the first action (the round-1 fingerprint below) — one job per round,
+    # not two.
+    e = truncate_lineage(e, cache=False)
 
     prev_fp = None
     for _ in range(_MAX_ROUNDS):
@@ -95,7 +98,7 @@ def _cc_assignments(edge_ids: DataFrame) -> DataFrame:
         mins = nb.groupBy("u").agg(F.min("v").alias("mn"))
         mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
         # emitted pairs (v, m) satisfy v > u >= m, so they are already
-        # oriented u > v and never self-loops — one distinct suffices.
+        # oriented u > v and never self-loops.
         large = (
             nb.join(mins, "u")
             .where(F.col("v") > F.col("u"))
@@ -103,17 +106,21 @@ def _cc_assignments(edge_ids: DataFrame) -> DataFrame:
         )
 
         # small-star: input oriented u > v; connect u and all smaller
-        # neighbors to the minimum neighbor.
-        ee = large.distinct()
-        mins2 = ee.groupBy("u").agg(F.min("v").alias("m"))
+        # neighbors to the minimum neighbor.  No pre-dedup of ``large``:
+        # the min aggregation is map-side combinable regardless of
+        # duplicates, and the final distinct removes any that survive —
+        # a distinct here would be a full extra shuffle for nothing.
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
         small = (
-            ee.join(mins2, "u")
+            large.join(mins2, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(mins2.select(F.col("u"), F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
             .distinct()
         )
-        e = truncate_lineage(small)
+        # Lazy checkpoint + fingerprint: the fingerprint aggregation is the
+        # action that materializes this round's checkpoint blocks.
+        e = truncate_lineage(small, cache=False)
 
         fp = fingerprint(e, "u", "v")
         if fp == prev_fp:
@@ -122,6 +129,32 @@ def _cc_assignments(edge_ids: DataFrame) -> DataFrame:
 
     # At the fixpoint e is a star forest: (member, root) with root = min nid.
     return e.select(F.col("u").alias("nid"), F.col("v").alias("component"))
+
+
+def components(
+    df: DataFrame,
+    from_col: str = "from",
+    to_col: str = "to",
+) -> DataFrame:
+    """Light table function: ``(node string, component string)`` — one row
+    per distinct node, ``component`` = min node name in the component.
+
+    Skips the first-appearance numbering machinery entirely (no
+    ``monotonically_increasing_id``, no endpoint explode + min): labels are
+    content-derived, so use this when reference intern-order numbering is
+    not needed.  Saves two full passes over the edge endpoints.
+    """
+    edges = df.select(
+        F.col(from_col).cast("string").alias("u"),
+        F.col(to_col).cast("string").alias("v"),
+    ).where(F.col("u").isNotNull() & F.col("v").isNotNull())
+    nodes = edges.select(F.col("u").alias("node")).union(
+        edges.select(F.col("v").alias("node"))
+    ).distinct()
+    assign = _cc_assignments(edges).select(F.col("nid").alias("node"), "component")
+    return nodes.join(assign, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )
 
 
 def connected_components(

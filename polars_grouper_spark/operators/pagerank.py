@@ -30,6 +30,9 @@ from pyspark.sql import functions as F
 from polars_grouper_spark.plans.iteration import truncate_lineage
 
 
+_BROADCAST_NODES_MAX = 5_000_000  # ~100 MB of (string, double) rows
+
+
 def page_rank_nodes(
     df: DataFrame,
     from_col: str = "from",
@@ -37,8 +40,18 @@ def page_rank_nodes(
     damping_factor: float = 0.85,
     max_iterations: int = 100,
     convergence_threshold: float = 1e-6,
+    broadcast_ranks: bool | None = None,
 ) -> DataFrame:
-    """Table variant: ``(node string, score double)`` for every interned node."""
+    """Table variant: ``(node string, score double)`` for every interned node.
+
+    ``broadcast_ranks``: when the rank state (O(V) rows) fits in executor
+    memory, broadcasting it into the per-iteration edges⋈ranks join removes
+    the edge-side shuffle entirely — each round becomes a broadcast hash
+    join over the cached edge blocks plus one map-side-combined sum.
+    ``None`` (default) decides from the exact node count (≤ 5M → broadcast);
+    at cluster scale with V beyond that, the shuffle join partitioned on the
+    node key is the right plan and is kept.
+    """
     edges = df.select(
         F.col(from_col).cast("string").alias("src"),
         F.col(to_col).cast("string").alias("dst"),
@@ -62,16 +75,20 @@ def page_rank_nodes(
 
     base = (1.0 - damping_factor) / n
     ranks = truncate_lineage(nodes.select("node", F.lit(1.0 / n).alias("score")))
+    if broadcast_ranks is None:
+        broadcast_ranks = n <= _BROADCAST_NODES_MAX
 
     for _ in range(max_iterations):
+        rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = (
-            edges_w.join(ranks, edges_w["src"] == ranks["node"])
+            edges_w.join(rank_side, edges_w["src"] == rank_side["node"])
             .select(F.col("dst").alias("node"), (F.col("score") * F.col("w")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("inc"))
         )
+        contrib_side = F.broadcast(contrib) if broadcast_ranks else contrib
         new_ranks = (
-            nodes.join(contrib, "node", "left")
+            nodes.join(contrib_side, "node", "left")
             .select(
                 "node",
                 (F.lit(base) + F.lit(damping_factor) * F.coalesce("inc", F.lit(0.0))).alias(

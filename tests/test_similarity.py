@@ -79,3 +79,24 @@ def test_ivf_topk_matches_exact_for_high_recall(spark):
     }
     # probing ALL cells -> must equal exact
     assert exact == approx
+
+
+def test_embedding_near_dup_exact_mode(spark):
+    df = _vectors(spark)
+    out = sim.embedding_near_dup(df, threshold=0.9, exact=True).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in out}
+    # (0,1) cosine = 0.9/sqrt(0.82) ~= 0.9939; (2,3) ~= 0.9986; nothing else >= 0.9
+    assert set(pairs) == {(0, 1), (2, 3)}
+    assert all(c >= 0.9 for c in pairs.values())
+
+
+def test_embedding_near_dup_lsh_subset_of_exact(spark):
+    df = _vectors(spark)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in sim.embedding_near_dup(df, threshold=0.9, exact=True).collect()
+    }
+    lsh = sim.embedding_near_dup(df, threshold=0.9, n_planes=2)
+    got = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+    # LSH candidates are a subset of exact pairs; every reported cosine is real
+    assert got <= exact
