@@ -585,6 +585,48 @@ FROM s
 """
 
 
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality score (C4/Gopher-style filter shape)."""
+    docs = load_table(spark, "documents", sf_dir)
+    out = tx.quality_score(docs)
+    return out.select(
+        F.col("doc_id").alias("id"), F.round("quality_score", 6).alias("quality_score")
+    )
+
+
+def _doc_quality_sql() -> str:
+    stop = ", ".join(f"'{w}'" for w in tx.ENGLISH_STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id, text,
+         length(text)::BIGINT AS n_chars,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+s AS (
+  SELECT id, n_chars, len(toks)::BIGINT AS n_tokens,
+         len(list_filter(toks, t -> lower(t) IN ({stop})))::BIGINT AS n_stop,
+         (n_chars - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) AS n_punct,
+         (n_chars - length(regexp_replace(text, '[0-9]', '', 'g'))) AS n_digit
+  FROM base
+),
+r AS (
+  SELECT id,
+         CASE WHEN n_chars > 0 THEN n_punct / n_chars::DOUBLE ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_chars > 0 THEN n_digit / n_chars::DOUBLE ELSE 0.0 END AS digit_ratio,
+         CASE WHEN n_tokens > 0 THEN n_stop / n_tokens::DOUBLE ELSE 0.0 END AS stopword_ratio,
+         n_tokens
+  FROM s
+)
+SELECT id,
+       round((least(n_tokens / 50.0, 1.0)
+              + (1.0 - least(punct_ratio * 4.0, 1.0))
+              + least(stopword_ratio * 5.0, 1.0)
+              + (1.0 - least(digit_ratio * 5.0, 1.0))) / 4.0, 6) AS quality_score
+FROM r
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return tx.language_id(docs).withColumnRenamed("doc_id", "id")
@@ -753,6 +795,94 @@ FROM ranked WHERE rank <= {_TOPK_K}
 
 _NEAR_DUP_COS = 0.4
 _ND_PLANES = 4
+_IVF_CELLS = 16
+_IVF_PROBE = 4
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned ANN: deterministic seeding (lowest ids) + 2 Lloyd rounds,
+    probe the n_probe nearest cells, exact cosine within candidates.  The
+    whole pipeline (seeds, unrolled k-means, probe, rank) is replicated in
+    the SQL oracle."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.where(F.col("vec_id") < _TOPK_QUERIES)
+    out = sim.ivf_topk(emb, q, k=_TOPK_K, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
+def _ivf_topk_sql() -> str:
+    assign = """
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY sum((e.x - c.v) * (e.x - c.v)) ASC,
+                                       c.cell ASC) AS rn
+    FROM ex e JOIN {cent} c ON c.i = e.i
+    GROUP BY e.vec_id, c.cell
+  ) WHERE rn = 1
+"""
+    means = """
+  SELECT a.cell, e.i, avg(e.x) AS v
+  FROM {assign} a JOIN ex e USING (vec_id) GROUP BY a.cell, e.i
+"""
+    return f"""
+WITH ex AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+seeds AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+  FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT {_IVF_CELLS})
+),
+c0 AS MATERIALIZED (SELECT s.cell, e.i, e.x AS v FROM seeds s JOIN ex e ON e.vec_id = s.vec_id),
+a1 AS MATERIALIZED ({assign.format(cent="c0")}),
+c1 AS MATERIALIZED ({means.format(assign="a1")}),
+a2 AS MATERIALIZED ({assign.format(cent="c1")}),
+c2 AS MATERIALIZED ({means.format(assign="a2")}),
+a3 AS MATERIALIZED ({assign.format(cent="c2")}),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY sum((e.x - c.v) * (e.x - c.v)) ASC,
+                                       c.cell ASC) AS rn
+    FROM ex e JOIN c2 c ON c.i = e.i
+    WHERE e.vec_id < {_TOPK_QUERIES}
+    GROUP BY e.vec_id, c.cell
+  ) WHERE rn <= {_IVF_PROBE}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN a3 a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id
+),
+dots AS (
+  SELECT cd.query_id, cd.neighbor_id, sum(qe.x * ce.x) AS dot
+  FROM cand cd
+  JOIN ex qe ON qe.vec_id = cd.query_id
+  JOIN ex ce ON ce.vec_id = cd.neighbor_id AND ce.i = qe.i
+  GROUP BY cd.query_id, cd.neighbor_id
+),
+ranked AS (
+  SELECT d.query_id, d.neighbor_id,
+         d.dot / (nq.nrm * nc.nrm) AS cosine,
+         row_number() OVER (PARTITION BY d.query_id
+                            ORDER BY d.dot / (nq.nrm * nc.nrm) DESC,
+                                     d.neighbor_id ASC) AS rank
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, rank::BIGINT AS rank, round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= {_TOPK_K}
+"""
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1113,10 +1243,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
+        "doc_quality": q_doc_quality,
         "doc_fingerprint": q_doc_fingerprint,
         "cosine_topk": q_cosine_topk,
         "lsh_topk": q_lsh_topk,
         "dedup_embedding": q_dedup_embedding,
+        "ivf_topk": q_ivf_topk,
         "tpch_q1": q_tpch_q1,
         "revenue_by_segment": q_revenue_by_segment,
         "top_orders_per_customer": q_top_orders_per_customer,
@@ -1153,10 +1285,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _dedup_simhash_sql(),
         "text_stats": _text_stats_sql(),
         "lang_id": _lang_id_sql(),
+        "doc_quality": _doc_quality_sql(),
         "doc_fingerprint": _DOC_FINGERPRINT_SQL,
         "cosine_topk": _COSINE_TOPK_SQL,
         "lsh_topk": _lsh_topk_sql(),
         "dedup_embedding": _dedup_embedding_sql(),
+        "ivf_topk": _ivf_topk_sql(),
         "tpch_q1": _TPCH_Q1_SQL,
         "revenue_by_segment": _REVENUE_BY_SEGMENT_SQL,
         "top_orders_per_customer": _TOP_ORDERS_SQL,

@@ -36,9 +36,11 @@ BENCH_QUERIES = [
     "dedup_embedding",
     "text_stats",
     "lang_id",
+    "doc_quality",
     "doc_fingerprint",
     "cosine_topk",
     "lsh_topk",
+    "ivf_topk",
     "tpch_q1",
     "revenue_by_segment",
     "top_orders_per_customer",

@@ -195,6 +195,34 @@ def embedding_near_dup(
     ).where(F.col("cosine") >= F.lit(threshold))
 
 
+def _sq_dist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign_cells(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """(id, v) × broadcast centroids (cell, cv) → nearest-cell assignment.
+
+    One generic squared-distance expression + per-id window argmin — the
+    plan size is independent of n_cells (a per-centroid CASE chain would
+    blow up Catalyst analysis at even modest cell counts).  Ties break to
+    the lowest cell id.
+    """
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        "id", "v", "cell", _sq_dist(F.col("v"), F.col("cv")).alias("d")
+    )
+    w = Window.partitionBy("id").orderBy(F.col("d").asc(), F.col("cell").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("id", "cell", "v")
+    )
+
+
 def ivf_build(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -204,58 +232,37 @@ def ivf_build(
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """Coarse IVF index: returns (assignments (id, cell), centroids).
 
-    Seeding is deterministic (lowest ``n_cells`` ids); a few Lloyd rounds
-    of mean-refinement, each a broadcast-scored assign + groupBy-avg.
-    Centroid list is driver-side (n_cells × dim — bounded by design).
+    Seeding is deterministic (lowest ``n_cells`` ids); ``lloyd_rounds``
+    rounds of mean-refinement.  Everything is DataFrame-side: assignment is
+    a broadcast cross-join + window argmin, means are a posexplode +
+    map-side-combinable avg.  Only the final centroid list (n_cells × dim —
+    bounded by design) is collected.
     """
-    seeds = (
-        df.orderBy(F.col(id_col))
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cents = (
+        base.orderBy("id")
         .limit(n_cells)
-        .select(F.col(vec_col).alias("v"))
-        .collect()
+        .select(
+            (F.row_number().over(Window.orderBy("id")) - 1).cast("int").alias("cell"),
+            F.transform("v", lambda x: x.cast("double")).alias("cv"),
+        )
     )
-    centroids = [
-        (i, [float(x) for x in r["v"]]) for i, r in enumerate(seeds)
-    ]
 
-    def assign(cents) -> DataFrame:
-        v = F.col(vec_col)
-        best_cell, best_d = None, None
-        for cid, cvec in cents:
-            arr = F.array(*[F.lit(x) for x in cvec])
-            d = F.aggregate(
-                F.zip_with(v, arr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            if best_d is None:
-                best_cell, best_d = F.lit(cid), d
-            else:
-                cond = d < best_d
-                best_cell = F.when(cond, F.lit(cid)).otherwise(best_cell)
-                best_d = F.when(cond, d).otherwise(best_d)
-        return df.select(F.col(id_col).alias("id"), best_cell.alias("cell"), F.col(vec_col).alias("v"))
-
-    assignments = assign(centroids)
+    assignments = _assign_cells(base, cents)
     for _ in range(lloyd_rounds):
-        dim = len(centroids[0][1])
-        means = (
-            assignments.select(
-                "cell", F.posexplode(F.col("v")).alias("pos", "x")
-            )
+        cents = (
+            assignments.select("cell", F.posexplode(F.col("v")).alias("pos", "x"))
             .groupBy("cell", "pos")
             .agg(F.avg(F.col("x").cast("double")).alias("m"))
             .groupBy("cell")
             .agg(F.sort_array(F.collect_list(F.struct("pos", "m"))).alias("mm"))
-            .select("cell", F.transform("mm", lambda s: s["m"]).alias("centroid"))
-            .collect()
+            .select("cell", F.transform("mm", lambda s: s["m"]).alias("cv"))
         )
-        centroids = [
-            (int(r["cell"]), [float(x) for x in r["centroid"]]) for r in means
-        ]
-        centroids.sort()
-        assignments = assign(centroids)
-        _ = dim
+        assignments = _assign_cells(base, cents)
+
+    centroids = sorted(
+        (int(r["cell"]), [float(x) for x in r["cv"]]) for r in cents.collect()
+    )
     return assignments.select("id", "cell"), centroids
 
 
@@ -269,24 +276,26 @@ def ivf_topk(
     n_probe: int = 4,
 ) -> DataFrame:
     """IVF-pruned cosine top-k: score only vectors in the query's
-    ``n_probe`` nearest cells."""
+    ``n_probe`` nearest cells.  Probe selection is the same broadcast
+    cross-join + window pattern as cell assignment — no per-centroid
+    expression chains."""
     assignments, centroids = ivf_build(corpus, id_col, vec_col, n_cells)
+    cents = corpus.sparkSession.createDataFrame(
+        centroids, schema="cell int, cv array<double>"
+    )
 
-    v = F.col(vec_col)
-    cells_scored = []
-    for cid, cvec in centroids:
-        arr = F.array(*[F.lit(x) for x in cvec])
-        d = F.aggregate(
-            F.zip_with(v, arr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        cells_scored.append(F.struct(d.alias("d"), F.lit(cid).alias("cell")))
-    probes = F.slice(F.array_sort(F.array(*cells_scored)), 1, n_probe)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        F.explode(F.transform(probes, lambda s: s["cell"])).alias("cell"),
+    qbase = queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    qd = qbase.crossJoin(F.broadcast(cents)).select(
+        F.col("id").alias("query_id"),
+        F.col("v").alias("qv"),
+        "cell",
+        _sq_dist(F.col("v"), F.col("cv")).alias("d"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("d").asc(), F.col("cell").asc())
+    q = (
+        qd.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", "qv", "cell")
     )
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")).join(
         assignments.select(F.col("id").alias("neighbor_id"), "cell"), "neighbor_id"
