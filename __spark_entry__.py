@@ -627,6 +627,53 @@ FROM r
 """
 
 
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: attach deterministic binary payloads
+    to documents, decode via the Arrow-batched mapInPandas stub, emit typed
+    metadata + the first feature components.  The stub's md5-derived meta
+    is replicated exactly by the SQL oracle (payload = unhex(md5(text)),
+    digest = md5(hex(payload)) = md5(md5(text)))."""
+    from polars_grouper_spark.functions import multimodal as mm
+
+    docs = load_table(spark, "documents", sf_dir)
+    dec = mm.decode_media(mm.attach_fake_media(docs))
+    return dec.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        "sample_rate",
+        "n_frames",
+        F.round(F.element_at("features", 1), 9).alias("f0"),
+        F.round(F.element_at("features", 2), 9).alias("f1"),
+        F.round(F.element_at("features", 3), 9).alias("f2"),
+        F.round(F.element_at("features", 4), 9).alias("f3"),
+    )
+
+
+def _media_meta_sql() -> str:
+    byte = "(('0x' || substr(dh, {pos}, 2))::INT)"
+    b = [byte.format(pos=2 * i + 1) for i in range(8)]
+    f = [
+        f"round(({b[2 * i]} * 256 + {b[2 * i + 1]}) / 65535.0, 9)" for i in range(4)
+    ]
+    return f"""
+WITH d AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         md5(md5(text)) AS dh
+  FROM documents
+)
+SELECT media_id, kind,
+       CASE WHEN kind IN ('image', 'video') THEN 16 + {b[0]} % 64 END AS width,
+       CASE WHEN kind IN ('image', 'video') THEN 16 + {b[1]} % 64 END AS height,
+       CASE WHEN kind = 'audio' THEN 8000 + ({b[2]} % 4) * 8000 END AS sample_rate,
+       CASE WHEN kind = 'video' THEN 1 + {b[3]} % 32 ELSE 1 END AS n_frames,
+       {f[0]} AS f0, {f[1]} AS f1, {f[2]} AS f2, {f[3]} AS f3
+FROM d
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return tx.language_id(docs).withColumnRenamed("doc_id", "id")
@@ -1244,6 +1291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "doc_quality": q_doc_quality,
+        "media_meta": q_media_meta,
         "doc_fingerprint": q_doc_fingerprint,
         "cosine_topk": q_cosine_topk,
         "lsh_topk": q_lsh_topk,
@@ -1286,6 +1334,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _text_stats_sql(),
         "lang_id": _lang_id_sql(),
         "doc_quality": _doc_quality_sql(),
+        "media_meta": _media_meta_sql(),
         "doc_fingerprint": _DOC_FINGERPRINT_SQL,
         "cosine_topk": _COSINE_TOPK_SQL,
         "lsh_topk": _lsh_topk_sql(),

@@ -84,7 +84,10 @@ def _decode_bytes_stub(payload: bytes, kind: str) -> dict:
     if payload is None:
         return {"width": None, "height": None, "sample_rate": None, "n_frames": None,
                 "features": None}
-    digest = hashlib.md5(payload).digest()
+    # Hash the hex encoding (not the raw bytes): deterministic either way,
+    # but hex keeps the fake meta reproducible in engines whose md5() only
+    # accepts strings (the DuckDB oracle).
+    digest = hashlib.md5(payload.hex().encode()).digest()
     width = 16 + digest[0] % 64
     height = 16 + digest[1] % 64
     sample_rate = 8000 + (digest[2] % 4) * 8000
