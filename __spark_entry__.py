@@ -274,6 +274,107 @@ def q_betweenness_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.round("centrality", 8).alias("centrality"))
 
 
+def _ring_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ring within each region (nations ordered by nationkey) plus a ring
+    over the region 'capitals' (min nationkey per region).  Unlike the
+    same-region cliques, this graph has non-trivial betweenness (hubs on
+    the capital ring), and no parallel edges (capital-ring edges cross
+    regions, region-ring edges stay inside one)."""
+    nat = load_table(spark, "nation", sf_dir)
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    r = nat.select(
+        "n_name",
+        "n_regionkey",
+        (F.row_number().over(w) - 1).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("n_regionkey")).alias("c"),
+    )
+    a, b = r.alias("a"), r.alias("b")
+    ring = a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("b.rn") == (F.col("a.rn") + 1) % F.col("a.c"))
+        & (F.col("a.rn") != F.col("b.rn")),
+    ).select(F.col("a.n_name").alias("src"), F.col("b.n_name").alias("dst"))
+    caps = r.where(F.col("rn") == 0).select(
+        "n_name",
+        (F.row_number().over(Window.orderBy("n_regionkey")) - 1).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("c"),
+    )
+    ca, cb = caps.alias("ca"), caps.alias("cb")
+    capring = ca.join(
+        cb,
+        (F.col("cb.rn") == (F.col("ca.rn") + 1) % F.col("ca.c"))
+        & (F.col("ca.rn") != F.col("cb.rn")),
+    ).select(F.col("ca.n_name").alias("src"), F.col("cb.n_name").alias("dst"))
+    return ring.union(capring)
+
+
+def q_betweenness_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Betweenness with a FULL SQL oracle: on an unweighted graph the
+    shortest-path counts sigma(s,t) are SQL-expressible by enumerating all
+    walks up to the diameter — a walk whose length equals the shortest
+    distance cannot revisit a node, so walks at minimal length ARE the
+    shortest paths.  The oracle then sums the Brandes pair dependencies
+    sigma_sv*sigma_vt/sigma_st directly."""
+    edges = _ring_edges(spark, sf_dir)
+    out = betweenness_centrality(edges, "src", "dst", normalized=True, directed=False)
+    return out.select("node", F.round("centrality", 8).alias("centrality"))
+
+
+# Walk bound 8 > diameter (<= 2 to capital + 2 across the capital ring + 2
+# down = 6).  Undirected normalized Brandes: sum over ordered (s,t) pairs,
+# halve, then multiply by 2/((n-1)(n-2)) -> net raw/((n-1)(n-2)).
+_BETWEENNESS_RING_SQL = """
+WITH RECURSIVE r AS (
+  SELECT n_name, n_regionkey,
+         row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) - 1 AS rn,
+         count(*) OVER (PARTITION BY n_regionkey) AS c
+  FROM nation
+), ring AS (
+  SELECT a.n_name AS src, b.n_name AS dst
+  FROM r a JOIN r b
+    ON a.n_regionkey = b.n_regionkey
+   AND b.rn = (a.rn + 1) % a.c AND a.rn <> b.rn
+), caps AS (
+  SELECT n_name, row_number() OVER (ORDER BY n_regionkey) - 1 AS rn,
+         count(*) OVER () AS c
+  FROM r WHERE rn = 0
+), capring AS (
+  SELECT a.n_name AS src, b.n_name AS dst
+  FROM caps a JOIN caps b ON b.rn = (a.rn + 1) % a.c AND a.rn <> b.rn
+), edges AS (
+  SELECT src, dst FROM ring UNION ALL SELECT src, dst FROM capring
+), dirs AS MATERIALIZED (
+  SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+), nodes AS (
+  SELECT DISTINCT src AS n FROM dirs
+), walk AS (
+  SELECT n AS s, n AS t, 0 AS d FROM nodes
+  UNION ALL
+  SELECT w.s, e.dst, w.d + 1 FROM walk w JOIN dirs e ON e.src = w.t WHERE w.d < 8
+), pairs AS MATERIALIZED (
+  SELECT s, t, min(d) AS dist FROM walk GROUP BY s, t
+), sig AS MATERIALIZED (
+  SELECT w.s, w.t, p.dist, CAST(count(*) AS DOUBLE) AS sigma
+  FROM walk w JOIN pairs p ON p.s = w.s AND p.t = w.t AND w.d = p.dist
+  GROUP BY w.s, w.t, p.dist
+), bc AS (
+  SELECT sv.t AS node, sum(sv.sigma * vt.sigma / st.sigma) AS raw
+  FROM sig sv
+  JOIN sig vt ON vt.s = sv.t
+  JOIN sig st ON st.s = sv.s AND st.t = vt.t
+  WHERE sv.s <> sv.t AND vt.s <> vt.t AND sv.s <> vt.t
+    AND sv.dist + vt.dist = st.dist
+  GROUP BY sv.t
+)
+SELECT n.n AS node,
+       round(coalesce(bc.raw, 0) / ((cnt.nn - 1.0) * (cnt.nn - 2.0)), 8) AS centrality
+FROM nodes n
+LEFT JOIN bc ON bc.node = n.n
+CROSS JOIN (SELECT CAST(count(*) AS DOUBLE) AS nn FROM nodes) cnt
+"""
+
+
 _ASSOC_MIN_SUPPORT = 0.05
 
 
@@ -1281,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_sp": q_pagerank,
         "shortest_path_nations": q_shortest_path_nations,
         "betweenness_nations": q_betweenness_nations,
+        "betweenness_ring": q_betweenness_ring,
         "assoc_items": q_assoc_items,
         "assoc_top5": q_assoc_top5,
         "assoc_items_weighted": q_assoc_items_weighted,
@@ -1323,7 +1425,10 @@ def oracle_sql() -> dict[str, str]:
         "super_merger_orders": _SUPER_MERGER_ORDERS_SQL,
         "pagerank_sp": _pagerank_sql(_SP_EDGE_SQL.replace("DISTINCT ", "")),
         "shortest_path_nations": _shortest_path_sql(_NATION_EDGE_SQL),
-        # betweenness_nations: omitted — per-source BFS not SQL-expressible
+        # betweenness_nations: omitted — per-source BFS on an arbitrary
+        # graph is not SQL-expressible in general; betweenness_ring below
+        # covers the operator with a full oracle (walk enumeration).
+        "betweenness_ring": _BETWEENNESS_RING_SQL,
         "assoc_items": _assoc_items_sql(),
         "assoc_top5": _assoc_top5_sql(),
         "assoc_items_weighted": _assoc_items_weighted_sql(),

@@ -21,13 +21,27 @@ Spark-first design (NOT a union-find translation):
   MapReduce and Beyond"): O(log^2 n) rounds regardless of graph diameter,
   every round is a plain shuffle join + aggregation that AQE can size.
   Lineage is truncated per round (``plans.iteration``).
+- The star loop runs on **interned long ids**, never on the string names:
+  Spark's ``HashAggregate`` only supports fixed-width aggregation buffers,
+  so ``min(string_col)`` silently falls back to ``SortAggregate`` — a full
+  sort per round.  Long keys keep every round's min-aggregation hash-based
+  and the shuffle payload fixed-width.  The ids only need to be injective
+  (any total order drives the algorithm), so no global sort is needed to
+  assign them; arbitrary ids also avoid adversarial name orders (e.g. a
+  bipartite graph whose left part sorts entirely below its right part
+  makes large-star a no-op under name order).
+- Human-readable component labels (min node name) are recovered AFTER the
+  fixpoint with one ``groupBy(component_id).agg(min(node))`` over V rows —
+  one sort-aggregate total instead of one per round.
 - The component root is the member with the smallest ``first_seen`` — i.e.
   the component's first-appearing node — so dense-ranking roots ascending
   reproduces the reference's 1..k group numbering exactly.
 
 Scale notes (100 TB): all steps are key-partitioned joins/aggregations on
-the node id; no driver-side collection of edges.  The only global-order
-step is the dense_rank over *distinct component roots* (k rows, k ≪ V).
+the node id; no driver-side collection of edges.  The id-relabel joins
+broadcast the node map while it fits (AQE decides) and degrade to shuffle
+joins beyond that.  The only global-order step is the dense_rank over
+*distinct component roots* (k rows, k ≪ V).
 """
 
 from __future__ import annotations
@@ -131,6 +145,18 @@ def _cc_assignments(edge_ids: DataFrame) -> DataFrame:
     return e.select(F.col("u").alias("nid"), F.col("v").alias("component"))
 
 
+def _relabel_edges(edges: DataFrame, node_map: DataFrame) -> DataFrame:
+    """(u string, v string) -> (u long, v long) through ``node_map``
+    (node, id).  Two equi-joins; AQE broadcasts the map while it fits."""
+    m1 = node_map.select(F.col("node").alias("u"), F.col("id").alias("_uid"))
+    m2 = node_map.select(F.col("node").alias("v"), F.col("id").alias("_vid"))
+    return (
+        edges.join(m1, "u")
+        .join(m2, "v")
+        .select(F.col("_uid").alias("u"), F.col("_vid").alias("v"))
+    )
+
+
 def components(
     df: DataFrame,
     from_col: str = "from",
@@ -139,22 +165,30 @@ def components(
     """Light table function: ``(node string, component string)`` — one row
     per distinct node, ``component`` = min node name in the component.
 
-    Skips the first-appearance numbering machinery entirely (no
-    ``monotonically_increasing_id``, no endpoint explode + min): labels are
+    Skips the first-appearance numbering machinery entirely; labels are
     content-derived, so use this when reference intern-order numbering is
-    not needed.  Saves two full passes over the edge endpoints.
+    not needed.  Nodes are interned with arbitrary injective long ids
+    (``monotonically_increasing_id`` frozen by a checkpoint — any total
+    order works for the star loop), and the min-name label is recovered
+    once at the fixpoint, so no per-round string aggregation happens.
     """
     edges = df.select(
         F.col(from_col).cast("string").alias("u"),
         F.col(to_col).cast("string").alias("v"),
     ).where(F.col("u").isNotNull() & F.col("v").isNotNull())
-    nodes = edges.select(F.col("u").alias("node")).union(
-        edges.select(F.col("v").alias("node"))
-    ).distinct()
-    assign = _cc_assignments(edges).select(F.col("nid").alias("node"), "component")
-    return nodes.join(assign, "node", "left").select(
-        "node", F.coalesce("component", F.col("node")).alias("component")
+    nodes = edges.select(F.explode(F.array("u", "v")).alias("node")).distinct()
+    # Eager checkpoint freezes the nondeterministic ids before reuse.
+    node_map = truncate_lineage(
+        nodes.select("node", F.monotonically_increasing_id().alias("id")), cache=True
     )
+    assign = _cc_assignments(_relabel_edges(edges, node_map)).select(
+        F.col("nid").alias("id"), F.col("component").alias("cid")
+    )
+    labeled = node_map.join(assign, "id", "left").select(
+        "node", F.coalesce("cid", F.col("id")).alias("cid")
+    )
+    comp_names = labeled.groupBy("cid").agg(F.min("node").alias("component"))
+    return labeled.join(comp_names, "cid").select("node", "component")
 
 
 def connected_components(
@@ -171,10 +205,13 @@ def connected_components(
     at 1 (``src/graph_solver.rs:78-89``), derived by ranking components on
     the minimum first-seen index of their members.
 
-    The star loop runs directly on string node keys — the algorithm only
-    needs a total order, and skipping the intern step saves two shuffles
-    of the full edge set.  ``first_seen`` is only joined per-node at the
-    end for the numbering.
+    The star loop runs on the ``first_seen`` long ids (injective, and
+    order-isomorphic to the reference's intern order), never on strings —
+    ``min(string)`` would demote every round's aggregation from
+    HashAggregate to SortAggregate.  Because the loop's min-id root IS the
+    component's min ``first_seen``, the 1..k numbering is a dense_rank
+    straight over the distinct root ids; the min-name ``component`` label
+    is recovered with one aggregation at the end.
 
     ``order_col``: optional column defining row order for first-appearance
     semantics.  Defaults to ``monotonically_increasing_id()`` which follows
@@ -183,26 +220,40 @@ def connected_components(
     matters.  At cluster scale pass an explicit ordering column.
     """
     edges = _edge_pairs(df, from_col, to_col, order_col)
-    nodes = _node_table(edges)  # (node, nid = first_seen)
+    # (node, nid = first_seen).  Checkpoint: reused by the relabel joins
+    # and the final label join, and nid must be frozen once derived.
+    nodes = truncate_lineage(_node_table(edges), cache=True)
 
-    assign = _cc_assignments(
-        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-    ).select(F.col("nid").alias("node"), "component")
+    eids = _relabel_edges(
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+        nodes.select("node", F.col("nid").alias("id")),
+    )
+    assign = _cc_assignments(eids).select(
+        F.col("nid").alias("id"), F.col("component").alias("cid")
+    )
 
     # Nodes not covered by the star forest (isolated via self-loops only)
-    # root themselves.
-    labeled = nodes.join(assign, "node", "left").select(
-        "node", "nid", F.coalesce("component", F.col("node")).alias("component")
-    )
+    # root themselves.  cid = min first_seen of the component's members.
+    labeled = nodes.select("node", F.col("nid").alias("id")).join(
+        assign, "id", "left"
+    ).select("node", F.coalesce("cid", F.col("id")).alias("cid"))
 
-    # First-appearance numbering: rank components by the min first_seen of
-    # their members.  dense_rank over distinct components only (k rows).
-    comp_first = labeled.groupBy("component").agg(F.min("nid").alias("first_seen"))
-    numbering = comp_first.select(
-        "component",
-        F.dense_rank().over(Window.orderBy("first_seen")).cast("long").alias("group"),
+    # First-appearance numbering: the root id IS the component's min
+    # first_seen, so rank the distinct root ids directly (k rows, k ≪ V).
+    numbering = (
+        labeled.select("cid")
+        .distinct()
+        .select(
+            "cid",
+            F.dense_rank().over(Window.orderBy("cid")).cast("long").alias("group"),
+        )
     )
-    return labeled.join(numbering, "component").select("node", "component", "group")
+    comp_names = labeled.groupBy("cid").agg(F.min("node").alias("component"))
+    return (
+        labeled.join(numbering, "cid")
+        .join(comp_names, "cid")
+        .select("node", "component", "group")
+    )
 
 
 def graph_solver(
