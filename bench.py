@@ -56,11 +56,21 @@ def main() -> None:
     spark = get_spark("polars-grouper-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Session warmup (excluded from timings): touch one parquet footer and
-    # spin up the Python worker pool once, so per-query numbers measure the
-    # steady-state plans rather than one-time JVM/worker startup.
+    # Session warmup (excluded from timings): touch one parquet footer, spin
+    # up the Python worker pool, and run one micro-query through the operator
+    # machinery (window exec, shuffle/broadcast join, hash aggregate, local
+    # checkpoint) so codegen classes are compiled once up front.  Per-query
+    # numbers then measure the steady-state plans rather than one-time
+    # JVM/worker/JIT startup.
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
     spark.range(64, numPartitions=8).mapInPandas(lambda it: it, "id long").count()
+    from polars_grouper_spark import components, page_rank_nodes
+
+    tiny = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e")], ["from", "to"]
+    )
+    components(tiny).count()
+    page_rank_nodes(tiny, max_iterations=1, convergence_threshold=0.0).count()
 
     qs = entry_mod.queries()
     timings: dict[str, float] = {}

@@ -18,18 +18,18 @@ Spark-first design (NOT a union-find translation):
   without a global row_number.
 - Components are computed with the alternating large-star / small-star
   DataFrame algorithm (Kiveris et al. 2014, "Connected Components in
-  MapReduce and Beyond"): O(log^2 n) rounds regardless of graph diameter,
-  every round is a plain shuffle join + aggregation that AQE can size.
-  Lineage is truncated per round (``plans.iteration``).
+  MapReduce and Beyond"): O(log^2 n) rounds regardless of graph diameter.
+  Each star step is ONE windowed min per node (``min() OVER (PARTITION BY
+  u)``) — a single hash-shuffle on the star key — instead of the
+  groupBy+join formulation that shuffles the neighbor table twice per
+  step.  Lineage is truncated per round (``plans.iteration``).
 - The star loop runs on **interned long ids**, never on the string names:
-  Spark's ``HashAggregate`` only supports fixed-width aggregation buffers,
-  so ``min(string_col)`` silently falls back to ``SortAggregate`` — a full
-  sort per round.  Long keys keep every round's min-aggregation hash-based
-  and the shuffle payload fixed-width.  The ids only need to be injective
-  (any total order drives the algorithm), so no global sort is needed to
-  assign them; arbitrary ids also avoid adversarial name orders (e.g. a
-  bipartite graph whose left part sorts entirely below its right part
-  makes large-star a no-op under name order).
+  the per-round shuffle payload and the window sort keys stay fixed-width
+  8-byte values instead of variable-length strings.  The ids only need to
+  be injective (any total order drives the algorithm), so no global sort
+  is needed to assign them; arbitrary ids also avoid adversarial name
+  orders (e.g. a bipartite graph whose left part sorts entirely below its
+  right part makes large-star a no-op under name order).
 - Human-readable component labels (min node name) are recovered AFTER the
   fixpoint with one ``groupBy(component_id).agg(min(node))`` over V rows —
   one sort-aggregate total instead of one per round.
@@ -104,31 +104,34 @@ def _cc_assignments(edge_ids: DataFrame) -> DataFrame:
     # not two.
     e = truncate_lineage(e, cache=False)
 
+    # Both star steps need, per node u, the minimum over its neighbor rows —
+    # expressed as min() OVER (PARTITION BY u) each step is ONE shuffle
+    # (hash-partition on u + local sort), where the groupBy(min)+join
+    # formulation costs two (the aggregation shuffle and the join-back
+    # shuffle of the full neighbor table).
+    wu = Window.partitionBy("u")
     prev_fp = None
     for _ in range(_MAX_ROUNDS):
         # large-star: connect every neighbor larger than u to
-        # m = min(N(u) ∪ {u}).
+        # m = min(N(u) ∪ {u}), via one windowed min per node — a single
+        # shuffle on u (vs groupBy+join = two).  Emitted pairs (v, m)
+        # satisfy v > u >= m, so they are already oriented u > v and never
+        # self-loops.
         nb = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        mins = nb.groupBy("u").agg(F.min("v").alias("mn"))
-        mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
-        # emitted pairs (v, m) satisfy v > u >= m, so they are already
-        # oriented u > v and never self-loops.
         large = (
-            nb.join(mins, "u")
+            nb.withColumn("m", F.least(F.min("v").over(wu), F.col("u")))
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
 
         # small-star: input oriented u > v; connect u and all smaller
-        # neighbors to the minimum neighbor.  No pre-dedup of ``large``:
-        # the min aggregation is map-side combinable regardless of
-        # duplicates, and the final distinct removes any that survive —
-        # a distinct here would be a full extra shuffle for nothing.
-        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        # neighbors to the minimum neighbor m — again one windowed min.
+        # No pre-dedup of ``large``: the final distinct removes surviving
+        # duplicates, and an earlier distinct would be a full extra shuffle.
+        sm = large.withColumn("m", F.min("v").over(wu))
         small = (
-            large.join(mins2, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(mins2.select(F.col("u"), F.col("m").alias("v")))
+            sm.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(sm.select(F.col("u"), F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
             .distinct()
         )
@@ -161,30 +164,45 @@ def components(
     df: DataFrame,
     from_col: str = "from",
     to_col: str = "to",
+    verify_injective: bool = False,
 ) -> DataFrame:
     """Light table function: ``(node string, component string)`` — one row
     per distinct node, ``component`` = min node name in the component.
 
     Skips the first-appearance numbering machinery entirely; labels are
     content-derived, so use this when reference intern-order numbering is
-    not needed.  Nodes are interned with arbitrary injective long ids
-    (``monotonically_increasing_id`` frozen by a checkpoint — any total
-    order works for the star loop), and the min-name label is recovered
-    once at the fixpoint, so no per-round string aggregation happens.
+    not needed.  Nodes are interned by **hashing** (``xxhash64``): the
+    relabel is a pure map over the edge scan — zero shuffles, no node-map
+    materialization, no relabel joins — and any injective id assignment
+    drives the star loop.  The min-name label is recovered once at the
+    fixpoint with a single aggregation over V rows.
+
+    Hashing trades a 2^-64 per-pair collision probability (a collision
+    could merge two components) for removing the whole intern front-end —
+    the same trust model as MinHash dedup.  ``verify_injective=True`` adds
+    one aggregation job over the distinct nodes that raises if any two
+    node names share a hash.
     """
     edges = df.select(
         F.col(from_col).cast("string").alias("u"),
         F.col(to_col).cast("string").alias("v"),
     ).where(F.col("u").isNotNull() & F.col("v").isNotNull())
     nodes = edges.select(F.explode(F.array("u", "v")).alias("node")).distinct()
-    # Eager checkpoint freezes the nondeterministic ids before reuse.
-    node_map = truncate_lineage(
-        nodes.select("node", F.monotonically_increasing_id().alias("id")), cache=True
-    )
-    assign = _cc_assignments(_relabel_edges(edges, node_map)).select(
+    nodes = nodes.select("node", F.xxhash64("node").alias("id"))
+    if verify_injective:
+        dup = (
+            nodes.groupBy("id").agg(F.count(F.lit(1)).alias("c")).where("c > 1").count()
+        )
+        if dup:
+            raise ValueError(
+                f"xxhash64 node-id collision on {dup} hash value(s); "
+                "relabel via connected_components() (first-seen interning) instead"
+            )
+    eh = edges.select(F.xxhash64("u").alias("u"), F.xxhash64("v").alias("v"))
+    assign = _cc_assignments(eh).select(
         F.col("nid").alias("id"), F.col("component").alias("cid")
     )
-    labeled = node_map.join(assign, "id", "left").select(
+    labeled = nodes.join(assign, "id", "left").select(
         "node", F.coalesce("cid", F.col("id")).alias("cid")
     )
     comp_names = labeled.groupBy("cid").agg(F.min("node").alias("component"))

@@ -24,7 +24,7 @@ L1-diff aggregation doubles as the action that materializes the round.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from polars_grouper_spark.plans.iteration import truncate_lineage
@@ -67,33 +67,46 @@ def page_rank_nodes(
     if n == 0:
         return nodes.select("node", F.lit(0.0).alias("score"))
 
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # Pre-divide each edge by its source outdegree once; reused every round.
+    # Collapse parallel edges once, up front: k copies of (src, dst) are
+    # exactly one edge of weight k (outdegree counts edge ROWS, and each
+    # copy contributes rank/outdeg to the target — reference
+    # ``src/page_rank.rs:68-75, :93-98``).  Real edge lists carry heavy
+    # multiplicity (the supplier-part graph is ~7x at sf0.1), so every
+    # iteration's join+sum then runs on the distinct-pair table instead of
+    # the raw rows.  outdeg per src is recovered as a windowed sum(cnt)
+    # over the collapsed pairs — that shuffle moves only the pair table,
+    # never the raw rows, and happens once before the loop.
+    pair_cnt = edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("cnt"))
     edges_w = truncate_lineage(
-        edges.join(outdeg, "src").select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
+        pair_cnt.select(
+            "src",
+            "dst",
+            (F.col("cnt") / F.sum("cnt").over(Window.partitionBy("src"))).alias("w"),
+        )
     )
 
     base = (1.0 - damping_factor) / n
-    ranks = truncate_lineage(nodes.select("node", F.lit(1.0 / n).alias("score")))
+    # No checkpoint needed for the initial ranks: ``nodes`` is already
+    # checkpointed and the projection on top of it is lineage-flat.
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("score"))
     if broadcast_ranks is None:
         broadcast_ranks = n <= _BROADCAST_NODES_MAX
 
+    # Dangling-safe iteration without a per-round join back to ``nodes``:
+    # union a zero contribution for every node into the SAME aggregation
+    # that sums the edge contributions.  Each round is then exactly one
+    # shuffle (the map-side-combinable sum on the target node), and no
+    # broadcast of the aggregated contributions has to be built.
+    zeros = nodes.select("node", F.lit(0.0).alias("c"))
     for _ in range(max_iterations):
         rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
-        contrib = (
+        new_ranks = (
             edges_w.join(rank_side, edges_w["src"] == rank_side["node"])
             .select(F.col("dst").alias("node"), (F.col("score") * F.col("w")).alias("c"))
+            .unionAll(zeros)
             .groupBy("node")
-            .agg(F.sum("c").alias("inc"))
-        )
-        contrib_side = F.broadcast(contrib) if broadcast_ranks else contrib
-        new_ranks = (
-            nodes.join(contrib_side, "node", "left")
-            .select(
-                "node",
-                (F.lit(base) + F.lit(damping_factor) * F.coalesce("inc", F.lit(0.0))).alias(
-                    "score"
-                ),
+            .agg(
+                (F.lit(base) + F.lit(damping_factor) * F.sum("c")).alias("score")
             )
         )
         new_ranks = truncate_lineage(new_ranks)
