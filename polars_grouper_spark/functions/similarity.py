@@ -133,19 +133,21 @@ def lsh_topk(
     :func:`cosine_topk` (may return < k rows per query; recall < 1)."""
     cb = hyperplane_lsh_buckets(corpus, id_col, vec_col, n_planes, seed=seed)
     qb = hyperplane_lsh_buckets(queries, id_col, vec_col, n_planes, seed=seed)
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")).join(
-        cb.select(F.col("id").alias("neighbor_id"), "bucket"), "neighbor_id"
-    )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).join(
-        qb.select(F.col("id").alias("query_id"), "bucket"), "query_id"
-    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    ).join(cb.select(F.col("id").alias("neighbor_id"), "bucket"), "neighbor_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
+    ).join(qb.select(F.col("id").alias("query_id"), "bucket"), "query_id")
     joined = c.join(q, "bucket").where(F.col("query_id") != F.col("neighbor_id"))
     scored = joined.select(
         "query_id",
         "neighbor_id",
-        (
-            _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
-        ).alias("cosine"),
+        (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -204,22 +206,31 @@ def _sq_dist(a, b):
     )
 
 
-def _assign_cells(base: DataFrame, cents: DataFrame) -> DataFrame:
-    """(id, v) × broadcast centroids (cell, cv) → nearest-cell assignment.
+def _with_centroids(df: DataFrame, cents: list[list[float]], col: str = "cm") -> DataFrame:
+    """crossJoin ``df`` with the centroid matrix as ONE broadcast row.
 
-    One generic squared-distance expression + per-id window argmin — the
-    plan size is independent of n_cells (a per-centroid CASE chain would
-    blow up Catalyst analysis at even modest cell counts).  Ties break to
-    the lowest cell id.
+    The matrix deliberately does NOT enter the plan as literals: a
+    16×64-double literal tree forces a fresh ~1s whole-stage-codegen
+    compile for every new matrix (every Lloyd round), while the
+    broadcast-row form keeps the plan shape — and therefore the compiled
+    class — identical across rounds; only the broadcast data changes.
     """
-    scored = base.crossJoin(F.broadcast(cents)).select(
-        "id", "v", "cell", _sq_dist(F.col("v"), F.col("cv")).alias("d")
-    )
-    w = Window.partitionBy("id").orderBy(F.col("d").asc(), F.col("cell").asc())
+    spark = df.sparkSession
+    cdf = spark.createDataFrame([(cents,)], f"{col} array<array<double>>")
+    return df.crossJoin(F.broadcast(cdf))
+
+
+def _cell_col(df: DataFrame, vec_col: str, cents: list[list[float]], out: str = "cell") -> DataFrame:
+    """df + nearest-cell id column — a pure row-wise argmin, NO shuffle.
+    ``array_position`` takes the first occurrence of the min, so ties
+    break to the lowest cell id (the matrix rows are ordered by cell).
+    The distance array is projected as its own column first so it is
+    evaluated once, not once per use."""
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("id", "cell", "v")
+        _with_centroids(df, cents)
+        .withColumn("_d", F.transform("cm", lambda c: _sq_dist(F.col(vec_col), c)))
+        .withColumn(out, (F.array_position("_d", F.array_min("_d")) - 1).cast("int"))
+        .drop("cm", "_d")
     )
 
 
@@ -233,37 +244,43 @@ def ivf_build(
     """Coarse IVF index: returns (assignments (id, cell), centroids).
 
     Seeding is deterministic (lowest ``n_cells`` ids); ``lloyd_rounds``
-    rounds of mean-refinement.  Everything is DataFrame-side: assignment is
-    a broadcast cross-join + window argmin, means are a posexplode +
-    map-side-combinable avg.  Only the final centroid list (n_cells × dim —
-    bounded by design) is collected.
+    rounds of mean-refinement.  The centroid matrix is bounded by design
+    (n_cells × dim) and lives on the driver between rounds; cell
+    assignment is therefore a pure row-wise argmin against a nested-array
+    literal — zero shuffles, zero joins — and each Lloyd round is exactly
+    one job: the posexplode + map-side-combinable per-(cell, dim) mean.
+    (The previous formulation — broadcast cross-join + per-id window
+    argmin — shuffled corpus × n_cells rows per round; the window has no
+    partial aggregation, so it was also the skew-sensitive step.)
+    A cell that loses all members keeps its previous centroid.
     """
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    cents = (
-        base.orderBy("id")
-        .limit(n_cells)
-        .select(
-            (F.row_number().over(Window.orderBy("id")) - 1).cast("int").alias("cell"),
-            F.transform("v", lambda x: x.cast("double")).alias("cv"),
-        )
-    )
+    seed = base.orderBy("id").limit(n_cells).collect()
+    cents = [[float(x) for x in r["v"]] for r in seed]
 
-    assignments = _assign_cells(base, cents)
     for _ in range(lloyd_rounds):
-        cents = (
-            assignments.select("cell", F.posexplode(F.col("v")).alias("pos", "x"))
+        # The cell argmin MUST be projected in its own step below the
+        # posexplode: an expression placed in the same select as a
+        # generator is re-evaluated per exploded row (dim× here — measured
+        # 10× slower), while a projection below the Generate runs once per
+        # input row.
+        means = (
+            _cell_col(base, "v", cents)
+            .select("cell", F.posexplode(F.col("v")).alias("pos", "x"))
             .groupBy("cell", "pos")
             .agg(F.avg(F.col("x").cast("double")).alias("m"))
-            .groupBy("cell")
-            .agg(F.sort_array(F.collect_list(F.struct("pos", "m"))).alias("mm"))
-            .select("cell", F.transform("mm", lambda s: s["m"]).alias("cv"))
+            .collect()
         )
-        assignments = _assign_cells(base, cents)
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["pos"])] = float(r["m"])
+        cents = [
+            [m[p] for p in sorted(m)] if (m := by_cell.get(i)) else cents[i]
+            for i in range(len(cents))
+        ]
 
-    centroids = sorted(
-        (int(r["cell"]), [float(x) for x in r["cv"]]) for r in cents.collect()
-    )
-    return assignments.select("id", "cell"), centroids
+    assignments = _cell_col(base, "v", cents).select("id", "cell")
+    return assignments, list(enumerate(cents))
 
 
 def ivf_topk(
@@ -276,37 +293,62 @@ def ivf_topk(
     n_probe: int = 4,
 ) -> DataFrame:
     """IVF-pruned cosine top-k: score only vectors in the query's
-    ``n_probe`` nearest cells.  Probe selection is the same broadcast
-    cross-join + window pattern as cell assignment — no per-centroid
-    expression chains."""
-    assignments, centroids = ivf_build(corpus, id_col, vec_col, n_cells)
-    cents = corpus.sparkSession.createDataFrame(
-        centroids, schema="cell int, cv array<double>"
+    ``n_probe`` nearest cells.
+
+    The corpus side is scan → row-wise cell map → broadcast-join with the
+    (bounded) probe set: its only shuffle is the final per-query top-k
+    window over candidates.  Norms are computed once per row on each side,
+    never per candidate pair.
+    """
+    _, centroids = ivf_build(corpus, id_col, vec_col, n_cells)
+    cents = [cv for _, cv in centroids]
+
+    # Per-query probe cells: sort (distance, cell) structs in-array and
+    # slice the first n_probe — row-wise, no window.  ``probes`` is
+    # projected as its own column before exploding (generator rule: an
+    # expression sharing a select with explode() re-evaluates per output
+    # row).
+    qbase = _with_centroids(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            _norm(F.col(vec_col)).alias("qn"),
+        ),
+        cents,
+    ).withColumn("_d", F.transform("cm", lambda c: _sq_dist(F.col("qv"), c)))
+    probes = F.slice(
+        F.array_sort(
+            F.zip_with(
+                F.col("_d"),
+                F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+                lambda d, c: F.struct(d.alias("d"), c.alias("cell")),
+            )
+        ),
+        1,
+        n_probe,
+    )
+    q = (
+        qbase.withColumn("pr", probes)
+        .select("query_id", "qv", "qn", F.explode("pr").alias("p"))
+        .select("query_id", "qv", "qn", F.col("p.cell").alias("cell"))
     )
 
-    qbase = queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    qd = qbase.crossJoin(F.broadcast(cents)).select(
-        F.col("id").alias("query_id"),
-        F.col("v").alias("qv"),
-        "cell",
-        _sq_dist(F.col("v"), F.col("cv")).alias("d"),
+    c = _cell_col(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            _norm(F.col(vec_col)).alias("cn"),
+        ),
+        "cv",
+        cents,
     )
-    wq = Window.partitionBy("query_id").orderBy(F.col("d").asc(), F.col("cell").asc())
-    q = (
-        qd.withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= n_probe)
-        .select("query_id", "qv", "cell")
+    joined = c.join(F.broadcast(q), "cell").where(
+        F.col("query_id") != F.col("neighbor_id")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")).join(
-        assignments.select(F.col("id").alias("neighbor_id"), "cell"), "neighbor_id"
-    )
-    joined = c.join(q, "cell").where(F.col("query_id") != F.col("neighbor_id"))
     scored = joined.select(
         "query_id",
         "neighbor_id",
-        (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias(
-            "cosine"
-        ),
+        (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

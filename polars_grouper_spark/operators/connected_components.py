@@ -22,7 +22,13 @@ Spark-first design (NOT a union-find translation):
   Each star step is ONE windowed min per node (``min() OVER (PARTITION BY
   u)``) — a single hash-shuffle on the star key — instead of the
   groupBy+join formulation that shuffles the neighbor table twice per
-  step.  Lineage is truncated per round (``plans.iteration``).
+  step (available as ``skew_safe=True`` for extreme-hub graphs, where the
+  map-side-combinable aggregation avoids concentrating a hub's rows in
+  one window task).  Raw edges enter round 1 un-deduplicated: the min
+  steps are duplicate-invariant and round 1's closing distinct runs on
+  the contracted table, so an up-front distinct would only add a full
+  shuffle of the raw edge list.  Lineage is truncated per round
+  (``plans.iteration``).
 - The star loop runs on **interned long ids**, never on the string names:
   the per-round shuffle payload and the window sort keys stay fixed-width
   8-byte values instead of variable-length strings.  The ids only need to
@@ -84,51 +90,69 @@ def _node_table(edges: DataFrame) -> DataFrame:
     return endpoints.groupBy("node").agg(F.min("seen").alias("nid"))
 
 
-def _cc_assignments(edge_ids: DataFrame) -> DataFrame:
+def _cc_assignments(edge_ids: DataFrame, skew_safe: bool = False) -> DataFrame:
     """Alternating large-star/small-star over (u, v) undirected edges —
     generic over any orderable key type (string node names here; the
     min-comparisons that drive the algorithm only need a total order).
     Returns (nid, component) for every node appearing in ``edge_ids`` —
     component = min key of the component.
 
-    Self-loops may be present in the input; they are dropped here (their
-    nodes are still covered by the caller's node table).
+    Self-loops and duplicate edges may be present in the input; self-loops
+    are dropped here (their nodes are still covered by the caller's node
+    table) and duplicates are tolerated: the star steps' min-comparisons
+    are duplicate-invariant and round 1's closing ``distinct`` runs on the
+    already-contracted table.  An up-front ``distinct`` would be a full
+    extra shuffle of the RAW edge list — strictly more bytes moved unless
+    duplicate multiplicity exceeds ~2× (and round 1 removes them anyway).
+
+    ``skew_safe``: both star steps need, per node u, the min over its
+    neighbor rows.  The default expresses that as ``min() OVER (PARTITION
+    BY u)`` — ONE hash shuffle per step, but every row of a hub node lands
+    in one task (window functions have no partial aggregation).  With
+    ``skew_safe=True`` the mins come from ``groupBy(u).agg(min)`` + join
+    back — two shuffles per step, but the aggregation combines map-side,
+    so a node with 10^9 neighbor rows never concentrates in one task (the
+    join back is still keyed on u, where AQE's skew-join splitting
+    applies; windows have no such escape hatch).  Use it when the graph
+    has extreme hubs at cluster scale; the default wins everywhere else.
     """
-    e = (
-        edge_ids.where(F.col("u") != F.col("v"))
-        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
-        .distinct()
+    e = edge_ids.where(F.col("u") != F.col("v")).select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     )
     # Lazy checkpoint: the plan is truncated now, materialization happens on
     # the first action (the round-1 fingerprint below) — one job per round,
     # not two.
     e = truncate_lineage(e, cache=False)
 
-    # Both star steps need, per node u, the minimum over its neighbor rows —
-    # expressed as min() OVER (PARTITION BY u) each step is ONE shuffle
-    # (hash-partition on u + local sort), where the groupBy(min)+join
-    # formulation costs two (the aggregation shuffle and the join-back
-    # shuffle of the full neighbor table).
     wu = Window.partitionBy("u")
+
+    def min_nb(nb: DataFrame, include_self: bool) -> DataFrame:
+        """nb + column m = min(N(u) [∪ {u}]) per the chosen strategy."""
+        if not skew_safe:
+            mn = F.min("v").over(wu)
+            return nb.withColumn("m", F.least(mn, F.col("u")) if include_self else mn)
+        mins = nb.groupBy("u").agg(F.min("v").alias("m"))
+        if include_self:
+            mins = mins.select("u", F.least("m", F.col("u")).alias("m"))
+        return nb.join(mins, "u")
+
     prev_fp = None
     for _ in range(_MAX_ROUNDS):
         # large-star: connect every neighbor larger than u to
-        # m = min(N(u) ∪ {u}), via one windowed min per node — a single
-        # shuffle on u (vs groupBy+join = two).  Emitted pairs (v, m)
-        # satisfy v > u >= m, so they are already oriented u > v and never
-        # self-loops.
+        # m = min(N(u) ∪ {u}).  Emitted pairs (v, m) satisfy v > u >= m,
+        # so they are already oriented u > v and never self-loops.
         nb = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         large = (
-            nb.withColumn("m", F.least(F.min("v").over(wu), F.col("u")))
+            min_nb(nb, include_self=True)
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
 
         # small-star: input oriented u > v; connect u and all smaller
-        # neighbors to the minimum neighbor m — again one windowed min.
-        # No pre-dedup of ``large``: the final distinct removes surviving
-        # duplicates, and an earlier distinct would be a full extra shuffle.
-        sm = large.withColumn("m", F.min("v").over(wu))
+        # neighbors to the minimum neighbor m.  No pre-dedup of ``large``:
+        # the final distinct removes surviving duplicates, and an earlier
+        # distinct would be a full extra shuffle.
+        sm = min_nb(large, include_self=False)
         small = (
             sm.select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(sm.select(F.col("u"), F.col("m").alias("v")))
@@ -165,6 +189,7 @@ def components(
     from_col: str = "from",
     to_col: str = "to",
     verify_injective: bool = False,
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Light table function: ``(node string, component string)`` — one row
     per distinct node, ``component`` = min node name in the component.
@@ -199,7 +224,7 @@ def components(
                 "relabel via connected_components() (first-seen interning) instead"
             )
     eh = edges.select(F.xxhash64("u").alias("u"), F.xxhash64("v").alias("v"))
-    assign = _cc_assignments(eh).select(
+    assign = _cc_assignments(eh, skew_safe=skew_safe).select(
         F.col("nid").alias("id"), F.col("component").alias("cid")
     )
     labeled = nodes.join(assign, "id", "left").select(
@@ -214,6 +239,7 @@ def connected_components(
     from_col: str = "from",
     to_col: str = "to",
     order_col: str | None = None,
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Table function: one row per distinct node.
 
@@ -246,7 +272,7 @@ def connected_components(
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v")),
         nodes.select("node", F.col("nid").alias("id")),
     )
-    assign = _cc_assignments(eids).select(
+    assign = _cc_assignments(eids, skew_safe=skew_safe).select(
         F.col("nid").alias("id"), F.col("component").alias("cid")
     )
 
