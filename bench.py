@@ -65,12 +65,25 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
     spark.range(64, numPartitions=8).mapInPandas(lambda it: it, "id long").count()
     from polars_grouper_spark import components, page_rank_nodes
+    from polars_grouper_spark.functions.similarity import ivf_topk
+    from polars_grouper_spark.operators.association_rules import (
+        graph_association_rules,
+    )
 
     tiny = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("d", "e")], ["from", "to"]
     )
     components(tiny).count()
     page_rank_nodes(tiny, max_iterations=1, convergence_threshold=0.0).count()
+    vecs = spark.createDataFrame(
+        [(i, [float(i + 1), float(i % 3 + 1)]) for i in range(8)], ["vec_id", "embedding"]
+    )
+    ivf_topk(vecs, vecs.limit(2), k=2, n_cells=2, n_probe=1).count()
+    tx = spark.createDataFrame(
+        [(1, "a", 1.0), (1, "b", 1.0), (2, "a", 1.0)],
+        ["transaction_id", "item_id", "frequency"],
+    )
+    graph_association_rules(tx, min_support=0.0, min_confidence=0.0).count()
 
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
