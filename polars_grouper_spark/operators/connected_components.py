@@ -44,10 +44,10 @@ Spark-first design (NOT a union-find translation):
   reproduces the reference's 1..k group numbering exactly.
 
 Scale notes (100 TB): all steps are key-partitioned joins/aggregations on
-the node id; no driver-side collection of edges.  The id-relabel joins
-broadcast the node map while it fits (AQE decides) and degrade to shuffle
-joins beyond that.  The only global-order step is the dense_rank over
-*distinct component roots* (k rows, k ≪ V).
+the node id; no driver-side collection of edges.  Node ids come from
+``xxhash64`` — a pure map over the edge scan, so nothing |E|-sized is ever
+joined for relabeling.  The only global-order step is the dense_rank over
+*distinct components* (k rows, k ≪ V).
 """
 
 from __future__ import annotations
@@ -172,18 +172,6 @@ def _cc_assignments(edge_ids: DataFrame, skew_safe: bool = False) -> DataFrame:
     return e.select(F.col("u").alias("nid"), F.col("v").alias("component"))
 
 
-def _relabel_edges(edges: DataFrame, node_map: DataFrame) -> DataFrame:
-    """(u string, v string) -> (u long, v long) through ``node_map``
-    (node, id).  Two equi-joins; AQE broadcasts the map while it fits."""
-    m1 = node_map.select(F.col("node").alias("u"), F.col("id").alias("_uid"))
-    m2 = node_map.select(F.col("node").alias("v"), F.col("id").alias("_vid"))
-    return (
-        edges.join(m1, "u")
-        .join(m2, "v")
-        .select(F.col("_uid").alias("u"), F.col("_vid").alias("v"))
-    )
-
-
 def components(
     df: DataFrame,
     from_col: str = "from",
@@ -262,42 +250,46 @@ def connected_components(
     file/partition order — deterministic for a single-file parquet scan or
     a ``createDataFrame`` local relation, which is where numbering parity
     matters.  At cluster scale pass an explicit ordering column.
+
+    The star loop runs on ``xxhash64`` node ids — a pure map over the edge
+    scan, so NO relabel joins touch the |E|-sized table (same trust model
+    as :func:`components`).  First-appearance numbering no longer needs
+    the loop to run on first_seen ids: each component's rank is the
+    ``dense_rank`` of its members' minimum first_seen, computed with one
+    aggregation over V rows at the end (which also yields the min-name
+    label — one join instead of the former numbering + label pair).
     """
     edges = _edge_pairs(df, from_col, to_col, order_col)
-    # (node, nid = first_seen).  Checkpoint: reused by the relabel joins
-    # and the final label join, and nid must be frozen once derived.
+    # (node, nid = first_seen).  Checkpoint: nid must be frozen once
+    # derived (monotonically_increasing_id is nondeterministic), and the
+    # table is reused by the label join below.
     nodes = truncate_lineage(_node_table(edges), cache=True)
 
-    eids = _relabel_edges(
-        edges.select(F.col("src").alias("u"), F.col("dst").alias("v")),
-        nodes.select("node", F.col("nid").alias("id")),
-    )
-    assign = _cc_assignments(eids, skew_safe=skew_safe).select(
-        F.col("nid").alias("id"), F.col("component").alias("cid")
+    eh = edges.select(F.xxhash64("src").alias("u"), F.xxhash64("dst").alias("v"))
+    assign = _cc_assignments(eh, skew_safe=skew_safe).select(
+        F.col("nid").alias("hid"), F.col("component").alias("chid")
     )
 
     # Nodes not covered by the star forest (isolated via self-loops only)
-    # root themselves.  cid = min first_seen of the component's members.
-    labeled = nodes.select("node", F.col("nid").alias("id")).join(
-        assign, "id", "left"
-    ).select("node", F.coalesce("cid", F.col("id")).alias("cid"))
+    # root themselves.
+    labeled = (
+        nodes.withColumn("hid", F.xxhash64("node"))
+        .join(assign, "hid", "left")
+        .select("node", "nid", F.coalesce("chid", F.col("hid")).alias("cid"))
+    )
 
-    # First-appearance numbering: the root id IS the component's min
-    # first_seen, so rank the distinct root ids directly (k rows, k ≪ V).
-    numbering = (
-        labeled.select("cid")
-        .distinct()
-        .select(
-            "cid",
-            F.dense_rank().over(Window.orderBy("cid")).cast("long").alias("group"),
-        )
+    # One aggregation over V rows yields both the first-appearance rank
+    # key (min first_seen — distinct across components, so dense_rank has
+    # no ties) and the canonical min-name label; k component rows, k ≪ V.
+    comp_stats = labeled.groupBy("cid").agg(
+        F.min("nid").alias("first_seen"), F.min("node").alias("component")
     )
-    comp_names = labeled.groupBy("cid").agg(F.min("node").alias("component"))
-    return (
-        labeled.join(numbering, "cid")
-        .join(comp_names, "cid")
-        .select("node", "component", "group")
+    numbering = comp_stats.select(
+        "cid",
+        "component",
+        F.dense_rank().over(Window.orderBy("first_seen")).cast("long").alias("group"),
     )
+    return labeled.join(numbering, "cid").select("node", "component", "group")
 
 
 def graph_solver(
