@@ -55,28 +55,41 @@ def text_stats(
     """
     t = F.col(text_col)
     n_chars = F.length(t)
-    toks = tokens(t)
-    n_tokens = F.size(toks)
-    lower_toks = F.transform(toks, F.lower)
     stop_lit = F.array(*[F.lit(w) for w in ENGLISH_STOPWORDS])
-    n_stop = F.size(F.filter(lower_toks, lambda x: F.array_contains(stop_lit, x)))
+
+    # Stage 1: tokenize ONCE.  The tokens expression (split+filter HOF) is
+    # referenced by n_tokens, avg_token_len and stopword_ratio; aliased in
+    # its own projection it is evaluated once per row — CollapseProject
+    # keeps multi-referenced non-cheap aliases in their own Project, so
+    # the optimizer does not re-inline it (a single flat select was
+    # measured to evaluate the tokenizer 5× per row).
+    staged = df.select(
+        F.col(id_col),
+        t,
+        n_chars.cast("long").alias("n_chars"),
+        tokens(t).alias("_toks"),
+    )
+
+    nc = F.col("n_chars")
+    nt = F.size("_toks").cast("long")
+    n_stop = F.size(
+        F.filter(F.transform("_toks", F.lower), lambda x: F.array_contains(stop_lit, x))
+    )
 
     def class_ratio(pattern: str) -> Column:
-        removed = F.length(F.regexp_replace(t, pattern, ""))
-        return F.when(n_chars > 0, (n_chars - removed) / n_chars).otherwise(F.lit(0.0))
+        removed = F.length(F.regexp_replace(F.col(text_col), pattern, ""))
+        return F.when(nc > 0, (nc - removed) / nc).otherwise(F.lit(0.0))
 
-    return df.select(
+    return staged.select(
         F.col(id_col),
-        n_chars.cast("long").alias("n_chars"),
-        n_tokens.cast("long").alias("n_tokens"),
-        F.when(n_tokens > 0, (n_chars - n_tokens + 1) / n_tokens)
-        .otherwise(F.lit(0.0))
-        .alias("avg_token_len"),
+        "n_chars",
+        nt.alias("n_tokens"),
+        F.when(nt > 0, (nc - nt + 1) / nt).otherwise(F.lit(0.0)).alias("avg_token_len"),
         class_ratio(r"[\p{Punct}]").alias("punct_ratio"),
         class_ratio(r"[0-9]").alias("digit_ratio"),
         class_ratio(r"[A-Z]").alias("upper_ratio"),
         class_ratio(r"\s").alias("space_ratio"),
-        F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0)).alias("stopword_ratio"),
+        F.when(nt > 0, n_stop / nt).otherwise(F.lit(0.0)).alias("stopword_ratio"),
     )
 
 
@@ -106,7 +119,12 @@ def language_id(
     with deterministic tie-break (language code ascending); no hits ->
     'und'.
     """
-    toks = F.transform(tokens(F.col(text_col)), F.lower)
+    # Tokenize ONCE in a staged projection (multi-referenced non-cheap
+    # alias — CollapseProject keeps it), then score every language against
+    # the shared token array.
+    staged = df.select(
+        "*", F.transform(tokens(F.col(text_col)), F.lower).alias("_toks")
+    )
 
     def contains_pred(stop_lit):
         return lambda x: F.array_contains(stop_lit, x)
@@ -114,7 +132,7 @@ def language_id(
     scores = []
     for lang in sorted(LANG_STOPWORDS):
         stop_lit = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
-        hits = F.size(F.filter(toks, contains_pred(stop_lit)))
+        hits = F.size(F.filter(F.col("_toks"), contains_pred(stop_lit)))
         scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
     # array_max on struct: max by (hits, lang) lexicographic — ties prefer
     # the LAST lang alphabetically, so invert: order by (hits, reversed
@@ -128,7 +146,7 @@ def language_id(
             ]
         )
     )
-    return df.select(
+    return staged.select(
         F.col(id_col),
         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
         best["hits"].cast("long").alias("lang_hits"),

@@ -1,0 +1,112 @@
+"""Physical-plan assertions — the scale properties the engine promises.
+
+These tests pin the *plan shape*, not results: filter pushdown and column
+pruning reach the parquet scan, small dimensions broadcast, JVM-only paths
+contain no Python evaluation, and the IVF corpus map is shuffle-free.  A
+regression here means a 100 TB run pays for it even though every
+correctness test still passes.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_grouper_spark.sources import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_str(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    df = (
+        load_table(spark, "lineitem", SF_DIR)
+        .where(F.col("l_quantity") > 30)
+        .select("l_orderkey", "l_quantity")
+    )
+    p = plan_str(df)
+    assert "PushedFilters: [" in p and "GreaterThan(l_quantity" in p, p
+    # ReadSchema shrank to the two referenced columns.
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m is not None, p
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"l_orderkey", "l_quantity"}, cols
+
+
+def test_dimension_join_broadcasts(spark):
+    cust = load_table(spark, "customer", SF_DIR)
+    orders = load_table(spark, "orders", SF_DIR)
+    j = orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+    p = plan_str(j)
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_text_stats_is_pure_jvm_and_tokenizes_once(spark):
+    from polars_grouper_spark.functions import text as tx
+
+    docs = load_table(spark, "documents", SF_DIR)
+    df = tx.text_stats(docs)
+    p = plan_str(df)
+    assert "EvalPython" not in p, p  # no BatchEvalPython / ArrowEvalPython
+    # The tokenizer (split+filter HOF) is referenced by three outputs but
+    # must be evaluated once per row — staged projection, not inlined.
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("split(trim") == 1, opt
+
+
+def test_language_id_tokenizes_once(spark):
+    from polars_grouper_spark.functions import text as tx
+
+    docs = load_table(spark, "documents", SF_DIR)
+    opt = tx.language_id(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("split(trim") == 1, opt
+
+
+def test_minhash_signatures_pure_jvm(spark):
+    from polars_grouper_spark.functions.dedup import minhash_signatures
+
+    docs = load_table(spark, "documents", SF_DIR)
+    p = plan_str(minhash_signatures(docs))
+    assert "EvalPython" not in p, p
+
+
+def test_ivf_assignment_is_shuffle_free(spark):
+    from polars_grouper_spark.functions.similarity import ivf_build
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    assignments, cents = ivf_build(emb, n_cells=4, lloyd_rounds=1)
+    p = plan_str(assignments)
+    # scan -> broadcast matrix row -> row-wise argmin: no Exchange at all.
+    assert "Exchange" not in p.replace("BroadcastExchange", ""), p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    from polars_grouper_spark.functions.similarity import cosine_topk
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    q = emb.where(F.col("vec_id") < 4)
+    p = plan_str(cosine_topk(emb, q, k=3))
+    assert "BroadcastNestedLoopJoin" in p, p
+    # Only one shuffle: the per-query top-k window.
+    n_shuffles = p.count("Exchange hashpartitioning")
+    assert n_shuffles <= 1, p
+
+
+def test_events_scan_prunes_partitions_of_columns(spark):
+    ev = load_table(spark, "events", SF_DIR).select("user_id").limit(1)
+    p = plan_str(ev)
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m is not None, p
+    assert "payload" not in m.group(1), m.group(1)
