@@ -61,16 +61,19 @@ def exact_dedup(
     )
 
 
-def word_shingles(text_col, n: int = 3):
-    """Distinct word n-gram shingles of a text column -> array<string>.
+def shingles_from_tokens(toks, n: int = 3):
+    """Distinct word n-gram shingles from a token-array column.
 
     Built by ``zip_with`` over ``n`` pre-shifted slices of the token array —
     one slice per offset, element-wise concat.  This stays a pure JVM
     expression (no shuffle, no Python) and avoids the per-index
     ``slice``-inside-``transform`` pattern, which materializes an array copy
     per output shingle and measured ~4-6× slower at bench scale.
+
+    ``toks`` should be a plain column reference (attribute): the expression
+    references it ~n+4 times, and attribute references are free while an
+    inlined tokenizer expression would be re-evaluated at every reference.
     """
-    toks = tokens(text_col)
     m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     sh = F.slice(toks, 1, m)
     for j in range(1, n):
@@ -87,11 +90,28 @@ def word_shingles(text_col, n: int = 3):
     )
 
 
+def word_shingles(text_col, n: int = 3):
+    """Distinct word n-gram shingles of a text column -> array<string>.
+
+    Convenience wrapper; prefer staging ``tokens(...)`` as its own column
+    and calling :func:`shingles_from_tokens` in hot paths (this inline form
+    re-tokenizes at every self-reference of the expression).
+    """
+    return shingles_from_tokens(tokens(text_col), n)
+
+
 def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, shingle) exploded distinct shingles."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    """(id, shingle) exploded distinct shingles.
+
+    Tokenizes ONCE per row into a staged column, then builds + explodes
+    the shingle array from the attribute (the shingle expression
+    references its input ~n+4 times).
+    """
+    staged = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")
+    )
+    return staged.select(
+        "id", F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("shingle")
     )
 
 
