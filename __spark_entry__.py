@@ -1214,6 +1214,56 @@ GROUP BY 1, 2
 """
 
 
+def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event stats computed through a REAL Structured Streaming
+    query: file-stream source over the events parquet → state-store-backed
+    tumbling-window aggregation → ``availableNow`` trigger → memory sink.
+    Proves the streaming path end-to-end inside the driver contract; with
+    the full input available, the result equals the batch rollup, so the
+    oracle is plain SQL (``n_users`` is excluded — the streaming operator
+    uses ``approx_count_distinct``, which has no exact SQL equivalent).
+    """
+    from polars_grouper_spark import streaming as st
+
+    load_table(spark, "events", sf_dir)  # sets the nanosAsLong reader conf
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    agg = st.windowed_event_stats(stream, window_duration="1 hour", watermark=None)
+    name = "stream_hourly_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.unix_timestamp("window_start").alias("hour_epoch"),
+        "event_type",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+_STREAM_HOURLY_SQL = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-window aggregation (streaming-capable operator run on the
     batch frame) — session count and event count per user."""
@@ -1403,6 +1453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_segment": q_revenue_by_segment,
         "top_orders_per_customer": q_top_orders_per_customer,
         "events_hourly": q_events_hourly,
+        "stream_hourly": q_stream_hourly,
         "event_sessions": q_event_sessions,
         "sales_cube": q_sales_cube,
         "priority_rollup": q_priority_rollup,
@@ -1449,6 +1500,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_segment": _REVENUE_BY_SEGMENT_SQL,
         "top_orders_per_customer": _TOP_ORDERS_SQL,
         "events_hourly": _EVENTS_HOURLY_SQL,
+        "stream_hourly": _STREAM_HOURLY_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,
         "sales_cube": _SALES_CUBE_SQL,
         "priority_rollup": _PRIORITY_ROLLUP_SQL,
