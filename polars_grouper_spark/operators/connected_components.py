@@ -218,8 +218,15 @@ def components(
     labeled = nodes.join(assign, "id", "left").select(
         "node", F.coalesce("cid", F.col("id")).alias("cid")
     )
-    comp_names = labeled.groupBy("cid").agg(F.min("node").alias("component"))
-    return labeled.join(comp_names, "cid").select("node", "component")
+    # Min-name label in ONE shuffle via the windowed min (same trade-off
+    # as the star steps: a giant component concentrates its V rows in one
+    # window task — skew_safe falls back to groupBy+join).
+    if skew_safe:
+        comp_names = labeled.groupBy("cid").agg(F.min("node").alias("component"))
+        return labeled.join(comp_names, "cid").select("node", "component")
+    return labeled.select(
+        "node", F.min("node").over(Window.partitionBy("cid")).alias("component")
+    )
 
 
 def connected_components(

@@ -111,3 +111,29 @@ def test_integer_node_ids_coerced(spark):
     ).coalesce(1)
     got = {r["from"]: r["group"] for r in graph_solver(df).collect()}
     assert got == {1: 1, 2: 1, 10: 2}
+
+
+def test_skew_safe_paths_match_default(spark):
+    """skew_safe=True swaps windowed mins for groupBy+join in the star
+    loop and label recovery -- results must be identical."""
+    from polars_grouper_spark import components
+
+    df = _edges(
+        spark,
+        ["A", "B", "C", "hub", "hub", "hub", "hub", "X"],
+        ["B", "C", "A", "u1", "u2", "u3", "u4", "Y"],
+    )
+    base = sorted((r["node"], r["component"]) for r in components(df).collect())
+    safe = sorted(
+        (r["node"], r["component"]) for r in components(df, skew_safe=True).collect()
+    )
+    assert base == safe
+
+    num_base = sorted(
+        (r["node"], r["group"]) for r in connected_components(df).collect()
+    )
+    num_safe = sorted(
+        (r["node"], r["group"])
+        for r in connected_components(df, skew_safe=True).collect()
+    )
+    assert num_base == num_safe
