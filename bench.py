@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "top_orders_per_customer",
     "events_hourly",
     "event_sessions",
+    "stream_hourly",
 ]
 
 
