@@ -91,7 +91,10 @@ def calculate_shortest_path(
             .where(F.col("xd").isNull() | (F.col("d") < F.col("xd")))
             .select("s", "n", "d")
         )
-        improved = truncate_lineage(improved)
+        # Lazy checkpoint: the isEmpty probe is the action that starts
+        # materializing it (partitions computed on demand; the next
+        # round's join completes them) — one job per round, not two.
+        improved = truncate_lineage(improved, cache=False)
         if improved.isEmpty():
             break
         dist = truncate_lineage(
