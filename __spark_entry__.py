@@ -1233,9 +1233,7 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     agg = st.windowed_event_stats(stream, window_duration="1 hour", watermark=None)
     name = "stream_hourly_sink"
     q = (
@@ -1415,6 +1413,90 @@ FROM events GROUP BY user_id
 """
 
 
+def q_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each purchase event picks up the user's most
+    recent click at-or-before it (``operators.asof_join`` — union+window,
+    one shuffle on user_id).  The right side is pre-deduped per
+    (user_id, ts) so ties are deterministic across engines."""
+    from polars_grouper_spark import asof_join
+
+    ev = load_table(spark, "events", sf_dir)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(purchases, clicks, on="ts", by="user_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        "click_value",
+        F.unix_micros("ts_right").alias("click_ts_us"),
+    )
+
+
+_ASOF_CLICKS_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts, max(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+purch AS (
+  SELECT event_id, user_id, ts, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id,
+       epoch_us(p.ts)::BIGINT AS ts_us, p.value,
+       c.click_value, epoch_us(c.ts)::BIGINT AS click_ts_us
+FROM purch p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def q_range_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: orders binned into price tiers via
+    ``operators.range_join`` (broadcast strategy — the tier dimension is
+    tiny, so the fact side never shuffles; the bucketed strategy is the
+    large-interval-table path, parity-tested in tests/test_asof_range.py)."""
+    from polars_grouper_spark import range_join
+
+    orders = load_table(spark, "orders", sf_dir)
+    tiers = spark.createDataFrame(
+        [
+            ("budget", 0.0, 50_000.0),
+            ("standard", 50_000.0, 150_000.0),
+            ("premium", 150_000.0, 300_000.0),
+            ("luxury", 300_000.0, 1_000_000.0),
+        ],
+        ["tier", "lo", "hi"],
+    )
+    j = range_join(orders, tiers, "o_totalprice", closed="left")
+    return j.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+_RANGE_TIERS_SQL = """
+WITH tiers(tier, lo, hi) AS (VALUES
+  ('budget', 0.0, 50000.0),
+  ('standard', 50000.0, 150000.0),
+  ('premium', 150000.0, 300000.0),
+  ('luxury', 300000.0, 1000000.0))
+SELECT t.tier, count(*)::BIGINT AS n_orders,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders o JOIN tiers t
+  ON o.o_totalprice >= t.lo AND o.o_totalprice < t.hi
+GROUP BY t.tier
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1461,6 +1543,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_funcs": q_scalar_funcs,
         "events_json": q_events_json,
         "running_user_totals": q_running_user_totals,
+        "asof_clicks": q_asof_clicks,
+        "range_tiers": q_range_tiers,
     }
 
 
@@ -1508,4 +1592,6 @@ def oracle_sql() -> dict[str, str]:
         "scalar_funcs": _SCALAR_FUNCS_SQL,
         "events_json": _EVENTS_JSON_SQL,
         "running_user_totals": _RUNNING_TOTALS_SQL,
+        "asof_clicks": _ASOF_CLICKS_SQL,
+        "range_tiers": _RANGE_TIERS_SQL,
     }

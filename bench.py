@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "events_hourly",
     "event_sessions",
     "stream_hourly",
+    "asof_clicks",
+    "range_tiers",
 ]
 
 

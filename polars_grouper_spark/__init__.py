@@ -25,7 +25,8 @@ Beyond the reference surface (100 TB training-data pipeline ops):
 ``functions.similarity`` (cosine top-k, LSH buckets), ``functions.text``
 (token stats, language id, quality, fingerprints), ``functions.multimodal``
 (binary-column plumbing), ``streaming`` (windowed aggs, streaming dedup,
-sessionization).
+sessionization), :func:`asof_join` (point-in-time join via union+window),
+:func:`range_join` (interval join, broadcast or bucketed).
 """
 
 from polars_grouper_spark.operators.connected_components import (
@@ -39,9 +40,12 @@ from polars_grouper_spark.operators.pagerank import page_rank, page_rank_nodes
 from polars_grouper_spark.operators.shortest_path import calculate_shortest_path
 from polars_grouper_spark.operators.betweenness import betweenness_centrality
 from polars_grouper_spark.operators.association_rules import graph_association_rules
+from polars_grouper_spark.operators.asof_join import asof_join
+from polars_grouper_spark.operators.range_join import range_join
 from polars_grouper_spark.session import get_spark
 
 __all__ = [
+    "asof_join",
     "betweenness_centrality",
     "calculate_shortest_path",
     "components",
@@ -51,6 +55,7 @@ __all__ = [
     "graph_solver",
     "page_rank",
     "page_rank_nodes",
+    "range_join",
     "super_merger",
     "super_merger_weighted",
 ]

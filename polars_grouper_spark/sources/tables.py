@@ -41,9 +41,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
         from pyspark.sql import types as T
 
         if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
+            # Integer division — `/` would go through double and lose
+            # sub-microsecond precision at 1.7e18 ns (53-bit mantissa),
+            # rounding some timestamps off by 1 us vs the oracle.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(path)
 
