@@ -1413,6 +1413,129 @@ FROM events GROUP BY user_id
 """
 
 
+def q_super_merger_weighted_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference ``super_merger_weighted``: filter ``weight >= threshold``
+    THEN group — numbering computed on the filtered frame
+    (``polars_grouper/__init__.py:304-372``).  Weights are a deterministic
+    arithmetic function so the oracle reproduces them exactly."""
+    from polars_grouper_spark import super_merger_weighted
+
+    orders = load_table(spark, "orders", sf_dir)
+    edges = orders.select(
+        F.concat(F.lit("C"), "o_custkey").alias("cnode"),
+        F.concat(F.lit("O"), "o_orderkey").alias("onode"),
+        ((F.col("o_orderkey") % 10 + 1) / 10.0).alias("weight"),
+        F.col("o_orderkey").alias("ord"),
+    )
+    out = super_merger_weighted(
+        edges, "cnode", "onode", weight_col="weight",
+        weight_threshold=0.5, order_col="ord",
+    )
+    return out.select("cnode", "onode", "weight", F.col("group").alias("grp"))
+
+
+_SUPER_MERGER_WEIGHTED_SQL = """
+WITH f AS (
+  SELECT o_custkey, o_orderkey, (o_orderkey % 10 + 1) / 10.0 AS weight
+  FROM orders WHERE (o_orderkey % 10 + 1) / 10.0 >= 0.5
+), m AS (
+  SELECT o_custkey, min(o_orderkey) AS mo FROM f GROUP BY o_custkey
+), g AS (
+  SELECT o_custkey, dense_rank() OVER (ORDER BY mo) AS grp FROM m
+)
+SELECT 'C' || f.o_custkey AS cnode, 'O' || f.o_orderkey AS onode,
+       f.weight, g.grp
+FROM f JOIN g ON f.o_custkey = g.o_custkey
+"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace and BPE-ish (pre-tokenizer boundary) token counts per
+    document — ``functions.text.token_count`` / ``bpe_ish_token_count``.
+    The BPE-ish oracle counts alnum runs + non-alnum-non-space chars,
+    which is exactly what boundary splitting + space filtering yields."""
+    from polars_grouper_spark.functions import text as tx
+
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        tx.token_count("text").cast("long").alias("n_ws_tokens"),
+        tx.bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens"),
+    )
+
+
+_TOKEN_COUNTS_SQL = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE length(regexp_split_to_array(trim(text), '\s+')) END::BIGINT
+         AS n_ws_tokens,
+       (length(regexp_extract_all(text, '[\pL\pN]+'))
+        + length(text) - length(regexp_replace(text, '[^\pL\pN ]', '', 'g')))::BIGINT
+         AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling through the multimodal plumbing:
+    ``attach_fake_media`` (deterministic payload = md5(text) bytes) →
+    ``frame_sample`` every-2nd 4-byte block.  The oracle reads the same
+    frames straight out of the md5 hex string."""
+    from polars_grouper_spark.functions import multimodal as mm
+
+    docs = load_table(spark, "documents", sf_dir)
+    media = mm.attach_fake_media(docs)
+    frames = mm.frame_sample(media, every_nth=2, frame_bytes=4)
+    return frames.select(
+        "media_id", "frame_no", F.hex("frame").alias("frame_hex")
+    )
+
+
+_MEDIA_FRAMES_SQL = """
+SELECT doc_id AS media_id, fn AS frame_no,
+       upper(substring(md5(text), fn * 8 + 1, 8)) AS frame_hex
+FROM documents, (VALUES (0), (2)) AS t(fn)
+WHERE doc_id % 3 = 2
+"""
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup end-to-end: file stream →
+    ``dropDuplicatesWithinWatermark`` on (user_id, event_type) →
+    aggregation → memory sink (complete mode).  With the whole input
+    available the dedup is exact, so the oracle is a DISTINCT count."""
+    from polars_grouper_spark import streaming as st
+
+    load_table(spark, "events", sf_dir)  # sets the nanosAsLong reader conf
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    deduped = st.streaming_dedup(stream, ["user_id", "event_type"], watermark="1 hour")
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_user_pairs"))
+    name = "stream_dedup_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+_STREAM_DEDUP_SQL = """
+SELECT event_type, count(*)::BIGINT AS n_user_pairs
+FROM (SELECT DISTINCT user_id, event_type FROM events)
+GROUP BY event_type
+"""
+
+
 def q_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time join: each purchase event picks up the user's most
     recent click at-or-before it (``operators.asof_join`` — union+window,
@@ -1545,6 +1668,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_user_totals": q_running_user_totals,
         "asof_clicks": q_asof_clicks,
         "range_tiers": q_range_tiers,
+        "super_merger_weighted_orders": q_super_merger_weighted_orders,
+        "token_counts": q_token_counts,
+        "media_frames": q_media_frames,
+        "stream_dedup": q_stream_dedup,
     }
 
 
@@ -1594,4 +1721,8 @@ def oracle_sql() -> dict[str, str]:
         "running_user_totals": _RUNNING_TOTALS_SQL,
         "asof_clicks": _ASOF_CLICKS_SQL,
         "range_tiers": _RANGE_TIERS_SQL,
+        "super_merger_weighted_orders": _SUPER_MERGER_WEIGHTED_SQL,
+        "token_counts": _TOKEN_COUNTS_SQL,
+        "media_frames": _MEDIA_FRAMES_SQL,
+        "stream_dedup": _STREAM_DEDUP_SQL,
     }
