@@ -98,8 +98,35 @@ def test_cosine_topk_broadcasts_queries(spark):
     p = plan_str(cosine_topk(emb, q, k=3))
     assert "BroadcastNestedLoopJoin" in p, p
     # Only one shuffle: the per-query top-k window.
-    n_shuffles = p.count("Exchange hashpartitioning")
+    n_shuffles = p.count("Arguments: hashpartitioning")
     assert n_shuffles <= 1, p
+
+
+def test_asof_join_single_shuffle(spark):
+    from polars_grouper_spark import asof_join
+
+    ev = load_table(spark, "events", SF_DIR)
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    purch = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    p = plan_str(asof_join(purch, clicks, on="ts", by="user_id"))
+    # union + ONE window shuffle on the by key — not a nested-loop join.
+    assert "Join" not in p, p
+    assert p.count("Arguments: hashpartitioning") == 1, p
+
+
+def test_range_join_bucketed_is_equi_join(spark):
+    from polars_grouper_spark import range_join
+
+    facts = load_table(spark, "orders", SF_DIR)
+    iv = spark.createDataFrame(
+        [(float(i * 1000), float(i * 1000 + 5000)) for i in range(200)], ["lo", "hi"]
+    )
+    p = plan_str(
+        range_join(facts, iv, "o_totalprice", strategy="bucketed", bucket_width=5000.0)
+    )
+    # The bucket id turns the range predicate into a hash-joinable key.
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "HashJoin" in p or "SortMergeJoin" in p, p
 
 
 def test_events_scan_prunes_partitions_of_columns(spark):
