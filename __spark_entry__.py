@@ -1536,6 +1536,37 @@ GROUP BY event_type
 """
 
 
+def q_sql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure spark.sql() surface over registered views — correlated EXISTS
+    plus a correlated scalar subquery, exercising Catalyst's subquery
+    decorrelation (rewritten to joins; no per-row re-execution)."""
+    from polars_grouper_spark.sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name,
+               (SELECT count(*) FROM orders o
+                WHERE o.o_custkey = c.c_custkey) AS n_orders
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000.0)
+        """
+    )
+
+
+_SQL_EXISTS_SQL = """
+SELECT c.c_custkey, c.c_name,
+       (SELECT count(*)::BIGINT FROM orders o
+        WHERE o.o_custkey = c.c_custkey) AS n_orders
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 400000.0)
+"""
+
+
 def q_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time join: each purchase event picks up the user's most
     recent click at-or-before it (``operators.asof_join`` — union+window,
@@ -1672,6 +1703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "media_frames": q_media_frames,
         "stream_dedup": q_stream_dedup,
+        "sql_exists": q_sql_exists,
     }
 
 
@@ -1725,4 +1757,5 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": _TOKEN_COUNTS_SQL,
         "media_frames": _MEDIA_FRAMES_SQL,
         "stream_dedup": _STREAM_DEDUP_SQL,
+        "sql_exists": _SQL_EXISTS_SQL,
     }

@@ -66,3 +66,34 @@ def test_read_csv_schema(spark, tmp_path):
     df = read_csv(spark, str(p), "a long, b string")
     rows = {r["a"]: r["b"] for r in df.collect()}
     assert rows == {1: "x", 2: "y"}
+
+
+def test_read_json_schema(spark, tmp_path):
+    from polars_grouper_spark.sources.io import read_json
+
+    p = tmp_path / "t.jsonl"
+    p.write_text('{"a": 1, "b": {"k": "x"}}\n{"a": 2, "b": {"k": "y"}}\n')
+    df = read_json(spark, str(p), "a long, b struct<k: string>")
+    rows = {r["a"]: r["b"]["k"] for r in df.collect()}
+    assert rows == {1: "x", 2: "y"}
+
+
+def test_read_parquet_roundtrip(spark, tmp_path):
+    from polars_grouper_spark.sources.io import read_parquet
+
+    nat = load_table(spark, "nation", "/root/testdata/sf0.001")
+    dest = str(tmp_path / "nation_copy")
+    write_parquet(nat, dest)
+    back = read_parquet(spark, dest)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nat.collect()))
+
+
+def test_register_views_sql_surface(spark):
+    from polars_grouper_spark.sources import register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    n = spark.sql(
+        "SELECT count(*) AS n FROM orders o JOIN customer c "
+        "ON o.o_custkey = c.c_custkey"
+    ).collect()[0]["n"]
+    assert n == spark.table("orders").count()
