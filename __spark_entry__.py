@@ -1536,6 +1536,71 @@ GROUP BY event_type
 """
 
 
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: hour+day tiers per
+    event_type from ONE grouping-sets aggregation (single scan+shuffle —
+    ``streaming.rollup.time_rollup``); oracle is the equivalent UNION ALL
+    of per-resolution group-bys."""
+    from polars_grouper_spark.streaming.rollup import time_rollup
+
+    ev = load_table(spark, "events", sf_dir)
+    out = time_rollup(
+        ev,
+        [F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value")],
+        key_cols=["event_type"],
+        resolutions=["hour", "day"],
+    )
+    return out.select(
+        "resolution",
+        F.unix_timestamp("bucket_start").alias("bucket_epoch"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+_EVENTS_ROLLUP_SQL = """
+SELECT 'hour' AS resolution,
+       CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_epoch,
+       event_type, count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'day', CAST(epoch(date_trunc('day', ts)) AS BIGINT),
+       event_type, count(*)::BIGINT, round(sum(value), 4)
+FROM events GROUP BY 2, 3
+"""
+
+
+def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median, p90) of order price per
+    market segment — Spark ``percentile`` ≡ DuckDB ``quantile_cont``."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    j = orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+    g = j.groupBy("c_mktsegment").agg(
+        F.percentile("o_totalprice", 0.5).alias("_p50"),
+        F.percentile("o_totalprice", 0.9).alias("_p90"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return g.select(
+        "c_mktsegment",
+        F.round("_p50", 6).alias("p50_price"),
+        F.round("_p90", 6).alias("p90_price"),
+        "n_orders",
+    )
+
+
+_PRICE_QUANTILES_SQL = """
+SELECT c.c_mktsegment,
+       round(quantile_cont(o.o_totalprice, 0.5), 6) AS p50_price,
+       round(quantile_cont(o.o_totalprice, 0.9), 6) AS p90_price,
+       count(*)::BIGINT AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
 def q_sql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure spark.sql() surface over registered views — correlated EXISTS
     plus a correlated scalar subquery, exercising Catalyst's subquery
@@ -1704,6 +1769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": q_media_frames,
         "stream_dedup": q_stream_dedup,
         "sql_exists": q_sql_exists,
+        "events_rollup": q_events_rollup,
+        "price_quantiles": q_price_quantiles,
     }
 
 
@@ -1758,4 +1825,6 @@ def oracle_sql() -> dict[str, str]:
         "media_frames": _MEDIA_FRAMES_SQL,
         "stream_dedup": _STREAM_DEDUP_SQL,
         "sql_exists": _SQL_EXISTS_SQL,
+        "events_rollup": _EVENTS_ROLLUP_SQL,
+        "price_quantiles": _PRICE_QUANTILES_SQL,
     }

@@ -58,3 +58,50 @@ def test_windowed_stats_on_real_stream(spark, tmp_path):
         F.sum("n_events").alias("n")
     ).first()["n"]
     assert result == batch == ev.count()
+
+
+def test_time_rollup_matches_per_resolution_groupbys(spark):
+    from polars_grouper_spark.streaming.rollup import time_rollup
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    out = time_rollup(
+        ev,
+        [F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sv")],
+        key_cols=["event_type"],
+        resolutions=["hour", "day", "month"],
+    )
+    got = {
+        (r["resolution"], r["bucket_start"], r["event_type"]): (r["n"], r["sv"])
+        for r in out.collect()
+    }
+    want = {}
+    for res in ("hour", "day", "month"):
+        for r in (
+            ev.groupBy(F.date_trunc(res, "ts").alias("b"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sv"))
+            .collect()
+        ):
+            want[(res, r["b"], r["event_type"])] = (r["n"], r["sv"])
+    assert got == want
+
+
+def test_time_rollup_single_shuffle(spark):
+    from polars_grouper_spark.streaming.rollup import time_rollup
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    out = time_rollup(ev, [F.count(F.lit(1)).alias("n")], resolutions=["hour", "day"])
+    p = out._jdf.queryExecution().executedPlan().toString()
+    # grouping sets = Expand + ONE aggregation shuffle, not one per tier.
+    assert "Expand" in p
+    assert p.count("Exchange") == 1, p
+
+
+def test_time_rollup_validates_resolutions(spark):
+    import pytest as _pytest
+    from polars_grouper_spark.streaming.rollup import time_rollup
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    with _pytest.raises(ValueError):
+        time_rollup(ev, [F.count(F.lit(1)).alias("n")], resolutions=["fortnight"])
+    with _pytest.raises(ValueError):
+        time_rollup(ev, [F.count(F.lit(1)).alias("n")], resolutions=[])
