@@ -49,6 +49,13 @@ BENCH_QUERIES = [
     "stream_hourly",
     "asof_clicks",
     "range_tiers",
+    "super_merger_weighted_orders",
+    "token_counts",
+    "media_frames",
+    "stream_dedup",
+    "sql_exists",
+    "events_rollup",
+    "price_quantiles",
 ]
 
 
