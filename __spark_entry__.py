@@ -1721,8 +1721,21 @@ GROUP BY t.tier
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: connected-component sizes of the supplier-part graph."""
-    return q_cc_component_sizes(spark, "/root/testdata/sf0.001")
+    """Flagship: connected-component sizes over two graphs — the
+    supplier-part graph (one dense component) unioned with the
+    customer-order forest (one component per customer), via the full
+    first-appearance-numbered operator.  ~151 rows at sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    sp = q_cc_component_sizes(spark, sf_dir).select(
+        F.lit("supplier_part").alias("graph"), "grp", "n_nodes"
+    )
+    orders = (
+        q_super_merger_orders(spark, sf_dir)
+        .groupBy(F.col("grp"))
+        .agg(F.countDistinct("onode").alias("n_nodes"))
+        .select(F.lit("customer_orders").alias("graph"), "grp", "n_nodes")
+    )
+    return sp.unionByName(orders)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
