@@ -1601,6 +1601,34 @@ GROUP BY c.c_mktsegment
 """
 
 
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT surface: per-user event counts, one column per event type.
+    Explicit pivot values keep the plan single-pass (no distinct-values
+    pre-job) — always list them at scale."""
+    ev = load_table(spark, "events", sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+        .select(
+            "user_id", *[F.col(t).cast("long").alias(f"n_{t}") for t in types]
+        )
+    )
+
+
+_EVENTS_PIVOT_SQL = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')::BIGINT    AS n_click,
+       count(*) FILTER (event_type = 'error')::BIGINT    AS n_error,
+       count(*) FILTER (event_type = 'purchase')::BIGINT AS n_purchase,
+       count(*) FILTER (event_type = 'signup')::BIGINT   AS n_signup,
+       count(*) FILTER (event_type = 'view')::BIGINT     AS n_view
+FROM events GROUP BY user_id
+"""
+
+
 def q_sql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure spark.sql() surface over registered views — correlated EXISTS
     plus a correlated scalar subquery, exercising Catalyst's subquery
@@ -1784,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_exists": q_sql_exists,
         "events_rollup": q_events_rollup,
         "price_quantiles": q_price_quantiles,
+        "events_pivot": q_events_pivot,
     }
 
 
@@ -1840,4 +1869,5 @@ def oracle_sql() -> dict[str, str]:
         "sql_exists": _SQL_EXISTS_SQL,
         "events_rollup": _EVENTS_ROLLUP_SQL,
         "price_quantiles": _PRICE_QUANTILES_SQL,
+        "events_pivot": _EVENTS_PIVOT_SQL,
     }

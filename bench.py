@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "sql_exists",
     "events_rollup",
     "price_quantiles",
+    "events_pivot",
 ]
 
 

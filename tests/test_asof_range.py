@@ -89,6 +89,27 @@ def test_asof_matches_pandas_merge_asof(spark):
     assert got == exp
 
 
+def test_asof_timestamp_interval_tolerance(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    mins = lambda m: t0 + dt.timedelta(minutes=m)  # noqa: E731
+    quotes = spark.createDataFrame(
+        [("a", mins(0), 1.0), ("a", mins(90), 2.0)], ["k", "ts", "px"]
+    )
+    trades = spark.createDataFrame(
+        [("a", mins(30), 10), ("a", mins(200), 11)], ["k", "ts", "qty"]
+    )
+    out = asof_join(
+        trades, quotes, on="ts", by="k",
+        tolerance=F.expr("INTERVAL 1 HOUR"),
+    ).collect()
+    got = {r["qty"]: r["px"] for r in out}
+    # trade at +30min matches quote at 0 (gap 30m <= 1h);
+    # trade at +200min has latest quote at +90min (gap 110m) -> nulled.
+    assert got == {10: 1.0, 11: None}
+
+
 def _tiers(spark):
     rows = [("low", 0.0, 10.0), ("mid", 10.0, 50.0), ("high", 50.0, 100.0)]
     return spark.createDataFrame(rows, ["tier", "lo", "hi"])
