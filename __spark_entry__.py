@@ -1524,6 +1524,9 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # withWatermark demands TIMESTAMP; the driver's parquet decodes ts as
+    # TIMESTAMP_NTZ.  Session tz is UTC, so the cast is instant-preserving.
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     deduped = st.streaming_dedup(stream, ["user_id", "event_type"], watermark="1 hour")
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_user_pairs"))
     name = "stream_dedup_sink"
@@ -1693,13 +1696,15 @@ def q_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts", "value"
     )
     out = asof_join(purchases, clicks, on="ts", by="user_id")
+    # unix_micros rejects TIMESTAMP_NTZ (the driver's parquet decodes ts as
+    # NTZ); session tz is pinned UTC so the cast is instant-preserving.
     return out.select(
         "event_id",
         "user_id",
-        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
         "value",
         "click_value",
-        F.unix_micros("ts_right").alias("click_ts_us"),
+        F.unix_micros(F.col("ts_right").cast("timestamp")).alias("click_ts_us"),
     )
 
 

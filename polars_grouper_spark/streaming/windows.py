@@ -15,6 +15,20 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _watermarked(df: DataFrame, ts_col: str, watermark: str) -> DataFrame:
+    """Apply a watermark, coercing TIMESTAMP_NTZ event time to TIMESTAMP.
+
+    ``withWatermark`` requires TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+    otherwise), but parquet written with naive timestamps decodes as
+    TIMESTAMP_NTZ.  The session timezone is pinned to UTC
+    (session.py), so the cast is instant-preserving and deterministic.
+    """
+    if isinstance(df.schema[ts_col].dataType, T.TimestampNTZType):
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df.withWatermark(ts_col, watermark)
 
 
 def windowed_event_stats(
@@ -28,7 +42,7 @@ def windowed_event_stats(
     """Tumbling/sliding window stats per key → (window_start, window_end,
     key, n_events, sum_value, n_users)."""
     if df.isStreaming and watermark:
-        df = df.withWatermark(ts_col, watermark)
+        df = _watermarked(df, ts_col, watermark)
     win = F.window(F.col(ts_col), window_duration, slide or window_duration)
     return (
         df.groupBy(win.alias("w"), F.col(key_col))
@@ -58,7 +72,7 @@ def sessionize(
     """Session windows per key (gap-based) → (key, session_start,
     session_end, n_events, sum_value)."""
     if df.isStreaming and watermark:
-        df = df.withWatermark(ts_col, watermark)
+        df = _watermarked(df, ts_col, watermark)
     sw = F.session_window(F.col(ts_col), gap)
     return (
         df.groupBy(sw.alias("s"), F.col(key_col))
@@ -85,5 +99,5 @@ def streaming_dedup(
     batch frame it degenerates to dropDuplicates.
     """
     if df.isStreaming:
-        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+        return _watermarked(df, ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
     return df.dropDuplicates(key_cols)

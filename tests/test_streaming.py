@@ -60,6 +60,61 @@ def test_windowed_stats_on_real_stream(spark, tmp_path):
     assert result == batch == ev.count()
 
 
+def test_streaming_watermark_accepts_timestamp_ntz(spark, tmp_path):
+    """Driver parquet decodes event time as TIMESTAMP_NTZ; watermarked
+    operators must coerce it (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise).
+    Builds an explicitly-NTZ source and runs both watermarked paths."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (i, base + datetime.timedelta(minutes=7 * i), i % 3, "click", float(i))
+        for i in range(20)
+    ]
+    # duplicate keys so the dedup path has work to do
+    rows += rows[:5]
+    df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "ntz_src")
+    df.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    assert isinstance(stream.schema["ts"].dataType, T.TimestampNTZType)
+
+    agg = st.windowed_event_stats(stream, window_duration="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("ntz_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    total = spark.sql("select sum(n_events) as n from ntz_counts").first()["n"]
+    assert total == len(rows)
+
+    deduped = st.streaming_dedup(stream, ["event_id"], watermark="1 hour")
+    q2 = (
+        deduped.writeStream.format("memory")
+        .queryName("ntz_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert spark.table("ntz_dedup").count() == 20
+
+
 def test_time_rollup_matches_per_resolution_groupbys(spark):
     from polars_grouper_spark.streaming.rollup import time_rollup
 
