@@ -268,10 +268,54 @@ def _shortest_path_sql(edges_sql: str, rounds: int = 6) -> str:
 
 
 def q_betweenness_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """No SQL oracle (per-source BFS is not SQL-expressible) — rows-only."""
+    """Betweenness on the same-region nation cliques.  Full SQL oracle via
+    the same walk-enumeration scheme as ``betweenness_ring`` (the graph is
+    disjoint cliques — diameter 1 — so a depth-3 walk bound is ample and
+    every score is derived, not hard-coded)."""
     edges = _nation_edges(spark, sf_dir)
     out = betweenness_centrality(edges, "src", "dst", normalized=True, directed=False)
     return out.select("node", F.round("centrality", 8).alias("centrality"))
+
+
+# Same derivation as _BETWEENNESS_RING_SQL: enumerate walks to a bound >
+# diameter, walks at minimal length are the shortest paths, then sum the
+# Brandes pair dependencies.  On disjoint cliques every dependency is zero
+# (sv.dist + vt.dist = 2 > 1 = st.dist for adjacent s,t), so the oracle
+# *derives* the all-zero result rather than asserting it.
+_BETWEENNESS_NATIONS_SQL = """
+WITH RECURSIVE cl AS (
+  SELECT a.n_name AS src, b.n_name AS dst
+  FROM nation a JOIN nation b
+    ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+), dirs AS MATERIALIZED (
+  SELECT src, dst FROM cl UNION ALL SELECT dst, src FROM cl
+), nodes AS (
+  SELECT DISTINCT src AS n FROM dirs
+), walk AS (
+  SELECT n AS s, n AS t, 0 AS d FROM nodes
+  UNION ALL
+  SELECT w.s, e.dst, w.d + 1 FROM walk w JOIN dirs e ON e.src = w.t WHERE w.d < 3
+), pairs AS MATERIALIZED (
+  SELECT s, t, min(d) AS dist FROM walk GROUP BY s, t
+), sig AS MATERIALIZED (
+  SELECT w.s, w.t, p.dist, CAST(count(*) AS DOUBLE) AS sigma
+  FROM walk w JOIN pairs p ON p.s = w.s AND p.t = w.t AND w.d = p.dist
+  GROUP BY w.s, w.t, p.dist
+), bc AS (
+  SELECT sv.t AS node, sum(sv.sigma * vt.sigma / st.sigma) AS raw
+  FROM sig sv
+  JOIN sig vt ON vt.s = sv.t
+  JOIN sig st ON st.s = sv.s AND st.t = vt.t
+  WHERE sv.s <> sv.t AND vt.s <> vt.t AND sv.s <> vt.t
+    AND sv.dist + vt.dist = st.dist
+  GROUP BY sv.t
+)
+SELECT n.n AS node,
+       round(coalesce(bc.raw, 0) / ((cnt.nn - 1.0) * (cnt.nn - 2.0)), 8) AS centrality
+FROM nodes n
+LEFT JOIN bc ON bc.node = n.n
+CROSS JOIN (SELECT CAST(count(*) AS DOUBLE) AS nn FROM nodes) cnt
+"""
 
 
 def _ring_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1852,6 +1896,7 @@ def oracle_sql() -> dict[str, str]:
         # betweenness_nations: omitted — per-source BFS on an arbitrary
         # graph is not SQL-expressible in general; betweenness_ring below
         # covers the operator with a full oracle (walk enumeration).
+        "betweenness_nations": _BETWEENNESS_NATIONS_SQL,
         "betweenness_ring": _BETWEENNESS_RING_SQL,
         "assoc_items": _assoc_items_sql(),
         "assoc_top5": _assoc_top5_sql(),

@@ -18,14 +18,26 @@ Semantics replicated exactly:
   ordered by first appearance.
 
 Spark-first design: exact Brandes is one BFS per source — embarrassingly
-parallel over sources.  The (deduplicated, multiplicity-weighted)
-adjacency is broadcast to executors; sources fan out via ``applyInPandas``
-over hash-chunked source batches; partial dependency sums come back as
-``(nid, delta)`` rows and are reduced with a key-partitioned sum.  The
-broadcast bounds the exact kernel to graphs whose adjacency fits in
+parallel over sources.  Everything except the broadcast itself stays
+executor-side:
+
+- node interning is a distributed sort + ``zipWithIndex`` (no driver
+  collect, no single-task window);
+- edge→id conversion, undirected mirroring, and multiplicity counting are
+  DataFrame joins/aggregations;
+- the adjacency reaches the driver only in compact form — one
+  ``(u, list<(v, m)>)`` row per node (``collect_list`` after the
+  multiplicity groupBy) — solely to feed ``sparkContext.broadcast``;
+- per-source dependency sums reduce with a key-partitioned sum and join
+  back to the node table distributed; the result is never collected here.
+
+The broadcast bounds the exact kernel to graphs whose adjacency fits in
 executor memory (~10^7-10^8 edges) — the same single-machine regime as the
-reference; for larger graphs sample sources (``sample_sources=``,
-Brandes–Pich approximation, scores scaled by n/k).
+reference (O(V·E) time, ``__init__.py:439``).  Above
+``auto_sample_threshold`` nodes the operator automatically switches to
+Brandes–Pich source sampling (scores scaled by n/k, unbiased estimator);
+pass ``sample_sources=`` to control k, or raise the threshold to force the
+exact kernel.
 """
 
 from __future__ import annotations
@@ -42,6 +54,7 @@ def betweenness_centrality(
     normalized: bool = True,
     directed: bool = False,
     sample_sources: int | None = None,
+    auto_sample_threshold: int = 8192,
 ) -> DataFrame:
     spark = df.sparkSession
 
@@ -51,7 +64,9 @@ def betweenness_centrality(
         F.monotonically_increasing_id().alias("_i"),
     ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
 
-    # Intern: first-appearance nid (dense, for array-indexed kernel).
+    # Intern: first-appearance nid, dense for the array-indexed kernel.
+    # Distributed sort + zipWithIndex (per-partition counts + offsets) —
+    # no driver-side node list, no single-task row_number window.
     endpoints = edges.select(
         F.explode(
             F.array(
@@ -60,39 +75,55 @@ def betweenness_centrality(
             )
         ).alias("x")
     ).select("x.node", "x.seen")
-    first_seen = endpoints.groupBy("node").agg(F.min("seen").alias("seen")).orderBy("seen")
-    node_names = [r["node"] for r in first_seen.collect()]
-    n = len(node_names)
+    first_seen = endpoints.groupBy("node").agg(F.min("seen").alias("seen"))
+    nid_map = spark.createDataFrame(
+        first_seen.orderBy("seen").rdd.map(lambda r: r[0]).zipWithIndex(),
+        schema="node string, nid long",
+    ).persist()
+    n = nid_map.count()
     empty_schema = "node string, centrality double"
     if n == 0:
+        nid_map.unpersist()
         return spark.createDataFrame([], schema=empty_schema)
-    nid_of = {name: i for i, name in enumerate(node_names)}
 
-    # Multiplicity-compressed adjacency (duplicate edges preserved as counts).
-    pair_counts = edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("m")).collect()
-    adj: list[dict[int, int]] = [dict() for _ in range(n)]
-    for r in pair_counts:
-        u, v, m = nid_of[r["src"]], nid_of[r["dst"]], r["m"]
-        adj[u][v] = adj[u].get(v, 0) + m
-        if not directed:
-            adj[v][u] = adj[v].get(u, 0) + m
-    adj_lists = [list(d.items()) for d in adj]
+    # Edge→id conversion and multiplicity compression, executor-side.  The
+    # nid map fits wherever the broadcast adjacency fits, so hint it.
+    u_map = F.broadcast(nid_map.select(F.col("node").alias("src"), F.col("nid").alias("u")))
+    v_map = F.broadcast(nid_map.select(F.col("node").alias("dst"), F.col("nid").alias("v")))
+    e_ids = edges.join(u_map, "src").join(v_map, "dst").select("u", "v")
+    if not directed:
+        e_ids = e_ids.union(e_ids.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    pair_m = e_ids.groupBy("u", "v").agg(F.count(F.lit(1)).alias("m"))
+
+    # Compact adjacency: ONE row per node with its neighbor list — the only
+    # driver materialization, required to feed sparkContext.broadcast.
+    adj_rows = (
+        pair_m.groupBy("u")
+        .agg(F.collect_list(F.struct("v", "m")).alias("nbrs"))
+        .collect()
+    )
+    adj_lists: list[list[tuple[int, int]]] = [[] for _ in range(n)]
+    for r in adj_rows:
+        adj_lists[r["u"]] = [(x["v"], x["m"]) for x in r["nbrs"]]
     bc_adj = spark.sparkContext.broadcast(adj_lists)
 
+    if sample_sources is None and n > auto_sample_threshold:
+        sample_sources = auto_sample_threshold
+    n_chunks = max(1, spark.sparkContext.defaultParallelism * 2)
     if sample_sources is not None and sample_sources < n:
         import random
 
         rng = random.Random(42)
         source_ids = rng.sample(range(n), sample_sources)
         scale = n / float(sample_sources)
+        src_df = spark.createDataFrame(
+            [(s, s % n_chunks) for s in source_ids], schema="source long, chunk long"
+        )
     else:
-        source_ids = list(range(n))
         scale = 1.0
-
-    n_chunks = max(1, min(len(source_ids), spark.sparkContext.defaultParallelism * 2))
-    src_df = spark.createDataFrame(
-        [(s, s % n_chunks) for s in source_ids], schema="source long, chunk long"
-    )
+        src_df = spark.range(n).select(
+            F.col("id").alias("source"), (F.col("id") % n_chunks).alias("chunk")
+        )
 
     def brandes_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
         from collections import deque
@@ -134,18 +165,23 @@ def betweenness_centrality(
         return pd.DataFrame({"nid": [i for i, _ in nz], "delta": [c for _, c in nz]})
 
     partials = src_df.groupBy("chunk").applyInPandas(brandes_chunk, "nid long, delta double")
-    sums = {r["nid"]: r["s"] for r in partials.groupBy("nid").agg(F.sum("delta").alias("s")).collect()}
+    sums = partials.groupBy("nid").agg(F.sum("delta").alias("s"))
 
-    cent = [scale * sums.get(i, 0.0) for i in range(n)]
+    # Scale/halve/normalize as column expressions, sequenced exactly like
+    # the reference's scalar arithmetic (same float rounding).
+    cent = F.coalesce(F.col("s"), F.lit(0.0)) * F.lit(scale)
     if not directed:
-        cent = [c / 2.0 for c in cent]
+        cent = cent / F.lit(2.0)
     if normalized:
         nf = float(n)
         denom = (nf - 1.0) * (nf - 2.0)
         # n <= 2 divides by zero in the reference too (inf/nan mirrored).
         norm = (1.0 if directed else 2.0) / denom if denom != 0.0 else float("inf")
-        cent = [c * norm for c in cent]
+        cent = cent * F.lit(norm)
 
-    return spark.createDataFrame(
-        list(zip(node_names, [float(c) for c in cent])), schema=empty_schema
+    return (
+        nid_map.join(sums, "nid", "left")
+        .withColumn("centrality", cent.cast("double"))
+        .orderBy("nid")
+        .select("node", "centrality")
     )
