@@ -20,44 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entry_mod  # noqa: E402
 from polars_grouper_spark.session import get_spark  # noqa: E402
 
-BENCH_QUERIES = [
-    "cc_components",
-    "super_merger_orders",
-    "pagerank_sp",
-    "shortest_path_nations",
-    "betweenness_nations",
-    "assoc_items",
-    "assoc_top5",
-    "assoc_items_weighted",
-    "dedup_exact",
-    "dedup_jaccard",
-    "dedup_minhash",
-    "dedup_simhash",
-    "dedup_embedding",
-    "text_stats",
-    "lang_id",
-    "doc_quality",
-    "doc_fingerprint",
-    "cosine_topk",
-    "lsh_topk",
-    "ivf_topk",
-    "tpch_q1",
-    "revenue_by_segment",
-    "top_orders_per_customer",
-    "events_hourly",
-    "event_sessions",
-    "stream_hourly",
-    "asof_clicks",
-    "range_tiers",
-    "super_merger_weighted_orders",
-    "token_counts",
-    "media_frames",
-    "stream_dedup",
-    "sql_exists",
-    "events_rollup",
-    "price_quantiles",
-    "events_pivot",
-]
+# The headline set IS the correctness set: every queries() entry is
+# benched, so BENCH and CORRECTNESS cover the same surface by construction.
+BENCH_QUERIES = list(entry_mod.queries().keys())
 
 
 def main() -> None:

@@ -327,7 +327,21 @@ def super_merger(
     df: DataFrame, from_col: str = "from", to_col: str = "to", order_col: str | None = None
 ) -> DataFrame:
     """Reference ``super_merger``: df + ``group`` column
-    (``polars_grouper/__init__.py:246-301``)."""
+    (``polars_grouper/__init__.py:246-301``; usage example
+    ``reference/README.md:30-50``).
+
+    >>> df = spark.createDataFrame(
+    ...     [("A", "B"), ("B", "C"), ("X", "Y")], ["from", "to"])
+    >>> super_merger(df).show()
+    +----+---+-----+
+    |from| to|group|
+    +----+---+-----+
+    |   A|  B|    1|
+    |   B|  C|    1|
+    |   X|  Y|    2|
+    +----+---+-----+
+    <BLANKLINE>
+    """
     return graph_solver(df, from_col, to_col, "group", order_col)
 
 

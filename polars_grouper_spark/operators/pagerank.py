@@ -138,6 +138,24 @@ def page_rank(
 ) -> DataFrame:
     """Row-aligned reference behavior: df + score of each row's ``from``
     node (0.0 for null / never-interned nodes — ``src/page_rank.rs:118-128``).
+    Usage example mirrors ``reference/README.md:95-112``:
+
+    >>> from pyspark.sql import functions as F
+    >>> df = spark.createDataFrame(
+    ...     [("A", "B"), ("A", "C"), ("B", "C"), ("C", "A"), ("D", "B")],
+    ...     ["from", "to"])
+    >>> page_rank(df).select(
+    ...     "from", "to", F.round("pagerank", 4).alias("pagerank")).show()
+    +----+---+--------+
+    |from| to|pagerank|
+    +----+---+--------+
+    |   A|  B|  0.3603|
+    |   A|  C|  0.3603|
+    |   B|  C|  0.2225|
+    |   C|  A|  0.3797|
+    |   D|  B|  0.0375|
+    +----+---+--------+
+    <BLANKLINE>
     """
     scores = page_rank_nodes(
         df, from_col, to_col, damping_factor, max_iterations, convergence_threshold

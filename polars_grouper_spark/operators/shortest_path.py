@@ -49,6 +49,23 @@ def calculate_shortest_path(
 
     ``sources``: optional subset of source node names to bound the O(V²)
     output at scale; ``None`` mirrors the reference (all pairs).
+    Usage example mirrors ``reference/README.md:73-93``:
+
+    >>> df = spark.createDataFrame(
+    ...     [("A", "B", 1.0), ("A", "C", 2.0), ("B", "C", 1.0), ("C", "D", 1.5)],
+    ...     ["from", "to", "weight"])
+    >>> calculate_shortest_path(df, directed=False).orderBy("from", "to").show()
+    +----+---+--------+
+    |from| to|distance|
+    +----+---+--------+
+    |   A|  B|     1.0|
+    |   A|  C|     2.0|
+    |   A|  D|     3.5|
+    |   B|  C|     1.0|
+    |   B|  D|     2.5|
+    |   C|  D|     1.5|
+    +----+---+--------+
+    <BLANKLINE>
     """
     edges = df.select(
         F.col(from_col).cast("string").alias("u"),

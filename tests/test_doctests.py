@@ -1,0 +1,29 @@
+"""Collect the public-API doctests (reference collects doctests too —
+``reference/pyproject.toml:76``).  Plain doctest can't inject pytest
+fixtures, so each module's examples run with a live ``spark`` glob.
+"""
+
+import doctest
+
+import pytest
+
+from polars_grouper_spark.operators import (
+    connected_components as _cc,
+    pagerank as _pr,
+    shortest_path as _sp,
+)
+
+MODULES = [_cc, _sp, _pr]
+
+
+@pytest.mark.parametrize("mod", MODULES, ids=lambda m: m.__name__.rsplit(".", 1)[-1])
+def test_module_doctests(spark, mod):
+    finder = doctest.DocTestFinder()
+    runner = doctest.DocTestRunner(optionflags=doctest.NORMALIZE_WHITESPACE)
+    tests = [t for t in finder.find(mod) if t.examples]
+    assert tests, f"no doctest examples found in {mod.__name__}"
+    for t in tests:
+        t.globs["spark"] = spark
+        runner.run(t)
+    results = runner.summarize(verbose=False)
+    assert results.failed == 0

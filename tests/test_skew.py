@@ -7,6 +7,66 @@ from pyspark.sql import functions as F
 from polars_grouper_spark.plans.skew import salted_agg, salted_join
 
 
+def _hub_graph(spark):
+    """Extreme-hub graph: one node with 10_000 spokes (every spoke row
+    lands on the hub's star key) plus disjoint 3-node chains."""
+    spokes = spark.range(10_000).select(
+        F.lit("hub").alias("from"), F.concat(F.lit("s"), "id").alias("to")
+    )
+    chains = spark.range(200).select(
+        F.concat(F.lit("a"), "id").alias("from"), F.concat(F.lit("b"), "id").alias("to")
+    ).union(
+        spark.range(200).select(
+            F.concat(F.lit("b"), "id").alias("from"),
+            F.concat(F.lit("c"), "id").alias("to"),
+        )
+    )
+    return spokes.union(chains)
+
+
+def test_cc_skew_safe_parity_and_plan_on_hub_graph(spark, monkeypatch):
+    """skew_safe=True must (a) produce the identical partition on an
+    extreme-hub graph and (b) never plan a Window (no-partial-agg,
+    hub-concentrating) in ANY star round — the per-node mins must come
+    from a map-side-combinable HashAggregate + join instead."""
+    from polars_grouper_spark.operators import connected_components as cc_mod
+    from polars_grouper_spark.operators.connected_components import components
+
+    df = _hub_graph(spark)
+
+    round_plans: list[str] = []
+    real_truncate = cc_mod.truncate_lineage
+
+    def spy_truncate(frame, cache=False):
+        # executedPlan() plans (without running) the full round lineage
+        # that the lazy checkpoint is about to materialize.
+        round_plans.append(frame._jdf.queryExecution().executedPlan().toString())
+        return real_truncate(frame, cache=cache)
+
+    monkeypatch.setattr(cc_mod, "truncate_lineage", spy_truncate)
+
+    default = {r["node"]: r["component"] for r in components(df).collect()}
+    default_plans, round_plans = round_plans, []
+    safe = {
+        r["node"]: r["component"] for r in components(df, skew_safe=True).collect()
+    }
+    safe_plans = round_plans
+
+    assert safe == default
+    # hub + 10_000 spokes + 3 * 200 chain nodes, all labeled
+    assert len(safe) == 1 + 10_000 + 600
+
+    assert any("Window" in p for p in default_plans), "default path should window"
+    assert safe_plans and all("Window" not in p for p in safe_plans)
+    assert any("HashAggregate" in p for p in safe_plans)
+
+    # the skew-safe label-recovery plan (returned DF) is window-free too
+    final_plan = (
+        components(df, skew_safe=True)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in final_plan
+
+
 def _skewed(spark):
     # 10_000 rows on one hot key, a few cold keys.
     hot = spark.range(10_000).select(
