@@ -234,6 +234,28 @@ def _pagerank_sql(edges_sql: str, iters: int = _PR_ITERS, d: float = _PR_DAMP) -
     return "\n".join(parts)
 
 
+def q_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same PageRank, >5M-node-regime plan: the weighted pair table is
+    persisted bucketed+sorted on ``src`` first, so every iteration's
+    shuffle join moves only the O(V) rank state — the O(E) edge side is
+    proven pre-partitioned by the bucketed scan (zero edge Exchanges per
+    round; plan-asserted in tests/test_bucketing.py).  Scores are
+    identical to ``pagerank_sp``, so the oracle is the same SQL."""
+    from polars_grouper_spark import page_rank_nodes_bucketed
+
+    edges = _sp_edges(spark, sf_dir)
+    pr = page_rank_nodes_bucketed(
+        edges,
+        "src",
+        "dst",
+        damping_factor=_PR_DAMP,
+        max_iterations=_PR_ITERS,
+        convergence_threshold=0.0,
+        table_name="q_pr_bucketed_edges",
+    )
+    return pr.select("node", F.round("score", 8).alias("score"))
+
+
 def q_shortest_path_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _nation_edges(spark, sf_dir)
     out = calculate_shortest_path(edges, "src", "dst", "weight", directed=False)
@@ -1837,6 +1859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_component_sizes": q_cc_component_sizes,
         "super_merger_orders": q_super_merger_orders,
         "pagerank_sp": q_pagerank,
+        "pagerank_bucketed": q_pagerank_bucketed,
         "shortest_path_nations": q_shortest_path_nations,
         "betweenness_nations": q_betweenness_nations,
         "betweenness_ring": q_betweenness_ring,
@@ -1892,10 +1915,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "super_merger_orders": _SUPER_MERGER_ORDERS_SQL,
         "pagerank_sp": _pagerank_sql(_SP_EDGE_SQL.replace("DISTINCT ", "")),
+        "pagerank_bucketed": _pagerank_sql(_SP_EDGE_SQL.replace("DISTINCT ", "")),
         "shortest_path_nations": _shortest_path_sql(_NATION_EDGE_SQL),
-        # betweenness_nations: omitted — per-source BFS on an arbitrary
-        # graph is not SQL-expressible in general; betweenness_ring below
-        # covers the operator with a full oracle (walk enumeration).
         "betweenness_nations": _BETWEENNESS_NATIONS_SQL,
         "betweenness_ring": _BETWEENNESS_RING_SQL,
         "assoc_items": _assoc_items_sql(),

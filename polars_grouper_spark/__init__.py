@@ -36,7 +36,11 @@ from polars_grouper_spark.operators.connected_components import (
     super_merger,
     super_merger_weighted,
 )
-from polars_grouper_spark.operators.pagerank import page_rank, page_rank_nodes
+from polars_grouper_spark.operators.pagerank import (
+    page_rank,
+    page_rank_nodes,
+    page_rank_nodes_bucketed,
+)
 from polars_grouper_spark.operators.shortest_path import calculate_shortest_path
 from polars_grouper_spark.operators.betweenness import betweenness_centrality
 from polars_grouper_spark.operators.association_rules import graph_association_rules
@@ -55,6 +59,7 @@ __all__ = [
     "graph_solver",
     "page_rank",
     "page_rank_nodes",
+    "page_rank_nodes_bucketed",
     "range_join",
     "super_merger",
     "super_merger_weighted",

@@ -85,18 +85,35 @@ def page_rank_nodes(
         )
     )
 
+    if broadcast_ranks is None:
+        broadcast_ranks = n <= _BROADCAST_NODES_MAX
+    return _power_iteration(
+        nodes, edges_w, n, damping_factor, max_iterations,
+        convergence_threshold, broadcast_ranks,
+    )
+
+
+def _power_iteration(
+    nodes: DataFrame,
+    edges_w: DataFrame,
+    n: int,
+    damping_factor: float,
+    max_iterations: int,
+    convergence_threshold: float,
+    broadcast_ranks: bool,
+) -> DataFrame:
+    """The shared rank loop over a weighted pair table (src, dst, w).
+
+    Dangling-safe iteration without a per-round join back to ``nodes``:
+    union a zero contribution for every node into the SAME aggregation
+    that sums the edge contributions.  Each round is then exactly one
+    shuffle (the map-side-combinable sum on the target node), and no
+    broadcast of the aggregated contributions has to be built.
+    """
     base = (1.0 - damping_factor) / n
     # No checkpoint needed for the initial ranks: ``nodes`` is already
     # checkpointed and the projection on top of it is lineage-flat.
     ranks = nodes.select("node", F.lit(1.0 / n).alias("score"))
-    if broadcast_ranks is None:
-        broadcast_ranks = n <= _BROADCAST_NODES_MAX
-
-    # Dangling-safe iteration without a per-round join back to ``nodes``:
-    # union a zero contribution for every node into the SAME aggregation
-    # that sums the edge contributions.  Each round is then exactly one
-    # shuffle (the map-side-combinable sum on the target node), and no
-    # broadcast of the aggregated contributions has to be built.
     zeros = nodes.select("node", F.lit(0.0).alias("c"))
     for _ in range(max_iterations):
         rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
@@ -125,6 +142,60 @@ def page_rank_nodes(
         if diff is not None and diff < convergence_threshold:
             break
     return ranks
+
+
+def page_rank_nodes_bucketed(
+    df: DataFrame,
+    from_col: str = "from",
+    to_col: str = "to",
+    damping_factor: float = 0.85,
+    max_iterations: int = 100,
+    convergence_threshold: float = 1e-6,
+    table_name: str = "pgs_pr_edges_bucketed",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """:func:`page_rank_nodes` with the weighted pair table persisted as a
+    bucketed+sorted table on ``src`` before the loop (``plans.bucketing``).
+
+    This is the >5M-node regime plan: the rank state is too big to
+    broadcast, so each round is a shuffle join — but with the edge side
+    bucketed, Catalyst proves the scan already satisfies the join's
+    required distribution and only the O(V) rank state moves per round.
+    The O(E) edge table is shuffled exactly once (into the bucketed
+    write), never again, regardless of iteration count.  Identical scores
+    to :func:`page_rank_nodes` (same loop, same arithmetic).
+    """
+    from polars_grouper_spark.plans.bucketing import bucket_table
+
+    spark = df.sparkSession
+    edges = df.select(
+        F.col(from_col).cast("string").alias("src"),
+        F.col(to_col).cast("string").alias("dst"),
+    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nodes = truncate_lineage(nodes)
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("score"))
+
+    pair_cnt = edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("cnt"))
+    edges_w = pair_cnt.select(
+        "src",
+        "dst",
+        (F.col("cnt") / F.sum("cnt").over(Window.partitionBy("src"))).alias("w"),
+    )
+    if n_buckets is None:
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges_w = bucket_table(edges_w, table_name, "src", n_buckets=n_buckets, sort=True)
+    return _power_iteration(
+        nodes, edges_w, n, damping_factor, max_iterations,
+        convergence_threshold, broadcast_ranks=False,
+    )
 
 
 def page_rank(
