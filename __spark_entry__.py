@@ -513,6 +513,30 @@ def q_assoc_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_assoc_top5_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as assoc_top5 via the salted two-phase top-5 merge
+    (skew_safe=True) — no per-antecedent window; plan-asserted window-free
+    in tests/test_skew.py."""
+    res = graph_association_rules(
+        _brand_tx(spark, sf_dir),
+        min_support=_ASSOC_MIN_SUPPORT,
+        min_confidence=0.0,
+        weighted=False,
+        with_patterns=False,
+        skew_safe=True,
+    )
+    ex = res.select(
+        "item", F.posexplode("consequents").alias("pos", "consequent")
+    ).withColumn("rnk", (F.col("pos") + 1).cast("long")).drop("pos")
+    conf = res.select(
+        "item", F.posexplode("confidence_scores").alias("pos", "confidence")
+    ).withColumn("rnk", (F.col("pos") + 1).cast("long")).drop("pos")
+    return (
+        ex.join(conf, ["item", "rnk"])
+        .select("item", "rnk", "consequent", F.round("confidence", 6).alias("confidence"))
+    )
+
+
 def _assoc_top5_sql() -> str:
     return f"""
 WITH t AS ({_BRAND_TX_SQL}),
@@ -1865,6 +1889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_ring": q_betweenness_ring,
         "assoc_items": q_assoc_items,
         "assoc_top5": q_assoc_top5,
+        "assoc_top5_skew": q_assoc_top5_skew,
         "assoc_items_weighted": q_assoc_items_weighted,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -1921,6 +1946,7 @@ def oracle_sql() -> dict[str, str]:
         "betweenness_ring": _BETWEENNESS_RING_SQL,
         "assoc_items": _assoc_items_sql(),
         "assoc_top5": _assoc_top5_sql(),
+        "assoc_top5_skew": _assoc_top5_sql(),
         "assoc_items_weighted": _assoc_items_weighted_sql(),
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_jaccard": _DEDUP_JACCARD_SQL,

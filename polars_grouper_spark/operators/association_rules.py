@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from polars_grouper_spark.plans.iteration import fingerprint, truncate_lineage
+from polars_grouper_spark.plans.skew import salted_agg
 
 _PATTERN_MAX_ROUNDS = 64
 
@@ -133,12 +134,23 @@ def graph_association_rules(
     max_itemset_size: int = 50,
     weighted: bool = False,
     with_patterns: bool = True,
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Table function → ``(item, support, lift_score, pattern, consequents,
     confidence_scores)`` — the reference struct, pre-flattened.
 
     ``with_patterns=False`` skips the pattern-labeling loop (emits pattern
     0) for consumers that don't need it — saves several jobs.
+
+    ``skew_safe=True`` replaces the top-5 window + ``collect_list`` (which
+    ships every association of a hot antecedent to one reducer) with a
+    two-phase salted aggregation: each ``(antecedent, salt)`` bucket keeps
+    its local top-5 (``slice(sort_array(collect_list(struct)))``), then the
+    ≤ ``n_salts``·5 partials per antecedent merge in a tiny second pass.
+    Exact — the global top-5 of a union is contained in the union of
+    per-bucket top-5s, and duplicate pairs (the reference's no-dedup
+    accumulation) survive because every row lands in exactly one salt
+    bucket.  Same output, no per-key reducer hotspot at 100 TB.
     """
     freq = (
         F.col(frequency_col).cast("double")
@@ -240,28 +252,32 @@ def graph_association_rules(
     lifts = pairs.groupBy("a_iid").agg(F.sum("confidence").alias("lift_score"))
 
     # top-5 by confidence desc, tie-break consequent asc, as parallel arrays.
-    top5 = (
-        pairs.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("a_iid").orderBy(
-                    F.col("confidence").desc(), F.col("consequent").asc()
-                )
-            ),
-        )
-        .where(F.col("rn") <= 5)
-        .groupBy("a_iid")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("rn", "consequent", "confidence"))
-            ).alias("assoc")
-        )
-        .select(
+    # Struct sort is lexicographic by field order, so (-confidence,
+    # consequent) ascending == (confidence desc, consequent asc); the raw
+    # confidence rides along as the third field so the output never
+    # round-trips through negation (-0.0 hygiene).
+    _rank_struct = F.struct(
+        (-F.col("confidence")).alias("nc"),
+        F.col("consequent").alias("consequent"),
+        F.col("confidence").alias("confidence"),
+    )
+    if skew_safe:
+        top5 = salted_agg(
+            pairs.select("a_iid", _rank_struct.alias("s")),
+            ["a_iid"],
+            [F.slice(F.sort_array(F.collect_list("s")), 1, 5).alias("part")],
+            lambda p: [
+                F.slice(
+                    F.sort_array(F.flatten(F.collect_list("part"))), 1, 5
+                ).alias("assoc")
+            ],
+        ).select(
             "a_iid",
             F.transform("assoc", lambda x: x["consequent"]).alias("consequents"),
             F.transform("assoc", lambda x: x["confidence"]).alias("confidence_scores"),
         )
-    )
+    else:
+        top5 = _window_top5(pairs)
 
     # patterns over the distinct directed association graph.
     if with_patterns:
@@ -305,3 +321,29 @@ def graph_association_rules(
         .drop("iid")
     )
     return out
+
+
+def _window_top5(pairs: DataFrame) -> DataFrame:
+    """Default top-5 path: row_number window + collect_list."""
+    return (
+        pairs.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("a_iid").orderBy(
+                    F.col("confidence").desc(), F.col("consequent").asc()
+                )
+            ),
+        )
+        .where(F.col("rn") <= 5)
+        .groupBy("a_iid")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("rn", "consequent", "confidence"))
+            ).alias("assoc")
+        )
+        .select(
+            "a_iid",
+            F.transform("assoc", lambda x: x["consequent"]).alias("consequents"),
+            F.transform("assoc", lambda x: x["confidence"]).alias("confidence_scores"),
+        )
+    )

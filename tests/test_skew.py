@@ -114,6 +114,70 @@ def test_salted_agg_count_distinct_parity(spark):
     assert got == plain
 
 
+def _skewed_transactions(spark):
+    """One hot item in every transaction (its association list is 100×
+    anyone else's) plus a long tail; includes equal-confidence ties and
+    duplicate (antecedent, consequent) pairs across transactions, which the
+    reference accumulates WITHOUT dedup — the top-5 merge must keep them."""
+    hot = spark.range(500).select(
+        F.col("id").alias("transaction_id"), F.lit("hot").alias("item_id")
+    )
+    tail = spark.range(1500).select(
+        (F.col("id") % 500).alias("transaction_id"),
+        F.concat(F.lit("i"), F.col("id") % 30).alias("item_id"),
+    )
+    return hot.union(tail).withColumn("frequency", F.lit(1.0))
+
+
+def test_assoc_skew_safe_top5_parity_and_plan(spark):
+    """skew_safe=True must produce the identical association table on a
+    hot-antecedent dataset, with NO Window in the executed plan (the
+    default path windows on antecedent, concentrating the hot key)."""
+    from polars_grouper_spark.operators.association_rules import (
+        graph_association_rules,
+    )
+
+    df = _skewed_transactions(spark)
+    kwargs = dict(
+        min_support=0.0, min_confidence=0.0, weighted=False, with_patterns=False
+    )
+    default = graph_association_rules(df, **kwargs)
+    safe = graph_association_rules(df, skew_safe=True, **kwargs)
+
+    def rows(frame):
+        return [
+            (r["item"], r["support"], r["lift_score"], r["consequents"],
+             [round(c, 9) for c in r["confidence_scores"]])
+            for r in frame.collect()
+        ]
+
+    assert rows(safe) == rows(default)
+
+    default_plan = default._jdf.queryExecution().executedPlan().toString()
+    safe_plan = safe._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in default_plan
+    assert "Window" not in safe_plan
+    assert "HashAggregate" in safe_plan
+
+
+def test_assoc_skew_safe_weighted_parity(spark):
+    """Weighted confidences exercise non-uniform ordering through the
+    salted top-5 merge."""
+    from polars_grouper_spark.operators.association_rules import (
+        graph_association_rules,
+    )
+
+    df = _skewed_transactions(spark).withColumn(
+        "frequency", (F.xxhash64("transaction_id", "item_id") % 7 + 8) / 10.0
+    )
+    kwargs = dict(
+        min_support=0.0, min_confidence=0.05, weighted=True, with_patterns=False
+    )
+    default = graph_association_rules(df, **kwargs).collect()
+    safe = graph_association_rules(df, skew_safe=True, **kwargs).collect()
+    assert [r.asDict() for r in safe] == [r.asDict() for r in default]
+
+
 def test_salted_join_parity(spark):
     large = _skewed(spark)
     small = spark.createDataFrame(
