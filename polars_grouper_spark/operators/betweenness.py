@@ -42,9 +42,13 @@ exact kernel.
 
 from __future__ import annotations
 
+import warnings
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from polars_grouper_spark.plans.iteration import truncate_lineage
 
 
 def betweenness_centrality(
@@ -55,7 +59,27 @@ def betweenness_centrality(
     directed: bool = False,
     sample_sources: int | None = None,
     auto_sample_threshold: int = 8192,
+    max_broadcast_edges: int = 10_000_000,
 ) -> DataFrame:
+    """Betweenness centrality for every node of the edge list ``df``.
+
+    ``sample_sources=k`` runs Brandes–Pich estimation from ``k`` random
+    sources (unbiased, scores scaled by ``n/k``) instead of exact Brandes.
+    When it is left ``None`` and the graph exceeds ``auto_sample_threshold``
+    nodes, sampling engages AUTOMATICALLY (a ``RuntimeWarning`` is emitted)
+    — scores are then approximate, diverging from the reference's exact
+    semantics; raise the threshold or pass ``sample_sources=n`` to force
+    the exact kernel on larger graphs.
+
+    Both kernels broadcast the compact adjacency to every executor, so the
+    operator is bounded by adjacency size, not by source count.
+    ``max_broadcast_edges`` guards that boundary: if the graph has more
+    distinct (u, v) pairs (after undirected mirroring), the call raises
+    ``ValueError`` *before* assembling the driver-side adjacency rather
+    than OOMing the driver — dense graphs can cross memory limits while
+    staying under the node-count threshold.  Raise it only with driver /
+    executor memory to match (~50 bytes per pair).
+    """
     spark = df.sparkSession
 
     edges = df.select(
@@ -76,14 +100,20 @@ def betweenness_centrality(
         ).alias("x")
     ).select("x.node", "x.seen")
     first_seen = endpoints.groupBy("node").agg(F.min("seen").alias("seen"))
-    nid_map = spark.createDataFrame(
-        first_seen.orderBy("seen").rdd.map(lambda r: r[0]).zipWithIndex(),
-        schema="node string, nid long",
-    ).persist()
+    # localCheckpoint (not persist): pins the nondeterministic zipWithIndex
+    # assignment by cutting lineage, and its blocks are released by the
+    # ContextCleaner when the result frame is garbage-collected — repeated
+    # calls don't accumulate session-lifetime cache the way an explicit
+    # persist() without unpersist() would.
+    nid_map = truncate_lineage(
+        spark.createDataFrame(
+            first_seen.orderBy("seen").rdd.map(lambda r: r[0]).zipWithIndex(),
+            schema="node string, nid long",
+        )
+    )
     n = nid_map.count()
     empty_schema = "node string, centrality double"
     if n == 0:
-        nid_map.unpersist()
         return spark.createDataFrame([], schema=empty_schema)
 
     # Edge→id conversion and multiplicity compression, executor-side.  The
@@ -94,6 +124,18 @@ def betweenness_centrality(
     if not directed:
         e_ids = e_ids.union(e_ids.select(F.col("v").alias("u"), F.col("u").alias("v")))
     pair_m = e_ids.groupBy("u", "v").agg(F.count(F.lit(1)).alias("m"))
+
+    n_pairs = pair_m.count()
+    if n_pairs > max_broadcast_edges:
+        raise ValueError(
+            f"betweenness_centrality: graph has {n_pairs:,} distinct (u, v) "
+            f"pairs after {'directed' if directed else 'undirected'} expansion, "
+            f"above max_broadcast_edges={max_broadcast_edges:,}. The Brandes "
+            "kernel broadcasts the full adjacency to every executor; a graph "
+            "this dense would exhaust driver/executor memory regardless of "
+            "source sampling. Reduce the graph (e.g. filter low-weight edges) "
+            "or raise max_broadcast_edges if memory allows (~50 bytes/pair)."
+        )
 
     # Compact adjacency: ONE row per node with its neighbor list — the only
     # driver materialization, required to feed sparkContext.broadcast.
@@ -108,6 +150,15 @@ def betweenness_centrality(
     bc_adj = spark.sparkContext.broadcast(adj_lists)
 
     if sample_sources is None and n > auto_sample_threshold:
+        warnings.warn(
+            f"betweenness_centrality: {n:,} nodes exceeds auto_sample_threshold="
+            f"{auto_sample_threshold:,}; switching to Brandes-Pich source "
+            f"sampling ({auto_sample_threshold:,} sources, unbiased estimate "
+            "scaled by n/k). Scores are now APPROXIMATE. Pass sample_sources="
+            f"{n} or raise auto_sample_threshold to force exact Brandes.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         sample_sources = auto_sample_threshold
     n_chunks = max(1, spark.sparkContext.defaultParallelism * 2)
     if sample_sources is not None and sample_sources < n:

@@ -72,3 +72,49 @@ def test_duplicate_edges_affect_path_counts(spark):
     # with the duplicate, B carries 2 of the 3 shortest A->C paths
     assert s2["B"] > s1["B"]
     assert s2["D"] < s1["D"]
+
+
+def test_max_broadcast_edges_guard_raises_before_collect(spark):
+    """A graph denser than max_broadcast_edges must raise a clear error
+    instead of assembling the driver-side adjacency (dense graphs can OOM
+    the driver while staying under the node-count sampling threshold)."""
+    import pytest
+
+    # K6: 15 undirected edges -> 30 directed pairs, over the limit of 10.
+    nodes = ["A", "B", "C", "D", "E", "F"]
+    frm, to = [], []
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            frm.append(a)
+            to.append(b)
+    df = _edges(spark, frm, to)
+    with pytest.raises(ValueError, match="max_broadcast_edges"):
+        betweenness_centrality(df, max_broadcast_edges=10)
+    # same graph passes with the default bound, values sane
+    s = _scores(betweenness_centrality(df, normalized=False))
+    assert all(math.isclose(v, 0.0, abs_tol=1e-9) for v in s.values())
+
+
+def test_auto_sampling_warns(spark):
+    """Crossing auto_sample_threshold must emit a RuntimeWarning naming the
+    approximation; exact runs must stay silent."""
+    import warnings as _w
+
+    import pytest
+
+    df = _edges(spark, ["A", "B", "C"], ["B", "C", "D"])
+    with pytest.warns(RuntimeWarning, match="APPROXIMATE"):
+        betweenness_centrality(df, auto_sample_threshold=2)
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        betweenness_centrality(df).collect()  # 4 nodes < 8192: exact, no warning
+
+
+def test_explicit_sample_sources_does_not_warn(spark):
+    """Opting in via sample_sources= is not a silent divergence - no warning."""
+    import warnings as _w
+
+    df = _edges(spark, ["A", "B", "C"], ["B", "C", "D"])
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        betweenness_centrality(df, sample_sources=2).collect()
