@@ -239,8 +239,11 @@ def q_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted bucketed+sorted on ``src`` first, so every iteration's
     shuffle join moves only the O(V) rank state — the O(E) edge side is
     proven pre-partitioned by the bucketed scan (zero edge Exchanges per
-    round; plan-asserted in tests/test_bucketing.py).  Scores are
-    identical to ``pagerank_sp``, so the oracle is the same SQL."""
+    round; the actual _power_iteration round plan is asserted in
+    tests/test_bucketing.py::test_pagerank_round_plan_has_no_edge_side_exchange).
+    The scratch table gets a per-call unique name and is dropped before
+    returning.  Scores are identical to ``pagerank_sp``, so the oracle is
+    the same SQL."""
     from polars_grouper_spark import page_rank_nodes_bucketed
 
     edges = _sp_edges(spark, sf_dir)
@@ -251,7 +254,6 @@ def q_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         damping_factor=_PR_DAMP,
         max_iterations=_PR_ITERS,
         convergence_threshold=0.0,
-        table_name="q_pr_bucketed_edges",
     )
     return pr.select("node", F.round("score", 8).alias("score"))
 

@@ -117,15 +117,7 @@ def _power_iteration(
     zeros = nodes.select("node", F.lit(0.0).alias("c"))
     for _ in range(max_iterations):
         rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
-        new_ranks = (
-            edges_w.join(rank_side, edges_w["src"] == rank_side["node"])
-            .select(F.col("dst").alias("node"), (F.col("score") * F.col("w")).alias("c"))
-            .unionAll(zeros)
-            .groupBy("node")
-            .agg(
-                (F.lit(base) + F.lit(damping_factor) * F.sum("c")).alias("score")
-            )
-        )
+        new_ranks = _round(edges_w, rank_side, zeros, base, damping_factor)
         new_ranks = truncate_lineage(new_ranks)
         if convergence_threshold > 0.0:
             diff = (
@@ -144,6 +136,25 @@ def _power_iteration(
     return ranks
 
 
+def _round(
+    edges_w: DataFrame,
+    rank_side: DataFrame,
+    zeros: DataFrame,
+    base: float,
+    damping_factor: float,
+) -> DataFrame:
+    """One power-iteration round as a plan (tested directly for Exchange
+    counts in ``tests/test_bucketing.py`` — the bucketed edge side must
+    satisfy the join's required distribution with no shuffle)."""
+    return (
+        edges_w.join(rank_side, edges_w["src"] == rank_side["node"])
+        .select(F.col("dst").alias("node"), (F.col("score") * F.col("w")).alias("c"))
+        .unionAll(zeros)
+        .groupBy("node")
+        .agg((F.lit(base) + F.lit(damping_factor) * F.sum("c")).alias("score"))
+    )
+
+
 def page_rank_nodes_bucketed(
     df: DataFrame,
     from_col: str = "from",
@@ -151,7 +162,7 @@ def page_rank_nodes_bucketed(
     damping_factor: float = 0.85,
     max_iterations: int = 100,
     convergence_threshold: float = 1e-6,
-    table_name: str = "pgs_pr_edges_bucketed",
+    table_name: str | None = None,
     n_buckets: int | None = None,
 ) -> DataFrame:
     """:func:`page_rank_nodes` with the weighted pair table persisted as a
@@ -164,6 +175,12 @@ def page_rank_nodes_bucketed(
     The O(E) edge table is shuffled exactly once (into the bucketed
     write), never again, regardless of iteration count.  Identical scores
     to :func:`page_rank_nodes` (same loop, same arithmetic).
+
+    The bucketed table is internal scratch state: ``table_name=None``
+    (default) derives a per-call unique name, so concurrent calls in one
+    session never clobber each other, and the table is dropped before
+    returning (safe — every loop round is eagerly ``localCheckpoint``-ed,
+    so the returned frame's lineage no longer reads the table).
     """
     from polars_grouper_spark.plans.bucketing import bucket_table
 
@@ -190,12 +207,23 @@ def page_rank_nodes_bucketed(
         (F.col("cnt") / F.sum("cnt").over(Window.partitionBy("src"))).alias("w"),
     )
     if n_buckets is None:
-        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # shuffle.partitions may be non-numeric ("auto" on some platforms).
+        try:
+            n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        except (TypeError, ValueError):
+            n_buckets = 200
+    if table_name is None:
+        import uuid
+
+        table_name = f"pgs_pr_edges_{uuid.uuid4().hex[:12]}"
     edges_w = bucket_table(edges_w, table_name, "src", n_buckets=n_buckets, sort=True)
-    return _power_iteration(
-        nodes, edges_w, n, damping_factor, max_iterations,
-        convergence_threshold, broadcast_ranks=False,
-    )
+    try:
+        return _power_iteration(
+            nodes, edges_w, n, damping_factor, max_iterations,
+            convergence_threshold, broadcast_ranks=False,
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
 
 
 def page_rank(

@@ -15,6 +15,7 @@ disappeared.
 from __future__ import annotations
 
 import io
+import re
 from contextlib import redirect_stdout
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,16 +40,17 @@ def bucket_table(
 
 
 def exchange_count(df: DataFrame) -> int:
-    """Number of Exchange (shuffle) operators in the physical plan."""
+    """Number of distinct Exchange (shuffle) operators in the physical plan.
+
+    Counts the formatted explain's detail headers (``(n) Exchange``) so each
+    operator is counted exactly once — the tree rendering repeats every
+    operator a second time.  ``ReusedExchange`` is excluded (no new shuffle).
+    """
     buf = io.StringIO()
     with redirect_stdout(buf):
         df.explain("formatted")
     plan = buf.getvalue()
-    return sum(
-        1
-        for line in plan.splitlines()
-        if "Exchange" in line and "ReusedExchange" not in line and "== " not in line
-    )
+    return len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M))
 
 
 def co_bucketed_join(

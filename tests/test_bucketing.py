@@ -32,3 +32,83 @@ def test_co_bucketed_join_elides_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS b_edges")
         spark.sql("DROP TABLE IF EXISTS b_ranks")
+
+
+def test_pagerank_round_plan_has_no_edge_side_exchange(spark):
+    """The ACTUAL _power_iteration round plan over the bucketed edge table
+    must shuffle only the O(V) rank state + the final aggregation — the
+    O(E) bucketed edge side contributes zero Exchanges.  Asserted as
+    exactly one fewer Exchange than the identical round over the same
+    (unbucketed) pair table."""
+    from pyspark.sql import Window
+
+    from polars_grouper_spark.operators.pagerank import _round
+
+    li = load_table(spark, "lineitem", "/root/testdata/sf0.001")
+    edges = li.select(
+        F.concat(F.lit("S"), "l_suppkey").alias("src"),
+        F.concat(F.lit("P"), "l_partkey").alias("dst"),
+    )
+    pair_cnt = edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("cnt"))
+    # checkpoint the plain pair table so both rounds start from a
+    # materialized edge input and the Exchange delta is the round's own
+    edges_w = pair_cnt.select(
+        "src",
+        "dst",
+        (F.col("cnt") / F.sum("cnt").over(Window.partitionBy("src"))).alias("w"),
+    ).localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("score"))
+    zeros = nodes.select("node", F.lit(0.0).alias("c"))
+    base = 0.15 / n
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bucketed = bucket_table(edges_w, "b_pr_round", "src", n_buckets=8)
+        plain_round = _round(edges_w, ranks, zeros, base, 0.85)
+        bucketed_round = _round(bucketed, ranks, zeros, base, 0.85)
+
+        plain_ex = exchange_count(plain_round)
+        bucketed_ex = exchange_count(bucketed_round)
+        # plain: edge side + rank side + aggregation = 3; bucketed drops
+        # exactly the edge-side shuffle
+        assert plain_ex == 3
+        # rank-side shuffle into the join + the groupBy aggregation only
+        assert bucketed_ex == 2
+
+        # both rounds compute the same mass (bucketed sums in bucket order,
+        # so allow float ulp drift)
+        import math
+
+        got = {r["node"]: r["score"] for r in bucketed_round.collect()}
+        want = {r["node"]: r["score"] for r in plain_round.collect()}
+        assert got.keys() == want.keys()
+        assert all(
+            math.isclose(got[k], want[k], rel_tol=1e-12) for k in want
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS b_pr_round")
+
+
+def test_bucketed_pagerank_cleans_up_and_reruns(spark):
+    """page_rank_nodes_bucketed must leave no managed table behind and be
+    safely re-runnable in one session (unique per-call table names)."""
+    from polars_grouper_spark.operators.pagerank import page_rank_nodes_bucketed
+
+    df = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("C", "A"), ("D", "B")], ["from", "to"]
+    )
+    before = {t.name for t in spark.catalog.listTables()}
+    r1 = {r["node"]: r["score"] for r in page_rank_nodes_bucketed(df).collect()}
+    r2 = {r["node"]: r["score"] for r in page_rank_nodes_bucketed(df).collect()}
+    after = {t.name for t in spark.catalog.listTables()}
+    assert r1 == r2
+    assert after == before  # no residual pgs_pr_edges_* tables
