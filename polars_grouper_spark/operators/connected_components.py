@@ -332,7 +332,7 @@ def super_merger(
 
     >>> df = spark.createDataFrame(
     ...     [("A", "B"), ("B", "C"), ("X", "Y")], ["from", "to"])
-    >>> super_merger(df).show()
+    >>> super_merger(df).orderBy("from", "to").show()
     +----+---+-----+
     |from| to|group|
     +----+---+-----+

@@ -244,7 +244,8 @@ def page_rank(
     ...     [("A", "B"), ("A", "C"), ("B", "C"), ("C", "A"), ("D", "B")],
     ...     ["from", "to"])
     >>> page_rank(df).select(
-    ...     "from", "to", F.round("pagerank", 4).alias("pagerank")).show()
+    ...     "from", "to", F.round("pagerank", 4).alias("pagerank")
+    ... ).orderBy("from", "to").show()
     +----+---+--------+
     |from| to|pagerank|
     +----+---+--------+
