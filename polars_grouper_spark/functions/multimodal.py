@@ -6,7 +6,10 @@ work (PIL/ffmpeg/torchaudio) is STUBBED behind ``_decode_bytes_stub``:
 this container has no media libraries, so decode produces a deterministic
 fake derived from the payload bytes, and the real-codec path raises
 ``NotImplementedError`` with a clear message.  Swapping in a real decoder
-changes one function, not the plumbing.
+changes one function, not the plumbing — and the hook is proven with real
+bytes: :mod:`polars_grouper_spark.functions.codecs` ships pure-Python BMP
+and RIFF/WAVE parsers (public formats, no deps) driven end-to-end through
+``decode_media(decoder=codecs.decode_bmp_wav)`` in ``tests/test_multimodal``.
 
 Schema convention::
 

@@ -48,3 +48,117 @@ def test_frame_sample(spark):
         per_media.setdefault(r["media_id"], []).append(r["frame_no"])
     for frame_nos in per_media.values():
         assert frame_nos == [0, 2]
+
+
+# --- real BMP/WAV decoding through the decoder= hook ----------------------
+
+import struct
+
+
+def _bmp_bytes(width, height, pixels):
+    """Minimal 24-bit BMP: 54-byte header + raw BGR rows (4-byte padded)."""
+    row = width * 3
+    pad = (4 - row % 4) % 4
+    body = b"".join(
+        bytes(pixels[y * row : (y + 1) * row]) + b"\x00" * pad
+        for y in range(height)
+    )
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    )
+    return header + body
+
+
+def _wav_bytes(sample_rate, samples):
+    """Canonical RIFF/WAVE, mono 16-bit PCM."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    riff_body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    riff_body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def _media_df(spark, rows):
+    """rows: (media_id, kind, payload bytes)."""
+    data = [
+        (mid, {"media_id": mid, "kind": kind, "payload": payload, "meta": None})
+        for mid, kind, payload in rows
+    ]
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media", mm.MEDIA_SCHEMA),
+        ]
+    )
+    return spark.createDataFrame(data, schema=schema)
+
+
+def test_decode_real_bmp_wav_end_to_end(spark):
+    """Genuine BMP and WAV bytes decoded through mapInPandas with the
+    declared DECODED_SCHEMA — the pluggable decoder path, proven on real
+    public-format payloads, not the stub."""
+    from polars_grouper_spark.functions.codecs import decode_bmp_wav
+
+    pixels = list(range(2 * 3 * 3))  # 2x3 24-bit image
+    bmp = _bmp_bytes(2, 3, pixels)
+    wav = _wav_bytes(16000, [0, 16384, -16384, 32767, -32768, 100, -100, 5, 7, 9])
+    df = _media_df(
+        spark,
+        [(1, "image", bmp), (2, "audio", wav), (3, "image", None)],
+    )
+    out = {r["media_id"]: r for r in mm.decode_media(df, decoder=decode_bmp_wav).collect()}
+
+    img = out[1]
+    assert (img["width"], img["height"], img["n_frames"]) == (2, 3, 1)
+    assert img["sample_rate"] is None
+    # row stride = 2 px * 3 B = 6, padded to 8: features see row 0's six
+    # pixel bytes then the two alignment zeros
+    assert img["features"] == [p / 255.0 for p in pixels[:6]] + [0.0, 0.0]
+
+    aud = out[2]
+    assert aud["sample_rate"] == 16000
+    assert aud["n_frames"] == 10  # 20 data bytes / block_align 2
+    assert aud["width"] is None and aud["height"] is None
+    assert aud["features"][:4] == [0.0, 0.5, -0.5, 32767 / 32768.0]
+
+    nul = out[3]
+    assert nul["width"] is None and nul["features"] is None
+
+
+def test_decode_real_rejects_unknown_magic(spark):
+    from polars_grouper_spark.functions.codecs import decode_bmp_wav
+
+    df = _media_df(spark, [(1, "image", b"\x89PNG\r\n")])
+    with pytest.raises(Exception, match="unrecognized payload magic"):
+        mm.decode_media(df, decoder=decode_bmp_wav).collect()
+
+
+def test_codecs_parse_units():
+    """Driver-side unit coverage: top-down BMP height, word-aligned WAV
+    chunk walk, truncated inputs."""
+    from polars_grouper_spark.functions import codecs
+
+    bmp = _bmp_bytes(3, 2, list(range(3 * 2 * 3)))
+    # flip to top-down (negative height) at offset 22
+    neg = bytearray(bmp)
+    struct.pack_into("<i", neg, 22, -2)
+    assert codecs.parse_bmp(bytes(neg))["height"] == 2
+
+    # odd-sized leading chunk exercises word alignment
+    wav = _wav_bytes(8000, [1, 2, 3])
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    padded = wav[:12] + extra + wav[12:]
+    padded = padded[:4] + struct.pack("<I", len(padded) - 8) + padded[8:]
+    got = codecs.parse_wav(padded)
+    assert (got["sample_rate"], got["n_frames"]) == (8000, 3)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        codecs.parse_bmp(b"BM too short")
+    with _pytest.raises(ValueError):
+        codecs.parse_wav(b"RIFF\x00\x00\x00\x00WAVE")  # no fmt chunk
