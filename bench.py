@@ -6,6 +6,12 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is forced with a cheap action (count of the result) — results
 are small aggregates by construction, so timing measures the plan, not
 driver materialization.
+
+Variance control: every query runs $SPARK_GRAFT_BENCH_REPS times
+(default 2) and reports the per-query MINIMUM — the run least polluted by
+GC pauses / compilation / OS noise, the standard steady-state estimator.
+All raw repetitions are emitted under "queries_all" so a regression can be
+distinguished from noise without re-running.
 """
 
 from __future__ import annotations
@@ -61,20 +67,27 @@ def main() -> None:
     )
     graph_association_rules(tx, min_support=0.0, min_confidence=0.0).count()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
+    raw: dict[str, list[float]] = {}
     total = 0.0
     for name in BENCH_QUERIES:
         fn = qs[name]
-        t0 = time.time()
-        try:
-            fn(spark, sf_dir).count()
-            dt = time.time() - t0
-        except Exception as e:  # noqa: BLE001
-            print(f"# {name} FAILED: {e}", file=sys.stderr)
-            dt = float("nan")
-        timings[name] = round(dt, 3)
-        total += dt if dt == dt else 0.0
+        runs: list[float] = []
+        for _ in range(reps):
+            t0 = time.time()
+            try:
+                fn(spark, sf_dir).count()
+                runs.append(round(time.time() - t0, 3))
+            except Exception as e:  # noqa: BLE001
+                print(f"# {name} FAILED: {e}", file=sys.stderr)
+                runs.append(float("nan"))
+                break
+        best = min(runs)
+        timings[name] = best
+        raw[name] = runs
+        total += best if best == best else 0.0
 
     print(
         json.dumps(
@@ -83,6 +96,9 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_all": raw,
+                "reps": reps,
+                "agg": "min",
                 "sf": sf,
             }
         )
