@@ -266,6 +266,73 @@ def q_shortest_path_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shortest_path_sp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest paths on the ~60x denser supplier-part graph (vs the 50-row
+    nations fixture), exercising BOTH scale levers: a bounded source set
+    (every 10th supplier) and max_distance=2.0 (cutoff-ball pruning — the
+    per-round state is the ball volume, not O(S*V)).  Undirected output
+    keys pairs with the lexicographically smaller name first, so with
+    'S'-prefixed sources the surviving rows are supplier-to-supplier
+    distances (2 or 4 hops through shared parts)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    edges = li.select(
+        F.concat(F.lit("S"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("P"), F.col("l_partkey")).alias("dst"),
+        ((F.col("l_quantity").cast("long") % 5 + 1) / 2.0).alias("weight"),
+    )
+    srcs = [
+        r["s"]
+        for r in li.where(F.col("l_suppkey") % 10 == 0)
+        .select(F.concat(F.lit("S"), F.col("l_suppkey")).alias("s"))
+        .distinct()
+        .collect()
+    ]
+    out = calculate_shortest_path(
+        edges, "src", "dst", "weight", directed=False, sources=srcs, max_distance=2.0
+    )
+    return out.select(
+        F.col("from").alias("src"), F.col("to").alias("dst"), "distance"
+    )
+
+
+_SP_W_EDGE_SQL = """
+SELECT concat('S', l_suppkey) AS src, concat('P', l_partkey) AS dst,
+       (CAST(l_quantity AS BIGINT) % 5 + 1) / 2.0 AS weight
+FROM lineitem
+"""
+
+
+def _shortest_path_bounded_sql(
+    edges_sql: str, src_pred: str, q_max: int, rounds: int = 6
+) -> str:
+    """Unrolled relaxation with per-round cutoff pruning — mirrors
+    calculate_shortest_path(sources=..., max_distance=q_max/1000)."""
+    parts = [
+        f"WITH e0 AS ({edges_sql})",
+        ", e AS (SELECT src AS u, dst AS v, CAST(weight * 1000.0 AS BIGINT) AS q FROM e0"
+        " UNION ALL SELECT dst, src, CAST(weight * 1000.0 AS BIGINT) FROM e0)",
+        ", em AS (SELECT u, v, min(q) AS q FROM e GROUP BY u, v)",
+        ", nodes AS (SELECT DISTINCT u AS node FROM e)",
+        f", d0 AS (SELECT node AS s, node AS n, CAST(0 AS BIGINT) AS d "
+        f"FROM nodes WHERE {src_pred})",
+    ]
+    prev = "d0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f", d{i} AS MATERIALIZED (SELECT s, n, min(d) AS d FROM ("
+            f"SELECT s, n, d FROM {prev} "
+            f"UNION ALL SELECT p.s, em.v AS n, p.d + em.q AS d "
+            f"FROM {prev} p JOIN em ON p.n = em.u WHERE p.d + em.q <= {q_max}"
+            f") GROUP BY s, n)"
+        )
+        prev = f"d{i}"
+    parts.append(
+        f" SELECT s AS src, n AS dst, d / 1000.0 AS distance FROM {prev} "
+        f"WHERE s < n AND d <= {q_max}"
+    )
+    return "\n".join(parts)
+
+
 def _shortest_path_sql(edges_sql: str, rounds: int = 6) -> str:
     parts = [
         f"WITH e0 AS ({edges_sql})",
@@ -1887,6 +1954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_sp": q_pagerank,
         "pagerank_bucketed": q_pagerank_bucketed,
         "shortest_path_nations": q_shortest_path_nations,
+        "shortest_path_sp_bounded": q_shortest_path_sp_bounded,
         "betweenness_nations": q_betweenness_nations,
         "betweenness_ring": q_betweenness_ring,
         "assoc_items": q_assoc_items,
@@ -1944,6 +2012,12 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_sp": _pagerank_sql(_SP_EDGE_SQL.replace("DISTINCT ", "")),
         "pagerank_bucketed": _pagerank_sql(_SP_EDGE_SQL.replace("DISTINCT ", "")),
         "shortest_path_nations": _shortest_path_sql(_NATION_EDGE_SQL),
+        "shortest_path_sp_bounded": _shortest_path_bounded_sql(
+            _SP_W_EDGE_SQL,
+            "node LIKE 'S%' AND CAST(substr(node, 2) AS BIGINT) % 10 = 0",
+            q_max=2000,
+            rounds=5,
+        ),
         "betweenness_nations": _BETWEENNESS_NATIONS_SQL,
         "betweenness_ring": _BETWEENNESS_RING_SQL,
         "assoc_items": _assoc_items_sql(),

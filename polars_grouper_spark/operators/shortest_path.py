@@ -44,11 +44,20 @@ def calculate_shortest_path(
     weight_col: str = "weight",
     directed: bool = False,
     sources: Sequence[str] | None = None,
+    max_distance: float | None = None,
 ) -> DataFrame:
     """Table function → ``(from string, to string, distance double)``.
 
     ``sources``: optional subset of source node names to bound the O(V²)
     output at scale; ``None`` mirrors the reference (all pairs).
+
+    ``max_distance``: optional cutoff — pairs farther apart are omitted
+    (exact for the pairs kept: any prefix of a shortest path within the
+    cutoff is itself within the cutoff, so pruning candidates above it
+    each round never loses a kept pair).  This is the second scale lever:
+    it bounds BOTH the per-round frontier and the O(S·V) distance state by
+    the cutoff-ball volume instead of the whole graph, and the round count
+    by ``max_distance / min_edge_weight``.
     Usage example mirrors ``reference/README.md:73-93``:
 
     >>> df = spark.createDataFrame(
@@ -91,13 +100,17 @@ def calculate_shortest_path(
     dist = truncate_lineage(src_nodes.select(F.col("node").alias("s"), F.col("node").alias("n"), F.lit(0).cast("long").alias("d")))
     frontier = dist
 
+    # Quantize the cutoff exactly like the weights (truncation toward zero).
+    q_max = int(max_distance * 1000.0) if max_distance is not None else None
+
     for _ in range(_MAX_ROUNDS):
         cand = (
             frontier.join(edges, frontier["n"] == edges["u"])
             .select("s", F.col("v").alias("n"), (F.col("d") + F.col("q")).alias("d"))
-            .groupBy("s", "n")
-            .agg(F.min("d").alias("d"))
         )
+        if q_max is not None:
+            cand = cand.where(F.col("d") <= F.lit(q_max))
+        cand = cand.groupBy("s", "n").agg(F.min("d").alias("d"))
         old = dist.select(
             F.col("s").alias("xs"), F.col("n").alias("xn"), F.col("d").alias("xd")
         )

@@ -72,3 +72,42 @@ def test_sources_subset(spark):
     out = calculate_shortest_path(df, directed=True, sources=["A"])
     paths = _as_dict(out)
     assert set(paths) == {("A", "B"), ("A", "C")}
+
+
+def test_max_distance_cutoff_prunes_far_pairs(spark):
+    """Pairs beyond the cutoff are omitted; pairs within it keep their
+    EXACT distance (pruning mid-loop must not lose a shorter path that
+    passes through a node at the boundary)."""
+    df = _wedges(
+        spark,
+        ["A", "A", "B", "C"],
+        ["B", "C", "C", "D"],
+        [1.0, 2.0, 1.0, 1.5],
+    )
+    full = _as_dict(calculate_shortest_path(df, directed=False))
+    cut = _as_dict(calculate_shortest_path(df, directed=False, max_distance=2.5))
+    assert cut == {k: v for k, v in full.items() if v <= 2.5}
+    assert ("A", "D") not in cut and ("B", "D") in cut
+
+
+def test_max_distance_with_sources(spark):
+    df = _wedges(
+        spark,
+        ["A", "B", "C", "D"],
+        ["B", "C", "D", "E"],
+        [1.0, 1.0, 1.0, 1.0],
+    )
+    got = _as_dict(
+        calculate_shortest_path(df, directed=True, sources=["A"], max_distance=2.0)
+    )
+    assert got == {("A", "B"): 1.0, ("A", "C"): 2.0}
+
+
+def test_max_distance_quantization_boundary(spark):
+    """Cutoff quantizes by truncation exactly like weights: a path of
+    2.0005 quantizes to 2000 and survives a cutoff of 2.0."""
+    df = _wedges(spark, ["A", "B"], ["B", "C"], [1.0, 1.0005])
+    got = _as_dict(
+        calculate_shortest_path(df, directed=True, sources=["A"], max_distance=2.0)
+    )
+    assert got[("A", "C")] == 2.0  # 1000 + 1000 (truncated) = 2000 <= 2000
