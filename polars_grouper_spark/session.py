@@ -11,11 +11,23 @@ import os
 
 from pyspark.sql import SparkSession
 
+STATE_STORE_PROVIDERS = {
+    "hdfs": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider"
+    ),
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+}
+
 
 def get_spark(
     app_name: str = "polars-grouper-spark",
     cpus: int | str | None = None,
     shuffle_partitions: int | None = None,
+    state_store: str | None = None,
 ) -> SparkSession:
     """Return the active SparkSession, or build one.
 
@@ -28,9 +40,27 @@ def get_spark(
       batches instead of pickled rows.
     - UTC session timezone: deterministic timestamp semantics vs the DuckDB
       oracle.
+    - ``state_store`` (or ``$SPARK_GRAFT_STATE_STORE``): streaming state
+      store backend — ``"hdfs"`` (default, JVM-heap maps; state must fit in
+      executor memory) or ``"rocksdb"`` (off-heap + spill-to-disk; the
+      choice for watermark-bounded state whose key cardinality is large —
+      millions of sessions/dedup keys per partition at 100 TB).  A
+      runtime-settable SQL conf: applied to an already-active session too,
+      and picked up by each subsequently *started* streaming query.
     """
+    state_store = state_store or os.environ.get("SPARK_GRAFT_STATE_STORE")
+    if state_store is not None and state_store not in STATE_STORE_PROVIDERS:
+        raise ValueError(
+            f"unknown state_store {state_store!r}; "
+            f"expected one of {sorted(STATE_STORE_PROVIDERS)}"
+        )
     active = SparkSession.getActiveSession()
     if active is not None:
+        if state_store is not None:
+            active.conf.set(
+                "spark.sql.streaming.stateStore.providerClass",
+                STATE_STORE_PROVIDERS[state_store],
+            )
         return active
 
     cpus = str(cpus or os.environ.get("SPARK_GRAFT_CPUS", "8"))
@@ -53,4 +83,9 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"),
         )
     )
+    if state_store is not None:
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            STATE_STORE_PROVIDERS[state_store],
+        )
     return builder.getOrCreate()

@@ -160,3 +160,66 @@ def test_time_rollup_validates_resolutions(spark):
         time_rollup(ev, [F.count(F.lit(1)).alias("n")], resolutions=["fortnight"])
     with _pytest.raises(ValueError):
         time_rollup(ev, [F.count(F.lit(1)).alias("n")], resolutions=[])
+
+
+def test_state_store_providers_agree_at_cardinality(spark, tmp_path):
+    """The same watermarked streaming dedup + windowed agg run under BOTH
+    state-store providers (default HDFS-backed heap maps vs RocksDB) at
+    ~20k state keys must produce identical results — the provider is a
+    storage choice, never a semantics choice.  Also exercises the
+    session-factory knob on an active session."""
+    import datetime
+
+    from polars_grouper_spark.session import STATE_STORE_PROVIDERS, get_spark
+
+    base = datetime.datetime(2024, 1, 1)
+    n = 20_000
+    ev = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        (F.lit(base) + (F.col("id") % 720) * F.expr("INTERVAL 1 MINUTE")).alias("ts"),
+        (F.col("id") % 997).alias("user_id"),
+        F.concat(F.lit("t"), F.col("id") % 5).alias("event_type"),
+        (F.col("id") % 13).cast("double").alias("value"),
+    )
+    dup = ev.union(ev.limit(5000))  # 25% duplicate keys for dedup state
+    src = str(tmp_path / "prov_src")
+    dup.coalesce(2).write.parquet(src)
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    results = {}
+    try:
+        for provider in ("hdfs", "rocksdb"):
+            got = get_spark(state_store=provider)
+            assert got is spark  # active-session path
+            assert spark.conf.get(conf_key) == STATE_STORE_PROVIDERS[provider]
+
+            stream = spark.readStream.schema(dup.schema).parquet(src)
+            deduped = st.streaming_dedup(stream, ["event_id"], watermark="2 hours")
+            agg = st.windowed_event_stats(stream, window_duration="1 hour")
+            qd = (
+                deduped.writeStream.format("memory")
+                .queryName(f"dd_{provider}")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            qa = (
+                agg.writeStream.format("memory")
+                .queryName(f"ag_{provider}")
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            )
+            qd.awaitTermination(180)
+            qa.awaitTermination(180)
+            dd = spark.table(f"dd_{provider}").count()
+            ag = sorted(
+                (r["window_start"], r["event_type"], r["n_events"], r["n_users"])
+                for r in spark.table(f"ag_{provider}").collect()
+            )
+            results[provider] = (dd, ag)
+    finally:
+        spark.conf.unset(conf_key)
+
+    assert results["hdfs"][0] == n  # duplicates dropped
+    assert results["hdfs"] == results["rocksdb"]
