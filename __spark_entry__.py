@@ -854,8 +854,18 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _doc_quality_sql() -> str:
+def _doc_quality_sql(rounded: bool = True) -> str:
+    """``rounded=False`` emits the raw double — required when the score is
+    an input to further comparison/aggregation (pipeline_prep) rather than
+    a display column, so the SQL filter sees exactly what Spark's does."""
     stop = ", ".join(f"'{w}'" for w in tx.ENGLISH_STOPWORDS)
+    score = (
+        "(least(n_tokens / 50.0, 1.0)"
+        " + (1.0 - least(punct_ratio * 4.0, 1.0))"
+        " + least(stopword_ratio * 5.0, 1.0)"
+        " + (1.0 - least(digit_ratio * 5.0, 1.0))) / 4.0"
+    )
+    final = f"round({score}, 6)" if rounded else score
     return f"""
 WITH base AS (
   SELECT doc_id AS id, text,
@@ -879,10 +889,7 @@ r AS (
   FROM s
 )
 SELECT id,
-       round((least(n_tokens / 50.0, 1.0)
-              + (1.0 - least(punct_ratio * 4.0, 1.0))
-              + least(stopword_ratio * 5.0, 1.0)
-              + (1.0 - least(digit_ratio * 5.0, 1.0))) / 4.0, 6) AS quality_score
+       {final} AS quality_score
 FROM r
 """
 
@@ -1644,6 +1651,67 @@ FROM documents
 """
 
 
+_PIPELINE_MIN_QUALITY = 0.5
+
+
+def q_pipeline_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep, composed entirely from the library's
+    own operators: language-ID gate → quality-score gate → exact-dedup
+    canonical keep → per-language document/token budget.  One narrow scan
+    feeds four shared-nothing derivations joined back on doc_id; every
+    stage is whole-stage-codegen built-ins (zero Python), and the only
+    shuffles are the dedup group-by and the doc_id joins, all AQE-sized.
+    This is the shape of a 100 TB corpus-prep job: filters push to the
+    scan, the per-language budget is a map-side-combinable aggregate."""
+    from polars_grouper_spark.functions import dedup as dd
+
+    docs = load_table(spark, "documents", sf_dir)
+    lang = tx.language_id(docs).select("doc_id", "lang_pred")
+    qual = tx.quality_score(docs).select("doc_id", "quality_score")
+    ded = dd.exact_dedup(docs).select("doc_id", "is_duplicate")
+    toks = docs.select(
+        "doc_id", tx.token_count("text").cast("long").alias("n_ws")
+    )
+    kept = (
+        lang.join(qual, "doc_id")
+        .join(ded, "doc_id")
+        .join(toks, "doc_id")
+        .where(
+            (F.col("quality_score") >= _PIPELINE_MIN_QUALITY)
+            & (~F.col("is_duplicate"))
+        )
+    )
+    return kept.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_ws").alias("total_tokens"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+    )
+
+
+def _pipeline_prep_sql() -> str:
+    return f"""
+WITH lang AS (SELECT * FROM ({_lang_id_sql()}) l),
+qual AS (SELECT * FROM ({_doc_quality_sql(rounded=False)}) q),
+ded AS (SELECT * FROM ({_DEDUP_EXACT_SQL}) d),
+tok AS (
+  SELECT doc_id AS id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE length(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS n_ws
+  FROM documents
+)
+SELECT lang.lang_pred,
+       count(*)::BIGINT AS n_docs,
+       sum(tok.n_ws)::BIGINT AS total_tokens,
+       round(avg(qual.quality_score), 6) AS avg_quality
+FROM lang
+JOIN qual USING (id)
+JOIN ded USING (id)
+JOIN tok USING (id)
+WHERE qual.quality_score >= {_PIPELINE_MIN_QUALITY} AND NOT ded.is_duplicate
+GROUP BY lang.lang_pred
+"""
+
+
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling through the multimodal plumbing:
     ``attach_fake_media`` (deterministic payload = md5(text) bytes) →
@@ -1990,6 +2058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_tiers": q_range_tiers,
         "super_merger_weighted_orders": q_super_merger_weighted_orders,
         "token_counts": q_token_counts,
+        "pipeline_prep": q_pipeline_prep,
         "media_frames": q_media_frames,
         "stream_dedup": q_stream_dedup,
         "sql_exists": q_sql_exists,
@@ -2053,6 +2122,7 @@ def oracle_sql() -> dict[str, str]:
         "range_tiers": _RANGE_TIERS_SQL,
         "super_merger_weighted_orders": _SUPER_MERGER_WEIGHTED_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,
+        "pipeline_prep": _pipeline_prep_sql(),
         "media_frames": _MEDIA_FRAMES_SQL,
         "stream_dedup": _STREAM_DEDUP_SQL,
         "sql_exists": _SQL_EXISTS_SQL,
