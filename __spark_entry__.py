@@ -269,11 +269,14 @@ def q_shortest_path_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_shortest_path_sp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shortest paths on the ~60x denser supplier-part graph (vs the 50-row
     nations fixture), exercising BOTH scale levers: a bounded source set
-    (every 10th supplier) and max_distance=2.0 (cutoff-ball pruning — the
-    per-round state is the ball volume, not O(S*V)).  Undirected output
-    keys pairs with the lexicographically smaller name first, so with
+    (every 20th supplier) and max_distance=1.0 (cutoff-ball pruning — the
+    per-round state is the ball volume, not O(S*V); with min edge weight
+    0.5 the cutoff admits at most 2 hops, so the ball stays local even on
+    this dense bipartite graph — a 2.0 cutoff admits 4-hop balls covering
+    most of the graph and benchmarked 17x slower).  Undirected output keys
+    pairs with the lexicographically smaller name first, so with
     'S'-prefixed sources the surviving rows are supplier-to-supplier
-    distances (2 or 4 hops through shared parts)."""
+    distances through shared parts."""
     li = load_table(spark, "lineitem", sf_dir)
     edges = li.select(
         F.concat(F.lit("S"), F.col("l_suppkey")).alias("src"),
@@ -282,13 +285,13 @@ def q_shortest_path_sp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     srcs = [
         r["s"]
-        for r in li.where(F.col("l_suppkey") % 10 == 0)
+        for r in li.where(F.col("l_suppkey") % 20 == 0)
         .select(F.concat(F.lit("S"), F.col("l_suppkey")).alias("s"))
         .distinct()
         .collect()
     ]
     out = calculate_shortest_path(
-        edges, "src", "dst", "weight", directed=False, sources=srcs, max_distance=2.0
+        edges, "src", "dst", "weight", directed=False, sources=srcs, max_distance=1.0
     )
     return out.select(
         F.col("from").alias("src"), F.col("to").alias("dst"), "distance"
@@ -2083,9 +2086,9 @@ def oracle_sql() -> dict[str, str]:
         "shortest_path_nations": _shortest_path_sql(_NATION_EDGE_SQL),
         "shortest_path_sp_bounded": _shortest_path_bounded_sql(
             _SP_W_EDGE_SQL,
-            "node LIKE 'S%' AND CAST(substr(node, 2) AS BIGINT) % 10 = 0",
-            q_max=2000,
-            rounds=5,
+            "node LIKE 'S%' AND CAST(substr(node, 2) AS BIGINT) % 20 = 0",
+            q_max=1000,
+            rounds=3,
         ),
         "betweenness_nations": _BETWEENNESS_NATIONS_SQL,
         "betweenness_ring": _BETWEENNESS_RING_SQL,

@@ -215,6 +215,91 @@ def probe_pagerank_bucketed(spark, meter, edges, iters: int = 5) -> dict:
     }
 
 
+def probe_shortest_path(spark, meter, edges, cutoffs: list[float]) -> dict:
+    """Relaxation cost curve: same graph, growing max_distance cutoff —
+    measures how the cutoff bounds rounds, state size and shuffle volume."""
+    from polars_grouper_spark import calculate_shortest_path
+
+    out = {"probe": "shortest_path_cutoff", "curve": []}
+    for cutoff in cutoffs:
+        t0 = time.time()
+        rd0, wr0 = meter.snapshot()
+        res = calculate_shortest_path(
+            edges, "from", "to", "weight", directed=False,
+            sources=[r["from"] for r in edges.select("from").distinct().limit(32).collect()],
+            max_distance=cutoff,
+        )
+        n_pairs = res.count()
+        rd1, wr1 = meter.snapshot()
+        out["curve"].append(
+            {
+                "max_distance": cutoff,
+                "pairs": n_pairs,
+                "wall_sec": round(time.time() - t0, 1),
+                "shuffle_write_mb": round((wr1 - wr0) / 1e6, 1),
+            }
+        )
+    return out
+
+
+def probe_streaming_state(spark, n_keys: int = 1_000_000) -> dict:
+    """Streaming dedup at 1M state keys under both providers: rows in the
+    state store + provider memory metrics from the query progress."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    from polars_grouper_spark import streaming as st
+
+    src = tempfile.mkdtemp(prefix="state_probe_")
+    base = "2024-01-01 00:00:00"
+    ev = spark.range(n_keys).select(
+        F2.col("id").alias("event_id"),
+        (F2.lit(base).cast("timestamp") + (F2.col("id") % 1440) * F2.expr("INTERVAL 1 MINUTE")).alias("ts"),
+        (F2.col("id") % 9973).alias("user_id"),
+        F2.lit("click").alias("event_type"),
+        F2.lit(1.0).alias("value"),
+    )
+    ev.coalesce(4).write.mode("overwrite").parquet(src)
+
+    results = {}
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    providers = {
+        "hdfs": "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+        "rocksdb": "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    }
+    for name, cls in providers.items():
+        spark.conf.set(conf_key, cls)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        dd = st.streaming_dedup(stream, ["event_id"], watermark="48 hours")
+        t0 = time.time()
+        q = (
+            dd.writeStream.format("memory")
+            .queryName(f"probe_{name}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        prog = q.lastProgress
+        ops = prog["stateOperators"][0] if prog and prog.get("stateOperators") else {}
+        results[name] = {
+            "wall_sec": round(time.time() - t0, 1),
+            "rows_out": spark.table(f"probe_{name}").count(),
+            "state_rows": ops.get("numRowsTotal"),
+            "state_mem_bytes": ops.get("memoryUsedBytes"),
+            "custom": {
+                k: v
+                for k, v in (ops.get("customMetrics") or {}).items()
+                if "Memory" in k or "memory" in k or "SST" in k
+            },
+        }
+    spark.conf.unset(conf_key)
+    shutil.rmtree(src, ignore_errors=True)
+    return {"probe": "streaming_state_1M_keys", "providers": results}
+
+
 def main() -> None:
     n_edges = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     path_nodes = int(sys.argv[2]) if len(sys.argv) > 2 else 5_000_000
@@ -236,6 +321,14 @@ def main() -> None:
         json.dumps(probe_pagerank_bucketed(spark, meter, pl)),
         flush=True,
     )
+    wl = pl.withColumn(
+        "weight", (F.pmod(F.xxhash64("from", "to"), F.lit(5)) + 1) / 2.0
+    )
+    print(
+        json.dumps(probe_shortest_path(spark, meter, wl, [1.0, 2.0, 3.0])),
+        flush=True,
+    )
+    print(json.dumps(probe_streaming_state(spark)), flush=True)
     spark.stop()
 
 
