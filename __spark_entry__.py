@@ -459,6 +459,20 @@ def q_betweenness_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.round("centrality", 8).alias("centrality"))
 
 
+def q_betweenness_ring_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same graph and walk-enumeration oracle, computed by the
+    no-broadcast distributed Brandes kernel (forward BFS + backward
+    dependency accumulation as key-partitioned joins — the >10^8-edge
+    regime where the exact kernel's adjacency guard trips)."""
+    from polars_grouper_spark import betweenness_centrality_distributed
+
+    edges = _ring_edges(spark, sf_dir)
+    out = betweenness_centrality_distributed(
+        edges, "src", "dst", normalized=True, directed=False
+    )
+    return out.select("node", F.round("centrality", 8).alias("centrality"))
+
+
 # Walk bound 8 > diameter (<= 2 to capital + 2 across the capital ring + 2
 # down = 6).  Undirected normalized Brandes: sum over ordered (s,t) pairs,
 # halve, then multiply by 2/((n-1)(n-2)) -> net raw/((n-1)(n-2)).
@@ -2028,6 +2042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shortest_path_sp_bounded": q_shortest_path_sp_bounded,
         "betweenness_nations": q_betweenness_nations,
         "betweenness_ring": q_betweenness_ring,
+        "betweenness_ring_dist": q_betweenness_ring_dist,
         "assoc_items": q_assoc_items,
         "assoc_top5": q_assoc_top5,
         "assoc_top5_skew": q_assoc_top5_skew,
@@ -2092,6 +2107,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "betweenness_nations": _BETWEENNESS_NATIONS_SQL,
         "betweenness_ring": _BETWEENNESS_RING_SQL,
+        "betweenness_ring_dist": _BETWEENNESS_RING_SQL,
         "assoc_items": _assoc_items_sql(),
         "assoc_top5": _assoc_top5_sql(),
         "assoc_top5_skew": _assoc_top5_sql(),

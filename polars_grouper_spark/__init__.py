@@ -42,7 +42,10 @@ from polars_grouper_spark.operators.pagerank import (
     page_rank_nodes_bucketed,
 )
 from polars_grouper_spark.operators.shortest_path import calculate_shortest_path
-from polars_grouper_spark.operators.betweenness import betweenness_centrality
+from polars_grouper_spark.operators.betweenness import (
+    betweenness_centrality,
+    betweenness_centrality_distributed,
+)
 from polars_grouper_spark.operators.association_rules import graph_association_rules
 from polars_grouper_spark.operators.asof_join import asof_join
 from polars_grouper_spark.operators.range_join import range_join
@@ -51,6 +54,7 @@ from polars_grouper_spark.session import get_spark
 __all__ = [
     "asof_join",
     "betweenness_centrality",
+    "betweenness_centrality_distributed",
     "calculate_shortest_path",
     "components",
     "connected_components",

@@ -51,6 +51,72 @@ from pyspark.sql import functions as F
 from polars_grouper_spark.plans.iteration import truncate_lineage
 
 
+def _intern(df: DataFrame, from_col: str, to_col: str, directed: bool):
+    """Shared front-end for both kernels: first-appearance interning
+    (distributed sort + zipWithIndex) and the multiplicity-compressed pair
+    table.  Returns ``(nid_map, pair_m, n)`` — ``pair_m`` is (u, v, m)
+    after undirected mirroring; everything executor-side."""
+    spark = df.sparkSession
+    edges = df.select(
+        F.col(from_col).cast("string").alias("src"),
+        F.col(to_col).cast("string").alias("dst"),
+        F.monotonically_increasing_id().alias("_i"),
+    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+
+    endpoints = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("node"), (F.col("_i") * 2).alias("seen")),
+                F.struct(F.col("dst").alias("node"), (F.col("_i") * 2 + 1).alias("seen")),
+            )
+        ).alias("x")
+    ).select("x.node", "x.seen")
+    first_seen = endpoints.groupBy("node").agg(F.min("seen").alias("seen"))
+    # localCheckpoint (not persist): pins the nondeterministic zipWithIndex
+    # assignment by cutting lineage, and its blocks are released by the
+    # ContextCleaner when the result frame is garbage-collected — repeated
+    # calls don't accumulate session-lifetime cache the way an explicit
+    # persist() without unpersist() would.
+    nid_map = truncate_lineage(
+        spark.createDataFrame(
+            first_seen.orderBy("seen").rdd.map(lambda r: r[0]).zipWithIndex(),
+            schema="node string, nid long",
+        )
+    )
+    n = nid_map.count()
+    if n == 0:
+        return nid_map, None, 0
+
+    u_map = F.broadcast(nid_map.select(F.col("node").alias("src"), F.col("nid").alias("u")))
+    v_map = F.broadcast(nid_map.select(F.col("node").alias("dst"), F.col("nid").alias("v")))
+    e_ids = edges.join(u_map, "src").join(v_map, "dst").select("u", "v")
+    if not directed:
+        e_ids = e_ids.union(e_ids.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    pair_m = e_ids.groupBy("u", "v").agg(F.count(F.lit(1)).alias("m"))
+    return nid_map, pair_m, n
+
+
+def _finalize(nid_map: DataFrame, sums: DataFrame, n: int, scale: float,
+              directed: bool, normalized: bool) -> DataFrame:
+    """Scale/halve/normalize as column expressions, sequenced exactly like
+    the reference's scalar arithmetic (same float rounding)."""
+    cent = F.coalesce(F.col("s"), F.lit(0.0)) * F.lit(scale)
+    if not directed:
+        cent = cent / F.lit(2.0)
+    if normalized:
+        nf = float(n)
+        denom = (nf - 1.0) * (nf - 2.0)
+        # n <= 2 divides by zero in the reference too (inf/nan mirrored).
+        norm = (1.0 if directed else 2.0) / denom if denom != 0.0 else float("inf")
+        cent = cent * F.lit(norm)
+    return (
+        nid_map.join(sums, "nid", "left")
+        .withColumn("centrality", cent.cast("double"))
+        .orderBy("nid")
+        .select("node", "centrality")
+    )
+
+
 def betweenness_centrality(
     df: DataFrame,
     from_col: str = "from",
@@ -81,49 +147,10 @@ def betweenness_centrality(
     executor memory to match (~50 bytes per pair).
     """
     spark = df.sparkSession
-
-    edges = df.select(
-        F.col(from_col).cast("string").alias("src"),
-        F.col(to_col).cast("string").alias("dst"),
-        F.monotonically_increasing_id().alias("_i"),
-    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
-
-    # Intern: first-appearance nid, dense for the array-indexed kernel.
-    # Distributed sort + zipWithIndex (per-partition counts + offsets) —
-    # no driver-side node list, no single-task row_number window.
-    endpoints = edges.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("src").alias("node"), (F.col("_i") * 2).alias("seen")),
-                F.struct(F.col("dst").alias("node"), (F.col("_i") * 2 + 1).alias("seen")),
-            )
-        ).alias("x")
-    ).select("x.node", "x.seen")
-    first_seen = endpoints.groupBy("node").agg(F.min("seen").alias("seen"))
-    # localCheckpoint (not persist): pins the nondeterministic zipWithIndex
-    # assignment by cutting lineage, and its blocks are released by the
-    # ContextCleaner when the result frame is garbage-collected — repeated
-    # calls don't accumulate session-lifetime cache the way an explicit
-    # persist() without unpersist() would.
-    nid_map = truncate_lineage(
-        spark.createDataFrame(
-            first_seen.orderBy("seen").rdd.map(lambda r: r[0]).zipWithIndex(),
-            schema="node string, nid long",
-        )
-    )
-    n = nid_map.count()
+    nid_map, pair_m, n = _intern(df, from_col, to_col, directed)
     empty_schema = "node string, centrality double"
     if n == 0:
         return spark.createDataFrame([], schema=empty_schema)
-
-    # Edge→id conversion and multiplicity compression, executor-side.  The
-    # nid map fits wherever the broadcast adjacency fits, so hint it.
-    u_map = F.broadcast(nid_map.select(F.col("node").alias("src"), F.col("nid").alias("u")))
-    v_map = F.broadcast(nid_map.select(F.col("node").alias("dst"), F.col("nid").alias("v")))
-    e_ids = edges.join(u_map, "src").join(v_map, "dst").select("u", "v")
-    if not directed:
-        e_ids = e_ids.union(e_ids.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    pair_m = e_ids.groupBy("u", "v").agg(F.count(F.lit(1)).alias("m"))
 
     n_pairs = pair_m.count()
     if n_pairs > max_broadcast_edges:
@@ -133,8 +160,10 @@ def betweenness_centrality(
             f"above max_broadcast_edges={max_broadcast_edges:,}. The Brandes "
             "kernel broadcasts the full adjacency to every executor; a graph "
             "this dense would exhaust driver/executor memory regardless of "
-            "source sampling. Reduce the graph (e.g. filter low-weight edges) "
-            "or raise max_broadcast_edges if memory allows (~50 bytes/pair)."
+            "source sampling. Use betweenness_centrality_distributed (no "
+            "driver/broadcast adjacency, O(diameter) rounds), reduce the "
+            "graph, or raise max_broadcast_edges if memory allows "
+            "(~50 bytes/pair)."
         )
 
     # Compact adjacency: ONE row per node with its neighbor list — the only
@@ -217,22 +246,128 @@ def betweenness_centrality(
 
     partials = src_df.groupBy("chunk").applyInPandas(brandes_chunk, "nid long, delta double")
     sums = partials.groupBy("nid").agg(F.sum("delta").alias("s"))
+    return _finalize(nid_map, sums, n, scale, directed, normalized)
 
-    # Scale/halve/normalize as column expressions, sequenced exactly like
-    # the reference's scalar arithmetic (same float rounding).
-    cent = F.coalesce(F.col("s"), F.lit(0.0)) * F.lit(scale)
-    if not directed:
-        cent = cent / F.lit(2.0)
-    if normalized:
-        nf = float(n)
-        denom = (nf - 1.0) * (nf - 2.0)
-        # n <= 2 divides by zero in the reference too (inf/nan mirrored).
-        norm = (1.0 if directed else 2.0) / denom if denom != 0.0 else float("inf")
-        cent = cent * F.lit(norm)
 
-    return (
-        nid_map.join(sums, "nid", "left")
-        .withColumn("centrality", cent.cast("double"))
-        .orderBy("nid")
-        .select("node", "centrality")
+def betweenness_centrality_distributed(
+    df: DataFrame,
+    from_col: str = "from",
+    to_col: str = "to",
+    normalized: bool = True,
+    directed: bool = False,
+    sample_sources: int | None = None,
+    max_depth: int = 128,
+) -> DataFrame:
+    """Brandes betweenness with NO driver-side or broadcast adjacency —
+    the >10^8-edge regime the exact kernel's ``max_broadcast_edges`` guard
+    points at.
+
+    Both Brandes passes run as key-partitioned DataFrame joins over the
+    multiplicity-compressed pair table, all sources advancing
+    simultaneously (the same all-sources-at-once trick as
+    ``calculate_shortest_path``):
+
+    - forward: level-synchronous BFS — per round, frontier ⋈ edges, path
+      counts combine map-side (``sigma[w] += m * sigma[v]`` summed over
+      parallel discoverers), anti-join against the visited set keeps only
+      newly reached (source, node) pairs.  Rounds = eccentricity ≤ diameter.
+    - backward: dependency accumulation level by level descending —
+      ``delta[v] = Σ_succ m · sigma[v]/sigma[w] · (1 + delta[w])`` is a
+      join of the level-d node set with the (already final) level-d+1
+      deltas, again map-side-combinable.  Rounds = same depth count.
+
+    State is O(S·V) rows partitioned on the node key (S = sampled source
+    count); nothing graph-sized touches the driver.  Sigma counts are
+    spark ``long``: graphs with > 2^63 shortest paths between a pair will
+    overflow where the in-memory kernel's Python bignums do not —
+    documented deviation, irrelevant below astronomic path counts.
+
+    Same output contract and arithmetic as :func:`betweenness_centrality`
+    (first-appearance order, duplicate-edge multiplicities, undirected
+    halving, whole-graph n normalization); ``sample_sources=k`` gives the
+    Brandes–Pich n/k-scaled estimate.  Result parity with the exact
+    kernel is asserted in ``tests/test_betweenness.py``.
+    """
+    spark = df.sparkSession
+    nid_map, pair_m, n = _intern(df, from_col, to_col, directed)
+    if n == 0:
+        return spark.createDataFrame([], schema="node string, centrality double")
+    edges = truncate_lineage(pair_m)
+
+    if sample_sources is not None and sample_sources < n:
+        import random
+
+        rng = random.Random(42)
+        ids = rng.sample(range(n), sample_sources)
+        scale = n / float(sample_sources)
+        src = spark.createDataFrame([(s,) for s in ids], schema="s long")
+    else:
+        scale = 1.0
+        src = spark.range(n).select(F.col("id").alias("s"))
+
+    # ---- forward pass: visited (s, v, dist, sigma) --------------------
+    frontier = truncate_lineage(
+        src.select("s", F.col("s").alias("v"), F.lit(1).cast("long").alias("sigma"))
     )
+    visited = frontier.select("s", "v", F.lit(0).alias("dist"), "sigma")
+    levels = [frontier]  # per-depth (s, v, sigma) — reused by the backward pass
+    depth = 0
+    while depth < max_depth:
+        cand = (
+            frontier.join(edges, frontier["v"] == edges["u"])
+            .select("s", edges["v"].alias("v"), (F.col("sigma") * F.col("m")).alias("c"))
+            .groupBy("s", "v")
+            .agg(F.sum("c").alias("sigma"))
+        )
+        new = truncate_lineage(
+            cand.join(visited.select("s", "v"), ["s", "v"], "left_anti")
+        )  # eager: pins the round; both visited and levels re-read it
+        if new.isEmpty():
+            break
+        depth += 1
+        visited = truncate_lineage(
+            visited.unionByName(new.select("s", "v", F.lit(depth).alias("dist"), "sigma"))
+        )
+        levels.append(new)
+        frontier = new
+
+    # ---- backward pass: delta per (s, v), deepest level first ---------
+    # Successor relation: (s, v) -> (s, w) along edge (v, w, m) with
+    # dist(s, w) == dist(s, v) + 1; levels[] already partitions visited by
+    # depth, so each round joins exactly the two adjacent levels.
+    sums = None
+    delta_next = None  # (s, v, delta) for level d+1
+    for d in range(depth - 1, -1, -1):
+        nxt = levels[d + 1].select(
+            "s", F.col("v").alias("w"), F.col("sigma").alias("sigma_w")
+        )
+        if delta_next is not None:
+            nxt = nxt.join(
+                delta_next.select("s", F.col("v").alias("w"), "delta"),
+                ["s", "w"],
+                "left",
+            )
+        else:
+            nxt = nxt.withColumn("delta", F.lit(None).cast("double"))
+        nxt = nxt.select(
+            "s", "w",
+            ((1.0 + F.coalesce(F.col("delta"), F.lit(0.0))) / F.col("sigma_w")).alias("coeff"),
+        )
+        cur = levels[d].select("s", "v", "sigma")
+        delta_cur = (
+            cur.join(edges, cur["v"] == edges["u"])
+            .select("s", cur["v"].alias("v"), "sigma", edges["v"].alias("w"), "m")
+            .join(nxt, ["s", "w"])
+            .select("s", "v", (F.col("m") * F.col("sigma") * F.col("coeff")).alias("part"))
+            .groupBy("s", "v")
+            .agg(F.sum("part").alias("delta"))
+        )
+        delta_cur = truncate_lineage(delta_cur)
+        contrib = delta_cur.where(F.col("v") != F.col("s"))
+        sums = contrib if sums is None else sums.unionByName(contrib)
+        delta_next = delta_cur
+
+    if sums is None:
+        sums = spark.createDataFrame([], schema="s long, v long, delta double")
+    totals = sums.groupBy("v").agg(F.sum("delta").alias("s")).withColumnRenamed("v", "nid")
+    return _finalize(nid_map, totals, n, scale, directed, normalized)

@@ -118,3 +118,63 @@ def test_explicit_sample_sources_does_not_warn(spark):
     with _w.catch_warnings():
         _w.simplefilter("error")
         betweenness_centrality(df, sample_sources=2).collect()
+
+
+# --- distributed (no-broadcast) kernel parity -----------------------------
+
+def _parity(spark, frm, to, **kw):
+    from polars_grouper_spark import betweenness_centrality_distributed
+
+    df = _edges(spark, frm, to)
+    exact = _scores(betweenness_centrality(df, **kw))
+    dist = _scores(betweenness_centrality_distributed(df, **kw))
+    assert exact.keys() == dist.keys()
+    for k in exact:
+        assert math.isclose(exact[k], dist[k], rel_tol=1e-9, abs_tol=1e-12), (
+            k, exact[k], dist[k])
+
+
+def test_distributed_parity_line(spark):
+    _parity(spark, ["A", "B", "C"], ["B", "C", "D"])
+
+
+def test_distributed_parity_star_directed(spark):
+    _parity(spark, ["C", "C", "C"], ["A", "B", "D"], directed=True)
+
+
+def test_distributed_parity_disconnected_unnormalized(spark):
+    _parity(spark, ["A", "B", "D"], ["B", "C", "E"], normalized=False)
+
+
+def test_distributed_parity_duplicate_edges(spark):
+    # duplicate A-B edge: multiplicities must multiply path counts in the
+    # joins exactly as in the in-memory kernel
+    _parity(
+        spark,
+        ["A", "A", "B", "A", "D"],
+        ["B", "B", "C", "D", "C"],
+        normalized=False,
+    )
+
+
+def test_distributed_parity_cycle_with_chords(spark):
+    n = 8
+    frm = [f"n{i}" for i in range(n)] + ["n0", "n2"]
+    to = [f"n{(i + 1) % n}" for i in range(n)] + ["n4", "n6"]
+    _parity(spark, frm, to)
+
+
+def test_distributed_first_appearance_order(spark):
+    from polars_grouper_spark import betweenness_centrality_distributed
+
+    df = _edges(spark, ["Z", "A"], ["A", "M"])
+    nodes = [r["node"] for r in betweenness_centrality_distributed(df).collect()]
+    assert nodes == ["Z", "A", "M"]
+
+
+def test_distributed_sampling_runs(spark):
+    from polars_grouper_spark import betweenness_centrality_distributed
+
+    df = _edges(spark, ["A", "B", "C"], ["B", "C", "D"])
+    out = _scores(betweenness_centrality_distributed(df, sample_sources=2))
+    assert len(out) == 4
