@@ -178,3 +178,23 @@ def test_distributed_sampling_runs(spark):
     df = _edges(spark, ["A", "B", "C"], ["B", "C", "D"])
     out = _scores(betweenness_centrality_distributed(df, sample_sources=2))
     assert len(out) == 4
+
+
+def test_distributed_sampled_parity_with_exact(spark):
+    """Both kernels draw sources with the same seeded sampler over the
+    same interning, so even APPROXIMATE runs must agree exactly."""
+    from polars_grouper_spark import betweenness_centrality_distributed
+
+    n = 10
+    frm = [f"n{i}" for i in range(n)] + ["n1", "n3"]
+    to = [f"n{(i + 1) % n}" for i in range(n)] + ["n5", "n8"]
+    df = _edges(spark, frm, to)
+    exact = _scores(
+        betweenness_centrality(df, normalized=False, sample_sources=4)
+    )
+    dist = _scores(
+        betweenness_centrality_distributed(df, normalized=False, sample_sources=4)
+    )
+    assert exact.keys() == dist.keys()
+    for k in exact:
+        assert math.isclose(exact[k], dist[k], rel_tol=1e-9, abs_tol=1e-12)
