@@ -319,9 +319,13 @@ def betweenness_centrality_distributed(
             .groupBy("s", "v")
             .agg(F.sum("c").alias("sigma"))
         )
+        # Lazy checkpoint: the isEmpty probe starts materializing the round
+        # (remaining partitions complete when visited/levels consume them)
+        # — one job per round, as in calculate_shortest_path.
         new = truncate_lineage(
-            cand.join(visited.select("s", "v"), ["s", "v"], "left_anti")
-        )  # eager: pins the round; both visited and levels re-read it
+            cand.join(visited.select("s", "v"), ["s", "v"], "left_anti"),
+            cache=False,
+        )
         if new.isEmpty():
             break
         depth += 1
@@ -362,7 +366,9 @@ def betweenness_centrality_distributed(
             .groupBy("s", "v")
             .agg(F.sum("part").alias("delta"))
         )
-        delta_cur = truncate_lineage(delta_cur)
+        # Lazy: both consumers (the final sum and the next level's join)
+        # share the same checkpoint blocks, computed once on first use.
+        delta_cur = truncate_lineage(delta_cur, cache=False)
         contrib = delta_cur.where(F.col("v") != F.col("s"))
         sums = contrib if sums is None else sums.unionByName(contrib)
         delta_next = delta_cur
