@@ -135,3 +135,65 @@ def test_pagerank_mass_conservation(spark, edges):
     n = len(scores)
     assert all(s >= 0.15 / n - 1e-12 for s in scores.values())
     assert sum(scores.values()) <= 1.0 + 1e-9
+
+
+@given(edges=EDGES, directed=st.booleans())
+@_SETTINGS
+def test_distributed_betweenness_matches_exact(spark, edges, directed):
+    """Random multigraphs (cycles, self-loops, duplicate edges): the
+    join-based distributed Brandes must equal the in-memory kernel."""
+    import math
+
+    from polars_grouper_spark import (
+        betweenness_centrality,
+        betweenness_centrality_distributed,
+    )
+
+    df = _df(spark, edges)
+    exact = {
+        r["node"]: r["centrality"]
+        for r in betweenness_centrality(
+            df, normalized=False, directed=directed
+        ).collect()
+    }
+    dist = {
+        r["node"]: r["centrality"]
+        for r in betweenness_centrality_distributed(
+            df, normalized=False, directed=directed
+        ).collect()
+    }
+    assert exact.keys() == dist.keys()
+    for k in exact:
+        assert math.isclose(exact[k], dist[k], rel_tol=1e-9, abs_tol=1e-12), (
+            k, exact[k], dist[k], edges)
+
+
+@given(
+    wedges=st.lists(
+        st.tuples(NODE, NODE, st.floats(min_value=0.1, max_value=3.0)),
+        min_size=1,
+        max_size=12,
+    ),
+    cutoff=st.floats(min_value=0.5, max_value=4.0),
+)
+@_SETTINGS
+def test_max_distance_equals_posthoc_filter(spark, wedges, cutoff):
+    """max_distance pruning must equal filtering the full all-pairs result
+    — mid-loop pruning never loses a within-cutoff pair (prefix property),
+    including at quantization boundaries."""
+    df = spark.createDataFrame(
+        [(str(a), str(b), float(w)) for a, b, w in wedges],
+        schema="`from` string, `to` string, weight double",
+    ).coalesce(1)
+    full = {
+        (r["from"], r["to"]): r["distance"]
+        for r in calculate_shortest_path(df, directed=False).collect()
+    }
+    cut = {
+        (r["from"], r["to"]): r["distance"]
+        for r in calculate_shortest_path(
+            df, directed=False, max_distance=cutoff
+        ).collect()
+    }
+    q = int(cutoff * 1000.0) / 1000.0
+    assert cut == {k: v for k, v in full.items() if v <= q}
