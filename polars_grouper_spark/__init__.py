@@ -17,7 +17,11 @@ Public surface (reference parity — ``polars_grouper/__init__.py``):
   reference's dangling-mass leak.
 - :func:`calculate_shortest_path` — all-pairs weighted shortest paths with
   x1000 integer weight quantization.
-- :func:`betweenness_centrality` — Brandes, parallel over sources.
+- :func:`betweenness_centrality` — Brandes, parallel over sources
+  (broadcast adjacency, ``max_broadcast_edges``-guarded);
+  :func:`betweenness_centrality_distributed` — both Brandes passes as
+  key-partitioned joins, no broadcast adjacency, for graphs past the
+  broadcast regime.
 - :func:`graph_association_rules` — pairwise co-occurrence rule mining.
 
 Beyond the reference surface (100 TB training-data pipeline ops):
