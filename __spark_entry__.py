@@ -1672,30 +1672,31 @@ _PIPELINE_MIN_QUALITY = 0.5
 
 
 def q_pipeline_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end training-data prep, composed entirely from the library's
-    own operators: language-ID gate → quality-score gate → exact-dedup
-    canonical keep → per-language document/token budget.  One narrow scan
-    feeds four shared-nothing derivations joined back on doc_id; every
-    stage is whole-stage-codegen built-ins (zero Python), and the only
-    shuffles are the dedup group-by and the doc_id joins, all AQE-sized.
-    This is the shape of a 100 TB corpus-prep job: filters push to the
-    scan, the per-language budget is a map-side-combinable aggregate."""
-    from polars_grouper_spark.functions import dedup as dd
-
+    """End-to-end training-data prep, composed from the library's own
+    operators: language-ID gate → quality-score gate → exact-dedup
+    canonical keep → per-language document/token budget.  All row-local
+    derivations (lang, quality, token count) come from ONE corpus scan via
+    ``functions.text.enrich_documents``, which also passes the text
+    through so the dedup group table joins on content WITHOUT a third
+    scan (joining the individual operators would re-scan the corpus per
+    derivation — plan-asserted exactly 2 scans in tests/test_text.py).
+    Every stage is whole-stage-codegen built-ins (zero Python); the only
+    shuffles are the dedup group-by, one content join, and the final
+    map-side-combinable per-language aggregate — the shape of a 100 TB
+    corpus-prep job."""
     docs = load_table(spark, "documents", sf_dir)
-    lang = tx.language_id(docs).select("doc_id", "lang_pred")
-    qual = tx.quality_score(docs).select("doc_id", "quality_score")
-    ded = dd.exact_dedup(docs).select("doc_id", "is_duplicate")
-    toks = docs.select(
-        "doc_id", tx.token_count("text").cast("long").alias("n_ws")
+    enriched = tx.enrich_documents(docs, keep_cols=("text",)).select(
+        "doc_id", "text", "lang_pred", "quality_score",
+        F.col("n_ws_tokens").alias("n_ws"),
     )
+    # content → canonical id (exact_dedup's group table, inlined so the
+    # probe side is the enriched frame instead of a fresh corpus scan)
+    groups = docs.groupBy("text").agg(F.min("doc_id").alias("canonical_id"))
     kept = (
-        lang.join(qual, "doc_id")
-        .join(ded, "doc_id")
-        .join(toks, "doc_id")
+        enriched.join(groups, "text")
         .where(
             (F.col("quality_score") >= _PIPELINE_MIN_QUALITY)
-            & (~F.col("is_duplicate"))
+            & (F.col("doc_id") == F.col("canonical_id"))
         )
     )
     return kept.groupBy("lang_pred").agg(

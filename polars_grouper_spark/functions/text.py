@@ -153,6 +153,86 @@ def language_id(
     )
 
 
+def enrich_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: "tuple[str, ...]" = (),
+) -> DataFrame:
+    """All row-local text derivations fused into ONE scan → one projection
+    chain: ``(id, lang_pred, lang_hits, quality_score, n_ws_tokens,
+    n_bpe_tokens, *keep_cols)``.
+
+    ``keep_cols`` passes source columns through (e.g. the text itself for
+    a downstream content-keyed dedup join) so consumers don't re-scan the
+    corpus just to rejoin columns the enrichment already read.
+
+    Joining :func:`language_id` + :func:`quality_score` + token counts
+    reads the corpus once PER DERIVATION (Catalyst does not deduplicate
+    scans across join branches); at 100 TB those extra passes dominate the
+    job.  This fusion computes the identical per-row expressions (same
+    arithmetic, same order — equality with the composed form is
+    test-asserted) over a single staged tokenization, so the whole
+    enrichment is one parquet pass inside whole-stage codegen.
+    """
+    t = F.col(text_col)
+    stop_en = F.array(*[F.lit(w) for w in ENGLISH_STOPWORDS])
+    extra = [c for c in keep_cols if c not in (id_col, text_col)]
+    # Stage the multi-referenced non-cheap expressions (see text_stats).
+    staged = df.select(
+        F.col(id_col),
+        t,
+        *[F.col(c) for c in extra],
+        F.length(t).cast("long").alias("n_chars"),
+        tokens(t).alias("_toks"),
+    )
+    staged = staged.select("*", F.transform("_toks", F.lower).alias("_ltoks"))
+
+    nc = F.col("n_chars")
+    nt = F.size("_toks").cast("long")
+    n_stop = F.size(F.filter(F.col("_ltoks"), lambda x: F.array_contains(stop_en, x)))
+
+    def class_ratio(pattern: str) -> Column:
+        removed = F.length(F.regexp_replace(t, pattern, ""))
+        return F.when(nc > 0, (nc - removed) / nc).otherwise(F.lit(0.0))
+
+    punct_ratio = class_ratio(r"[\p{Punct}]")
+    digit_ratio = class_ratio(r"[0-9]")
+    stopword_ratio = F.when(nt > 0, n_stop / nt).otherwise(F.lit(0.0))
+    length_term = F.least(nt / 50.0, F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio * 4.0, F.lit(1.0))
+    stop_term = F.least(stopword_ratio * 5.0, F.lit(1.0))
+    digit_term = F.lit(1.0) - F.least(digit_ratio * 5.0, F.lit(1.0))
+    quality = (length_term + punct_term + stop_term + digit_term) / 4.0
+
+    scores = []
+    for lang in sorted(LANG_STOPWORDS):
+        stop_lit = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+        hits = F.size(
+            F.filter(F.col("_ltoks"), (lambda s: lambda x: F.array_contains(s, x))(stop_lit))
+        )
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct((-s["hits"]).alias("neg"), s["lang"].alias("lang"), s["hits"].alias("hits"))
+                for s in scores
+            ]
+        )
+    )
+
+    passthrough = [F.col(c) for c in keep_cols if c != id_col]
+    return staged.select(
+        F.col(id_col),
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
+        best["hits"].cast("long").alias("lang_hits"),
+        quality.alias("quality_score"),
+        nt.alias("n_ws_tokens"),
+        bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        *passthrough,
+    )
+
+
 def fingerprint(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

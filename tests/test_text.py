@@ -54,3 +54,47 @@ def test_token_counts(spark):
     assert out[0][0] == 13
     assert out[0][1] >= out[0][0]  # sub-word splits >= whitespace tokens
     assert out[3] == (0, 0)
+
+
+def test_enrich_documents_matches_composed_operators(spark):
+    """The fused one-scan enrichment must equal joining language_id +
+    quality_score + token counts EXACTLY (same expressions, same float
+    arithmetic), and its plan must read the corpus once."""
+    from polars_grouper_spark.functions import text as tx
+    from polars_grouper_spark.sources import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    fused = {r["doc_id"]: r for r in tx.enrich_documents(docs).collect()}
+
+    lang = {r["doc_id"]: r for r in tx.language_id(docs).collect()}
+    qual = {r["doc_id"]: r for r in tx.quality_score(docs).collect()}
+    toks = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            tx.token_count("text").cast("long").alias("ws"),
+            tx.bpe_ish_token_count("text").cast("long").alias("bpe"),
+        ).collect()
+    }
+    assert fused.keys() == lang.keys()
+    for k, f in fused.items():
+        assert f["lang_pred"] == lang[k]["lang_pred"]
+        assert f["lang_hits"] == lang[k]["lang_hits"]
+        assert f["quality_score"] == qual[k]["quality_score"]  # bit-exact
+        assert f["n_ws_tokens"] == toks[k]["ws"]
+        assert f["n_bpe_tokens"] == toks[k]["bpe"]
+
+    plan = tx.enrich_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+
+
+def test_pipeline_prep_reads_corpus_at_most_twice(spark):
+    """The composed prep query: enrichment scan + dedup group scan,
+    nothing more (the naive operator-join version scans documents four
+    times)."""
+    import __spark_entry__ as entry_mod
+
+    out = entry_mod.q_pipeline_prep(spark, "/root/testdata/sf0.001")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 2
+    assert out.count() >= 1
