@@ -94,6 +94,23 @@ def _deterministic_planes(n_planes: int, dim: int, seed: str = "lsh") -> list[li
     return planes
 
 
+def _bucket_col(df: DataFrame, vec_col: str, n_planes: int, seed: str):
+    """Sign-bit LSH bucket as a COLUMN over ``vec_col`` — a pure row-local
+    expression, so callers fold it into their own projection instead of
+    joining a separate (id, bucket) frame back (which would re-scan the
+    source: Catalyst does not deduplicate scans across join branches)."""
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(first["d"]) if first else 0
+    planes = _deterministic_planes(n_planes, dim, seed)
+    bucket = F.lit(0).cast("long")
+    v = F.col(vec_col)
+    for p, plane in enumerate(planes):
+        plane_arr = F.array(*[F.lit(x) for x in plane])
+        bit = (_dot(v, plane_arr) > 0).cast("long")
+        bucket = bucket + F.shiftleft(bit, p)
+    return bucket
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -107,17 +124,10 @@ def hyperplane_lsh_buckets(
     bucket = Σ_p (dot(v, plane_p) > 0) << p.  Planes are md5-derived
     literals folded into the plan (no broadcast bookkeeping needed).
     """
-    if dim is None:
-        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-        dim = int(first["d"]) if first else 0
-    planes = _deterministic_planes(n_planes, dim, seed)
-    bucket = F.lit(0).cast("long")
-    v = F.col(vec_col)
-    for p, plane in enumerate(planes):
-        plane_arr = F.array(*[F.lit(x) for x in plane])
-        bit = (_dot(v, plane_arr) > 0).cast("long")
-        bucket = bucket + F.shiftleft(bit, p)
-    return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
+    return df.select(
+        F.col(id_col).alias("id"),
+        _bucket_col(df, vec_col, n_planes, seed).alias("bucket"),
+    )
 
 
 def lsh_topk(
@@ -130,19 +140,22 @@ def lsh_topk(
     seed: str = "lsh",
 ) -> DataFrame:
     """Approximate cosine top-k within LSH buckets → same schema as
-    :func:`cosine_topk` (may return < k rows per query; recall < 1)."""
-    cb = hyperplane_lsh_buckets(corpus, id_col, vec_col, n_planes, seed=seed)
-    qb = hyperplane_lsh_buckets(queries, id_col, vec_col, n_planes, seed=seed)
+    :func:`cosine_topk` (may return < k rows per query; recall < 1).
+
+    Bucket, norm and vector are ONE projection per side — one scan each,
+    not a per-derivation scan joined back on id."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         _norm(F.col(vec_col)).alias("cn"),
-    ).join(cb.select(F.col("id").alias("neighbor_id"), "bucket"), "neighbor_id")
+        _bucket_col(corpus, vec_col, n_planes, seed).alias("bucket"),
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         _norm(F.col(vec_col)).alias("qn"),
-    ).join(qb.select(F.col("id").alias("query_id"), "bucket"), "query_id")
+        _bucket_col(queries, vec_col, n_planes, seed).alias("bucket"),
+    )
     joined = c.join(q, "bucket").where(F.col("query_id") != F.col("neighbor_id"))
     scored = joined.select(
         "query_id",
@@ -181,8 +194,14 @@ def embedding_near_dup(
         b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
         cand = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     else:
-        bk = hyperplane_lsh_buckets(df, id_col, vec_col, n_planes, seed=seed)
-        withb = base.join(bk, "id")
+        # bucket folded into the same projection as vector+norm: the
+        # self-join reads the table twice total, not twice per derivation
+        withb = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            _norm(F.col(vec_col)).alias("nrm"),
+            _bucket_col(df, vec_col, n_planes, seed).alias("bucket"),
+        )
         a = withb.select(
             F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "bucket"
         )
