@@ -100,3 +100,29 @@ def test_embedding_near_dup_lsh_subset_of_exact(spark):
     got = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
     # LSH candidates are a subset of exact pairs; every reported cosine is real
     assert got <= exact
+
+
+def test_lsh_paths_scan_each_side_once(spark):
+    """Bucket/norm/vector are one projection per side: the LSH top-k plan
+    reads the embeddings table once per join side (2 total), not once per
+    derivation (the join-back form read it 4x)."""
+    import re
+
+    from polars_grouper_spark.functions.similarity import (
+        embedding_near_dup,
+        lsh_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.limit(4)
+    topk_plan = (
+        lsh_topk(emb, queries, k=3)._jdf.queryExecution().executedPlan().toString()
+    )
+    dup_plan = (
+        embedding_near_dup(emb, threshold=0.9)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"Scan parquet[^\n]*embeddings", topk_plan)) == 2
+    assert len(re.findall(r"Scan parquet[^\n]*embeddings", dup_plan)) == 2
