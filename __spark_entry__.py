@@ -786,6 +786,59 @@ FROM est WHERE est_jaccard >= 0.5
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERING — the step after pair detection in a real
+    corpus-dedup job: MinHash-LSH pairs become edges, connected components
+    group transitive near-dups, the cluster label is the minimum member
+    (the canonical document to keep).  Composes ``functions.dedup`` with
+    ``operators.connected_components``; only documents appearing in some
+    pair are clustered (singletons need no dedup decision).  All shuffles
+    are equality-keyed; the star loop runs on the pair graph, which is
+    tiny relative to the corpus."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = dd.minhash_lsh_pairs(
+        docs,
+        num_hashes=_MH_HASHES,
+        bands=_MH_BANDS,
+        shingle_n=_SHINGLE_N,
+        threshold=0.5,
+    )
+    edges = pairs.select(
+        F.col("id_a").cast("string").alias("from"),
+        F.col("id_b").cast("string").alias("to"),
+    )
+    comp = components(edges)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "component").select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster"),
+        "cluster_size",
+    )
+
+
+def _dedup_clusters_sql() -> str:
+    # String node ids in the Spark path -> VARCHAR here, so least()/min()
+    # compare lexicographically in both engines identically.  Casting the
+    # final columns back to BIGINT matches the Spark output schema.
+    edges = (
+        "SELECT CAST(id_a AS VARCHAR) AS src, CAST(id_b AS VARCHAR) AS dst "
+        f"FROM ({_dedup_minhash_sql()}) mh"
+    )
+    cc = _cc_label_sql(edges, rounds=8)
+    cc_inner = (
+        cc.replace("WITH e AS MATERIALIZED", "SELECT * FROM (WITH e AS MATERIALIZED", 1)
+        + ") ccx"
+    )
+    return f"""
+WITH cc AS ({cc_inner}),
+sz AS (SELECT comp_label, count(*) AS cluster_size FROM cc GROUP BY comp_label)
+SELECT CAST(cc.node AS BIGINT) AS doc_id,
+       CAST(cc.comp_label AS BIGINT) AS cluster,
+       sz.cluster_size
+FROM cc JOIN sz USING (comp_label)
+"""
+
+
 _SIMHASH_BITS = 32
 
 
@@ -2078,6 +2131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "super_merger_weighted_orders": q_super_merger_weighted_orders,
         "token_counts": q_token_counts,
         "pipeline_prep": q_pipeline_prep,
+        "dedup_clusters": q_dedup_clusters,
         "media_frames": q_media_frames,
         "stream_dedup": q_stream_dedup,
         "sql_exists": q_sql_exists,
@@ -2143,6 +2197,7 @@ def oracle_sql() -> dict[str, str]:
         "super_merger_weighted_orders": _SUPER_MERGER_WEIGHTED_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,
         "pipeline_prep": _pipeline_prep_sql(),
+        "dedup_clusters": _dedup_clusters_sql(),
         "media_frames": _MEDIA_FRAMES_SQL,
         "stream_dedup": _STREAM_DEDUP_SQL,
         "sql_exists": _SQL_EXISTS_SQL,
