@@ -130,6 +130,21 @@ def hyperplane_lsh_buckets(
     )
 
 
+def _cap_buckets(side: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    """Drop rows of overfull LSH buckets.  A hot bucket (near-identical
+    mass, zero vectors, a degenerate hyperplane region) makes the bucket
+    equality join quadratic IN THAT BUCKET — the same failure mode
+    ``max_shingle_df`` guards in the Jaccard path.  Capping trades recall
+    against those (usually degenerate) members for a hard bound on
+    per-bucket join fan-out; ``None`` keeps every bucket."""
+    if max_bucket_size is None:
+        return side
+    counts = side.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
+    return (
+        side.join(F.broadcast(counts.where(F.col("_bn") > max_bucket_size)), "bucket", "left_anti")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -138,17 +153,22 @@ def lsh_topk(
     k: int = 10,
     n_planes: int = 8,
     seed: str = "lsh",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k within LSH buckets → same schema as
     :func:`cosine_topk` (may return < k rows per query; recall < 1).
 
     Bucket, norm and vector are ONE projection per side — one scan each,
-    not a per-derivation scan joined back on id."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        _norm(F.col(vec_col)).alias("cn"),
-        _bucket_col(corpus, vec_col, n_planes, seed).alias("bucket"),
+    not a per-derivation scan joined back on id.  ``max_bucket_size``
+    drops the corpus side of overfull buckets (see :func:`_cap_buckets`)."""
+    c = _cap_buckets(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            _norm(F.col(vec_col)).alias("cn"),
+            _bucket_col(corpus, vec_col, n_planes, seed).alias("bucket"),
+        ),
+        max_bucket_size,
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -174,6 +194,7 @@ def embedding_near_dup(
     n_planes: int = 8,
     seed: str = "lsh",
     exact: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs → (id_a, id_b, cosine).
 
@@ -182,7 +203,8 @@ def embedding_near_dup(
     pairs land in the same bucket with probability
     ``(1 - θ/π)^n_planes``), then exact cosine verifies.  ``exact=True``
     switches to the all-pairs self-join (O(N²) — only for bounded inputs
-    or as a recall oracle).
+    or as a recall oracle).  ``max_bucket_size`` bounds the per-bucket
+    pair fan-out by dropping overfull buckets (see :func:`_cap_buckets`).
     """
     base = df.select(
         F.col(id_col).alias("id"),
@@ -196,11 +218,14 @@ def embedding_near_dup(
     else:
         # bucket folded into the same projection as vector+norm: the
         # self-join reads the table twice total, not twice per derivation
-        withb = df.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("v"),
-            _norm(F.col(vec_col)).alias("nrm"),
-            _bucket_col(df, vec_col, n_planes, seed).alias("bucket"),
+        withb = _cap_buckets(
+            df.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).alias("v"),
+                _norm(F.col(vec_col)).alias("nrm"),
+                _bucket_col(df, vec_col, n_planes, seed).alias("bucket"),
+            ),
+            max_bucket_size,
         )
         a = withb.select(
             F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "bucket"

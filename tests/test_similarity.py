@@ -126,3 +126,21 @@ def test_lsh_paths_scan_each_side_once(spark):
     )
     assert len(re.findall(r"Scan parquet[^\n]*embeddings", topk_plan)) == 2
     assert len(re.findall(r"Scan parquet[^\n]*embeddings", dup_plan)) == 2
+
+
+def test_max_bucket_size_caps_hot_buckets(spark):
+    """A degenerate hot bucket (many near-identical vectors) is dropped
+    under the cap; distinct-direction vectors in small buckets survive.
+    Default (None) keeps everything."""
+    from polars_grouper_spark.functions.similarity import embedding_near_dup
+
+    hot = [(i, [1.0, 0.0, 0.0]) for i in range(50)]          # one bucket
+    cold = [(100, [0.0, 1.0, 0.1]), (101, [0.0, 1.0, 0.11])]  # small bucket
+    df = spark.createDataFrame(hot + cold, ["vec_id", "embedding"])
+
+    capped = embedding_near_dup(df, threshold=0.9, max_bucket_size=10).collect()
+    ids = {r["id_a"] for r in capped} | {r["id_b"] for r in capped}
+    assert ids == {100, 101}  # hot bucket excluded, cold pair kept
+
+    uncapped = embedding_near_dup(df, threshold=0.9).collect()
+    assert len(uncapped) == 50 * 49 // 2 + 1  # all hot pairs + the cold pair
