@@ -53,8 +53,12 @@ def asof_join(
     by: equality key column(s); the shuffle/partition key.  ``None`` means
         a single global ordering (one partition — fine for dimension-sized
         inputs, not for 100 TB; always pass ``by`` at scale).
-    direction: ``"backward"`` (latest right.on <= left.on) or
-        ``"forward"`` (earliest right.on >= left.on).
+    direction: ``"backward"`` (latest right.on <= left.on),
+        ``"forward"`` (earliest right.on >= left.on), or ``"nearest"``
+        (whichever of the two is closer; ties prefer backward, the
+        pandas ``merge_asof`` convention).  Nearest runs both window
+        passes over ONE shuffle (same partition key, two in-partition
+        sort orders).
     tolerance: max allowed ``abs(left.on - right.on)`` as a Column-
         compatible literal (e.g. ``F.expr("INTERVAL 1 HOUR")`` for
         timestamps, or a number for numeric ``on``).
@@ -64,8 +68,10 @@ def asof_join(
         left-side names.  The matched right ``on`` value is always emitted
         as ``f"{on}{suffix}"``.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     if how not in ("left", "inner"):
         raise ValueError(f"how must be left|inner, got {how!r}")
     by_cols = [by] if isinstance(by, str) else list(by or [])
@@ -93,43 +99,76 @@ def asof_join(
         ],
     ).select(*l_tag.columns)  # align column order for the union
 
-    order = (
-        [F.col(on).asc(), F.col("__side").asc()]
-        if direction == "backward"
-        else [F.col(on).desc(), F.col("__side").asc()]
-    )
-    w = (
-        Window.partitionBy(*by_cols)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-
-    unioned = l_tag.unionByName(r_tag)
-    carried = unioned.select(
-        *left.columns,
-        "__side",
-        *[F.last("__r_" + c, ignorenulls=True).over(w).alias("__m_" + c) for c in payload],
-        F.last("__r_on", ignorenulls=True).over(w).alias("__m_on"),
-    ).where(F.col("__side") == 1)
-
-    if tolerance is not None:
-        gap = (
-            F.col(on) - F.col("__m_on")
-            if direction == "backward"
-            else F.col("__m_on") - F.col(on)
+    def _w(order):
+        return (
+            Window.partitionBy(*by_cols)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        in_tol = F.col("__m_on").isNotNull() & (gap <= tolerance)
-    else:
-        in_tol = F.col("__m_on").isNotNull()
 
-    carried = carried.select(
-        *left.columns,
-        *[
-            F.when(in_tol, F.col("__m_" + c)).alias(out_names[c])
-            for c in payload
-        ],
-        F.when(in_tol, F.col("__m_on")).alias(matched_on),
-    )
+    back_order = [F.col(on).asc(), F.col("__side").asc()]
+    fwd_order = [F.col(on).desc(), F.col("__side").asc()]
+    unioned = l_tag.unionByName(r_tag)
+
+    if direction != "nearest":
+        w = _w(back_order if direction == "backward" else fwd_order)
+        carried = unioned.select(
+            *left.columns,
+            "__side",
+            *[F.last("__r_" + c, ignorenulls=True).over(w).alias("__m_" + c) for c in payload],
+            F.last("__r_on", ignorenulls=True).over(w).alias("__m_on"),
+        ).where(F.col("__side") == 1)
+
+        if tolerance is not None:
+            gap = (
+                F.col(on) - F.col("__m_on")
+                if direction == "backward"
+                else F.col("__m_on") - F.col(on)
+            )
+            in_tol = F.col("__m_on").isNotNull() & (gap <= tolerance)
+        else:
+            in_tol = F.col("__m_on").isNotNull()
+
+        carried = carried.select(
+            *left.columns,
+            *[
+                F.when(in_tol, F.col("__m_" + c)).alias(out_names[c])
+                for c in payload
+            ],
+            F.when(in_tol, F.col("__m_on")).alias(matched_on),
+        )
+    else:
+        wb, wf = _w(back_order), _w(fwd_order)
+        carried = unioned.select(
+            *left.columns,
+            "__side",
+            *[F.last("__r_" + c, ignorenulls=True).over(wb).alias("__mb_" + c) for c in payload],
+            F.last("__r_on", ignorenulls=True).over(wb).alias("__mb_on"),
+            *[F.last("__r_" + c, ignorenulls=True).over(wf).alias("__mf_" + c) for c in payload],
+            F.last("__r_on", ignorenulls=True).over(wf).alias("__mf_on"),
+        ).where(F.col("__side") == 1)
+
+        gap_b = F.col(on) - F.col("__mb_on")
+        gap_f = F.col("__mf_on") - F.col(on)
+        valid_b = F.col("__mb_on").isNotNull()
+        valid_f = F.col("__mf_on").isNotNull()
+        if tolerance is not None:
+            valid_b = valid_b & (gap_b <= tolerance)
+            valid_f = valid_f & (gap_f <= tolerance)
+        # ties (equal gap) prefer backward — merge_asof's convention
+        use_b = valid_b & (~valid_f | (gap_b <= gap_f))
+
+        def pick(b, f, name):
+            return (
+                F.when(use_b, F.col(b)).when(valid_f, F.col(f)).alias(name)
+            )
+
+        carried = carried.select(
+            *left.columns,
+            *[pick("__mb_" + c, "__mf_" + c, out_names[c]) for c in payload],
+            pick("__mb_on", "__mf_on", matched_on),
+        )
+
     if how == "inner":
         carried = carried.where(F.col(matched_on).isNotNull())
     return carried

@@ -182,3 +182,81 @@ def test_range_join_broadcast_plan(spark):
     facts = spark.createDataFrame([(1, 5.0)], ["id", "v"])
     plan = range_join(facts, _tiers(spark), "v")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
+
+
+# --- direction="nearest" --------------------------------------------------
+
+def _nv(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    left = spark.createDataFrame(
+        [("k", 10), ("k", 25), ("k", 40), ("k", 100)], ["key", "t"]
+    )
+    right = spark.createDataFrame(
+        [("k", 8, "a"), ("k", 30, "b"), ("k", 41, "c")], ["key", "t", "val"]
+    )
+    return left, right
+
+
+def test_asof_nearest_picks_closer_side(spark):
+    from polars_grouper_spark import asof_join
+
+    left, right = _nv(spark)
+    out = {
+        r["t"]: (r["val"], r["t_right"])
+        for r in asof_join(left, right, on="t", by="key", direction="nearest").collect()
+    }
+    assert out[10] == ("a", 8)    # back gap 2 < fwd gap 20
+    assert out[25] == ("b", 30)   # fwd gap 5 < back gap 17
+    assert out[40] == ("c", 41)   # fwd gap 1 < back gap 10
+    assert out[100] == ("c", 41)  # only backward exists
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    from polars_grouper_spark import asof_join
+
+    left = spark.createDataFrame([("k", 20)], ["key", "t"])
+    right = spark.createDataFrame(
+        [("k", 15, "back"), ("k", 25, "fwd")], ["key", "t", "val"]
+    )
+    row = asof_join(left, right, on="t", by="key", direction="nearest").first()
+    assert (row["val"], row["t_right"]) == ("back", 15)
+
+
+def test_asof_nearest_tolerance_and_inner(spark):
+    from polars_grouper_spark import asof_join
+
+    left, right = _nv(spark)
+    out = {
+        r["t"]: r["val"]
+        for r in asof_join(
+            left, right, on="t", by="key", direction="nearest", tolerance=5
+        ).collect()
+    }
+    assert out == {10: "a", 25: "b", 40: "c", 100: None}  # 100 out of range
+    inner = asof_join(
+        left, right, on="t", by="key", direction="nearest", tolerance=5, how="inner"
+    )
+    assert inner.count() == 3
+
+
+def test_asof_nearest_matches_pandas_merge_asof(spark):
+    """Randomized check against pandas' own nearest implementation."""
+    import pandas as pd
+
+    from polars_grouper_spark import asof_join
+
+    lt = [(k, 3 * i + (i % 5)) for k in ("a", "b") for i in range(40)]
+    rt = [(k, 7 * i + (i % 3), float(i)) for k in ("a", "b") for i in range(20)]
+    left = spark.createDataFrame(lt, ["key", "t"])
+    right = spark.createDataFrame(rt, ["key", "t", "val"])
+
+    got = {
+        (r["key"], r["t"]): r["val"]
+        for r in asof_join(left, right, on="t", by="key", direction="nearest").collect()
+    }
+    lp = pd.DataFrame(lt, columns=["key", "t"]).sort_values("t").reset_index(drop=True)
+    rp = pd.DataFrame(rt, columns=["key", "t", "val"]).sort_values("t").reset_index(drop=True)
+    mp = pd.merge_asof(lp, rp, on="t", by="key", direction="nearest")
+    want = {(r.key, r.t): (None if pd.isna(r.val) else r.val) for r in mp.itertuples()}
+    assert got == want
