@@ -2023,6 +2023,54 @@ ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
 
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of: each purchase picks the click closest in
+    time (either side; ties prefer backward — merge_asof convention).
+    Same union+window plan, two in-partition sort orders over ONE shuffle."""
+    from polars_grouper_spark import asof_join
+
+    ev = load_table(spark, "events", sf_dir)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(purchases, clicks, on="ts", by="user_id", direction="nearest")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "value",
+        "click_value",
+        F.unix_micros(F.col("ts_right").cast("timestamp")).alias("click_ts_us"),
+    )
+
+
+_ASOF_NEAREST_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts, max(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+purch AS (
+  SELECT event_id, user_id, ts, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id,
+       epoch_us(p.ts)::BIGINT AS ts_us, p.value,
+       c.click_value, epoch_us(c.ts)::BIGINT AS click_ts_us
+FROM purch p
+LEFT JOIN LATERAL (
+  SELECT click_value, ts FROM clicks c
+  WHERE c.user_id = p.user_id
+  ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)), (c.ts <= p.ts) DESC
+  LIMIT 1
+) c ON TRUE
+"""
+
+
 def q_range_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join: orders binned into price tiers via
     ``operators.range_join`` (broadcast strategy — the tier dimension is
@@ -2127,6 +2175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "running_user_totals": q_running_user_totals,
         "asof_clicks": q_asof_clicks,
+        "asof_nearest": q_asof_nearest,
         "range_tiers": q_range_tiers,
         "super_merger_weighted_orders": q_super_merger_weighted_orders,
         "token_counts": q_token_counts,
@@ -2193,6 +2242,7 @@ def oracle_sql() -> dict[str, str]:
         "events_json": _EVENTS_JSON_SQL,
         "running_user_totals": _RUNNING_TOTALS_SQL,
         "asof_clicks": _ASOF_CLICKS_SQL,
+        "asof_nearest": _ASOF_NEAREST_SQL,
         "range_tiers": _RANGE_TIERS_SQL,
         "super_merger_weighted_orders": _SUPER_MERGER_WEIGHTED_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,
