@@ -44,6 +44,7 @@ def asof_join(
     tolerance=None,
     how: str = "left",
     suffix: str = "_right",
+    allow_exact_matches: bool = True,
 ) -> DataFrame:
     """Point-in-time join of ``right`` onto ``left``.
 
@@ -67,6 +68,11 @@ def asof_join(
     suffix: appended to right-side payload column names that collide with
         left-side names.  The matched right ``on`` value is always emitted
         as ``f"{on}{suffix}"``.
+    allow_exact_matches: ``False`` makes the comparison strict
+        (``right.on < left.on`` backward / ``>`` forward), the pandas
+        ``merge_asof`` knob.  Implemented purely by flipping which side
+        sorts first at equal ``on`` — the window frame then excludes the
+        equal-timestamp right row.  No extra shuffle or pass.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
@@ -106,8 +112,12 @@ def asof_join(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
 
-    back_order = [F.col(on).asc(), F.col("__side").asc()]
-    fwd_order = [F.col(on).desc(), F.col("__side").asc()]
+    # At equal `on`, the right row (side 0) sorting BEFORE the left row
+    # puts it inside the left row's preceding..current frame — inclusive
+    # match.  Sorting it AFTER excludes it — strict match.
+    side_order = F.col("__side").asc() if allow_exact_matches else F.col("__side").desc()
+    back_order = [F.col(on).asc(), side_order]
+    fwd_order = [F.col(on).desc(), side_order]
     unioned = l_tag.unionByName(r_tag)
 
     if direction != "nearest":

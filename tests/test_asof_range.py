@@ -260,3 +260,52 @@ def test_asof_nearest_matches_pandas_merge_asof(spark):
     mp = pd.merge_asof(lp, rp, on="t", by="key", direction="nearest")
     want = {(r.key, r.t): (None if pd.isna(r.val) else r.val) for r in mp.itertuples()}
     assert got == want
+
+
+def test_asof_strict_excludes_equal_timestamps(spark):
+    from polars_grouper_spark import asof_join
+
+    left = spark.createDataFrame([("k", 20), ("k", 30)], ["key", "t"])
+    right = spark.createDataFrame(
+        [("k", 10, "early"), ("k", 20, "equal")], ["key", "t", "val"]
+    )
+    incl = {
+        r["t"]: r["val"]
+        for r in asof_join(left, right, on="t", by="key").collect()
+    }
+    strict = {
+        r["t"]: r["val"]
+        for r in asof_join(
+            left, right, on="t", by="key", allow_exact_matches=False
+        ).collect()
+    }
+    assert incl == {20: "equal", 30: "equal"}
+    assert strict == {20: "early", 30: "equal"}  # equal-ts match excluded at 20
+
+
+def test_asof_strict_matches_pandas_all_directions(spark):
+    import pandas as pd
+
+    from polars_grouper_spark import asof_join
+
+    lt = [("a", 2 * i) for i in range(30)]
+    rt = [("a", 3 * i, float(i)) for i in range(20)]  # many exact collisions
+    left = spark.createDataFrame(lt, ["key", "t"])
+    right = spark.createDataFrame(rt, ["key", "t", "val"])
+    lp = pd.DataFrame(lt, columns=["key", "t"])
+    rp = pd.DataFrame(rt, columns=["key", "t", "val"])
+
+    for direction in ("backward", "forward", "nearest"):
+        got = {
+            r["t"]: r["val"]
+            for r in asof_join(
+                left, right, on="t", by="key", direction=direction,
+                allow_exact_matches=False,
+            ).collect()
+        }
+        mp = pd.merge_asof(
+            lp.sort_values("t"), rp.sort_values("t"),
+            on="t", by="key", direction=direction, allow_exact_matches=False,
+        )
+        want = {r.t: (None if pd.isna(r.val) else r.val) for r in mp.itertuples()}
+        assert got == want, direction
