@@ -73,6 +73,29 @@ def asof_join(
         ``merge_asof`` knob.  Implemented purely by flipping which side
         sorts first at equal ``on`` — the window frame then excludes the
         equal-timestamp right row.  No extra shuffle or pass.
+
+    >>> trades = spark.createDataFrame(
+    ...     [("A", 4, 100.0), ("A", 7, 101.0)], ["sym", "t", "px"])
+    >>> quotes = spark.createDataFrame(
+    ...     [("A", 1, 99.5), ("A", 5, 100.5), ("A", 8, 101.5)],
+    ...     ["sym", "t", "bid"])
+    >>> asof_join(trades, quotes, on="t", by="sym").orderBy("t").show()
+    +---+---+-----+-----+-------+
+    |sym|  t|   px|  bid|t_right|
+    +---+---+-----+-----+-------+
+    |  A|  4|100.0| 99.5|      1|
+    |  A|  7|101.0|100.5|      5|
+    +---+---+-----+-----+-------+
+    <BLANKLINE>
+    >>> asof_join(trades, quotes, on="t", by="sym",
+    ...           direction="nearest").orderBy("t").show()
+    +---+---+-----+-----+-------+
+    |sym|  t|   px|  bid|t_right|
+    +---+---+-----+-----+-------+
+    |  A|  4|100.0|100.5|      5|
+    |  A|  7|101.0|101.5|      8|
+    +---+---+-----+-----+-------+
+    <BLANKLINE>
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(

@@ -8,12 +8,13 @@ import doctest
 import pytest
 
 from polars_grouper_spark.operators import (
+    asof_join as _aj,
     connected_components as _cc,
     pagerank as _pr,
     shortest_path as _sp,
 )
 
-MODULES = [_cc, _sp, _pr]
+MODULES = [_cc, _sp, _pr, _aj]
 
 
 @pytest.mark.parametrize("mod", MODULES, ids=lambda m: m.__name__.rsplit(".", 1)[-1])
