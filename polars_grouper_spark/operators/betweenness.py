@@ -38,6 +38,13 @@ reference (O(V·E) time, ``__init__.py:439``).  Above
 Brandes–Pich source sampling (scores scaled by n/k, unbiased estimator);
 pass ``sample_sources=`` to control k, or raise the threshold to force the
 exact kernel.
+
+Past the broadcast regime entirely,
+:func:`betweenness_centrality_distributed` runs BOTH Brandes passes as
+key-partitioned DataFrame joins (level-synchronous BFS forward, per-level
+dependency accumulation backward) with no driver or broadcast adjacency —
+O(S·V) state on the node key, 2×eccentricity rounds.  Exact parity with
+this kernel is test- and oracle-asserted.
 """
 
 from __future__ import annotations

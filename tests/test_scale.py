@@ -136,3 +136,24 @@ def test_bucketed_pagerank_round_plan_at_scale(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS scale_pr_round")
+
+
+def test_distributed_betweenness_at_scale(spark):
+    """200k-edge skewed multigraph, 8 sampled sources: the no-broadcast
+    kernel completes with joins only, and the hub end of the id range
+    (power-law mass concentrates at low ids) dominates the scores."""
+    from pyspark.sql import functions as F2
+
+    from polars_grouper_spark import betweenness_centrality_distributed
+
+    edges = _power_law_edges(spark, 200_000, 40_000)
+    res = betweenness_centrality_distributed(
+        edges, sample_sources=8, normalized=False
+    )
+    top = [
+        int(r["node"][1:])
+        for r in res.orderBy(F2.desc("centrality")).limit(20).collect()
+    ]
+    assert res.count() > 30_000  # all interned nodes covered
+    # the heavy hitters live in the hub region of the id space
+    assert sum(1 for n in top if n < 2_000) >= 15
