@@ -793,8 +793,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the canonical document to keep).  Composes ``functions.dedup`` with
     ``operators.connected_components``; only documents appearing in some
     pair are clustered (singletons need no dedup decision).  All shuffles
-    are equality-keyed; the star loop runs on the pair graph, which is
-    tiny relative to the corpus."""
+    are equality-keyed.  The pair graph is metadata-scale (near-dup PAIRS,
+    not the corpus), so below a 200k-edge cap it is collected and solved
+    exactly on the driver in one pass — the same hybrid the association
+    rules' pattern loop uses — and the distributed star loop is the
+    fallback above the cap."""
     docs = load_table(spark, "documents", sf_dir)
     pairs = dd.minhash_lsh_pairs(
         docs,
@@ -807,7 +810,22 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a").cast("string").alias("from"),
         F.col("id_b").cast("string").alias("to"),
     )
-    comp = components(edges)
+    cap = 200_000
+    sample = edges.limit(cap + 1).collect()
+    if len(sample) <= cap:
+        from polars_grouper_spark.operators.association_rules import (
+            _pattern_labels_local,
+        )
+
+        # undirected: feed both directions; min-reachable-root then equals
+        # the component's lexicographic-min node, exactly components()'s label
+        und = [(r["from"], r["to"]) for r in sample]
+        und += [(b, a) for a, b in und]
+        comp = spark.createDataFrame(
+            _pattern_labels_local(und), schema="node string, component string"
+        )
+    else:
+        comp = components(edges)
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return comp.join(sizes, "component").select(
         F.col("node").cast("long").alias("doc_id"),
