@@ -155,6 +155,15 @@ def _round(
     )
 
 
+def _shuffle_partitions(conf, default: int = 200) -> int:
+    """spark.sql.shuffle.partitions as an int, tolerating platforms whose
+    conf holds a non-numeric value (e.g. "auto")."""
+    try:
+        return int(conf.get("spark.sql.shuffle.partitions", str(default)))
+    except (TypeError, ValueError):
+        return default
+
+
 def page_rank_nodes_bucketed(
     df: DataFrame,
     from_col: str = "from",
@@ -207,11 +216,7 @@ def page_rank_nodes_bucketed(
         (F.col("cnt") / F.sum("cnt").over(Window.partitionBy("src"))).alias("w"),
     )
     if n_buckets is None:
-        # shuffle.partitions may be non-numeric ("auto" on some platforms).
-        try:
-            n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-        except (TypeError, ValueError):
-            n_buckets = 200
+        n_buckets = _shuffle_partitions(spark.conf)
     if table_name is None:
         import uuid
 

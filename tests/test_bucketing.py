@@ -112,3 +112,22 @@ def test_bucketed_pagerank_cleans_up_and_reruns(spark):
     after = {t.name for t in spark.catalog.listTables()}
     assert r1 == r2
     assert after == before  # no residual pgs_pr_edges_* tables
+
+
+def test_bucket_count_tolerates_non_numeric_shuffle_conf():
+    """Some platforms surface spark.sql.shuffle.partitions='auto' (this
+    Spark build rejects setting it, so the helper is unit-tested with a
+    stub conf); the bucket-count derivation must fall back, not raise."""
+    from polars_grouper_spark.operators.pagerank import _shuffle_partitions
+
+    class Conf:
+        def __init__(self, value):
+            self._v = value
+
+        def get(self, key, default=None):
+            return self._v if self._v is not None else default
+
+    assert _shuffle_partitions(Conf("auto")) == 200
+    assert _shuffle_partitions(Conf(None)) == 200
+    assert _shuffle_partitions(Conf("64")) == 64
+    assert _shuffle_partitions(Conf("auto"), default=32) == 32
