@@ -223,3 +223,36 @@ def test_state_store_providers_agree_at_cardinality(spark, tmp_path):
 
     assert results["hdfs"][0] == n  # duplicates dropped
     assert results["hdfs"] == results["rocksdb"]
+
+
+def test_stream_parquet_sink_exactly_once_across_restarts(spark, tmp_path):
+    """File-sink + checkpoint: restarting the same query must not
+    re-deliver processed input, and newly arrived files are delivered
+    exactly once — the recovery contract a 100 TB ingest job relies on."""
+    ev = load_table(spark, "events", "/root/testdata/sf0.001").limit(200)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ev.coalesce(1).write.parquet(src)
+
+    def run_once():
+        q = (
+            spark.readStream.schema(ev.schema).parquet(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(out).count() == 200
+
+    run_once()  # same checkpoint, no new input -> nothing re-delivered
+    assert spark.read.parquet(out).count() == 200
+
+    ev.limit(50).coalesce(1).write.mode("append").parquet(src)
+    run_once()  # only the new file is processed
+    assert spark.read.parquet(out).count() == 250
