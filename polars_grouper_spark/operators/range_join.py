@@ -59,6 +59,21 @@ def range_join(
     ``strategy``: ``"broadcast"`` (small interval table) or ``"bucketed"``
     (large interval table; requires numeric ``value_col`` and
     ``bucket_width``).
+
+    >>> orders = spark.createDataFrame(
+    ...     [(1, 30.0), (2, 75.0), (3, 120.0)], ["order_id", "price"])
+    >>> tiers = spark.createDataFrame(
+    ...     [("low", 0.0, 50.0), ("mid", 50.0, 100.0)], ["tier", "lo", "hi"])
+    >>> range_join(orders, tiers, "price", how="left").orderBy(
+    ...     "order_id").select("order_id", "price", "tier").show()
+    +--------+-----+----+
+    |order_id|price|tier|
+    +--------+-----+----+
+    |       1| 30.0| low|
+    |       2| 75.0| mid|
+    |       3|120.0|NULL|
+    +--------+-----+----+
+    <BLANKLINE>
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")

@@ -11,10 +11,11 @@ from polars_grouper_spark.operators import (
     asof_join as _aj,
     connected_components as _cc,
     pagerank as _pr,
+    range_join as _rj,
     shortest_path as _sp,
 )
 
-MODULES = [_cc, _sp, _pr, _aj]
+MODULES = [_cc, _sp, _pr, _aj, _rj]
 
 
 @pytest.mark.parametrize("mod", MODULES, ids=lambda m: m.__name__.rsplit(".", 1)[-1])
