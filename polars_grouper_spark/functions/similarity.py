@@ -278,14 +278,59 @@ def _cell_col(df: DataFrame, vec_col: str, cents: list[list[float]], out: str = 
     )
 
 
+def _cell_col_arrow(
+    df: DataFrame, vec_col: str, cents: list[list[float]], out: str = "cell"
+) -> DataFrame:
+    """Arrow-batched numpy variant of :func:`_cell_col` — ONE batch matmul
+    per Arrow batch (``‖x‖² - 2x·Cᵀ + ‖C‖²`` argmin) instead of a
+    per-element interpreted HOF fold.  The dense-linear-algebra case is
+    exactly where a Pandas UDF beats JVM expressions (brief: Arrow-batched
+    kernels, never per-row Python).  Same tie-break (lowest cell id —
+    ``np.argmin`` takes the first minimum); float64 summation ORDER
+    differs from the expression fold, so near-exact ties between cells can
+    assign differently — hence opt-in (``assign="arrow"``), with the
+    default path remaining bit-compatible with the SQL oracle."""
+    import numpy as np
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast([list(map(float, c)) for c in cents])
+    in_cols = df.columns
+    schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"{out} int"]
+    )
+
+    def assign(batches):
+        C = np.asarray(bc.value, dtype=np.float64)          # cells × dim
+        c_sq = (C * C).sum(axis=1)                          # cells
+        for pdf in batches:
+            X = np.asarray(list(pdf[vec_col]), dtype=np.float64)  # rows × dim
+            if len(X) == 0:
+                pdf[out] = np.array([], dtype="int32")
+                yield pdf
+                continue
+            d = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c_sq[None, :]
+            pdf[out] = d.argmin(axis=1).astype("int32")
+            yield pdf
+
+    return df.mapInPandas(assign, schema).select(*in_cols, out)
+
+
 def ivf_build(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_cells: int = 16,
     lloyd_rounds: int = 2,
+    assign: str = "expr",
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """Coarse IVF index: returns (assignments (id, cell), centroids).
+
+    ``assign="arrow"`` swaps the row-wise argmin for the numpy batch
+    kernel (:func:`_cell_col_arrow`) — the fast path for large corpora /
+    high dims; the default expression path stays bit-compatible with the
+    DuckDB oracle.
 
     Seeding is deterministic (lowest ``n_cells`` ids); ``lloyd_rounds``
     rounds of mean-refinement.  The centroid matrix is bounded by design
@@ -301,6 +346,7 @@ def ivf_build(
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     seed = base.orderBy("id").limit(n_cells).collect()
     cents = [[float(x) for x in r["v"]] for r in seed]
+    cell_fn = _cell_col_arrow if assign == "arrow" else _cell_col
 
     for _ in range(lloyd_rounds):
         # The cell argmin MUST be projected in its own step below the
@@ -309,7 +355,7 @@ def ivf_build(
         # 10× slower), while a projection below the Generate runs once per
         # input row.
         means = (
-            _cell_col(base, "v", cents)
+            cell_fn(base, "v", cents)
             .select("cell", F.posexplode(F.col("v")).alias("pos", "x"))
             .groupBy("cell", "pos")
             .agg(F.avg(F.col("x").cast("double")).alias("m"))
@@ -323,7 +369,7 @@ def ivf_build(
             for i in range(len(cents))
         ]
 
-    assignments = _cell_col(base, "v", cents).select("id", "cell")
+    assignments = cell_fn(base, "v", cents).select("id", "cell")
     return assignments, list(enumerate(cents))
 
 
@@ -335,6 +381,7 @@ def ivf_topk(
     k: int = 10,
     n_cells: int = 16,
     n_probe: int = 4,
+    assign: str = "expr",
 ) -> DataFrame:
     """IVF-pruned cosine top-k: score only vectors in the query's
     ``n_probe`` nearest cells.
@@ -342,9 +389,12 @@ def ivf_topk(
     The corpus side is scan → row-wise cell map → broadcast-join with the
     (bounded) probe set: its only shuffle is the final per-query top-k
     window over candidates.  Norms are computed once per row on each side,
-    never per candidate pair.
+    never per candidate pair.  ``assign="arrow"`` routes every corpus-wide
+    cell argmin (Lloyd rounds AND the search-time map — the dominant cost
+    at high dim) through the numpy batch kernel; scoring of the pruned
+    candidates stays JVM-side either way.
     """
-    _, centroids = ivf_build(corpus, id_col, vec_col, n_cells)
+    _, centroids = ivf_build(corpus, id_col, vec_col, n_cells, assign=assign)
     cents = [cv for _, cv in centroids]
 
     # Per-query probe cells: sort (distance, cell) structs in-array and
@@ -377,7 +427,7 @@ def ivf_topk(
         .select("query_id", "qv", "qn", F.col("p.cell").alias("cell"))
     )
 
-    c = _cell_col(
+    c = (_cell_col_arrow if assign == "arrow" else _cell_col)(
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("cv"),

@@ -144,3 +144,28 @@ def test_max_bucket_size_caps_hot_buckets(spark):
 
     uncapped = embedding_near_dup(df, threshold=0.9).collect()
     assert len(uncapped) == 50 * 49 // 2 + 1  # all hot pairs + the cold pair
+
+
+def test_ivf_arrow_assign_matches_expr_on_separated_data(spark):
+    """With well-separated clusters the numpy batch argmin and the JVM
+    expression argmin must produce identical assignments and identical
+    top-k (the float summation-order caveat only matters on near-ties)."""
+    from polars_grouper_spark.functions.similarity import ivf_topk
+
+    # 4 tight clusters around orthogonal-ish anchors
+    rows = []
+    anchors = [(10.0, 0.0, 0.0), (0.0, 10.0, 0.0), (0.0, 0.0, 10.0), (7.0, 7.0, 0.0)]
+    for i in range(200):
+        ax, ay, az = anchors[i % 4]
+        j = (i * 37) % 100 / 500.0
+        rows.append((i, [ax + j, ay + j / 2, az - j / 3]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.limit(6)
+
+    def res(assign):
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"])
+            for r in ivf_topk(df, q, k=3, n_cells=4, n_probe=2, assign=assign).collect()
+        )
+
+    assert res("arrow") == res("expr")
