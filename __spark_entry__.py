@@ -41,9 +41,13 @@ from polars_grouper_spark import (
     page_rank_nodes,
 )
 from polars_grouper_spark.functions import dedup as dd
+from polars_grouper_spark.functions import sampling as smp
+from polars_grouper_spark.functions import scrub
 from polars_grouper_spark.functions import similarity as sim
 from polars_grouper_spark.functions import text as tx
 from polars_grouper_spark.functions.hashing import hash_pair64_sql, portable_hash64_sql
+from polars_grouper_spark.operators.kcore import k_core, k_core_sql
+from polars_grouper_spark.operators.triangles import triangle_count, triangle_count_sql
 from polars_grouper_spark.sources import load_table
 
 
@@ -1824,6 +1828,214 @@ WHERE doc_id % 3 = 2
 """
 
 
+# ---------------------------------------------------------------------------
+# round-3 additions: repetition quality, PII scrub, deterministic splits,
+# triangle counting, k-core
+# ---------------------------------------------------------------------------
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition signals
+    (``functions.text.repetition_stats``): duplicate-token fraction
+    (row-local ``array_distinct``), duplicate-bigram fraction, and the
+    fraction of bigram mass taken by the most frequent bigram — the
+    repetition filters of Rae et al. 2021 §A1.1, one corpus scan, two
+    map-side-combinable shuffles, no join."""
+    docs = load_table(spark, "documents", sf_dir)
+    rep = tx.repetition_stats(docs)
+    return rep.select(
+        F.col("doc_id").alias("id"),
+        "n_tokens",
+        F.round("dup_token_frac", 6).alias("dup_token_frac"),
+        F.round("dup_bigram_frac", 6).alias("dup_bigram_frac"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+    )
+
+
+_DOC_REPETITION_SQL = r"""
+WITH base AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+b2 AS (
+  SELECT id, len(toks)::BIGINT AS n_tokens,
+         len(list_distinct(toks))::BIGINT AS n_distinct, toks
+  FROM base
+),
+bg AS (
+  SELECT id, unnest(list_transform(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+                                   s -> s[1] || ' ' || s[2])) AS gram
+  FROM b2
+),
+bgc AS (SELECT id, gram, count(*) AS cnt FROM bg GROUP BY id, gram),
+bga AS (SELECT id, sum(cnt)::BIGINT AS n_bigrams, count(*)::BIGINT AS n_distinct_bigrams,
+               max(cnt)::BIGINT AS top_cnt FROM bgc GROUP BY id)
+SELECT b2.id, b2.n_tokens,
+       round(CASE WHEN n_tokens > 0
+                  THEN 1.0 - n_distinct / n_tokens::DOUBLE ELSE 0.0 END, 6)
+         AS dup_token_frac,
+       round(CASE WHEN coalesce(n_bigrams, 0) > 0
+                  THEN 1.0 - n_distinct_bigrams / n_bigrams::DOUBLE ELSE 0.0 END, 6)
+         AS dup_bigram_frac,
+       round(CASE WHEN coalesce(n_bigrams, 0) > 0
+                  THEN top_cnt / n_bigrams::DOUBLE ELSE 0.0 END, 6)
+         AS top_bigram_frac
+FROM b2 LEFT JOIN bga ON bga.id = b2.id
+"""
+
+
+def _planted_pii(docs: DataFrame) -> DataFrame:
+    """Deterministically plant PII into the synthetic corpus (which has
+    none) so the scrubber's counts/redactions are exercised: an email on
+    even ids, a URL (with an embedded email, attributed to the URL) on
+    ids % 3 == 0, an IPv4 on every doc."""
+    plant = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit(" reach me at user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" see https://ex.example/p/"),
+                F.col("doc_id").cast("string"),
+                F.lit("?u=a@b.co"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    return docs.select("doc_id", plant.alias("text"))
+
+
+_PLANTED_PII_SQL = """
+SELECT doc_id, text
+  || (CASE WHEN doc_id % 2 = 0
+           THEN ' reach me at user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+           ELSE '' END)
+  || (CASE WHEN doc_id % 3 = 0
+           THEN ' see https://ex.example/p/' || CAST(doc_id AS VARCHAR) || '?u=a@b.co'
+           ELSE '' END)
+  || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
+FROM documents
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (``functions.scrub``): sequential
+    count-then-redact of URLs, emails, IPv4s — patterns in the common
+    Java-regex/RE2 subset so the oracle replicates them bit-for-bit.
+    Pure projection chain over one scan (whole-stage codegen, no
+    shuffle).  The redacted text is compared via md5."""
+    docs = load_table(spark, "documents", sf_dir)
+    out = scrub.pii_scrub(_planted_pii(docs))
+    return out.select(
+        F.col("doc_id").alias("id"),
+        "n_url",
+        "n_email",
+        "n_ipv4",
+        F.md5("redacted").alias("redacted_md5"),
+    )
+
+
+def _pii_scrub_sql() -> str:
+    inner = scrub.pii_scrub_sql(f"({_PLANTED_PII_SQL})", "doc_id", "text")
+    return (
+        "SELECT id, n_url, n_email, n_ipv4, md5(redacted) AS redacted_md5 "
+        f"FROM ({inner})"
+    )
+
+
+_SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25, "fr": 0.1}
+
+
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment
+    (``functions.sampling.deterministic_split``): salted portable-hash
+    bucket -> ordered weight ranges.  Row-local, RNG-free, stable across
+    engines/partitionings — the reproducible way to split a 100 TB corpus."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    return smp.deterministic_split(docs, "doc_id")
+
+
+def _train_split_sql() -> str:
+    bucket, split_case = smp.deterministic_split_sql("doc_id")
+    return f"""
+SELECT doc_id, lang, bucket, {split_case} AS split
+FROM (SELECT doc_id, lang, {bucket} AS bucket FROM documents)
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sampling
+    (``functions.sampling.stratified_sample``) — ``sampleBy`` without the
+    RNG: keep iff salted hash bucket < stratum fraction.  The sample salt
+    is independent of the split salt, so sampling and splitting don't
+    correlate."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    return smp.stratified_sample(docs, _SAMPLE_FRACTIONS, "lang")
+
+
+def _stratified_sample_sql() -> str:
+    where = smp.stratified_sample_sql(_SAMPLE_FRACTIONS, "lang", "doc_id")
+    return f"SELECT doc_id, lang FROM documents WHERE {where}"
+
+
+# Part co-occurrence graph: parts appearing in the same order, thinned by
+# a partkey modulo so triangle enumeration stays proportionate to the
+# rest of the bench (the un-thinned sf0.01 graph has ~116k edges over 2k
+# parts — avg degree ~116 — and ~414k triangles).
+_PART_CO_EDGE_SQL = (
+    "SELECT 'P' || x.l_partkey AS src, 'P' || y.l_partkey AS dst "
+    "FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey "
+    "AND x.l_partkey < y.l_partkey "
+    "WHERE x.l_partkey % 3 = 0 AND y.l_partkey % 3 = 0"
+)
+
+
+def _part_co_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    a = li.where(F.col("l_partkey") % 3 == 0).select(
+        "l_orderkey", F.concat(F.lit("P"), F.col("l_partkey")).alias("p")
+    )
+    return (
+        a.alias("x")
+        .join(a.alias("y"), "l_orderkey")
+        .where(F.col("x.p") < F.col("y.p"))
+        .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+    )
+
+
+def q_triangles_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (``operators.triangles``) on the
+    part-co-occurrence graph via degree-ordered node-iterator — wedge
+    fan-out bounded by O(sqrt E) out-degrees, all joins on interned
+    64-bit ids.  The oracle enumerates triangles orientation-free (counts
+    are invariant to enumeration order)."""
+    return triangle_count(_part_co_edges(spark, sf_dir), "src", "dst")
+
+
+_KCORE_K = 28
+_KCORE_ORACLE_ROUNDS = 10  # sf0.01 peel depth is 6; extra rounds are no-ops
+
+
+def q_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (``operators.kcore``, k=28) of the
+    part-co-occurrence graph by iterative peeling — one degree
+    aggregation + two semi-joins per round, surviving edge set only
+    shrinks.  Spark runs to the true fixpoint; the oracle unrolls 10
+    MATERIALIZED peel rounds (≥ the sf0.01 depth of 6; extra rounds are
+    fixpoint no-ops)."""
+    return k_core(_part_co_edges(spark, sf_dir), _KCORE_K, "src", "dst")
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup end-to-end: file stream →
     ``dropDuplicatesWithinWatermark`` on (user_id, event_type) →
@@ -2197,6 +2409,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_tiers": q_range_tiers,
         "super_merger_weighted_orders": q_super_merger_weighted_orders,
         "token_counts": q_token_counts,
+        "doc_repetition": q_doc_repetition,
+        "pii_scrub": q_pii_scrub,
+        "train_split": q_train_split,
+        "stratified_sample": q_stratified_sample,
+        "triangles_parts": q_triangles_parts,
+        "kcore_parts": q_kcore_parts,
         "pipeline_prep": q_pipeline_prep,
         "dedup_clusters": q_dedup_clusters,
         "media_frames": q_media_frames,
@@ -2264,6 +2482,12 @@ def oracle_sql() -> dict[str, str]:
         "range_tiers": _RANGE_TIERS_SQL,
         "super_merger_weighted_orders": _SUPER_MERGER_WEIGHTED_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,
+        "doc_repetition": _DOC_REPETITION_SQL,
+        "pii_scrub": _pii_scrub_sql(),
+        "train_split": _train_split_sql(),
+        "stratified_sample": _stratified_sample_sql(),
+        "triangles_parts": triangle_count_sql(_PART_CO_EDGE_SQL),
+        "kcore_parts": k_core_sql(_PART_CO_EDGE_SQL, _KCORE_K, _KCORE_ORACLE_ROUNDS),
         "pipeline_prep": _pipeline_prep_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
         "media_frames": _MEDIA_FRAMES_SQL,

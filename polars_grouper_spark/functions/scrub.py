@@ -1,0 +1,71 @@
+"""PII detection / redaction over document tables — JVM-side regex only.
+
+A training-data pipeline has to strip contact info before text reaches a
+model.  This module does it with built-in ``regexp_count`` /
+``regexp_replace`` expressions (whole-stage codegen, no UDFs), with
+patterns written in the common subset of Java regex (Spark) and RE2
+(DuckDB) so the correctness oracle can replicate them bit-for-bit.
+
+Patterns are applied in a fixed order (URL first) so that an address
+embedded in a URL is attributed to the URL, not double-counted: each
+pattern counts and redacts the *already-redacted-so-far* text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Order matters: URL swallows embedded emails/IPs before those run.
+PII_PATTERNS: "list[tuple[str, str]]" = [
+    ("url", r"https?://[^\s]+"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+]
+
+
+def _token(kind: str) -> str:
+    return f"<{kind.upper()}>"
+
+
+def pii_scrub(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Count and redact PII -> ``(id, n_url, n_email, n_ipv4, redacted)``.
+
+    Each pattern is counted on, then replaced in, the output of the
+    previous stage, so counts are exactly "occurrences this scrub
+    replaced".  Everything is a projection chain over one scan — no
+    shuffle, embarrassingly parallel at any scale.
+    """
+    out = df.select(F.col(id_col), F.col(text_col).alias("_t"))
+    counts = []
+    for kind, pat in PII_PATTERNS:
+        out = out.select(
+            "*", F.regexp_count(F.col("_t"), F.lit(pat)).cast("long").alias(f"n_{kind}")
+        )
+        out = out.withColumn("_t", F.regexp_replace("_t", pat, _token(kind)))
+        counts.append(f"n_{kind}")
+    return out.select(F.col(id_col), *counts, F.col("_t").alias("redacted"))
+
+
+def pii_scrub_sql(
+    table: str = "documents", id_expr: str = "doc_id", text_expr: str = "text"
+) -> str:
+    """DuckDB SQL replicating :func:`pii_scrub` over ``table`` (same
+    pattern order, same sequential count-then-redact semantics)."""
+    chain = [f"t0 AS (SELECT {id_expr} AS id, {text_expr} AS txt FROM {table})"]
+    for i, (kind, pat) in enumerate(PII_PATTERNS):
+        carried = "".join(f"n_{k}, " for k, _ in PII_PATTERNS[:i])
+        chain.append(
+            f"t{i + 1} AS (SELECT id, {carried}"
+            f"len(regexp_extract_all(txt, '{pat}'))::BIGINT AS n_{kind}, "
+            f"regexp_replace(txt, '{pat}', '{_token(kind)}', 'g') AS txt "
+            f"FROM t{i})"
+        )
+    cols = ", ".join(f"n_{k}" for k, _ in PII_PATTERNS)
+    return (
+        "WITH "
+        + ", ".join(chain)
+        + f" SELECT id, {cols}, txt AS redacted FROM t{len(PII_PATTERNS)}"
+    )

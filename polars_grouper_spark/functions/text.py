@@ -233,6 +233,92 @@ def enrich_documents(
     )
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals ->
+    ``(id, n_tokens, dup_token_frac, dup_bigram_frac, top_bigram_frac)``.
+
+    - ``dup_token_frac``: fraction of token occurrences that are repeats
+      of an earlier token (``1 - distinct/total``) — row-local via
+      ``array_distinct``, no shuffle.
+    - ``dup_bigram_frac``: same over adjacent-token bigrams — row-local.
+    - ``top_bigram_frac``: fraction of bigram occurrences taken by the
+      single most frequent bigram (the "fraction of characters in the most
+      common n-gram" filter from Rae et al. 2021 §A1.1, token-weighted).
+      This is a per-document mode, computed with explode + two map-side
+      combinable aggregations — the only shuffled part, and it shuffles
+      (id, gram) pairs, never the corpus text.
+
+    Scale: the explode multiplies rows by tokens/doc, but partial
+    aggregation collapses (id, gram) duplicates map-side before the
+    exchange; state per doc is its distinct-bigram set, bounded by doc
+    length.  Docs with < 2 tokens get 0.0 for the bigram fractions.
+    """
+    t = F.col(text_col)
+    # Stage 1: tokenize once; stage 2: derive the bigram array in its own
+    # projection (generator rule — an expression in the same select as the
+    # later explode would be re-evaluated per output row).
+    staged = df.select(F.col(id_col).alias("id"), tokens(t).alias("_toks"))
+    n = F.size("_toks")
+    staged = staged.select(
+        "id",
+        n.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("_toks")).cast("long").alias("n_distinct"),
+        F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice("_toks", 1, n - 1),
+                F.slice("_toks", 2, n - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_bigrams"),
+    )
+
+    # The row-local metrics are functionally dependent on id, so they ride
+    # through the explode as extra grouping keys — ONE corpus scan, two
+    # map-side-combinable shuffles, and no join back.  explode_outer keeps
+    # short docs (null gram row), masked out of the mode by the filtered max.
+    row_local = staged.select(
+        "id",
+        "n_tokens",
+        F.when(F.col("n_tokens") > 0, 1.0 - F.col("n_distinct") / F.col("n_tokens"))
+        .otherwise(F.lit(0.0))
+        .alias("dup_token_frac"),
+        F.size("_bigrams").cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct("_bigrams")).cast("long").alias("n_distinct_bigrams"),
+        F.col("_bigrams"),
+    )
+    keys = ["id", "n_tokens", "dup_token_frac", "n_bigrams", "n_distinct_bigrams"]
+    exploded = row_local.select(*keys, F.explode_outer("_bigrams").alias("gram"))
+    per_doc = (
+        exploded.groupBy(*keys, "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(*keys)
+        .agg(F.max(F.when(F.col("gram").isNotNull(), F.col("cnt"))).alias("top_cnt"))
+    )
+
+    return per_doc.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        "dup_token_frac",
+        F.when(
+            F.col("n_bigrams") > 0,
+            1.0 - F.col("n_distinct_bigrams") / F.col("n_bigrams"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.coalesce(F.col("top_cnt"), F.lit(0)) / F.col("n_bigrams"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+    )
+
+
 def fingerprint(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

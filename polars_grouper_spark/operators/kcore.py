@@ -1,0 +1,124 @@
+"""k-core decomposition (fixed k) — beyond-reference graph operator.
+
+The k-core of an undirected graph is the maximal subgraph in which every
+node has degree >= k (Seidman 1983) — the standard "dense part" extractor
+for community mining and spam/bot subgraph detection.  Computed by
+iterative peeling: repeatedly delete nodes of degree < k until none
+remain.
+
+Distributed formulation: each round is one map-side-combinable degree
+aggregation over the surviving edge set plus two semi-joins to drop edges
+touching peeled nodes — everything partitions on node id, nothing on the
+driver.  Rounds are bounded by the peeling depth (real-world graphs peel
+in a handful of rounds; a path graph with k=2 is the adversarial worst
+case at O(V) — ``max_iter`` guards it).  The surviving edge set only
+shrinks, so per-round shuffle volume is monotonically non-increasing.
+
+Input conventions mirror the reference edge-list contract (SURVEY.md
+§1.1): endpoints coerced to string, nulls and self-loops dropped,
+parallel edges collapsed (degree = count of distinct neighbors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.iteration import truncate_lineage
+from .triangles import _interned_edges
+
+
+def _degrees(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("a").alias("nid"))
+        .unionAll(edges.select(F.col("b").alias("nid")))
+        .groupBy("nid")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
+def k_core(
+    df: DataFrame,
+    k: int,
+    src: str = "from",
+    dst: str = "to",
+    max_iter: int = 100,
+) -> DataFrame:
+    """Nodes of the k-core with their within-core degree ->
+    ``(node, core_deg)``; empty result if the k-core is empty.
+
+    >>> edges = spark.createDataFrame(
+    ...     [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")], ["from", "to"])
+    >>> k_core(edges, 2).orderBy("node").show()
+    +----+--------+
+    |node|core_deg|
+    +----+--------+
+    |   a|       2|
+    |   b|       2|
+    |   c|       2|
+    +----+--------+
+    <BLANKLINE>
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    edges, names = _interned_edges(df, src, dst)
+    for _ in range(max_iter):
+        deg = _degrees(edges)
+        dead = deg.where(F.col("deg") < k).select("nid")
+        # One action per round: the peel set is tiny after round 1, so
+        # materializing it (isEmpty) is the cheap convergence probe.
+        if dead.isEmpty():
+            core = deg.select("nid", F.col("deg").alias("core_deg"))
+            return names.join(core, names["id"] == core["nid"]).select(
+                "node", "core_deg"
+            )
+        alive = deg.where(F.col("deg") >= k).select("nid")
+        edges = (
+            edges.join(alive.withColumnRenamed("nid", "a"), "a", "semi")
+            .join(alive.withColumnRenamed("nid", "b"), "b", "semi")
+            .select("a", "b")
+        )
+        edges = truncate_lineage(edges)
+    raise RuntimeError(
+        f"k_core did not converge within max_iter={max_iter} peeling rounds; "
+        "raise max_iter (adversarial long-chain graphs peel O(V) rounds)"
+    )
+
+
+def k_core_sql(edge_sql: str, k: int, rounds: int) -> str:
+    """DuckDB oracle replicating :func:`k_core`: ``rounds`` unrolled
+    peeling steps (each MATERIALIZED — a twice-referenced CTE would
+    re-inline exponentially).  ``rounds`` must be >= the fixture's actual
+    peeling depth; extra rounds are fixpoint no-ops, so parity holds for
+    any sufficiently large value."""
+    chain = [
+        f"""e0 AS MATERIALIZED (
+  SELECT DISTINCT least(CAST(src AS VARCHAR), CAST(dst AS VARCHAR)) AS a,
+                  greatest(CAST(src AS VARCHAR), CAST(dst AS VARCHAR)) AS b
+  FROM ({edge_sql})
+  WHERE src IS NOT NULL AND dst IS NOT NULL
+    AND CAST(src AS VARCHAR) <> CAST(dst AS VARCHAR)
+)"""
+    ]
+    for i in range(rounds):
+        chain.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT a AS node FROM e{i} UNION ALL SELECT b FROM e{i}
+  ) GROUP BY node HAVING count(*) >= {k}
+),
+e{i + 1} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{i} e
+  JOIN d{i} x ON x.node = e.a
+  JOIN d{i} y ON y.node = e.b
+)"""
+        )
+    n = rounds
+    return (
+        "WITH "
+        + ",\n".join(chain)
+        + f"""
+SELECT node, count(*)::BIGINT AS core_deg FROM (
+  SELECT a AS node FROM e{n} UNION ALL SELECT b FROM e{n}
+) GROUP BY node"""
+    )

@@ -1,0 +1,172 @@
+"""Triangle counting — beyond-reference graph operator.
+
+Per-node (and total) triangle counts over an undirected edge-list
+DataFrame, via the degree-ordered node-iterator algorithm (Schank &
+Wagner 2005; the MapReduce formulation is Suri & Vassilvitskii 2011's
+"Counting triangles and the curse of the last reducer").
+
+Why degree orientation matters at scale: enumerating wedges from raw
+adjacency generates Σ deg(v)² candidates — on a power-law graph the hub
+alone can emit billions.  Directing every edge from the lower-(degree,
+node) endpoint to the higher one makes each node's *out*-degree at most
+O(√|E|), so wedge generation is Σ outdeg(v)² ≤ |E|·√|E| worst case and
+near-linear on real graphs.  All steps are joins/aggregations on edge
+keys — shuffles partition by node id, nothing driver-sized.
+
+Input follows the reference's edge-list convention (SURVEY.md §1.1):
+two columns of any type, coerced to string; null endpoints and
+self-loops dropped; parallel edges collapsed (a triangle is a set of
+three distinct nodes pairwise connected, regardless of multiplicity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical_edges(df: DataFrame, src: str, dst: str) -> DataFrame:
+    """Distinct undirected edges (a < b, string order), nulls and
+    self-loops dropped."""
+    a = F.col(src).cast("string")
+    b = F.col(dst).cast("string")
+    return (
+        df.where(a.isNotNull() & b.isNotNull() & (a != b))
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+    )
+
+
+def _interned_edges(
+    df: DataFrame, src: str, dst: str
+) -> "tuple[DataFrame, DataFrame]":
+    """``(edges, names)``: distinct undirected edges on xxhash64 long ids
+    (``a < b`` in long order) plus the id->name map for the final output
+    join.  Long keys make every shuffle/join in the triangle and k-core
+    pipelines compare 8-byte ints instead of strings — the same 2⁻⁶⁴
+    pairwise-collision trust model as the CC operator
+    (connected_components.py); counts are invariant to which total order
+    the canonicalization uses.
+    """
+    s = F.col(src).cast("string")
+    d = F.col(dst).cast("string")
+    cleaned = df.where(s.isNotNull() & d.isNotNull() & (s != d)).select(
+        s.alias("s"), d.alias("d")
+    )
+    hashed = cleaned.select(
+        F.xxhash64("s").alias("hs"),
+        F.xxhash64("d").alias("hd"),
+        F.col("s"),
+        F.col("d"),
+    )
+    edges = (
+        hashed.select(
+            F.least("hs", "hd").alias("a"), F.greatest("hs", "hd").alias("b")
+        )
+        .distinct()
+    )
+    names = (
+        hashed.select(F.col("hs").alias("id"), F.col("s").alias("node"))
+        .unionAll(hashed.select(F.col("hd").alias("id"), F.col("d").alias("node")))
+        .distinct()
+    )
+    return edges, names
+
+
+def triangle_count(
+    df: DataFrame, src: str = "from", dst: str = "to"
+) -> DataFrame:
+    """Per-node triangle counts -> ``(node, n_triangles)``.
+
+    Every node of the (cleaned) graph appears, isolated-in-triangles
+    nodes with 0.  Each triangle {x, y, z} contributes 1 to each of its
+    three nodes.
+
+    >>> edges = spark.createDataFrame(
+    ...     [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")], ["from", "to"])
+    >>> triangle_count(edges).orderBy("node").show()
+    +----+-----------+
+    |node|n_triangles|
+    +----+-----------+
+    |   a|          1|
+    |   b|          1|
+    |   c|          1|
+    |   d|          0|
+    +----+-----------+
+    <BLANKLINE>
+    """
+    edges, names = _interned_edges(df, src, dst)
+
+    # Total order by (degree, id): bounds out-degree by O(sqrt(E)).
+    deg = (
+        edges.select(F.col("a").alias("nid"))
+        .unionAll(edges.select(F.col("b").alias("nid")))
+        .groupBy("nid")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("nid").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("nid").alias("b"), F.col("deg").alias("deg_b"))
+    ranked = edges.join(da, "a").join(db, "b")
+    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+
+    # Wedges centered on the low node u: unordered out-neighbor pairs
+    # (v1 < v2 in long order dedups the pair) via a self-join on u; the
+    # closing edge {v1, v2} is looked up in the canonical a<b edge table —
+    # membership is orientation-free, so one equi-join closes the wedge.
+    e1 = oriented.select(F.col("u"), F.col("v").alias("v1"))
+    e2 = oriented.select(F.col("u"), F.col("v").alias("v2"))
+    wedges = e1.join(e2, "u").where(F.col("v1") < F.col("v2"))
+    triangles = wedges.join(
+        edges, (F.col("v1") == F.col("a")) & (F.col("v2") == F.col("b"))
+    ).select("u", "v1", "v2")
+
+    per_node = (
+        triangles.select(F.col("u").alias("nid"))
+        .unionAll(triangles.select(F.col("v1").alias("nid")))
+        .unionAll(triangles.select(F.col("v2").alias("nid")))
+        .groupBy("nid")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        names.join(per_node, names["id"] == per_node["nid"], "left")
+        .select("node", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"))
+    )
+
+
+def triangle_count_sql(edge_sql: str) -> str:
+    """DuckDB oracle replicating :func:`triangle_count` over an edge
+    subquery producing columns ``(src, dst)``.  Orientation-free: counts
+    each triangle once via a < b < c string order — triangle counts are
+    invariant to the enumeration order, so the oracle can use the simple
+    formulation while Spark uses the degree-ordered one."""
+    return f"""
+WITH raw AS ({edge_sql}),
+e AS (
+  SELECT DISTINCT least(CAST(src AS VARCHAR), CAST(dst AS VARCHAR)) AS a,
+                  greatest(CAST(src AS VARCHAR), CAST(dst AS VARCHAR)) AS b
+  FROM raw
+  WHERE src IS NOT NULL AND dst IS NOT NULL
+    AND CAST(src AS VARCHAR) <> CAST(dst AS VARCHAR)
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1 JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+per AS (
+  SELECT node, count(*)::BIGINT AS c FROM (
+    SELECT x AS node FROM tri UNION ALL
+    SELECT y FROM tri UNION ALL
+    SELECT z FROM tri
+  ) GROUP BY node
+)
+SELECT n.node, coalesce(per.c, 0)::BIGINT AS n_triangles
+FROM nodes n LEFT JOIN per ON per.node = n.node
+"""

@@ -1,0 +1,174 @@
+"""PII scrub, deterministic splits/sampling, and repetition stats —
+known-answer unit tests (the DuckDB cross-engine checks live in the
+oracle gate; these pin the semantics directly)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_grouper_spark.functions import sampling as smp
+from polars_grouper_spark.functions import scrub
+from polars_grouper_spark.functions.text import repetition_stats
+
+
+# ---------------------------------------------------------------------------
+# pii_scrub
+# ---------------------------------------------------------------------------
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@ex-ample.org or c@d.io thanks"),
+            (2, "visit https://x.io/p?e=a@b.co and http://y.z/"),
+            (3, "server at 10.0.0.1 and 192.168.1.255"),
+            (4, "clean text with no pii at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r.asDict() for r in scrub.pii_scrub(df).collect()
+    }
+    assert (got[1]["n_url"], got[1]["n_email"], got[1]["n_ipv4"]) == (0, 2, 0)
+    assert got[1]["redacted"] == "mail me at <EMAIL> or <EMAIL> thanks"
+    # the email inside the URL is swallowed by the URL pass (order matters)
+    assert (got[2]["n_url"], got[2]["n_email"], got[2]["n_ipv4"]) == (2, 0, 0)
+    assert got[2]["redacted"] == "visit <URL> and <URL>"
+    assert (got[3]["n_url"], got[3]["n_email"], got[3]["n_ipv4"]) == (0, 0, 2)
+    assert got[3]["redacted"] == "server at <IPV4> and <IPV4>"
+    assert got[4]["redacted"] == "clean text with no pii at all"
+
+
+def plan_str(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_pii_scrub_is_projection_only(spark):
+    """The scrub plan must contain no Exchange — pure row-local work."""
+    df = spark.createDataFrame([(1, "x a@b.co")], ["doc_id", "text"])
+    assert "Exchange" not in plan_str(scrub.pii_scrub(df))
+
+
+# ---------------------------------------------------------------------------
+# deterministic_split / stratified_sample
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+
+
+def test_split_is_deterministic_and_partitions(ids):
+    a = {r["doc_id"]: r["split"] for r in smp.deterministic_split(ids, "doc_id").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in smp.deterministic_split(ids.repartition(7), "doc_id").collect()
+    }
+    assert a == b  # stable under partitioning
+    assert set(a.values()) == {"train", "val", "test"}
+
+
+def test_split_fractions_approximate(ids):
+    counts = {
+        r["split"]: r["count"]
+        for r in smp.deterministic_split(ids, "doc_id").groupBy("split").count().collect()
+    }
+    n = sum(counts.values())
+    assert n == 2000
+    assert abs(counts["train"] / n - 0.90) < 0.03
+    assert abs(counts["val"] / n - 0.05) < 0.02
+    assert abs(counts["test"] / n - 0.05) < 0.02
+
+
+def test_split_salt_rerolls(ids):
+    a = {r["doc_id"]: r["split"] for r in smp.deterministic_split(ids, "doc_id").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in smp.deterministic_split(ids, "doc_id", salt="other").collect()
+    }
+    assert a != b
+
+
+def test_split_custom_weights_order_applied(ids):
+    out = smp.deterministic_split(
+        ids, "doc_id", weights={"big": 1.0}
+    )
+    assert out.where(F.col("split") != "big").count() == 0
+
+
+def test_stratified_sample_fractions(spark):
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    out = smp.stratified_sample(df, {"en": 0.4, "de": 0.1}, "lang")
+    counts = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert abs(counts["en"] / 1500 - 0.4) < 0.05
+    assert abs(counts["de"] / 1500 - 0.1) < 0.04
+
+
+def test_stratified_sample_default_fraction_drops_unlisted(spark):
+    df = spark.createDataFrame([(1, "xx"), (2, "xx")], ["doc_id", "lang"])
+    assert smp.stratified_sample(df, {"en": 1.0}, "lang").count() == 0
+    assert (
+        smp.stratified_sample(df, {"en": 1.0}, "lang", default_fraction=1.0).count()
+        == 2
+    )
+
+
+def test_sample_independent_of_split(ids):
+    """Same id must not correlate across the two decisions: the val-set
+    sampling rate should match the global sampling rate."""
+    split = smp.deterministic_split(ids, "doc_id")
+    sampled = smp.stratified_sample(
+        split.withColumn("lang", F.lit("en")), {"en": 0.5}, "lang"
+    )
+    val_total = split.where(F.col("split") == "val").count()
+    val_sampled = sampled.where(F.col("split") == "val").count()
+    assert abs(val_sampled / val_total - 0.5) < 0.15
+
+
+# ---------------------------------------------------------------------------
+# repetition_stats
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_known_answers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # 1 distinct token; bigram 'a a' x3
+            (2, "a b c d"),          # all unique
+            (3, "a b a b a"),        # bigrams: 'a b' x2, 'b a' x2
+            (4, "solo"),             # no bigrams
+            (5, ""),                 # no tokens
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+    assert got[1]["n_tokens"] == 4
+    assert got[1]["dup_token_frac"] == pytest.approx(0.75)
+    assert got[1]["dup_bigram_frac"] == pytest.approx(2 / 3)
+    assert got[1]["top_bigram_frac"] == pytest.approx(1.0)
+    assert got[2]["dup_token_frac"] == 0.0
+    assert got[2]["top_bigram_frac"] == pytest.approx(1 / 3)
+    assert got[3]["dup_token_frac"] == pytest.approx(0.6)
+    assert got[3]["top_bigram_frac"] == pytest.approx(0.5)
+    assert got[4]["n_tokens"] == 1
+    assert got[4]["dup_bigram_frac"] == 0.0
+    assert got[4]["top_bigram_frac"] == 0.0
+    assert got[5]["n_tokens"] == 0
+    assert got[5]["dup_token_frac"] == 0.0
+
+
+def test_repetition_single_scan(spark):
+    """One corpus scan: the row-local metrics ride through the explode as
+    grouping keys instead of re-scanning + joining."""
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    plan = plan_str(repetition_stats(df))
+    # one "(n) Scan ..." detail header per physical scan node
+    assert plan.count(") Scan ") == 1
+    assert "Join" not in plan
