@@ -2036,6 +2036,96 @@ def q_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(_part_co_edges(spark, sf_dir), _KCORE_K, "src", "dst")
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed TF-IDF (``functions.retrieval.tf_idf``): top-3 terms per
+    document by (rounded weight desc, term) — postings via explode + two
+    map-side-combinable aggs; corpus size rides as a one-row broadcast."""
+    from polars_grouper_spark.functions import retrieval as rt
+
+    docs = load_table(spark, "documents", sf_dir)
+    weighted = rt.tf_idf(docs).select(
+        "id", "term", "tf", F.round("tfidf", 6).alias("tfidf")
+    )
+    w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return weighted.select(
+        "*", F.row_number().over(w).alias("rank")
+    ).where(F.col("rank") <= 3)
+
+
+_TFIDF_SQL = r"""
+WITH tok AS (
+  SELECT doc_id AS id,
+         unnest(list_transform(
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''),
+           t -> lower(t))) AS term
+  FROM documents
+),
+tf AS (SELECT id, term, count(*)::BIGINT AS tf FROM tok GROUP BY id, term),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+weighted AS (
+  SELECT tf.id, tf.term, tf.tf,
+         round(tf.tf * (ln((n.n_docs + 1) / (dfreq.df + 1)) + 1.0), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, term) AS rank
+  FROM weighted
+)
+SELECT id, term, tf, tfidf, rank FROM ranked WHERE rank <= 3
+"""
+
+
+_BM25_QUERY = ["table", "scan", "fast", "merge"]
+_BM25_K = 20
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 (``functions.retrieval.bm25_topk``) for a fixed
+    query: postings filtered to the query terms before any aggregation,
+    df/corpus stats broadcast as one-row frames, rank on (rounded score
+    desc, id) so cross-engine float noise cannot reorder the cut."""
+    from polars_grouper_spark.functions import retrieval as rt
+
+    docs = load_table(spark, "documents", sf_dir)
+    return rt.bm25_topk(docs, _BM25_QUERY, k=_BM25_K)
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_QUERY)
+    k1, b = 1.2, 0.75
+    return rf"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         list_transform(
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''),
+           t -> lower(t)) AS toks
+  FROM documents
+),
+tok AS (SELECT id, len(toks)::BIGINT AS doc_len, unnest(toks) AS term FROM toks),
+tf AS (
+  SELECT id, doc_len, term, count(*)::BIGINT AS tf
+  FROM tok WHERE term IN ({terms}) GROUP BY id, doc_len, term
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(len(toks)) AS avgdl FROM toks),
+scored AS (
+  SELECT tf.id, count(*)::BIGINT AS n_hits,
+         round(sum(
+           ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * ({k1} + 1.0)
+           / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.doc_len / stats.avgdl))
+         ), 6) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+  GROUP BY tf.id
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY score DESC, id) AS rank FROM scored
+)
+SELECT id, n_hits, score, rank FROM ranked WHERE rank <= {_BM25_K}
+"""
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup end-to-end: file stream →
     ``dropDuplicatesWithinWatermark`` on (user_id, event_type) →
@@ -2415,6 +2505,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "triangles_parts": q_triangles_parts,
         "kcore_parts": q_kcore_parts,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "bm25_search": q_bm25_search,
         "pipeline_prep": q_pipeline_prep,
         "dedup_clusters": q_dedup_clusters,
         "media_frames": q_media_frames,
@@ -2488,6 +2580,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _stratified_sample_sql(),
         "triangles_parts": triangle_count_sql(_PART_CO_EDGE_SQL),
         "kcore_parts": k_core_sql(_PART_CO_EDGE_SQL, _KCORE_K, _KCORE_ORACLE_ROUNDS),
+        "tfidf_top_terms": _TFIDF_SQL,
+        "bm25_search": _bm25_sql(),
         "pipeline_prep": _pipeline_prep_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
         "media_frames": _MEDIA_FRAMES_SQL,
