@@ -1529,6 +1529,59 @@ GROUP BY 1, 2
 """
 
 
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window stats through a REAL Structured Streaming query
+    (2-hour windows sliding hourly): every event lands in exactly two
+    windows, doubling state rows vs tumbling — the state/output-volume
+    tradeoff of overlap analytics.  Same availableNow + memory-sink
+    harness as ``stream_hourly``; the oracle expands the two covering
+    windows per event with a 2-row VALUES cross join."""
+    from polars_grouper_spark import streaming as st
+
+    load_table(spark, "events", sf_dir)  # sets the nanosAsLong reader conf
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = st.windowed_event_stats(
+        stream, window_duration="2 hours", slide="1 hour", watermark=None
+    )
+    name = "stream_sliding_sink"
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(name).select(
+        F.unix_timestamp("window_start").alias("win_epoch"),
+        "event_type",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+_STREAM_SLIDING_SQL = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) - o * 3600 AS win_epoch,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events, (VALUES (0), (1)) AS t(o)
+GROUP BY 1, 2
+"""
+
+
 def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-window aggregation (streaming-capable operator run on the
     batch frame) — session count and event count per user."""
@@ -2022,16 +2075,17 @@ def q_triangles_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(_part_co_edges(spark, sf_dir), "src", "dst")
 
 
-_KCORE_K = 28
-_KCORE_ORACLE_ROUNDS = 10  # sf0.01 peel depth is 6; extra rounds are no-ops
+_KCORE_K = 26
+_KCORE_ORACLE_ROUNDS = 10  # sf0.01 peel depth is 7; extra rounds are no-ops
 
 
 def q_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-core decomposition (``operators.kcore``, k=28) of the
+    """k-core decomposition (``operators.kcore``, k=26) of the
     part-co-occurrence graph by iterative peeling — one degree
     aggregation + two semi-joins per round, surviving edge set only
-    shrinks.  Spark runs to the true fixpoint; the oracle unrolls 10
-    MATERIALIZED peel rounds (≥ the sf0.01 depth of 6; extra rounds are
+    shrinks.  Spark runs to the true fixpoint (615 nodes / 7 peel rounds
+    at sf0.01, 6053 / 8 at sf0.1 — nontrivial cascade at both scales);
+    the oracle unrolls 10 MATERIALIZED peel rounds (extra rounds are
     fixpoint no-ops)."""
     return k_core(_part_co_edges(spark, sf_dir), _KCORE_K, "src", "dst")
 
@@ -2487,6 +2541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_customer": q_top_orders_per_customer,
         "events_hourly": q_events_hourly,
         "stream_hourly": q_stream_hourly,
+        "stream_sliding": q_stream_sliding,
         "event_sessions": q_event_sessions,
         "sales_cube": q_sales_cube,
         "priority_rollup": q_priority_rollup,
@@ -2562,6 +2617,7 @@ def oracle_sql() -> dict[str, str]:
         "top_orders_per_customer": _TOP_ORDERS_SQL,
         "events_hourly": _EVENTS_HOURLY_SQL,
         "stream_hourly": _STREAM_HOURLY_SQL,
+        "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,
         "sales_cube": _SALES_CUBE_SQL,
         "priority_rollup": _PRIORITY_ROLLUP_SQL,

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..plans.iteration import truncate_lineage
+from ..plans.iteration import fingerprint, truncate_lineage
 from .triangles import _interned_edges
 
 
@@ -62,23 +62,29 @@ def k_core(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     edges, names = _interned_edges(df, src, dst)
+    # CC's loop pattern: lazy checkpoint per round, with the one-job
+    # (count, bit_xor) fingerprint as BOTH the materializing action and
+    # the convergence probe — exactly one Spark job per peel round.
+    # Edges are distinct canonical pairs, so XOR cancellation is safe.
+    edges = truncate_lineage(edges, cache=False)
+    prev = fingerprint(edges, "a", "b")
     for _ in range(max_iter):
         deg = _degrees(edges)
-        dead = deg.where(F.col("deg") < k).select("nid")
-        # One action per round: the peel set is tiny after round 1, so
-        # materializing it (isEmpty) is the cheap convergence probe.
-        if dead.isEmpty():
-            core = deg.select("nid", F.col("deg").alias("core_deg"))
-            return names.join(core, names["id"] == core["nid"]).select(
-                "node", "core_deg"
-            )
         alive = deg.where(F.col("deg") >= k).select("nid")
-        edges = (
+        new_edges = (
             edges.join(alive.withColumnRenamed("nid", "a"), "a", "semi")
             .join(alive.withColumnRenamed("nid", "b"), "b", "semi")
             .select("a", "b")
         )
-        edges = truncate_lineage(edges)
+        new_edges = truncate_lineage(new_edges, cache=False)
+        cur = fingerprint(new_edges, "a", "b")
+        if cur == prev:
+            # fixpoint: every remaining node already has degree >= k
+            core = _degrees(edges).select("nid", F.col("deg").alias("core_deg"))
+            return names.join(core, names["id"] == core["nid"]).select(
+                "node", "core_deg"
+            )
+        edges, prev = new_edges, cur
     raise RuntimeError(
         f"k_core did not converge within max_iter={max_iter} peeling rounds; "
         "raise max_iter (adversarial long-chain graphs peel O(V) rounds)"
