@@ -47,6 +47,7 @@ from polars_grouper_spark.functions import similarity as sim
 from polars_grouper_spark.functions import text as tx
 from polars_grouper_spark.functions.hashing import hash_pair64_sql, portable_hash64_sql
 from polars_grouper_spark.operators.kcore import k_core, k_core_sql
+from polars_grouper_spark.operators.ktruss import k_truss_sql
 from polars_grouper_spark.operators.triangles import triangle_count, triangle_count_sql
 from polars_grouper_spark.sources import load_table
 
@@ -2090,6 +2091,22 @@ def q_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(_part_co_edges(spark, sf_dir), _KCORE_K, "src", "dst")
 
 
+_KTRUSS_K = 6
+_KTRUSS_ORACLE_ROUNDS = 8  # sf0.01 peel depth is 6; extra rounds are no-ops
+
+
+def q_ktruss_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss decomposition (``operators.ktruss``, k=6) of the
+    part-co-occurrence graph: iterative support peeling where each round
+    recounts per-edge triangle support (degree-ordered wedge join on
+    interned ids) and drops edges below k−2.  Nontrivial cascade at both
+    bench scales (798 edges / 6 rounds at sf0.01, 5 917 / 3 at sf0.1);
+    the oracle unrolls 8 MATERIALIZED peel rounds."""
+    from polars_grouper_spark.operators.ktruss import k_truss
+
+    return k_truss(_part_co_edges(spark, sf_dir), _KTRUSS_K, "src", "dst")
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Smoothed TF-IDF (``functions.retrieval.tf_idf``): top-3 terms per
     document by (rounded weight desc, term) — postings via explode + two
@@ -2560,6 +2577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "triangles_parts": q_triangles_parts,
         "kcore_parts": q_kcore_parts,
+        "ktruss_parts": q_ktruss_parts,
         "tfidf_top_terms": q_tfidf_top_terms,
         "bm25_search": q_bm25_search,
         "pipeline_prep": q_pipeline_prep,
@@ -2636,6 +2654,9 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _stratified_sample_sql(),
         "triangles_parts": triangle_count_sql(_PART_CO_EDGE_SQL),
         "kcore_parts": k_core_sql(_PART_CO_EDGE_SQL, _KCORE_K, _KCORE_ORACLE_ROUNDS),
+        "ktruss_parts": k_truss_sql(
+            _PART_CO_EDGE_SQL, _KTRUSS_K, _KTRUSS_ORACLE_ROUNDS
+        ),
         "tfidf_top_terms": _TFIDF_SQL,
         "bm25_search": _bm25_sql(),
         "pipeline_prep": _pipeline_prep_sql(),

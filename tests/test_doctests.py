@@ -11,13 +11,14 @@ from polars_grouper_spark.operators import (
     asof_join as _aj,
     connected_components as _cc,
     kcore as _kc,
+    ktruss as _kt,
     pagerank as _pr,
     range_join as _rj,
     shortest_path as _sp,
     triangles as _tr,
 )
 
-MODULES = [_cc, _sp, _pr, _aj, _rj, _tr, _kc]
+MODULES = [_cc, _sp, _pr, _aj, _rj, _tr, _kc, _kt]
 
 
 @pytest.mark.parametrize("mod", MODULES, ids=lambda m: m.__name__.rsplit(".", 1)[-1])
