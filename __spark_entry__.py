@@ -2147,6 +2147,46 @@ SELECT id, term, tf, tfidf, rank FROM ranked WHERE rank <= 3
 """
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM self-scoring (``functions.retrieval.unigram_logprob``)
+    — the CCNet-style perplexity filter: per-doc average log-probability
+    under the corpus's own unigram distribution, plus perplexity.
+    Postings join a broadcast vocab-probability table; corpus text never
+    shuffles."""
+    from polars_grouper_spark.functions import retrieval as rt
+
+    docs = load_table(spark, "documents", sf_dir)
+    return rt.unigram_logprob(docs).select(
+        "id",
+        "n_tokens",
+        F.round("avg_logprob", 6).alias("avg_logprob"),
+        F.round("ppl", 6).alias("ppl"),
+    )
+
+
+_LM_PERPLEXITY_SQL = r"""
+WITH tok AS (
+  SELECT doc_id AS id,
+         unnest(list_transform(
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''),
+           t -> lower(t))) AS term
+  FROM documents
+),
+tf AS (SELECT id, term, count(*)::BIGINT AS tf FROM tok GROUP BY id, term),
+vocab AS (SELECT term, sum(tf)::BIGINT AS n_term FROM tf GROUP BY term),
+tot AS (SELECT sum(n_term)::BIGINT AS n_total FROM vocab),
+scored AS (
+  SELECT tf.id, sum(tf.tf)::BIGINT AS n_tokens,
+         sum(tf.tf * ln(vocab.n_term / tot.n_total)) / sum(tf.tf) AS avg_logprob
+  FROM tf JOIN vocab USING (term) CROSS JOIN tot
+  GROUP BY tf.id
+)
+SELECT id, n_tokens, round(avg_logprob, 6) AS avg_logprob,
+       round(exp(-avg_logprob), 6) AS ppl
+FROM scored
+"""
+
+
 _BM25_QUERY = ["table", "scan", "fast", "merge"]
 _BM25_K = 20
 
@@ -2580,6 +2620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss_parts": q_ktruss_parts,
         "tfidf_top_terms": q_tfidf_top_terms,
         "bm25_search": q_bm25_search,
+        "lm_perplexity": q_lm_perplexity,
         "pipeline_prep": q_pipeline_prep,
         "dedup_clusters": q_dedup_clusters,
         "media_frames": q_media_frames,
@@ -2659,6 +2700,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "tfidf_top_terms": _TFIDF_SQL,
         "bm25_search": _bm25_sql(),
+        "lm_perplexity": _LM_PERPLEXITY_SQL,
         "pipeline_prep": _pipeline_prep_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
         "media_frames": _MEDIA_FRAMES_SQL,

@@ -112,6 +112,47 @@ def bm25_score(
     )
 
 
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document unigram language-model score ->
+    ``(id, n_tokens, avg_logprob, ppl)``.
+
+    The corpus's own unigram distribution is the model (the CCNet-style
+    self-scoring filter: documents whose tokens are improbable under the
+    corpus LM are outliers — boilerplate, noise, wrong-language).
+
+    ``avg_logprob = Σ_t tf·ln(p(t)) / Σ_t tf`` with
+    ``p(t) = count(t) / total_tokens``; ``ppl = exp(−avg_logprob)``.
+
+    Plan: postings (explode + partial-agg) ⋈ broadcast vocab-sized
+    probability table, then a map-side-combinable per-doc aggregation —
+    the corpus text itself is never shuffled.
+    """
+    terms = term_table(df, id_col, text_col)
+    vocab = terms.groupBy("term").agg(F.sum("tf").cast("long").alias("n_term"))
+    total = vocab.agg(F.sum("n_term").cast("long").alias("n_total"))
+    probs = vocab.crossJoin(F.broadcast(total)).select(
+        "term", F.log(F.col("n_term") / F.col("n_total")).alias("logp")
+    )
+    return (
+        terms.join(F.broadcast(probs), "term")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            (F.sum(F.col("tf") * F.col("logp")) / F.sum("tf")).alias("avg_logprob"),
+        )
+        .select(
+            "id",
+            "n_tokens",
+            "avg_logprob",
+            F.exp(-F.col("avg_logprob")).alias("ppl"),
+        )
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     query_terms: "list[str]",

@@ -88,3 +88,17 @@ def test_bm25_filter_below_aggregation(corpus):
 
 def test_bm25_empty_query_terms(corpus):
     assert rt.bm25_score(corpus, ["zebra"]).count() == 0
+
+
+def test_unigram_logprob(corpus):
+    got = {r["id"]: r for r in rt.unigram_logprob(corpus).collect()}
+    # corpus totals: 15 tokens; cat=3 dog=2 the=3 mat=3 sat=1 on=1 runs=1 far=1
+    n = 15
+    import math
+    exp2 = (2 * math.log(3 / n) + math.log(2 / n)) / 3  # doc 2: cat cat dog
+    assert got[2]["avg_logprob"] == pytest.approx(exp2)
+    assert got[2]["ppl"] == pytest.approx(math.exp(-exp2))
+    assert got[2]["n_tokens"] == 3
+    # doc 3 (all rare words) must be more surprising than doc 4 (common)
+    assert got[3]["avg_logprob"] < got[4]["avg_logprob"]
+    assert got[3]["ppl"] > got[4]["ppl"]
