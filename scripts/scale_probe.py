@@ -242,6 +242,45 @@ def probe_shortest_path(spark, meter, edges, cutoffs: list[float]) -> dict:
     return out
 
 
+def probe_graph_mining(spark, meter, edges, label: str) -> dict:
+    """Triangle count / k-core / k-truss on a hub-skewed multigraph — the
+    degree-ordered orientation is exactly what keeps wedge fan-out sane
+    here (the hub's Σdeg² would otherwise dominate)."""
+    import time
+
+    from polars_grouper_spark.operators.kcore import k_core
+    from polars_grouper_spark.operators.ktruss import k_truss
+    from polars_grouper_spark.operators.triangles import triangle_count
+
+    out: dict = {"probe": f"graph_mining_{label}"}
+
+    r0, w0 = meter.snapshot()
+    t0 = time.time()
+    tri = triangle_count(edges, "from", "to")
+    total3 = tri.agg(F.sum("n_triangles")).first()[0]
+    r1, w1 = meter.snapshot()
+    out["triangles"] = {
+        "wall_s": round(time.time() - t0, 1),
+        "nodes": tri.count(),
+        "triangles": total3 // 3,
+        "shuffle_write_mb": round((w1 - w0) / 1e6, 1),
+    }
+
+    for name, fn, k in (("kcore", k_core, 4), ("ktruss", k_truss, 4)):
+        r0, w0 = meter.snapshot()
+        t0 = time.time()
+        res = fn(edges, k, "from", "to")
+        n = res.count()
+        r1, w1 = meter.snapshot()
+        out[name] = {
+            "k": k,
+            "wall_s": round(time.time() - t0, 1),
+            "rows": n,
+            "shuffle_write_mb": round((w1 - w0) / 1e6, 1),
+        }
+    return out
+
+
 def probe_streaming_state(spark, n_keys: int = 1_000_000) -> dict:
     """Streaming dedup at 1M state keys under both providers: rows in the
     state store + provider memory metrics from the query progress."""
@@ -329,6 +368,11 @@ def main() -> None:
         flush=True,
     )
     print(json.dumps(probe_streaming_state(spark)), flush=True)
+    gm = power_law_edges(spark, max(n_edges // 5, 1_000_000), max(n_edges, 5) // 25)
+    print(
+        json.dumps(probe_graph_mining(spark, meter, gm, "powerlaw")),
+        flush=True,
+    )
     spark.stop()
 
 

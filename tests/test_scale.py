@@ -157,3 +157,32 @@ def test_distributed_betweenness_at_scale(spark):
     assert res.count() > 30_000  # all interned nodes covered
     # the heavy hitters live in the hub region of the id space
     assert sum(1 for n in top if n < 2_000) >= 15
+
+
+def test_graph_mining_trio_on_skewed_graph(spark):
+    """500k-edge hub-skewed multigraph: triangle counting with degree
+    orientation completes despite the hub (Σdeg² would be quadratic in
+    the hub degree without it), k-truss edges all survive inside the
+    (k-1)-core node set, and hub nodes carry the triangle mass."""
+    from polars_grouper_spark.operators.kcore import k_core
+    from polars_grouper_spark.operators.ktruss import k_truss
+    from polars_grouper_spark.operators.triangles import triangle_count
+
+    edges = _power_law_edges(spark, 500_000, 100_000)
+    tri = triangle_count(edges, "from", "to")
+    total3 = tri.agg(F.sum("n_triangles")).first()[0]
+    assert total3 % 3 == 0 and total3 > 0
+    top = [
+        int(r["node"][1:])
+        for r in tri.orderBy(F.desc("n_triangles")).limit(20).collect()
+    ]
+    assert sum(1 for n in top if n < 2_000) >= 15
+
+    core = k_core(edges, 3, "from", "to")
+    core_nodes = {r["node"] for r in core.collect()}
+    assert core.count() > 0
+    truss = k_truss(edges, 4, "from", "to")  # 4-truss ⊆ 3-core
+    truss_nodes = {
+        x for r in truss.select("src", "dst").collect() for x in (r[0], r[1])
+    }
+    assert truss_nodes and truss_nodes <= core_nodes
