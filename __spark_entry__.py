@@ -48,7 +48,12 @@ from polars_grouper_spark.functions import text as tx
 from polars_grouper_spark.functions.hashing import hash_pair64_sql, portable_hash64_sql
 from polars_grouper_spark.operators.kcore import k_core, k_core_sql
 from polars_grouper_spark.operators.ktruss import k_truss_sql
-from polars_grouper_spark.operators.triangles import triangle_count, triangle_count_sql
+from polars_grouper_spark.operators.link_prediction import link_scores_sql
+from polars_grouper_spark.operators.triangles import (
+    clustering_coefficient_sql,
+    triangle_count,
+    triangle_count_sql,
+)
 from polars_grouper_spark.sources import load_table
 
 
@@ -2107,6 +2112,35 @@ def q_ktruss_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_truss(_part_co_edges(spark, sf_dir), _KTRUSS_K, "src", "dst")
 
 
+_LINK_PRED_TOPN = 200
+
+
+def q_link_pred_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction (``operators.link_prediction``): common-neighbor /
+    Jaccard / Adamic-Adar scores for non-adjacent part pairs, top-200 by
+    (common_neighbors desc, pair) — the cutoff orders on the integer
+    count with a total name tiebreak, so the selected set is
+    engine-deterministic.  Wedge enumeration groups by pair id; hub
+    centers cappable via ``max_center_degree`` (exact here)."""
+    from polars_grouper_spark.operators.link_prediction import link_scores
+
+    return (
+        link_scores(_part_co_edges(spark, sf_dir), "src", "dst")
+        .orderBy(F.col("common_neighbors").desc(), "node_a", "node_b")
+        .limit(_LINK_PRED_TOPN)
+    )
+
+
+def q_clustering_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient (``operators.triangles``) per part
+    node: degree-ordered triangle counts joined with distinct-neighbor
+    degrees, ``2*tri/(deg*(deg-1))`` — one extra linear aggregation over
+    the triangle pipeline."""
+    from polars_grouper_spark.operators.triangles import clustering_coefficient
+
+    return clustering_coefficient(_part_co_edges(spark, sf_dir), "src", "dst")
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Smoothed TF-IDF (``functions.retrieval.tf_idf``): top-3 terms per
     document by (rounded weight desc, term) — postings via explode + two
@@ -2616,6 +2650,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split": q_train_split,
         "stratified_sample": q_stratified_sample,
         "triangles_parts": q_triangles_parts,
+        "clustering_parts": q_clustering_parts,
+        "link_pred_parts": q_link_pred_parts,
         "kcore_parts": q_kcore_parts,
         "ktruss_parts": q_ktruss_parts,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -2694,6 +2730,11 @@ def oracle_sql() -> dict[str, str]:
         "train_split": _train_split_sql(),
         "stratified_sample": _stratified_sample_sql(),
         "triangles_parts": triangle_count_sql(_PART_CO_EDGE_SQL),
+        "clustering_parts": clustering_coefficient_sql(_PART_CO_EDGE_SQL),
+        "link_pred_parts": (
+            link_scores_sql(_PART_CO_EDGE_SQL)
+            + f" ORDER BY common_neighbors DESC, node_a, node_b LIMIT {_LINK_PRED_TOPN}"
+        ),
         "kcore_parts": k_core_sql(_PART_CO_EDGE_SQL, _KCORE_K, _KCORE_ORACLE_ROUNDS),
         "ktruss_parts": k_truss_sql(
             _PART_CO_EDGE_SQL, _KTRUSS_K, _KTRUSS_ORACLE_ROUNDS

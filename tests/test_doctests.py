@@ -12,13 +12,14 @@ from polars_grouper_spark.operators import (
     connected_components as _cc,
     kcore as _kc,
     ktruss as _kt,
+    link_prediction as _lp,
     pagerank as _pr,
     range_join as _rj,
     shortest_path as _sp,
     triangles as _tr,
 )
 
-MODULES = [_cc, _sp, _pr, _aj, _rj, _tr, _kc, _kt]
+MODULES = [_cc, _sp, _pr, _aj, _rj, _tr, _kc, _kt, _lp]
 
 
 @pytest.mark.parametrize("mod", MODULES, ids=lambda m: m.__name__.rsplit(".", 1)[-1])
