@@ -1790,6 +1790,20 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOP_BIGRAMS_K = 50
+
+
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-50 word bigrams (``functions.text.top_ngrams``):
+    in-array window extraction (no explode until the count), two
+    map-side-combinable aggregations on the n-gram key, TakeOrdered over
+    the distinct-ngram table with a total (count desc, ngram) order."""
+    from polars_grouper_spark.functions import text as tx
+
+    docs = load_table(spark, "documents", sf_dir)
+    return tx.top_ngrams(docs, n=2, k=_TOP_BIGRAMS_K)
+
+
 _TOKEN_COUNTS_SQL = r"""
 SELECT doc_id,
        CASE WHEN trim(text) = '' THEN 0
@@ -2645,6 +2659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_tiers": q_range_tiers,
         "super_merger_weighted_orders": q_super_merger_weighted_orders,
         "token_counts": q_token_counts,
+        "top_bigrams": q_top_bigrams,
         "doc_repetition": q_doc_repetition,
         "pii_scrub": q_pii_scrub,
         "train_split": q_train_split,
@@ -2725,6 +2740,7 @@ def oracle_sql() -> dict[str, str]:
         "range_tiers": _RANGE_TIERS_SQL,
         "super_merger_weighted_orders": _SUPER_MERGER_WEIGHTED_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,
+        "top_bigrams": tx.top_ngrams_sql(n=2, k=_TOP_BIGRAMS_K),
         "doc_repetition": _DOC_REPETITION_SQL,
         "pii_scrub": _pii_scrub_sql(),
         "train_split": _train_split_sql(),

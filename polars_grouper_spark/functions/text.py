@@ -329,3 +329,82 @@ def fingerprint(
     """
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^\p{L}\p{N}]+", " "))
     return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+
+
+def ngrams(text: Column | str, n: int = 2) -> Column:
+    """Word n-grams -> array<string> (space-joined, lowercased whitespace
+    tokens).  A document shorter than ``n`` tokens yields an empty array.
+
+    Stays in whole-stage codegen: tokenize once, then a ``transform`` over
+    ``sequence(1, len - n + 1)`` takes each window with ``slice`` —
+    no explode until the caller asks for one.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = F.transform(tokens(text), F.lower)
+    windows = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    # sequence(1, k) for k < 1 counts DOWN; guard short docs explicitly.
+    return F.when(F.size(toks) >= n, windows).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level top-k word n-grams -> ``(ngram, n_docs, n_occurrences)``
+    ordered by (occurrences desc, ngram) — the tiebreak is total, so the
+    selected set is deterministic.
+
+    Scale: the explode is linear in corpus tokens and both counts are
+    map-side combinable (one shuffle on the n-gram key); the top-k is a
+    TakeOrdered over the aggregated (distinct-ngram-sized) table, never
+    the corpus.  Vocabulary skew (stop-phrase n-grams) is bounded by the
+    partial aggregation: each task emits one row per distinct n-gram.
+    """
+    grams = df.select(F.explode(ngrams(F.col(text_col), n)).alias("ngram"))
+    counted = grams.groupBy("ngram").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    per_doc = (
+        df.select(F.explode(F.array_distinct(ngrams(F.col(text_col), n))).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    return (
+        counted.join(per_doc, "ngram")
+        .orderBy(F.col("n_occurrences").desc(), "ngram")
+        .limit(k)
+        .select("ngram", "n_docs", "n_occurrences")
+    )
+
+
+def top_ngrams_sql(n: int = 2, k: int = 50, table: str = "documents") -> str:
+    """DuckDB oracle replicating :func:`top_ngrams` (whitespace tokens,
+    lowercase, space-joined windows)."""
+    return f"""
+WITH toks AS (
+  SELECT row_number() OVER () AS doc,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE list_transform(regexp_split_to_array(trim(text), '\\s+'), t -> lower(t))
+         END AS t
+  FROM {table}
+),
+grams AS (
+  SELECT doc, array_to_string(list_slice(t, i, i + {n} - 1), ' ') AS ngram
+  FROM toks, unnest(range(1, len(t) - {n} + 2)) AS u(i)
+  WHERE len(t) >= {n}
+),
+occ AS (SELECT ngram, count(*)::BIGINT AS n_occurrences FROM grams GROUP BY ngram),
+docs AS (SELECT ngram, count(DISTINCT doc)::BIGINT AS n_docs FROM grams GROUP BY ngram)
+SELECT o.ngram, d.n_docs, o.n_occurrences
+FROM occ o JOIN docs d USING (ngram)
+ORDER BY o.n_occurrences DESC, o.ngram
+LIMIT {k}
+"""
