@@ -49,6 +49,7 @@ from polars_grouper_spark.functions.hashing import hash_pair64_sql, portable_has
 from polars_grouper_spark.operators.kcore import k_core, k_core_sql
 from polars_grouper_spark.operators.ktruss import k_truss_sql
 from polars_grouper_spark.operators.link_prediction import link_scores_sql
+from polars_grouper_spark.operators.scc import strongly_connected_components_sql
 from polars_grouper_spark.operators.triangles import (
     clustering_coefficient_sql,
     triangle_count,
@@ -2126,6 +2127,34 @@ def q_ktruss_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_truss(_part_co_edges(spark, sf_dir), _KTRUSS_K, "src", "dst")
 
 
+# Directed user-interaction graph with nontrivial cycles: custkey and a
+# thinned orderkey mapped into the same 400-slot id space.
+_SCC_EDGE_SQL = (
+    "SELECT 'U' || (o_custkey % 400) AS src, 'U' || (o_orderkey % 400) AS dst "
+    "FROM orders WHERE o_orderkey % 5 = 0"
+)
+
+
+def _scc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return o.where(F.col("o_orderkey") % 5 == 0).select(
+        F.concat(F.lit("U"), F.col("o_custkey") % 400).alias("src"),
+        F.concat(F.lit("U"), F.col("o_orderkey") % 400).alias("dst"),
+    )
+
+
+def q_scc_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (``operators.scc``): distributed
+    FW-BW with min-id pivots — trim peels acyclic nodes, then per-block
+    forward min-label / backward reachability fixpoints carve out each
+    block pivot's SCC; components labelled by min member name.  The
+    oracle computes the full recursive transitive closure (oracle-scale
+    graphs only)."""
+    from polars_grouper_spark.operators.scc import strongly_connected_components
+
+    return strongly_connected_components(_scc_edges(spark, sf_dir), "src", "dst")
+
+
 _LINK_PRED_TOPN = 200
 
 
@@ -2667,6 +2696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_parts": q_triangles_parts,
         "clustering_parts": q_clustering_parts,
         "link_pred_parts": q_link_pred_parts,
+        "scc_users": q_scc_users,
         "kcore_parts": q_kcore_parts,
         "ktruss_parts": q_ktruss_parts,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -2751,6 +2781,7 @@ def oracle_sql() -> dict[str, str]:
             link_scores_sql(_PART_CO_EDGE_SQL)
             + f" ORDER BY common_neighbors DESC, node_a, node_b LIMIT {_LINK_PRED_TOPN}"
         ),
+        "scc_users": strongly_connected_components_sql(_SCC_EDGE_SQL),
         "kcore_parts": k_core_sql(_PART_CO_EDGE_SQL, _KCORE_K, _KCORE_ORACLE_ROUNDS),
         "ktruss_parts": k_truss_sql(
             _PART_CO_EDGE_SQL, _KTRUSS_K, _KTRUSS_ORACLE_ROUNDS

@@ -1,0 +1,279 @@
+"""Strongly connected components — beyond-reference directed-graph operator.
+
+Distributed FW-BW (forward-backward reachability) with min-id pivots,
+the standard shared-nothing SCC algorithm (Fleischer, Hendrickson &
+Pinar 2000; the label-propagation formulation follows Pregel-style
+"coloring" as in Yan et al. 2014).  The reference's `graph_solver`
+treats edges as undirected (SURVEY.md §2.1); SCC is its directed-graph
+counterpart, needed for pipeline DAG validation, citation/link-graph
+condensation, and dependency cycle detection.
+
+Algorithm, entirely DataFrame-relational (joins + groupBy min; nothing
+driver-sized — the driver sees only per-round fingerprints):
+
+1. **Trim**: iteratively peel nodes with no in-edge or no out-edge
+   inside the active subgraph — such nodes cannot lie on a cycle, so
+   each is a singleton SCC.  A DAG dissolves entirely here; on real
+   graphs trimming removes the bulk of nodes before any pivot work
+   (the "trim" step of FW-BW).
+2. **Pivot rounds** over a block partition (all blocks processed in
+   parallel within each round):
+   a. Forward min-label propagation inside each block to fixpoint:
+      ``f(v) = min id that reaches v`` within the block.  The block
+      minimum ``p`` is the pivot; ``f(v) = p`` ⟺ ``v ∈ FW(p)``.
+   b. Backward boolean propagation from the pivots inside each block:
+      ``marked(v)`` ⟺ ``v`` reaches its block's pivot (``v ∈ BW(p)``).
+   c. ``SCC(p) = FW(p) ∩ BW(p)`` — emitted with component id ``p``;
+      remaining nodes split into FW\\SCC, BW\\SCC, REST — three sets no
+      SCC can straddle — giving the next round's finer blocks.
+3. Components are labelled by their minimum member name (string order)
+   — a pure function of the membership partition, independent of
+   interning order, which keeps the output engine-deterministic.
+
+Scale: every step shuffles by node id and is map-side combinable
+(min/any aggregations); the active edge set only shrinks.  Inner
+fixpoints run O(block diameter) rounds; outer rounds are O(log n)
+expected on graphs whose SCC sizes are skewed (each round removes every
+block's pivot SCC and splits the remainder three ways).  Per-round
+state is lineage-truncated via ``localCheckpoint``; convergence is a
+one-job fingerprint (plans/iteration.py).
+
+Input conventions follow SURVEY.md §1: endpoints cast to string, null
+endpoints drop the edge, parallel edges collapse.  Self-loops are
+dropped (they never change SCC membership).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.iteration import fingerprint, truncate_lineage
+
+
+def _clean_edges(df: DataFrame, src: str, dst: str) -> "tuple[DataFrame, DataFrame]":
+    """(edges, names): distinct directed edges on xxhash64 long ids
+    (self-loops dropped) + id->name map."""
+    s = F.col(src).cast("string")
+    d = F.col(dst).cast("string")
+    cleaned = df.where(s.isNotNull() & d.isNotNull() & (s != d)).select(
+        s.alias("s"), d.alias("d")
+    )
+    hashed = cleaned.select(
+        F.xxhash64("s").alias("u"), F.xxhash64("d").alias("v"), "s", "d"
+    )
+    edges = hashed.select("u", "v").distinct()
+    names = (
+        hashed.select(F.col("u").alias("id"), F.col("s").alias("node"))
+        .unionAll(hashed.select(F.col("v").alias("id"), F.col("d").alias("node")))
+        .distinct()
+    )
+    return edges, names
+
+
+def strongly_connected_components(
+    df: DataFrame,
+    src: str = "from",
+    dst: str = "to",
+    *,
+    max_rounds: int = 100,
+) -> DataFrame:
+    """SCC membership -> ``(node, scc)`` where ``scc`` is the minimum
+    member name (string order) of the node's strongly connected
+    component.  Every node incident to a surviving edge appears.
+
+    ``max_rounds`` bounds each fixpoint loop (trim, forward, backward,
+    outer pivot rounds); exceeding it raises rather than looping
+    silently.
+
+    >>> edges = spark.createDataFrame(
+    ...     [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"),
+    ...      ("e", "d")], ["from", "to"])
+    >>> strongly_connected_components(edges).orderBy("node").show()
+    +----+---+
+    |node|scc|
+    +----+---+
+    |   a|  a|
+    |   b|  a|
+    |   c|  a|
+    |   d|  d|
+    |   e|  d|
+    +----+---+
+    <BLANKLINE>
+    """
+    spark = df.sparkSession
+    edges, names = _clean_edges(df, src, dst)
+    edges = truncate_lineage(edges)
+
+    active = truncate_lineage(
+        edges.select(F.col("u").alias("id"))
+        .unionAll(edges.select(F.col("v").alias("id")))
+        .distinct()
+        .select("id", F.lit(0).cast("long").alias("blk"))
+    )
+    act_edges = edges
+    # Finished membership rows (id, comp) accumulate across rounds.
+    finished = spark.createDataFrame([], "id long, comp long")
+
+    def _exhausted(what: str):
+        raise RuntimeError(
+            f"strongly_connected_components: {what} did not converge within "
+            f"max_rounds={max_rounds}; raise max_rounds for very deep graphs"
+        )
+
+    for _outer in range(max_rounds + 1):
+        if _outer == max_rounds:
+            _exhausted("pivot peeling")
+        # ---- trim: peel no-in or no-out nodes (singleton SCCs) ----
+        for _trim in range(max_rounds + 1):
+            if _trim == max_rounds:
+                _exhausted("trim")
+            has_in = act_edges.select(F.col("v").alias("id")).distinct()
+            has_out = act_edges.select(F.col("u").alias("id")).distinct()
+            cyclic = active.join(has_in, "id", "left_semi").join(
+                has_out, "id", "left_semi"
+            )
+            trimmed = active.join(cyclic, "id", "left_anti").select("id")
+            n_trimmed = trimmed.count()
+            if n_trimmed == 0:
+                break
+            finished = truncate_lineage(
+                finished.unionAll(trimmed.select("id", F.col("id").alias("comp"))),
+                cache=False,
+            )
+            active = truncate_lineage(cyclic, cache=False)
+            act_edges = truncate_lineage(
+                act_edges.join(active.select(F.col("id").alias("u")), "u", "left_semi")
+                .join(active.select(F.col("id").alias("v")), "v", "left_semi"),
+                cache=False,
+            )
+        if active.isEmpty():
+            break
+
+        # Edges whose endpoints share a block (recomputed once per round).
+        bu = active.select(F.col("id").alias("u"), F.col("blk").alias("blk_u"))
+        bv = active.select(F.col("id").alias("v"), F.col("blk").alias("blk_v"))
+        blk_edges = truncate_lineage(
+            act_edges.join(bu, "u")
+            .join(bv, "v")
+            .where(F.col("blk_u") == F.col("blk_v"))
+            .select("u", "v", F.col("blk_u").alias("blk"))
+        )
+
+        # ---- forward: f(v) = min id reaching v inside its block ----
+        fstate = active.select("id", "blk", F.col("id").alias("f"))
+        prev = None
+        for _fwd in range(max_rounds + 1):
+            if _fwd == max_rounds:
+                _exhausted("forward propagation")
+            msgs = (
+                blk_edges.join(
+                    fstate.select(F.col("id").alias("u"), F.col("f").alias("fu")),
+                    "u",
+                )
+                .groupBy(F.col("v").alias("id"))
+                .agg(F.min("fu").alias("fin"))
+            )
+            # Lazy checkpoint: the fingerprint below is the round's one job.
+            fstate = truncate_lineage(
+                fstate.join(msgs, "id", "left").select(
+                    "id", "blk", F.least("f", "fin").alias("f")
+                ),
+                cache=False,
+            )
+            fp = fingerprint(fstate, "id", "f")
+            if fp == prev:
+                break
+            prev = fp
+
+        pivots = fstate.groupBy("blk").agg(F.min("id").alias("p"))
+        fstate = truncate_lineage(
+            fstate.join(pivots, "blk").select(
+                "id", "blk", "f", (F.col("f") == F.col("p")).alias("in_fw"),
+                (F.col("id") == F.col("p")).alias("is_p"),
+            )
+        )
+
+        # ---- backward: marked(v) = v reaches its block's pivot ----
+        marked = fstate.where("is_p").select("id", "blk")
+        prev_n = marked.count()
+        for _bwd in range(max_rounds + 1):
+            if _bwd == max_rounds:
+                _exhausted("backward propagation")
+            new = (
+                blk_edges.join(
+                    marked.select(F.col("id").alias("v"), "blk"), ["v", "blk"]
+                )
+                .select(F.col("u").alias("id"), "blk")
+            )
+            # Lazy checkpoint: the count below is the round's one job.
+            marked = truncate_lineage(marked.unionAll(new).distinct(), cache=False)
+            n = marked.count()
+            if n == prev_n:
+                break
+            prev_n = n
+
+        state = fstate.join(
+            marked.select("id", F.lit(True).alias("in_bw")), "id", "left"
+        ).select(
+            "id", "blk", "f", "in_fw",
+            F.coalesce("in_bw", F.lit(False)).alias("in_bw"),
+        )
+        state = truncate_lineage(state.join(pivots, "blk"))
+
+        scc = state.where(F.col("in_fw") & F.col("in_bw"))
+        finished = truncate_lineage(
+            finished.unionAll(scc.select("id", F.col("p").alias("comp"))),
+            cache=False,
+        )
+
+        rest = state.where(~(F.col("in_fw") & F.col("in_bw")))
+        region = (
+            F.when(F.col("in_fw"), F.lit(1))
+            .when(F.col("in_bw"), F.lit(2))
+            .otherwise(F.lit(3))
+        )
+        active = truncate_lineage(
+            rest.select("id", F.xxhash64("blk", region).alias("blk")), cache=False
+        )
+        act_edges = truncate_lineage(
+            act_edges.join(active.select(F.col("id").alias("u")), "u", "left_semi")
+            .join(active.select(F.col("id").alias("v")), "v", "left_semi"),
+            cache=False,
+        )
+        if active.isEmpty():
+            break
+
+    # Label each component by its minimum member name (string order).
+    members = finished.join(names, "id").select("node", "comp")
+    labels = members.groupBy("comp").agg(F.min("node").alias("scc"))
+    return members.join(labels, "comp").select("node", "scc")
+
+
+def strongly_connected_components_sql(edge_sql: str) -> str:
+    """DuckDB oracle replicating :func:`strongly_connected_components`
+    over an edge subquery producing ``(src, dst)``: recursive transitive
+    closure, then ``scc(v) = min`` over ``{v} ∪ {w : v↔w mutually
+    reachable}``.  O(V·E) closure — oracle-scale graphs only."""
+    return f"""
+WITH RECURSIVE raw AS ({edge_sql}),
+e AS (
+  SELECT DISTINCT CAST(src AS VARCHAR) AS a, CAST(dst AS VARCHAR) AS b
+  FROM raw
+  WHERE src IS NOT NULL AND dst IS NOT NULL
+    AND CAST(src AS VARCHAR) <> CAST(dst AS VARCHAR)
+),
+reach AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON e.a = r.b
+),
+nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+mutual AS (
+  SELECT r1.a AS v, r1.b AS w
+  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+)
+SELECT n.node, least(n.node, coalesce(min(m.w), n.node)) AS scc
+FROM nodes n LEFT JOIN mutual m ON m.v = n.node
+GROUP BY n.node
+"""

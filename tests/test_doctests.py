@@ -15,11 +15,12 @@ from polars_grouper_spark.operators import (
     link_prediction as _lp,
     pagerank as _pr,
     range_join as _rj,
+    scc as _sc,
     shortest_path as _sp,
     triangles as _tr,
 )
 
-MODULES = [_cc, _sp, _pr, _aj, _rj, _tr, _kc, _kt, _lp]
+MODULES = [_cc, _sp, _pr, _aj, _rj, _tr, _kc, _kt, _lp, _sc]
 
 
 @pytest.mark.parametrize("mod", MODULES, ids=lambda m: m.__name__.rsplit(".", 1)[-1])
