@@ -35,6 +35,10 @@ from pyspark.sql import functions as F
 from polars_grouper_spark.plans.iteration import truncate_lineage
 
 _MAX_ROUNDS = 200
+# Frontier row count below which the per-round join broadcasts the
+# frontier instead of shuffling the edge table (rows, not bytes: frontier
+# rows are three fixed-width-ish columns).
+_BROADCAST_FRONTIER_ROWS = 1_000_000
 
 
 def calculate_shortest_path(
@@ -82,11 +86,14 @@ def calculate_shortest_path(
         (F.col(weight_col).cast("double") * 1000.0).cast("long").alias("q"),
     ).where(F.col("u").isNotNull() & F.col("v").isNotNull() & F.col(weight_col).isNotNull())
 
+    # Parallel edges only ever contribute their minimum; collapsing them
+    # up front keeps the per-round join small.  Collapse BEFORE mirroring:
+    # half the shuffle volume, and the per-round min-aggregation already
+    # absorbs the rare (u,v)/(v,u) mutual pair that survives twice.
+    edges = edges.groupBy("u", "v").agg(F.min("q").alias("q"))
     if not directed:
         edges = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v"), "q"))
-    # Parallel edges only ever contribute their minimum; collapsing them
-    # up front keeps the per-round join small.
-    edges = truncate_lineage(edges.groupBy("u", "v").agg(F.min("q").alias("q")))
+    edges = truncate_lineage(edges)
 
     nodes = (
         edges.select(F.col("u").alias("node")).union(edges.select(F.col("v").alias("node"))).distinct()
@@ -99,13 +106,25 @@ def calculate_shortest_path(
     # dist state: (s, n, d) — shortest known quantized distance from s to n.
     dist = truncate_lineage(src_nodes.select(F.col("node").alias("s"), F.col("node").alias("n"), F.lit(0).cast("long").alias("d")))
     frontier = dist
+    # Known frontier size (sources given -> |sources|); None = unknown.
+    frontier_rows = len(list(sources)) if sources is not None else None
 
     # Quantize the cutoff exactly like the weights (truncation toward zero).
     q_max = int(max_distance * 1000.0) if max_distance is not None else None
 
     for _ in range(_MAX_ROUNDS):
+        # A checkpointed frontier has no Catalyst size estimate, so AQE
+        # never auto-broadcasts it — yet in bounded-source / cutoff mode
+        # it is typically tiny next to the edge table.  Broadcast it
+        # explicitly while its (exactly known) row count is small: the
+        # edge table then never re-shuffles inside the loop.
+        fr = (
+            F.broadcast(frontier)
+            if frontier_rows is not None and frontier_rows <= _BROADCAST_FRONTIER_ROWS
+            else frontier
+        )
         cand = (
-            frontier.join(edges, frontier["n"] == edges["u"])
+            fr.join(edges, fr["n"] == edges["u"])
             .select("s", F.col("v").alias("n"), (F.col("d") + F.col("q")).alias("d"))
         )
         if q_max is not None:
@@ -121,11 +140,12 @@ def calculate_shortest_path(
             .where(F.col("xd").isNull() | (F.col("d") < F.col("xd")))
             .select("s", "n", "d")
         )
-        # Lazy checkpoint: the isEmpty probe is the action that starts
-        # materializing it (partitions computed on demand; the next
-        # round's join completes them) — one job per round, not two.
+        # Lazy checkpoint: the count below is the action that materializes
+        # it — one job per round, not two — and doubles as the next
+        # round's broadcast-eligibility estimate.
         improved = truncate_lineage(improved, cache=False)
-        if improved.isEmpty():
+        frontier_rows = improved.count()
+        if frontier_rows == 0:
             break
         dist = truncate_lineage(
             dist.union(improved).groupBy("s", "n").agg(F.min("d").alias("d"))
