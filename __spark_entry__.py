@@ -49,6 +49,10 @@ from polars_grouper_spark.functions.hashing import hash_pair64_sql, portable_has
 from polars_grouper_spark.operators.kcore import k_core, k_core_sql
 from polars_grouper_spark.operators.ktruss import k_truss_sql
 from polars_grouper_spark.operators.link_prediction import link_scores_sql
+from polars_grouper_spark.operators.funnel import (
+    cohort_retention_sql,
+    funnel_counts_sql,
+)
 from polars_grouper_spark.operators.scc import strongly_connected_components_sql
 from polars_grouper_spark.operators.triangles import (
     clustering_coefficient_sql,
@@ -1453,6 +1457,33 @@ SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
 """
 
 
+_FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (``operators.funnel``): users completing
+    signup -> view -> click -> purchase in strict timestamp order, via
+    per-step min-aggregation + join on the user key (greedy
+    earliest-completion matching; shuffles carry one row per user per
+    step, never the event history)."""
+    from polars_grouper_spark.operators.funnel import funnel_counts
+
+    ev = load_table(spark, "events", sf_dir)
+    return funnel_counts(ev, _FUNNEL_STEPS)
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (``operators.funnel.cohort_retention``):
+    users bucketed by first-active epoch week, counted once per later
+    active week — two map-side-combinable aggregations and one join on
+    the user key; fixed-width epoch buckets keep the arithmetic
+    engine-portable."""
+    from polars_grouper_spark.operators.funnel import cohort_retention
+
+    ev = load_table(spark, "events", sf_dir)
+    return cohort_retention(ev, period="week", max_offset=12)
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     return (
@@ -2674,6 +2705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_segment": q_revenue_by_segment,
         "top_orders_per_customer": q_top_orders_per_customer,
         "events_hourly": q_events_hourly,
+        "event_funnel": q_event_funnel,
+        "cohort_retention": q_cohort_retention,
         "stream_hourly": q_stream_hourly,
         "stream_sliding": q_stream_sliding,
         "event_sessions": q_event_sessions,
@@ -2756,6 +2789,8 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_segment": _REVENUE_BY_SEGMENT_SQL,
         "top_orders_per_customer": _TOP_ORDERS_SQL,
         "events_hourly": _EVENTS_HOURLY_SQL,
+        "event_funnel": funnel_counts_sql(_FUNNEL_STEPS),
+        "cohort_retention": cohort_retention_sql(period="week", max_offset=12),
         "stream_hourly": _STREAM_HOURLY_SQL,
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,

@@ -1,0 +1,178 @@
+"""Funnel and cohort-retention analysis over event streams.
+
+Product-analytics operators a training-data / telemetry pipeline runs at
+corpus scale (the same shapes ClickHouse exposes as ``windowFunnel`` and
+``retention``), expressed as pure DataFrame algebra:
+
+- :func:`funnel_counts` — how many users completed step 1, steps 1-2,
+  steps 1-2-3, ... **in timestamp order**.  One filtered min-aggregation
+  per step, each shuffling only (user, ts) pairs for that step's events;
+  the per-user state is one row per step, never the event history.
+- :func:`cohort_retention` — bucket users by first-seen period, count
+  how many were active k periods later.  Two aggregations and one join
+  on the user key.
+
+Scale: both operators aggregate before they join (map-side combinable
+min/count on the user key), so shuffle volume is bounded by
+|users per step|, not |events|.  Period arithmetic stays in whole-stage
+codegen (integer epoch math, no UDFs).
+
+Timestamps are compared strictly (``>``): a step only counts if it
+happened strictly after the previous step's earliest completion.  This
+is the earliest-completion greedy matching; for steps at identical
+timestamps the later funnel stage is NOT credited (deterministic and
+engine-portable — no tie-break ambiguity).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel completion counts -> ``(step_index, step, n_users)``
+    with ``step_index`` starting at 1; every requested step appears, 0
+    when no user reached it.
+
+    A user completes step ``i`` if some step-``i`` event happens strictly
+    after their earliest completion of step ``i-1`` (greedy
+    earliest-completion matching — the standard funnel semantics).
+    """
+    if not steps:
+        raise ValueError("funnel_counts requires at least one step")
+    ev = df.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("ts"),
+        F.col(type_col).alias("et"),
+    ).where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+
+    spark = df.sparkSession
+    counts: "list[tuple[int, str, int]]" = []
+    reached = None  # (u, t): earliest completion time of the previous step
+    for i, step in enumerate(steps):
+        step_ev = ev.where(F.col("et") == step)
+        if reached is None:
+            cur = step_ev.groupBy("u").agg(F.min("ts").alias("t"))
+        else:
+            cur = (
+                step_ev.join(reached.withColumnRenamed("t", "prev_t"), "u")
+                .where(F.col("ts") > F.col("prev_t"))
+                .groupBy("u")
+                .agg(F.min("ts").alias("t"))
+            )
+        # Small per-step state (one row per surviving user); the count
+        # below materializes the lazy checkpoint, and step i+1 reuses it.
+        cur = cur.localCheckpoint(eager=False)
+        counts.append((i + 1, step, cur.count()))
+        reached = cur
+
+    return spark.createDataFrame(
+        counts, "step_index int, step string, n_users long"
+    )
+
+
+def funnel_counts_sql(
+    steps: Sequence[str],
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> str:
+    """DuckDB oracle replicating :func:`funnel_counts`."""
+    ctes = []
+    for i, step in enumerate(steps):
+        if i == 0:
+            ctes.append(
+                f"s0 AS (SELECT {user_col} AS u, min({ts_col}) AS t "
+                f"FROM {table} WHERE {type_col} = '{step}' "
+                f"AND {user_col} IS NOT NULL AND {ts_col} IS NOT NULL "
+                f"GROUP BY 1)"
+            )
+        else:
+            ctes.append(
+                f"s{i} AS (SELECT e.{user_col} AS u, min(e.{ts_col}) AS t "
+                f"FROM {table} e JOIN s{i - 1} p ON e.{user_col} = p.u "
+                f"AND e.{ts_col} > p.t WHERE e.{type_col} = '{step}' "
+                f"GROUP BY 1)"
+            )
+    selects = " UNION ALL ".join(
+        f"SELECT {i + 1} AS step_index, '{s}' AS step, "
+        f"(SELECT count(*) FROM s{i})::BIGINT AS n_users"
+        for i, s in enumerate(steps)
+    )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT step_index::INT AS step_index, step, n_users FROM ({selects})"
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+    max_offset: int | None = None,
+) -> DataFrame:
+    """Cohort retention -> ``(cohort, offset, n_users)``: users bucketed
+    by first-activity period (epoch-based integer), counted once per
+    later period they were active in; ``offset`` is periods since the
+    cohort period (0 = the cohort itself, so offset 0 counts the cohort
+    size).  ``period``: ``"day"`` or ``"week"`` (fixed-width epoch
+    buckets — no calendar dependence, identical in every engine).
+    """
+    secs = {"day": 86400, "week": 604800}
+    if period not in secs:
+        raise ValueError(f"period must be one of {sorted(secs)}, got {period!r}")
+    w = secs[period]
+    ev = df.select(
+        F.col(user_col).alias("u"),
+        F.floor(F.unix_timestamp(F.col(ts_col)) / w).cast("long").alias("p"),
+    ).where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+
+    first = ev.groupBy("u").agg(F.min("p").alias("cohort"))
+    active = ev.distinct()
+    joined = active.join(first, "u").select(
+        "cohort", (F.col("p") - F.col("cohort")).alias("offset")
+    )
+    if max_offset is not None:
+        joined = joined.where(F.col("offset") <= max_offset)
+    return joined.groupBy("cohort", "offset").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+
+
+def cohort_retention_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+    max_offset: int | None = None,
+) -> str:
+    """DuckDB oracle replicating :func:`cohort_retention`."""
+    secs = {"day": 86400, "week": 604800}
+    w = secs[period]
+    cap = "" if max_offset is None else f"WHERE p - cohort <= {int(max_offset)}"
+    return f"""
+WITH ev AS (
+  SELECT {user_col} AS u,
+         CAST(floor(epoch({ts_col}) / {w}) AS BIGINT) AS p
+  FROM {table}
+  WHERE {user_col} IS NOT NULL AND {ts_col} IS NOT NULL
+),
+first AS (SELECT u, min(p) AS cohort FROM ev GROUP BY u),
+active AS (SELECT DISTINCT u, p FROM ev)
+SELECT cohort, p - cohort AS offset, count(*)::BIGINT AS n_users
+FROM active JOIN first USING (u)
+{cap}
+GROUP BY 1, 2
+"""
