@@ -5,9 +5,11 @@ corpus scale (the same shapes ClickHouse exposes as ``windowFunnel`` and
 ``retention``), expressed as pure DataFrame algebra:
 
 - :func:`funnel_counts` — how many users completed step 1, steps 1-2,
-  steps 1-2-3, ... **in timestamp order**.  One filtered min-aggregation
-  per step, each shuffling only (user, ts) pairs for that step's events;
-  the per-user state is one row per step, never the event history.
+  steps 1-2-3, ... **in timestamp order**.  ONE shuffle: events filtered
+  to the step types, collected per user as a sorted (ts, type) array,
+  then greedy-scanned with the ``aggregate`` higher-order function —
+  depth counting never leaves whole-stage codegen, and the per-user
+  array holds only that user's step-typed events.
 - :func:`cohort_retention` — bucket users by first-seen period, count
   how many were active k periods later.  Two aggregations and one join
   on the user key.
@@ -45,38 +47,64 @@ def funnel_counts(
 
     A user completes step ``i`` if some step-``i`` event happens strictly
     after their earliest completion of step ``i-1`` (greedy
-    earliest-completion matching — the standard funnel semantics).
+    earliest-completion matching — the standard funnel semantics).  The
+    time-ordered scan computes exactly that: at depth ``i-1`` the first
+    qualifying step-``i`` event in the sorted stream IS the earliest one,
+    and because credits are strictly increasing in time, same-timestamp
+    tie order within the sort never changes the result.
     """
     if not steps:
         raise ValueError("funnel_counts requires at least one step")
+    n_steps = len(steps)
     ev = df.select(
         F.col(user_col).alias("u"),
         F.col(ts_col).alias("ts"),
         F.col(type_col).alias("et"),
-    ).where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+    ).where(
+        F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(type_col).isin(list(steps))
+    )
 
-    spark = df.sparkSession
-    counts: "list[tuple[int, str, int]]" = []
-    reached = None  # (u, t): earliest completion time of the previous step
-    for i, step in enumerate(steps):
-        step_ev = ev.where(F.col("et") == step)
-        if reached is None:
-            cur = step_ev.groupBy("u").agg(F.min("ts").alias("t"))
-        else:
-            cur = (
-                step_ev.join(reached.withColumnRenamed("t", "prev_t"), "u")
-                .where(F.col("ts") > F.col("prev_t"))
-                .groupBy("u")
-                .agg(F.min("ts").alias("t"))
-            )
-        # Small per-step state (one row per surviving user); the count
-        # below materializes the lazy checkpoint, and step i+1 reuses it.
-        cur = cur.localCheckpoint(eager=False)
-        counts.append((i + 1, step, cur.count()))
-        reached = cur
+    per_user = ev.groupBy("u").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "et"))).alias("evs")
+    )
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    acc0 = F.struct(
+        F.lit(0).cast("int").alias("depth"),
+        F.lit(None).cast("timestamp").alias("t"),
+    )
 
-    return spark.createDataFrame(
-        counts, "step_index int, step string, n_users long"
+    def advance(acc, e):
+        credit = (
+            (acc["depth"] < F.lit(n_steps))
+            & (e["et"] == F.element_at(steps_arr, acc["depth"] + 1))
+            & (acc["t"].isNull() | (e["ts"] > acc["t"]))
+        )
+        return F.when(
+            credit,
+            F.struct(
+                (acc["depth"] + 1).cast("int").alias("depth"),
+                e["ts"].alias("t"),
+            ),
+        ).otherwise(acc)
+
+    depth_hist = {
+        int(r["d"]): int(r["n"])
+        for r in per_user.select(
+            F.aggregate("evs", acc0, advance)["depth"].alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # n_users(step i) = users whose greedy depth reached at least i.
+    counts = []
+    for i in range(n_steps, 0, -1):
+        prev = counts[-1][2] if counts else 0
+        counts.append((i, steps[i - 1], prev + depth_hist.get(i, 0)))
+    return df.sparkSession.createDataFrame(
+        list(reversed(counts)), "step_index int, step string, n_users long"
     )
 
 
