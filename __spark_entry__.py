@@ -2186,6 +2186,55 @@ def q_scc_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strongly_connected_components(_scc_edges(spark, sf_dir), "src", "dst")
 
 
+_PPR_SOURCES = ["U7", "U42", "U137"]
+_PPR_ITERS = 8
+
+
+def q_ppr_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (``operators.pagerank.personalized_page_rank``)
+    from three seed users on the directed user-interaction graph: teleport
+    mass returns to the seeds, one map-side-combinable aggregation per
+    round, rank state broadcast (V=400 here; auto until 5M)."""
+    from polars_grouper_spark.operators.pagerank import personalized_page_rank
+
+    ppr = personalized_page_rank(
+        _scc_edges(spark, sf_dir),
+        _PPR_SOURCES,
+        "src",
+        "dst",
+        damping_factor=0.85,
+        max_iterations=_PPR_ITERS,
+    )
+    return ppr.select("node", F.round("score", 8).alias("score"))
+
+
+def _ppr_sql(edges_sql: str, sources: "list[str]", iters: int, d: float = 0.85) -> str:
+    src_in = ",".join(f"'{s}'" for s in sources)
+    pv = f"CASE WHEN node IN ({src_in}) THEN {(1.0 - d)!r} / {len(sources)} ELSE 0.0 END"
+    r0 = f"CASE WHEN node IN ({src_in}) THEN 1.0 / {len(sources)} ELSE 0.0 END"
+    parts = [
+        f"WITH e AS ({edges_sql})",
+        ", nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        ", outdeg AS (SELECT src, count(*)::DOUBLE AS od FROM e GROUP BY src)",
+        f", r0 AS (SELECT node, {r0} AS score FROM nodes)",
+    ]
+    prev = "r0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f", c{i} AS (SELECT e.dst AS node, sum(r.score / o.od) AS inc "
+            f"FROM e JOIN {prev} r ON e.src = r.node JOIN outdeg o ON e.src = o.src "
+            "GROUP BY e.dst)"
+        )
+        parts.append(
+            f", r{i} AS (SELECT nd.node, {pv.replace('node', 'nd.node')} "
+            f"+ {d} * coalesce(c.inc, 0.0) AS score "
+            f"FROM nodes nd LEFT JOIN c{i} c ON nd.node = c.node)"
+        )
+        prev = f"r{i}"
+    parts.append(f" SELECT node, round(score, 8) AS score FROM {prev}")
+    return "\n".join(parts)
+
+
 _LINK_PRED_TOPN = 200
 
 
@@ -2730,6 +2779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_parts": q_clustering_parts,
         "link_pred_parts": q_link_pred_parts,
         "scc_users": q_scc_users,
+        "ppr_users": q_ppr_users,
         "kcore_parts": q_kcore_parts,
         "ktruss_parts": q_ktruss_parts,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -2817,6 +2867,7 @@ def oracle_sql() -> dict[str, str]:
             + f" ORDER BY common_neighbors DESC, node_a, node_b LIMIT {_LINK_PRED_TOPN}"
         ),
         "scc_users": strongly_connected_components_sql(_SCC_EDGE_SQL),
+        "ppr_users": _ppr_sql(_SCC_EDGE_SQL, _PPR_SOURCES, _PPR_ITERS),
         "kcore_parts": k_core_sql(_PART_CO_EDGE_SQL, _KCORE_K, _KCORE_ORACLE_ROUNDS),
         "ktruss_parts": k_truss_sql(
             _PART_CO_EDGE_SQL, _KTRUSS_K, _KTRUSS_ORACLE_ROUNDS

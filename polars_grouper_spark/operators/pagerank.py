@@ -270,3 +270,82 @@ def page_rank(
         .withColumn(output_col, F.coalesce(F.col("__score"), F.lit(0.0)))
         .drop("__node", "__score")
     )
+
+
+def personalized_page_rank(
+    df: DataFrame,
+    sources: "list[str]",
+    from_col: str = "from",
+    to_col: str = "to",
+    damping_factor: float = 0.85,
+    max_iterations: int = 20,
+    broadcast_ranks: bool | None = None,
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart): the teleport
+    mass returns to ``sources`` (uniformly) instead of all nodes —
+    ``new[v] = (1-d)·p(v) + d·Σ_{u→v} rank[u]·w(u,v)`` with
+    ``p(v) = 1/|S|`` for source nodes, else 0; rank initialised to ``p``.
+
+    Beyond-reference extension of :func:`page_rank_nodes` (same edge
+    semantics: duplicate rows weight the edge, dangling mass leaks).
+    Used for seed-node relevance/recommendation queries; fixed-iteration
+    only (PPR is usually consumed at a fixed walk depth).  Returns
+    ``(node string, score double)`` for every interned node.
+
+    Scale shape is identical to ``page_rank_nodes``: the weighted pair
+    table shuffles once up front, each round is one map-side-combinable
+    aggregation, rank state broadcast while V ≤ 5M.
+    """
+    if not sources:
+        raise ValueError("personalized_page_rank requires at least one source")
+    edges = df.select(
+        F.col(from_col).cast("string").alias("src"),
+        F.col(to_col).cast("string").alias("dst"),
+    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nodes = truncate_lineage(nodes)
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("score"))
+
+    pair_cnt = edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("cnt"))
+    edges_w = truncate_lineage(
+        pair_cnt.select(
+            "src",
+            "dst",
+            (F.col("cnt") / F.sum("cnt").over(Window.partitionBy("src"))).alias("w"),
+        )
+    )
+
+    d = damping_factor
+    src_list = [str(s) for s in sources]
+    p = F.when(
+        F.col("node").isin(src_list), F.lit((1.0 - d) / len(src_list))
+    ).otherwise(F.lit(0.0))
+    # Teleport mass rides inside the same aggregation as the edge
+    # contributions: final = p + d·Σc = d·(Σc + p/d), so one row of
+    # p/d per node doubles as the all-nodes zero guard.
+    base_rows = nodes.select("node", (p / d).alias("c"))
+    ranks = nodes.select(
+        "node",
+        F.when(F.col("node").isin(src_list), F.lit(1.0 / len(src_list)))
+        .otherwise(F.lit(0.0))
+        .alias("score"),
+    )
+    if broadcast_ranks is None:
+        broadcast_ranks = n <= _BROADCAST_NODES_MAX
+    for _ in range(max_iterations):
+        rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
+        ranks = truncate_lineage(
+            edges_w.join(rank_side, edges_w["src"] == rank_side["node"])
+            .select(F.col("dst").alias("node"), (F.col("score") * F.col("w")).alias("c"))
+            .unionAll(base_rows)
+            .groupBy("node")
+            .agg((F.lit(d) * F.sum("c")).alias("score"))
+        )
+    return ranks
