@@ -54,6 +54,7 @@ from polars_grouper_spark.operators.funnel import (
     funnel_counts_sql,
 )
 from polars_grouper_spark.operators.scc import strongly_connected_components_sql
+from polars_grouper_spark.operators.walks import random_walks_sql
 from polars_grouper_spark.operators.triangles import (
     clustering_coefficient_sql,
     triangle_count,
@@ -2186,6 +2187,29 @@ def q_scc_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strongly_connected_components(_scc_edges(spark, sf_dir), "src", "dst")
 
 
+_WALK_LEN = 5
+_WALKS_PER_NODE = 2
+_WALK_SEED = 17
+
+
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-deterministic random walks (``operators.walks``) on the
+    directed user graph: 2 walks per node, 5 steps, every transition
+    chosen by a portable md5-derived hash mod outdegree — the oracle
+    replays the identical walks step for step.  Per-step cost is one
+    equality join of the walk frontier against the indexed adjacency."""
+    from polars_grouper_spark.operators.walks import random_walks
+
+    return random_walks(
+        _scc_edges(spark, sf_dir),
+        "src",
+        "dst",
+        walk_length=_WALK_LEN,
+        walks_per_node=_WALKS_PER_NODE,
+        seed=_WALK_SEED,
+    )
+
+
 _PPR_SOURCES = ["U7", "U42", "U137"]
 _PPR_ITERS = 8
 
@@ -2780,6 +2804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pred_parts": q_link_pred_parts,
         "scc_users": q_scc_users,
         "ppr_users": q_ppr_users,
+        "random_walks_users": q_random_walks,
         "kcore_parts": q_kcore_parts,
         "ktruss_parts": q_ktruss_parts,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -2868,6 +2893,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "scc_users": strongly_connected_components_sql(_SCC_EDGE_SQL),
         "ppr_users": _ppr_sql(_SCC_EDGE_SQL, _PPR_SOURCES, _PPR_ITERS),
+        "random_walks_users": random_walks_sql(
+            _SCC_EDGE_SQL, _WALK_LEN, _WALKS_PER_NODE, _WALK_SEED
+        ),
         "kcore_parts": k_core_sql(_PART_CO_EDGE_SQL, _KCORE_K, _KCORE_ORACLE_ROUNDS),
         "ktruss_parts": k_truss_sql(
             _PART_CO_EDGE_SQL, _KTRUSS_K, _KTRUSS_ORACLE_ROUNDS

@@ -1,0 +1,169 @@
+"""Deterministic random walks over edge-list graphs.
+
+Graph-embedding pipelines (DeepWalk — Perozzi et al. 2014; node2vec —
+Grover & Leskovec 2016) and GraphSAGE-style neighbor sampling consume
+fixed-length random walks as training sequences.  At corpus scale the
+walk generator must be (a) distributed and (b) *reproducible* — re-runs
+and backfills must emit identical walks.  This operator derives every
+step from a portable 60-bit hash (``functions.hashing``) instead of an
+RNG: walk ``r`` standing at node ``v`` on step ``s`` moves to neighbor
+``hash(v|r|s|seed) mod outdeg(v)`` in the node-name-ordered adjacency —
+fully deterministic, engine-portable (the DuckDB oracle replays the
+identical walks), and embarrassingly parallel.
+
+Plan shape: the indexed adjacency (one ``row_number`` window over the
+distinct edge set) is built once; each step is ONE equality join of the
+walk frontier against it (the modulo choice is evaluated inside the join
+condition), and steps only shrink (walks die at sink nodes).  State is
+``O(starts)`` rows per step; nothing driver-sized.
+
+Transition semantics: distinct-neighbor uniform choice (parallel edges
+collapse; self-loops are legal transitions).  Null endpoints drop the
+edge (SURVEY.md §1.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash64, portable_hash64_sql
+from ..plans.iteration import truncate_lineage
+
+
+def random_walks(
+    df: DataFrame,
+    src: str = "from",
+    dst: str = "to",
+    *,
+    walk_length: int = 4,
+    walks_per_node: int = 1,
+    seed: int = 0,
+    portable: bool = True,
+) -> DataFrame:
+    """Hash-deterministic random walks -> ``(walk_id, step, node)``.
+
+    One walk per (start node, replica) pair; ``walk_id`` is
+    ``"<start>#<replica>"``; ``step`` runs 0..``walk_length`` while the
+    walk survives (a walk standing at a node with no out-neighbors ends
+    early).  ``portable=False`` swaps the md5-derived hash for xxhash64
+    (faster; forfeits cross-engine replay).
+
+    >>> edges = spark.createDataFrame(
+    ...     [("a", "b"), ("b", "c"), ("c", "a")], ["from", "to"])
+    >>> w = random_walks(edges, walk_length=2)
+    >>> w.where("walk_id = 'a#0'").orderBy("step").show()
+    +-------+----+----+
+    |walk_id|step|node|
+    +-------+----+----+
+    |    a#0|   0|   a|
+    |    a#0|   1|   b|
+    |    a#0|   2|   c|
+    +-------+----+----+
+    <BLANKLINE>
+    """
+    if walk_length < 0:
+        raise ValueError(f"walk_length must be >= 0, got {walk_length}")
+    if walks_per_node < 1:
+        raise ValueError(f"walks_per_node must be >= 1, got {walks_per_node}")
+
+    s = F.col(src).cast("string")
+    d = F.col(dst).cast("string")
+    edges = (
+        df.where(s.isNotNull() & d.isNotNull())
+        .select(s.alias("cur"), d.alias("nbr"))
+        .distinct()
+    )
+    # Node-name-ordered neighbor index + outdegree, carried on each row so
+    # the per-step join needs no second lookup.
+    w = Window.partitionBy("cur").orderBy("nbr")
+    adj = truncate_lineage(
+        edges.select(
+            "cur",
+            "nbr",
+            (F.row_number().over(w) - 1).alias("idx"),
+            F.count(F.lit(1)).over(Window.partitionBy("cur")).alias("deg"),
+        )
+    )
+
+    nodes = (
+        edges.select(F.col("cur").alias("node"))
+        .union(edges.select(F.col("nbr").alias("node")))
+        .distinct()
+    )
+    reps = df.sparkSession.range(walks_per_node).select(
+        F.col("id").cast("int").alias("rep")
+    )
+    frontier = nodes.crossJoin(F.broadcast(reps)).select(
+        F.concat("node", F.lit("#"), F.col("rep").cast("string")).alias("walk_id"),
+        F.col("rep"),
+        F.col("node").alias("cur"),
+    )
+    out = frontier.select("walk_id", F.lit(0).alias("step"), F.col("cur").alias("node"))
+
+    for step in range(1, walk_length + 1):
+        f, a = frontier.alias("f"), adj.alias("a")
+        choice_key = F.concat(
+            F.col("f.cur"),
+            F.lit("|"),
+            F.col("f.rep").cast("string"),
+            F.lit(f"|{step}|{seed}"),
+        )
+        choice = F.pmod(portable_hash64(choice_key, portable=portable), F.col("a.deg"))
+        frontier = truncate_lineage(
+            f.join(
+                a,
+                (F.col("f.cur") == F.col("a.cur")) & (F.col("a.idx") == choice),
+            ).select("f.walk_id", "f.rep", F.col("a.nbr").alias("cur")),
+            cache=False,
+        )
+        out = out.unionAll(
+            frontier.select("walk_id", F.lit(step).alias("step"), F.col("cur").alias("node"))
+        )
+    return out
+
+
+def random_walks_sql(
+    edge_sql: str,
+    walk_length: int = 4,
+    walks_per_node: int = 1,
+    seed: int = 0,
+) -> str:
+    """DuckDB oracle replaying :func:`random_walks` step for step (the
+    portable hash makes the walks identical across engines)."""
+    parts = [
+        f"WITH raw AS ({edge_sql})",
+        """, e AS (
+  SELECT DISTINCT CAST(src AS VARCHAR) AS cur, CAST(dst AS VARCHAR) AS nbr
+  FROM raw WHERE src IS NOT NULL AND dst IS NOT NULL
+)""",
+        """, adj AS (
+  SELECT cur, nbr,
+         row_number() OVER (PARTITION BY cur ORDER BY nbr) - 1 AS idx,
+         count(*) OVER (PARTITION BY cur) AS deg
+  FROM e
+)""",
+        """, nodes AS (SELECT cur AS node FROM e UNION SELECT nbr FROM e)""",
+        f""", reps AS (SELECT unnest(range({walks_per_node})) AS rep)""",
+        """, f0 AS (
+  SELECT node || '#' || CAST(rep AS VARCHAR) AS walk_id, rep, node AS cur
+  FROM nodes, reps
+)""",
+    ]
+    for step in range(1, walk_length + 1):
+        h = portable_hash64_sql(
+            f"f{step - 1}.cur || '|' || CAST(f{step - 1}.rep AS VARCHAR) "
+            f"|| '|{step}|{seed}'"
+        )
+        parts.append(
+            f""", f{step} AS (
+  SELECT f{step - 1}.walk_id, f{step - 1}.rep, adj.nbr AS cur
+  FROM f{step - 1} JOIN adj ON adj.cur = f{step - 1}.cur
+   AND adj.idx = {h} % adj.deg
+)"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT walk_id, {s} AS step, cur AS node FROM f{s}"
+        for s in range(walk_length + 1)
+    )
+    return "\n".join(parts) + f" SELECT walk_id, step::INT AS step, node FROM ({selects})"

@@ -18,9 +18,10 @@ from polars_grouper_spark.operators import (
     scc as _sc,
     shortest_path as _sp,
     triangles as _tr,
+    walks as _wk,
 )
 
-MODULES = [_cc, _sp, _pr, _aj, _rj, _tr, _kc, _kt, _lp, _sc]
+MODULES = [_cc, _sp, _pr, _aj, _rj, _tr, _kc, _kt, _lp, _sc, _wk]
 
 
 @pytest.mark.parametrize("mod", MODULES, ids=lambda m: m.__name__.rsplit(".", 1)[-1])

@@ -1,0 +1,80 @@
+"""Deterministic random walks — reproducibility, termination at sinks,
+seed sensitivity, DuckDB replay parity."""
+
+import duckdb
+import pytest
+
+from polars_grouper_spark.operators.walks import random_walks, random_walks_sql
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def duck(edges, length, reps, seed):
+    vals = ",".join(f"('{a}','{b}')" for a, b in edges)
+    sql = random_walks_sql(
+        f"SELECT * FROM (VALUES {vals}) t(src, dst)", length, reps, seed
+    )
+    return sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
+
+
+def test_chain_walk_is_forced(spark):
+    """Out-degree-1 chain: the walk path is the chain regardless of hash."""
+    edges = [("a", "b"), ("b", "c"), ("c", "d")]
+    got = rows(random_walks(spark.createDataFrame(edges, ["from", "to"]), walk_length=3))
+    assert ("a#0", 0, "a") in got and ("a#0", 3, "d") in got
+
+
+def test_walks_end_at_sinks(spark):
+    """d has no out-edges: walks reaching d stop (no step rows past it)."""
+    edges = [("a", "b"), ("b", "d")]
+    got = rows(random_walks(spark.createDataFrame(edges, ["from", "to"]), walk_length=5))
+    a_steps = [r for r in got if r[0] == "a#0"]
+    assert [r[1] for r in a_steps] == [0, 1, 2]  # a, b, d then dead
+    d_steps = [r for r in got if r[0] == "d#0"]
+    assert d_steps == [("d#0", 0, "d")]
+
+
+def test_deterministic_across_runs(spark):
+    edges = [(f"n{(3 * i) % 11}", f"n{(5 * i + 1) % 11}") for i in range(30)]
+    df = spark.createDataFrame(edges, ["from", "to"])
+    a = rows(random_walks(df, walk_length=4, walks_per_node=2, seed=7))
+    b = rows(random_walks(df, walk_length=4, walks_per_node=2, seed=7))
+    assert a == b
+
+
+def test_seed_changes_walks(spark):
+    # out-degree 3 everywhere: genuinely branching
+    edges = [
+        (f"n{i}", f"n{(i + d) % 11}") for i in range(11) for d in (1, 3, 5)
+    ]
+    df = spark.createDataFrame(edges, ["from", "to"])
+    a = rows(random_walks(df, walk_length=4, seed=1))
+    b = rows(random_walks(df, walk_length=4, seed=2))
+    assert a != b  # 11 starts x 4 branching steps: collision ~ impossible
+
+
+def test_replica_walks_diverge(spark):
+    """Different replicas from the same start take different turns
+    (hash keyed on the replica)."""
+    edges = [("s", "x"), ("s", "y"), ("x", "s"), ("y", "s")]
+    df = spark.createDataFrame(edges, ["from", "to"])
+    got = rows(random_walks(df, walk_length=1, walks_per_node=8))
+    first_steps = {r[0]: r[2] for r in got if r[0].startswith("s#") and r[1] == 1}
+    assert set(first_steps.values()) == {"x", "y"}
+
+
+def test_duckdb_replay_parity(spark):
+    edges = [(f"v{(5 * i) % 13}", f"v{(7 * i + 2) % 13}") for i in range(40)]
+    df = spark.createDataFrame(edges, ["from", "to"])
+    got = rows(random_walks(df, walk_length=4, walks_per_node=2, seed=3))
+    assert got == duck(edges, 4, 2, 3)
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([("a", "b")], ["from", "to"])
+    with pytest.raises(ValueError, match="walk_length"):
+        random_walks(df, walk_length=-1)
+    with pytest.raises(ValueError, match="walks_per_node"):
+        random_walks(df, walks_per_node=0)
