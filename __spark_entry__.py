@@ -54,6 +54,7 @@ from polars_grouper_spark.operators.funnel import (
     funnel_counts_sql,
 )
 from polars_grouper_spark.operators.scc import strongly_connected_components_sql
+from polars_grouper_spark.functions.sketches import hll_distinct_sql
 from polars_grouper_spark.operators.walks import random_walks_sql
 from polars_grouper_spark.operators.triangles import (
     clustering_coefficient_sql,
@@ -2187,6 +2188,18 @@ def q_scc_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strongly_connected_components(_scc_edges(spark, sf_dir), "src", "dst")
 
 
+def q_hll_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-customer estimate (``functions.sketches``):
+    portable md5-hash registers (m=4096, map-side-combinable max), the
+    standard bias-corrected harmonic estimator with linear-counting
+    small-range correction — the oracle computes the identical estimate,
+    unlike engine-native approx_count_distinct sketches."""
+    from polars_grouper_spark.functions.sketches import hll_distinct
+
+    orders = load_table(spark, "orders", sf_dir)
+    return hll_distinct(orders, "o_custkey", b=12)
+
+
 _WALK_LEN = 5
 _WALKS_PER_NODE = 2
 _WALK_SEED = 17
@@ -2805,6 +2818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_users": q_scc_users,
         "ppr_users": q_ppr_users,
         "random_walks_users": q_random_walks,
+        "hll_customers": q_hll_customers,
         "kcore_parts": q_kcore_parts,
         "ktruss_parts": q_ktruss_parts,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -2895,6 +2909,9 @@ def oracle_sql() -> dict[str, str]:
         "ppr_users": _ppr_sql(_SCC_EDGE_SQL, _PPR_SOURCES, _PPR_ITERS),
         "random_walks_users": random_walks_sql(
             _SCC_EDGE_SQL, _WALK_LEN, _WALKS_PER_NODE, _WALK_SEED
+        ),
+        "hll_customers": hll_distinct_sql(
+            "SELECT o_custkey FROM orders", "o_custkey", 12
         ),
         "kcore_parts": k_core_sql(_PART_CO_EDGE_SQL, _KCORE_K, _KCORE_ORACLE_ROUNDS),
         "ktruss_parts": k_truss_sql(

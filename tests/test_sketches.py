@@ -1,0 +1,81 @@
+"""HyperLogLog with portable hashing — accuracy envelope, mergeability,
+null handling, DuckDB estimate parity on both estimator branches."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from polars_grouper_spark.functions.sketches import (
+    hll_distinct,
+    hll_distinct_sql,
+    hll_registers,
+)
+
+
+def spark_estimate(spark, values, b=12):
+    df = spark.createDataFrame([(v,) for v in values], ["v"])
+    return hll_distinct(df, "v", b=b).collect()[0]["estimate"]
+
+
+def duck_estimate(values, b=12):
+    vals = ",".join(f"('{v}')" for v in values)
+    sql = hll_distinct_sql(f"SELECT * FROM (VALUES {vals}) t(v)", "v", b)
+    return duckdb.sql(sql).fetchall()[0][0]
+
+
+def test_accuracy_within_envelope(spark):
+    """b=12 -> ~1.6% standard error; 5% is a very safe bound at n=5000."""
+    values = [f"item-{i % 5000}" for i in range(12000)]
+    est = spark_estimate(spark, values)
+    assert est == pytest.approx(5000, rel=0.05)
+
+
+def test_linear_counting_small_range(spark):
+    values = [f"x{i}" for i in range(200)]
+    est = spark_estimate(spark, values)
+    assert est == pytest.approx(200, rel=0.05)
+
+
+def test_duckdb_parity_both_branches(spark):
+    dense = [f"item-{i % 5000}" for i in range(8000)]
+    sparse = [f"x{i}" for i in range(150)]
+    assert spark_estimate(spark, dense) == duck_estimate(dense)
+    assert spark_estimate(spark, sparse) == duck_estimate(sparse)
+
+
+def test_duplicates_do_not_inflate(spark):
+    once = [f"k{i}" for i in range(300)]
+    thrice = once * 3
+    assert spark_estimate(spark, once) == spark_estimate(spark, thrice)
+
+
+def test_nulls_ignored(spark):
+    df = spark.createDataFrame(
+        [("a",), (None,), ("b",), (None,), ("c",)], ["v"]
+    )
+    est = hll_distinct(df, "v").collect()[0]["estimate"]
+    assert est == pytest.approx(3, rel=0.05)
+
+
+def test_registers_merge_by_max(spark):
+    """Union-then-max of two register tables equals the sketch of the
+    union — the mergeable-summary contract."""
+    a = spark.createDataFrame([(f"a{i}",) for i in range(500)], ["v"])
+    b = spark.createDataFrame([(f"b{i}",) for i in range(500)], ["v"])
+    both = a.unionAll(b)
+    merged = (
+        hll_registers(a, "v")
+        .unionAll(hll_registers(b, "v"))
+        .groupBy("bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    direct = hll_registers(both, "v")
+    got = sorted(tuple(r) for r in merged.collect())
+    want = sorted(tuple(r) for r in direct.collect())
+    assert got == want
+
+
+def test_b_validation(spark):
+    df = spark.createDataFrame([("a",)], ["v"])
+    with pytest.raises(ValueError, match="b must be"):
+        hll_registers(df, "v", b=3)
