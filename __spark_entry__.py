@@ -54,7 +54,7 @@ from polars_grouper_spark.operators.funnel import (
     funnel_counts_sql,
 )
 from polars_grouper_spark.operators.scc import strongly_connected_components_sql
-from polars_grouper_spark.functions.sketches import hll_distinct_sql
+from polars_grouper_spark.functions.sketches import cms_topk_sql, hll_distinct_sql
 from polars_grouper_spark.operators.walks import random_walks_sql
 from polars_grouper_spark.operators.triangles import (
     clustering_coefficient_sql,
@@ -2200,6 +2200,29 @@ def q_hll_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(orders, "o_custkey", b=12)
 
 
+def q_cms_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (``functions.sketches.cms_counts``/``cms_estimate``):
+    4x4096-cell sketch of part frequencies in lineitem, point-queried for
+    a deterministic probe subset — build and probe are each one
+    map-side-combinable aggregation; the sketch never reaches the
+    driver.  The oracle builds the identical sketch (portable hashes)."""
+    from polars_grouper_spark.functions.sketches import cms_counts, cms_estimate
+
+    li = load_table(spark, "lineitem", sf_dir)
+    keyed = li.select(F.concat(F.lit("P"), F.col("l_partkey")).alias("part"))
+    sketch = cms_counts(keyed, "part")
+    probe = li.where(F.col("l_partkey") % 500 == 0).select(
+        F.concat(F.lit("P"), F.col("l_partkey")).alias("part")
+    )
+    return cms_estimate(sketch, probe, "part")
+
+
+_CMS_PROBE_SQL = (
+    "SELECT DISTINCT 'P' || l_partkey AS item FROM lineitem "
+    "WHERE l_partkey % 500 = 0"
+)
+
+
 _WALK_LEN = 5
 _WALKS_PER_NODE = 2
 _WALK_SEED = 17
@@ -2819,6 +2842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_users": q_ppr_users,
         "random_walks_users": q_random_walks,
         "hll_customers": q_hll_customers,
+        "cms_parts": q_cms_parts,
         "kcore_parts": q_kcore_parts,
         "ktruss_parts": q_ktruss_parts,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -2912,6 +2936,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hll_customers": hll_distinct_sql(
             "SELECT o_custkey FROM orders", "o_custkey", 12
+        ),
+        "cms_parts": cms_topk_sql(
+            "SELECT 'P' || l_partkey AS part FROM lineitem",
+            "part",
+            _CMS_PROBE_SQL,
         ),
         "kcore_parts": k_core_sql(_PART_CO_EDGE_SQL, _KCORE_K, _KCORE_ORACLE_ROUNDS),
         "ktruss_parts": k_truss_sql(

@@ -119,3 +119,110 @@ SELECT round(
   4) AS estimate
 FROM agg
 """
+
+
+def cms_counts(
+    df: DataFrame,
+    col: Column | str,
+    *,
+    width_bits: int = 12,
+    depth: int = 4,
+    portable: bool = True,
+) -> DataFrame:
+    """Count-min sketch state (Cormode & Muthukrishnan 2005) ->
+    ``(row int, bucket int, cnt long)``: ``depth`` independent hash rows,
+    ``2^width_bits`` buckets each.  One map-side-combinable aggregation
+    (input explodes x depth); sketches merge by summing cells.
+    Row ``i`` hashes ``i || '|' || value`` through the portable hash —
+    independent-ish rows without needing a hash family.
+    """
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    c = F.col(col) if isinstance(col, str) else col
+    w = 1 << width_bits
+    rows = F.explode(
+        F.array(*[F.lit(i) for i in range(depth)])
+    ).alias("row")
+    keyed = df.where(c.isNotNull()).select(
+        c.cast("string").alias("v"), rows
+    )
+    h = portable_hash64(
+        F.concat(F.col("row").cast("string"), F.lit("|"), F.col("v")),
+        portable=portable,
+    )
+    return (
+        keyed.select("row", F.pmod(h, F.lit(w)).alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    col: Column | str,
+    *,
+    width_bits: int = 12,
+    depth: int = 4,
+    portable: bool = True,
+) -> DataFrame:
+    """Point-query the sketch for each item -> ``(item, est_count)``:
+    the min over the sketch's depth rows (a deterministic overestimate of
+    the true count).  ``items`` stays a DataFrame — the probe set is
+    exploded against the same hashing and joined to the sketch cells on
+    (row, bucket), so querying never collects the sketch."""
+    c = F.col(col) if isinstance(col, str) else col
+    w = 1 << width_bits
+    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row")
+    probes = items.select(c.cast("string").alias("item")).distinct().select(
+        "item", rows
+    )
+    h = portable_hash64(
+        F.concat(F.col("row").cast("string"), F.lit("|"), F.col("item")),
+        portable=portable,
+    )
+    probes = probes.select("item", "row", F.pmod(h, F.lit(w)).alias("bucket"))
+    return (
+        probes.join(sketch, ["row", "bucket"], "left")
+        .groupBy("item")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_count"))
+    )
+
+
+def cms_topk_sql(
+    table_sql: str,
+    expr: str,
+    probe_sql: str,
+    *,
+    width_bits: int = 12,
+    depth: int = 4,
+) -> str:
+    """DuckDB oracle: build the identical sketch over ``table_sql`` and
+    point-query the probe items from ``probe_sql`` (column ``item``)."""
+    from .hashing import portable_hash64_sql
+
+    w = 1 << width_bits
+    h_build = portable_hash64_sql(
+        f"CAST(r.row AS VARCHAR) || '|' || CAST({expr} AS VARCHAR)"
+    )
+    h_probe = portable_hash64_sql(
+        "CAST(r.row AS VARCHAR) || '|' || p.item"
+    )
+    return f"""
+WITH src AS ({table_sql}),
+rows_t AS (SELECT unnest(range({depth})) AS row),
+cells AS (
+  SELECT r.row AS row, {h_build} % {w} AS bucket, count(*)::BIGINT AS cnt
+  FROM src, rows_t r
+  WHERE {expr} IS NOT NULL
+  GROUP BY 1, 2
+),
+probe AS (SELECT DISTINCT CAST(item AS VARCHAR) AS item FROM ({probe_sql})),
+probed AS (
+  SELECT p.item, r.row AS row, {h_probe} % {w} AS bucket
+  FROM probe p, rows_t r
+)
+SELECT pb.item, min(coalesce(c.cnt, 0))::BIGINT AS est_count
+FROM probed pb LEFT JOIN cells c ON c.row = pb.row AND c.bucket = pb.bucket
+GROUP BY pb.item
+"""

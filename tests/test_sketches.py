@@ -79,3 +79,49 @@ def test_b_validation(spark):
     df = spark.createDataFrame([("a",)], ["v"])
     with pytest.raises(ValueError, match="b must be"):
         hll_registers(df, "v", b=3)
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_underestimates(spark):
+    from polars_grouper_spark.functions.sketches import cms_counts, cms_estimate
+
+    values = [f"k{i % 50}" for i in range(1000)]  # each key appears 20x
+    df = spark.createDataFrame([(v,) for v in values], ["v"])
+    sketch = cms_counts(df, "v")
+    probe = spark.createDataFrame([(f"k{i}",) for i in range(50)], ["v"])
+    got = {r["item"]: r["est_count"] for r in cms_estimate(sketch, probe, "v").collect()}
+    assert all(est >= 20 for est in got.values())
+    # 4096 buckets, 50 keys: collisions are rare -> most estimates exact
+    assert sum(1 for est in got.values() if est == 20) >= 45
+
+
+def test_cms_absent_item_small(spark):
+    from polars_grouper_spark.functions.sketches import cms_counts, cms_estimate
+
+    df = spark.createDataFrame([(f"k{i}",) for i in range(200)], ["v"])
+    sketch = cms_counts(df, "v")
+    probe = spark.createDataFrame([("never-seen",)], ["v"])
+    est = cms_estimate(sketch, probe, "v").collect()[0]["est_count"]
+    assert est <= 1  # min over 4 rows of a sparse sketch
+
+
+def test_cms_merge_by_sum(spark):
+    from pyspark.sql import functions as F2
+    from polars_grouper_spark.functions.sketches import cms_counts
+
+    a = spark.createDataFrame([("x",)] * 5 + [("y",)] * 3, ["v"])
+    b = spark.createDataFrame([("x",)] * 2 + [("z",)] * 4, ["v"])
+    merged = (
+        cms_counts(a, "v")
+        .unionAll(cms_counts(b, "v"))
+        .groupBy("row", "bucket")
+        .agg(F2.sum("cnt").alias("cnt"))
+    )
+    direct = cms_counts(a.unionAll(b), "v")
+    got = sorted(tuple(r) for r in merged.collect())
+    want = sorted(tuple(r) for r in direct.collect())
+    assert got == want
