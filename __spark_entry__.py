@@ -283,6 +283,27 @@ def q_shortest_path_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_harmonic_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality (``operators.shortest_path.harmonic_centrality``)
+    over the weighted nation cliques: 1/d summed per node from the same
+    multi-source relaxation as ``shortest_path_nations`` — one extra
+    map-side-combinable aggregation over the pair table."""
+    from polars_grouper_spark.operators.shortest_path import harmonic_centrality
+
+    return harmonic_centrality(_nation_edges(spark, sf_dir), "src", "dst", "weight")
+
+
+def _harmonic_sql(edges_sql: str, rounds: int = 6) -> str:
+    sp = _shortest_path_sql(edges_sql, rounds)
+    return f"""
+SELECT node, round(sum(c), 8) AS centrality FROM (
+  SELECT src AS node, 1.0 / distance AS c FROM ({sp})
+  UNION ALL
+  SELECT dst AS node, 1.0 / distance AS c FROM ({sp})
+) GROUP BY node
+"""
+
+
 def q_shortest_path_sp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shortest paths on the ~60x denser supplier-part graph (vs the 50-row
     nations fixture), exercising BOTH scale levers: a bounded source set
@@ -2790,6 +2811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_bucketed": q_pagerank_bucketed,
         "shortest_path_nations": q_shortest_path_nations,
         "shortest_path_sp_bounded": q_shortest_path_sp_bounded,
+        "harmonic_nations": q_harmonic_nations,
         "betweenness_nations": q_betweenness_nations,
         "betweenness_ring": q_betweenness_ring,
         "betweenness_ring_dist": q_betweenness_ring_dist,
@@ -2872,6 +2894,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_sp": _pagerank_sql(_SP_EDGE_SQL.replace("DISTINCT ", "")),
         "pagerank_bucketed": _pagerank_sql(_SP_EDGE_SQL.replace("DISTINCT ", "")),
         "shortest_path_nations": _shortest_path_sql(_NATION_EDGE_SQL),
+        "harmonic_nations": _harmonic_sql(_NATION_EDGE_SQL),
         "shortest_path_sp_bounded": _shortest_path_bounded_sql(
             _SP_W_EDGE_SQL,
             "node LIKE 'S%' AND CAST(substr(node, 2) AS BIGINT) % 20 = 0",

@@ -160,3 +160,36 @@ def calculate_shortest_path(
         F.col("n").alias("to"),
         (F.col("d") / 1000.0).alias("distance"),
     )
+
+
+def harmonic_centrality(
+    df: DataFrame,
+    from_col: str = "from",
+    to_col: str = "to",
+    weight_col: str = "weight",
+    sources: Sequence[str] | None = None,
+    max_distance: float | None = None,
+) -> DataFrame:
+    """Harmonic centrality (Marchiori & Latora 2000; the closeness variant
+    robust to disconnected graphs): ``HC(v) = Σ_{u≠v} 1/d(v,u)`` over the
+    undirected weighted shortest-path distances, unreachable pairs
+    contributing 0.  Returns ``(node, centrality)`` (rounded to 8) for
+    every node that appears in a surviving pair.
+
+    Built on :func:`calculate_shortest_path`, so it inherits both scale
+    levers: ``sources`` restricts the pair set (centrality then counts
+    only distances to the source set — the standard landmark
+    approximation) and ``max_distance`` truncates the ball (distant pairs
+    contribute the least to the harmonic sum, so truncation is a
+    principled approximation here, unlike for closeness).
+    """
+    pairs = calculate_shortest_path(
+        df, from_col, to_col, weight_col,
+        directed=False, sources=sources, max_distance=max_distance,
+    )
+    contrib = pairs.select(
+        F.col("from").alias("node"), (F.lit(1.0) / F.col("distance")).alias("c")
+    ).unionAll(
+        pairs.select(F.col("to").alias("node"), (F.lit(1.0) / F.col("distance")).alias("c"))
+    )
+    return contrib.groupBy("node").agg(F.round(F.sum("c"), 8).alias("centrality"))

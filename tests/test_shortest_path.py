@@ -111,3 +111,45 @@ def test_max_distance_quantization_boundary(spark):
         calculate_shortest_path(df, directed=True, sources=["A"], max_distance=2.0)
     )
     assert got[("A", "C")] == 2.0  # 1000 + 1000 (truncated) = 2000 <= 2000
+
+
+# ---------------------------------------------------------------------------
+# harmonic_centrality
+# ---------------------------------------------------------------------------
+
+
+def test_harmonic_path_graph(spark):
+    """Path a-b-c with unit weights: HC(b)=2, HC(a)=HC(c)=1.5."""
+    from polars_grouper_spark.operators.shortest_path import harmonic_centrality
+
+    df = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0)], ["from", "to", "weight"]
+    )
+    got = {r["node"]: r["centrality"] for r in harmonic_centrality(df).collect()}
+    assert got == {"a": 1.5, "b": 2.0, "c": 1.5}
+
+
+def test_harmonic_disconnected_components(spark):
+    """Unreachable pairs contribute 0 — no infinities (the point of
+    harmonic over closeness)."""
+    from polars_grouper_spark.operators.shortest_path import harmonic_centrality
+
+    df = spark.createDataFrame(
+        [("a", "b", 1.0), ("x", "y", 2.0)], ["from", "to", "weight"]
+    )
+    got = {r["node"]: r["centrality"] for r in harmonic_centrality(df).collect()}
+    assert got == {"a": 1.0, "b": 1.0, "x": 0.5, "y": 0.5}
+
+
+def test_harmonic_max_distance_truncates(spark):
+    from polars_grouper_spark.operators.shortest_path import harmonic_centrality
+
+    df = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0)], ["from", "to", "weight"]
+    )
+    got = {
+        r["node"]: r["centrality"]
+        for r in harmonic_centrality(df, max_distance=1.0).collect()
+    }
+    # the a-c pair (distance 2) is truncated away
+    assert got == {"a": 1.0, "b": 2.0, "c": 1.0}
