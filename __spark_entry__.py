@@ -53,6 +53,7 @@ from polars_grouper_spark.operators.funnel import (
     cohort_retention_sql,
     funnel_counts_sql,
 )
+from polars_grouper_spark.operators.label_spreading import label_spreading_sql
 from polars_grouper_spark.operators.scc import strongly_connected_components_sql
 from polars_grouper_spark.functions.sketches import cms_topk_sql, hll_distinct_sql
 from polars_grouper_spark.operators.walks import random_walks_sql
@@ -2209,6 +2210,30 @@ def q_scc_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strongly_connected_components(_scc_edges(spark, sf_dir), "src", "dst")
 
 
+_LS_SEEDS = [("U7", "growth"), ("U42", "core"), ("U137", "churn")]
+_LS_ROUNDS = 3
+
+
+def q_label_spread_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label spreading (``operators.label_spreading``):
+    three seed users' labels propagate over the directed interaction
+    graph for 3 synchronous rounds — per round one join + one
+    map-side-combinable vote count + one per-node argmax window, ties
+    broken (count desc, label asc) so the oracle replays it exactly."""
+    from polars_grouper_spark.operators.label_spreading import label_spreading
+
+    seeds = spark.createDataFrame(_LS_SEEDS, ["node", "label"])
+    return label_spreading(
+        _scc_edges(spark, sf_dir), seeds, "src", "dst",
+        rounds=_LS_ROUNDS, directed=True,
+    )
+
+
+def _ls_seed_sql() -> str:
+    vals = ",".join(f"('{n}','{l}')" for n, l in _LS_SEEDS)
+    return f"SELECT * FROM (VALUES {vals}) t(node, label)"
+
+
 def q_hll_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-customer estimate (``functions.sketches``):
     portable md5-hash registers (m=4096, map-side-combinable max), the
@@ -2865,6 +2890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks_users": q_random_walks,
         "hll_customers": q_hll_customers,
         "cms_parts": q_cms_parts,
+        "label_spread_users": q_label_spread_users,
         "kcore_parts": q_kcore_parts,
         "ktruss_parts": q_ktruss_parts,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -2964,6 +2990,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'P' || l_partkey AS part FROM lineitem",
             "part",
             _CMS_PROBE_SQL,
+        ),
+        "label_spread_users": label_spreading_sql(
+            _SCC_EDGE_SQL, _ls_seed_sql(), _LS_ROUNDS, directed=True
         ),
         "kcore_parts": k_core_sql(_PART_CO_EDGE_SQL, _KCORE_K, _KCORE_ORACLE_ROUNDS),
         "ktruss_parts": k_truss_sql(

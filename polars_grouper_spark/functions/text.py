@@ -331,17 +331,13 @@ def fingerprint(
     return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
 
 
-def ngrams(text: Column | str, n: int = 2) -> Column:
-    """Word n-grams -> array<string> (space-joined, lowercased whitespace
-    tokens).  A document shorter than ``n`` tokens yields an empty array.
+def _windows(toks: Column, n: int) -> Column:
+    """Length-``n`` windows over an ALREADY-STAGED token array column.
 
-    Stays in whole-stage codegen: tokenize once, then a ``transform`` over
-    ``sequence(1, len - n + 1)`` takes each window with ``slice`` —
-    no explode until the caller asks for one.
+    ``toks`` must be a plain column reference (stage the tokenize in its
+    own ``select`` first): an expression here would be re-evaluated once
+    per window position by the lambda — O(L²) per document.
     """
-    if n < 1:
-        raise ValueError(f"n must be >= 1, got {n}")
-    toks = F.transform(tokens(text), F.lower)
     windows = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.array_join(F.slice(toks, i, n), " "),
@@ -350,6 +346,22 @@ def ngrams(text: Column | str, n: int = 2) -> Column:
     return F.when(F.size(toks) >= n, windows).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def ngrams(text: Column | str, n: int = 2) -> Column:
+    """Word n-grams -> array<string> (space-joined, lowercased whitespace
+    tokens).  A document shorter than ``n`` tokens yields an empty array.
+
+    Convenience form for small frames/tests: the tokenize expression is
+    referenced inside the window lambda, so it re-evaluates per position
+    — on corpus-scale scans use the staged pattern instead (tokenize in
+    one ``select``, then ``_windows`` over the column; that is what
+    :func:`top_ngrams` compiles to).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = F.transform(tokens(text), F.lower)
+    return _windows(toks, n)
 
 
 def top_ngrams(
@@ -362,23 +374,35 @@ def top_ngrams(
     ordered by (occurrences desc, ngram) — the tiebreak is total, so the
     selected set is deterministic.
 
-    Scale: the explode is linear in corpus tokens and both counts are
-    map-side combinable (one shuffle on the n-gram key); the top-k is a
-    TakeOrdered over the aggregated (distinct-ngram-sized) table, never
-    the corpus.  Vocabulary skew (stop-phrase n-grams) is bounded by the
-    partial aggregation: each task emits one row per distinct n-gram.
+    Scale: ONE corpus scan and ONE explode — per-(ngram, doc) counts
+    first (map-side combinable; also the dedup for ``n_docs``), then the
+    corpus rollup on the n-gram key (sum + count in the same
+    aggregation).  The top-k is a TakeOrdered over the aggregated
+    (distinct-ngram-sized) table, never the corpus.  Vocabulary skew
+    (stop-phrase n-grams) is absorbed by the two-level partial
+    aggregation.
     """
-    grams = df.select(F.explode(ngrams(F.col(text_col), n)).alias("ngram"))
-    counted = grams.groupBy("ngram").agg(
-        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    # Stage the doc id AND the token array in their own projections:
+    # expressions in the same select as a generator are evaluated per
+    # GENERATED row (every occurrence would get its own id), and a
+    # tokenize expression referenced inside the window lambda would be
+    # RE-EVALUATED per position — O(L²) per doc (measured 6x on the
+    # documents table; same lesson as SCALE.md's staged-projection note).
+    staged = df.select(
+        F.monotonically_increasing_id().alias("_doc"),
+        F.transform(tokens(F.col(text_col)), F.lower).alias("_toks"),
     )
     per_doc = (
-        df.select(F.explode(F.array_distinct(ngrams(F.col(text_col), n))).alias("ngram"))
-        .groupBy("ngram")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        staged.select("_doc", F.explode(_windows(F.col("_toks"), n)).alias("ngram"))
+        .groupBy("ngram", "_doc")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return (
-        counted.join(per_doc, "ngram")
+        per_doc.groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("cnt").cast("long").alias("n_occurrences"),
+        )
         .orderBy(F.col("n_occurrences").desc(), "ngram")
         .limit(k)
         .select("ngram", "n_docs", "n_occurrences")
