@@ -55,6 +55,10 @@ from polars_grouper_spark.operators.funnel import (
 )
 from polars_grouper_spark.operators.label_spreading import label_spreading_sql
 from polars_grouper_spark.operators.scc import strongly_connected_components_sql
+from polars_grouper_spark.functions.chunking import (
+    chunk_documents_sql,
+    pack_sequences_sql,
+)
 from polars_grouper_spark.functions.sketches import cms_topk_sql, hll_distinct_sql
 from polars_grouper_spark.operators.walks import random_walks_sql
 from polars_grouper_spark.operators.triangles import (
@@ -1846,6 +1850,34 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_TOKENS, _CHUNK_OVERLAP = 40, 8
+_PACK_BUDGET = 512
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token document chunking with overlap
+    (``functions.chunking.chunk_documents``): staged token arrays (one
+    tokenize per doc), windows by array slice, one explode — no shuffle;
+    the RAG/long-context preprocessing step."""
+    from polars_grouper_spark.functions.chunking import chunk_documents
+
+    docs = load_table(spark, "documents", sf_dir)
+    return chunk_documents(
+        docs, chunk_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP
+    )
+
+
+def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (``functions.chunking.pack_sequences``):
+    contiguous prefix-sum assignment of documents into 512-token training
+    bins — one ordering window + one aggregation, deterministic across
+    engines and re-runs."""
+    from polars_grouper_spark.functions.chunking import pack_sequences
+
+    docs = load_table(spark, "documents", sf_dir)
+    return pack_sequences(docs, budget=_PACK_BUDGET)
+
+
 _TOP_BIGRAMS_K = 50
 
 
@@ -2878,6 +2910,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "super_merger_weighted_orders": q_super_merger_weighted_orders,
         "token_counts": q_token_counts,
         "top_bigrams": q_top_bigrams,
+        "doc_chunks": q_doc_chunks,
+        "pack_bins": q_pack_bins,
         "doc_repetition": q_doc_repetition,
         "pii_scrub": q_pii_scrub,
         "train_split": q_train_split,
@@ -2968,6 +3002,10 @@ def oracle_sql() -> dict[str, str]:
         "super_merger_weighted_orders": _SUPER_MERGER_WEIGHTED_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,
         "top_bigrams": tx.top_ngrams_sql(n=2, k=_TOP_BIGRAMS_K),
+        "doc_chunks": chunk_documents_sql(
+            chunk_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP
+        ),
+        "pack_bins": pack_sequences_sql(budget=_PACK_BUDGET),
         "doc_repetition": _DOC_REPETITION_SQL,
         "pii_scrub": _pii_scrub_sql(),
         "train_split": _train_split_sql(),
