@@ -1595,6 +1595,83 @@ GROUP BY 1, 2
 """
 
 
+def _event_stream(spark: SparkSession, sf_dir: str):
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def q_stream_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (``streaming.joins.interval_join``)
+    through a REAL Structured Streaming query: purchases attributed to
+    the same user's views within the preceding 30 minutes — both sides
+    watermarked file streams, state expired past the interval bound,
+    availableNow trigger, append-mode memory sink.  With the full input
+    available the result equals the batch join, so the oracle is plain
+    SQL."""
+    from polars_grouper_spark.streaming.joins import interval_join
+
+    load_table(spark, "events", sf_dir)  # sets the nanosAsLong reader conf
+    views = _event_stream(spark, sf_dir).where(F.col("event_type") == "view")
+    purchases = _event_stream(spark, sf_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    # The file source replays history unsorted across microbatches, so the
+    # demo watermark must span the dataset's full time range (90 days of
+    # synthetic events) — in production the watermark tracks real
+    # ingestion lateness and is the state-size knob.
+    joined = interval_join(
+        views, purchases, within="30 minutes", watermark="100 days"
+    ).select(
+        "user_id",
+        F.col("l_event_id").alias("view_id"),
+        F.col("r_event_id").alias("purchase_id"),
+        # Whole-second lag from the MICROSECOND difference: truncating
+        # each timestamp first (unix_timestamp) disagrees with the oracle
+        # by 1 whenever the fractional parts straddle a second boundary.
+        F.floor(
+            (
+                F.unix_micros(F.col("r_ts").cast("timestamp"))
+                - F.unix_micros(F.col("l_ts").cast("timestamp"))
+            )
+            / 1_000_000
+        ).alias("lag_secs"),
+    )
+    name = "stream_attrib_sink"
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(name)
+
+
+_STREAM_ATTRIB_SQL = """
+SELECT v.user_id,
+       v.event_id AS view_id,
+       p.event_id AS purchase_id,
+       (epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS lag_secs
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+"""
+
+
 def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window stats through a REAL Structured Streaming query
     (2-hour windows sliding hourly): every event lands in exactly two
@@ -2897,6 +2974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "stream_hourly": q_stream_hourly,
         "stream_sliding": q_stream_sliding,
+        "stream_attrib": q_stream_attrib,
         "event_sessions": q_event_sessions,
         "sales_cube": q_sales_cube,
         "priority_rollup": q_priority_rollup,
@@ -2988,6 +3066,7 @@ def oracle_sql() -> dict[str, str]:
         "event_funnel": funnel_counts_sql(_FUNNEL_STEPS),
         "cohort_retention": cohort_retention_sql(period="week", max_offset=12),
         "stream_hourly": _STREAM_HOURLY_SQL,
+        "stream_attrib": _STREAM_ATTRIB_SQL,
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,
         "sales_cube": _SALES_CUBE_SQL,

@@ -256,3 +256,73 @@ def test_stream_parquet_sink_exactly_once_across_restarts(spark, tmp_path):
     ev.limit(50).coalesce(1).write.mode("append").parquet(src)
     run_once()  # only the new file is processed
     assert spark.read.parquet(out).count() == 250
+
+
+def test_interval_join_batch_semantics(spark):
+    """Strict lower bound, inclusive upper bound, key equality."""
+    import datetime as dt
+
+    from polars_grouper_spark.streaming.joins import interval_join
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, base, "v1"), (2, base, "v2")],
+        "user_id long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, base, "same-instant"),            # excluded: strict >
+            (1, base + dt.timedelta(minutes=30), "at-bound"),  # included: <=
+            (1, base + dt.timedelta(minutes=31), "past-bound"),
+            (2, base + dt.timedelta(minutes=5), "other-user-ok"),
+        ],
+        "user_id long, ts timestamp, tag string",
+    )
+    out = interval_join(left, right, within="30 minutes")
+    got = sorted((r["user_id"], r["r_tag"]) for r in out.collect())
+    assert got == [(1, "at-bound"), (2, "other-user-ok")]
+
+
+def test_interval_join_on_real_stream(spark, tmp_path):
+    """Stream-stream inner join through a real streaming query equals the
+    batch join on the same input."""
+    import datetime as dt
+
+    from polars_grouper_spark.streaming.joins import interval_join
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = []
+    for u in range(8):
+        rows.append((u, base + dt.timedelta(minutes=u), "view"))
+        rows.append((u, base + dt.timedelta(minutes=u + 10), "purchase"))
+        rows.append((u, base + dt.timedelta(minutes=u + 120), "purchase"))
+    batch = spark.createDataFrame(rows, "user_id long, ts timestamp, et string")
+    path = str(tmp_path / "ev")
+    batch.write.parquet(path)
+
+    def split(df):
+        return (
+            df.where(F.col("et") == "view"),
+            df.where(F.col("et") == "purchase"),
+        )
+
+    lv, lp = split(batch)
+    expect = sorted(
+        (r["user_id"], r["r_ts"]) for r in interval_join(
+            lv, lp, within="30 minutes").collect()
+    )
+    stream = spark.readStream.schema(batch.schema).parquet(path)
+    sv, sp = split(stream)
+    joined = interval_join(sv, sp, within="30 minutes", watermark="1 day")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ij_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["user_id"], r["r_ts"]) for r in spark.table("ij_sink").collect()
+    )
+    assert got == expect and len(got) == 8
