@@ -63,6 +63,7 @@ from polars_grouper_spark.functions.sketches import cms_topk_sql, hll_distinct_s
 from polars_grouper_spark.operators.walks import random_walks_sql
 from polars_grouper_spark.operators.triangles import (
     clustering_coefficient_sql,
+    square_count_sql,
     triangle_count,
     triangle_count_sql,
 )
@@ -2469,6 +2470,15 @@ def q_link_pred_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_squares_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total 4-cycle count (``operators.triangles.square_count``) on the
+    part graph via the rectangle identity Σ C(codeg,2)/2 — the same
+    wedge pipeline as link prediction, pure integer arithmetic."""
+    from polars_grouper_spark.operators.triangles import square_count
+
+    return square_count(_part_co_edges(spark, sf_dir), "src", "dst")
+
+
 def q_clustering_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient (``operators.triangles``) per part
     node: degree-ordered triangle counts joined with distinct-neighbor
@@ -2996,6 +3006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "triangles_parts": q_triangles_parts,
         "clustering_parts": q_clustering_parts,
+        "squares_parts": q_squares_parts,
         "link_pred_parts": q_link_pred_parts,
         "scc_users": q_scc_users,
         "ppr_users": q_ppr_users,
@@ -3091,6 +3102,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _stratified_sample_sql(),
         "triangles_parts": triangle_count_sql(_PART_CO_EDGE_SQL),
         "clustering_parts": clustering_coefficient_sql(_PART_CO_EDGE_SQL),
+        "squares_parts": square_count_sql(_PART_CO_EDGE_SQL),
         "link_pred_parts": (
             link_scores_sql(_PART_CO_EDGE_SQL)
             + f" ORDER BY common_neighbors DESC, node_a, node_b LIMIT {_LINK_PRED_TOPN}"

@@ -250,3 +250,59 @@ per AS (
 SELECT n.node, coalesce(per.c, 0)::BIGINT AS n_triangles
 FROM nodes n LEFT JOIN per ON per.node = n.node
 """
+
+
+def square_count(df: DataFrame, src: str = "from", dst: str = "to") -> DataFrame:
+    """Total 4-cycle (square) count -> one row ``(n_squares long)``.
+
+    Squares via co-degree (the rectangle-counting identity): every
+    unordered pair {x, y} with ``c = |N(x) ∩ N(y)|`` common neighbors
+    closes ``C(c, 2)`` distinct 4-cycles, each counted once by its
+    diagonal pair — so ``squares = Σ_pairs C(c,2) / 2`` (each square has
+    two diagonals).  Adjacency of the pair is irrelevant (the square
+    uses only the four rim edges).
+
+    Cost is the wedge pipeline's Σ deg(w)² (same shape as
+    ``link_prediction``); counts stay map-side-combinable.
+    """
+    edges, _ = _interned_edges(df, src, dst)
+    adj = edges.select(F.col("a").alias("w"), F.col("b").alias("n")).unionAll(
+        edges.select(F.col("b").alias("w"), F.col("a").alias("n"))
+    )
+    e1 = adj.select("w", F.col("n").alias("x"))
+    e2 = adj.select("w", F.col("n").alias("y"))
+    codeg = (
+        e1.join(e2, "w")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # Pure integer arithmetic end to end (Σ C(c,2) is even: each square
+    # is seen by exactly two diagonals).
+    return codeg.agg(
+        F.coalesce(
+            F.expr("sum(c * (c - 1) DIV 2) DIV 2"), F.lit(0).cast("long")
+        ).alias("n_squares")
+    )
+
+
+def square_count_sql(edge_sql: str) -> str:
+    """DuckDB oracle replicating :func:`square_count`."""
+    return f"""
+WITH raw AS ({edge_sql}),
+e AS (
+  SELECT DISTINCT least(CAST(src AS VARCHAR), CAST(dst AS VARCHAR)) AS a,
+                  greatest(CAST(src AS VARCHAR), CAST(dst AS VARCHAR)) AS b
+  FROM raw
+  WHERE src IS NOT NULL AND dst IS NOT NULL
+    AND CAST(src AS VARCHAR) <> CAST(dst AS VARCHAR)
+),
+adj AS (SELECT a AS w, b AS n FROM e UNION ALL SELECT b, a FROM e),
+codeg AS (
+  SELECT a1.n AS x, a2.n AS y, count(*)::BIGINT AS c
+  FROM adj a1 JOIN adj a2 ON a1.w = a2.w AND a1.n < a2.n
+  GROUP BY 1, 2
+)
+SELECT coalesce(sum(c * (c - 1) // 2) // 2, 0)::BIGINT AS n_squares
+FROM codeg
+"""

@@ -176,3 +176,39 @@ def test_lcc_duckdb_parity(spark):
     )
     want = duck_rows(clustering_coefficient_sql(values_sql(edges)))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# square_count (shares the wedge pipeline)
+# ---------------------------------------------------------------------------
+
+
+def test_square_known_answers(spark):
+    from polars_grouper_spark.operators.triangles import square_count
+
+    ring4 = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")], ["from", "to"]
+    )
+    assert square_count(ring4).collect()[0]["n_squares"] == 1
+    k4 = spark.createDataFrame(
+        [(x, y) for x in "abcd" for y in "abcd" if x < y], ["from", "to"]
+    )
+    assert square_count(k4).collect()[0]["n_squares"] == 3
+    tri = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["from", "to"]
+    )
+    assert square_count(tri).collect()[0]["n_squares"] == 0
+
+
+def test_square_duckdb_parity(spark):
+    from polars_grouper_spark.operators.triangles import (
+        square_count,
+        square_count_sql,
+    )
+
+    edges = [(f"n{(7 * i) % 19}", f"n{(11 * i + 3) % 19}") for i in range(50)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["from", "to"])
+    got = square_count(df).collect()[0]["n_squares"]
+    want = duck_rows(square_count_sql(values_sql(edges)))[0][0]
+    assert got == want
