@@ -59,7 +59,11 @@ from polars_grouper_spark.functions.chunking import (
     chunk_documents_sql,
     pack_sequences_sql,
 )
-from polars_grouper_spark.functions.sketches import cms_topk_sql, hll_distinct_sql
+from polars_grouper_spark.functions.sketches import (
+    cms_topk_sql,
+    hist_quantiles_sql,
+    hll_distinct_sql,
+)
 from polars_grouper_spark.operators.walks import random_walks_sql
 from polars_grouper_spark.operators.triangles import (
     clustering_coefficient_sql,
@@ -2356,6 +2360,22 @@ def q_hll_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(orders, "o_custkey", b=12)
 
 
+_HISTQ_ARGS = dict(qs=[0.5, 0.9, 0.99], lo=0.0, hi=600_000.0, bins=4096)
+
+
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-quantile sketch (``functions.sketches.hist_quantiles``):
+    order-prices binned into a fixed 4096-cell grid (one map-side
+    combinable count; mergeable by bucket sum), quantiles read off the
+    cumulative histogram — deterministic unlike t-digest/KLL, error
+    bounded by one bin width; the oracle computes the identical
+    estimates."""
+    from polars_grouper_spark.functions.sketches import hist_quantiles
+
+    orders = load_table(spark, "orders", sf_dir)
+    return hist_quantiles(orders, "o_totalprice", **_HISTQ_ARGS)
+
+
 def q_cms_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch (``functions.sketches.cms_counts``/``cms_estimate``):
     4x4096-cell sketch of part frequencies in lineitem, point-queried for
@@ -3013,6 +3033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks_users": q_random_walks,
         "hll_customers": q_hll_customers,
         "cms_parts": q_cms_parts,
+        "hist_quantiles": q_hist_quantiles,
         "label_spread_users": q_label_spread_users,
         "kcore_parts": q_kcore_parts,
         "ktruss_parts": q_ktruss_parts,
@@ -3119,6 +3140,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'P' || l_partkey AS part FROM lineitem",
             "part",
             _CMS_PROBE_SQL,
+        ),
+        "hist_quantiles": hist_quantiles_sql(
+            "SELECT o_totalprice FROM orders", "o_totalprice", **_HISTQ_ARGS
         ),
         "label_spread_users": label_spreading_sql(
             _SCC_EDGE_SQL, _ls_seed_sql(), _LS_ROUNDS, directed=True

@@ -24,7 +24,7 @@ anyway).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .hashing import portable_hash64
@@ -225,4 +225,103 @@ probed AS (
 SELECT pb.item, min(coalesce(c.cnt, 0))::BIGINT AS est_count
 FROM probed pb LEFT JOIN cells c ON c.row = pb.row AND c.bucket = pb.bucket
 GROUP BY pb.item
+"""
+
+
+def hist_registers(
+    df: DataFrame,
+    col: Column | str,
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 1024,
+) -> DataFrame:
+    """Fixed-bin histogram state -> ``(bucket int, cnt long)`` over
+    ``[lo, hi)`` (values clamp into the edge bins).  Mergeable by
+    summing buckets; one map-side-combinable aggregation.  The
+    deterministic alternative to order-dependent quantile sketches
+    (t-digest/KLL merge results depend on arrival order; a fixed grid
+    does not) — precision is (hi-lo)/bins, chosen up front.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    c = (F.col(col) if isinstance(col, str) else col).cast("double")
+    width = (hi - lo) / bins
+    raw = F.floor((c - F.lit(lo)) / F.lit(width)).cast("int")
+    bucket = F.greatest(F.lit(0), F.least(F.lit(bins - 1), raw))
+    return (
+        df.where(c.isNotNull())
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_quantiles(
+    df: DataFrame,
+    col: Column | str,
+    qs: "list[float]",
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 1024,
+) -> DataFrame:
+    """Histogram-quantile estimates -> ``(q double, value double)``: for
+    each requested quantile, the LEFT EDGE of the bucket holding the
+    ceil(q*n)-th value (deterministic, no interpolation — identical in
+    any engine).  Error bounded by one bin width."""
+    spark = df.sparkSession
+    regs = hist_registers(df, col, lo=lo, hi=hi, bins=bins)
+    width = (hi - lo) / bins
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = regs.select(
+        "bucket", F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("total"),
+    )
+    q_tbl = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    # target rank = ceil(q * total), at least 1
+    joined = q_tbl.crossJoin(cum).where(
+        F.col("cum") >= F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("total")))
+    )
+    return (
+        joined.groupBy("q")
+        .agg(F.min("bucket").alias("b"))
+        .select("q", F.round(F.lit(lo) + F.col("b") * F.lit(width), 9).alias("value"))
+    )
+
+
+def hist_quantiles_sql(
+    table_sql: str,
+    expr: str,
+    qs: "list[float]",
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 1024,
+) -> str:
+    """DuckDB oracle computing the identical histogram quantiles."""
+    width = (hi - lo) / bins
+    q_vals = ",".join(f"({float(q)!r}::DOUBLE)" for q in qs)
+    return f"""
+WITH src AS ({table_sql}),
+vals AS (SELECT CAST({expr} AS DOUBLE) AS v FROM src WHERE {expr} IS NOT NULL),
+regs AS (
+  SELECT greatest(0, least({bins - 1},
+           CAST(floor((v - {lo!r}) / {width!r}) AS INT))) AS bucket,
+         count(*)::BIGINT AS cnt
+  FROM vals GROUP BY 1
+),
+cum AS (
+  SELECT bucket,
+         sum(cnt) OVER (ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER () AS total
+  FROM regs
+),
+q AS (SELECT unnest(ARRAY[{q_vals}]) AS q)
+SELECT q.q, round({lo!r} + min(c.bucket) * {width!r}, 9) AS value
+FROM q JOIN cum c ON c.cum >= greatest(1, CAST(ceil(q.q * c.total) AS BIGINT))
+GROUP BY q.q
 """

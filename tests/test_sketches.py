@@ -125,3 +125,68 @@ def test_cms_merge_by_sum(spark):
     got = sorted(tuple(r) for r in merged.collect())
     want = sorted(tuple(r) for r in direct.collect())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# histogram quantiles
+# ---------------------------------------------------------------------------
+
+
+def test_hist_quantiles_uniform(spark):
+    from polars_grouper_spark.functions.sketches import hist_quantiles
+
+    df = spark.createDataFrame([(float(i),) for i in range(1000)], ["v"])
+    got = {r["q"]: r["value"] for r in hist_quantiles(
+        df, "v", [0.5, 0.9], lo=0.0, hi=1000.0, bins=1000).collect()}
+    # exact grid: each value its own bin; median = 499 (ceil(0.5*1000)=500th)
+    assert got[0.5] == 499.0
+    assert got[0.9] == 899.0
+
+
+def test_hist_quantiles_clamping_and_merge(spark):
+    from pyspark.sql import functions as F2
+    from polars_grouper_spark.functions.sketches import (
+        hist_registers,
+    )
+
+    df = spark.createDataFrame([(-5.0,), (0.5,), (99.0,), (250.0,)], ["v"])
+    regs = hist_registers(df, "v", lo=0.0, hi=100.0, bins=10)
+    got = {r["bucket"]: r["cnt"] for r in regs.collect()}
+    assert got[0] == 2  # -5 clamps into bin 0 alongside 0.5
+    assert got[9] == 2  # 99 in last bin; 250 clamps into it
+    # mergeability: sum of two halves == whole
+    a = spark.createDataFrame([(float(i),) for i in range(50)], ["v"])
+    b = spark.createDataFrame([(float(i),) for i in range(50, 100)], ["v"])
+    merged = (
+        hist_registers(a, "v", lo=0.0, hi=100.0, bins=20)
+        .unionAll(hist_registers(b, "v", lo=0.0, hi=100.0, bins=20))
+        .groupBy("bucket").agg(F2.sum("cnt").alias("cnt"))
+    )
+    direct = hist_registers(a.unionAll(b), "v", lo=0.0, hi=100.0, bins=20)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect()))
+
+
+def test_hist_quantiles_duckdb_parity(spark):
+    from polars_grouper_spark.functions.sketches import (
+        hist_quantiles,
+        hist_quantiles_sql,
+    )
+
+    vals = [((i * 37) % 500) / 7.0 for i in range(3000)]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    got = sorted(
+        tuple(r) for r in hist_quantiles(
+            df, "v", [0.1, 0.5, 0.95], lo=0.0, hi=80.0, bins=256).collect()
+    )
+    sql_vals = ",".join(f"({v!r})" for v in vals)
+    want = sorted(
+        tuple(r)
+        for r in duckdb.sql(
+            hist_quantiles_sql(
+                f"SELECT * FROM (VALUES {sql_vals}) t(v)", "v",
+                [0.1, 0.5, 0.95], lo=0.0, hi=80.0, bins=256,
+            )
+        ).fetchall()
+    )
+    assert got == want
