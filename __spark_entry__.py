@@ -2360,6 +2360,40 @@ def q_hll_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(orders, "o_custkey", b=12)
 
 
+_ZDIMS = [("o_custkey", 0, 200_000), ("o_totalprice", 0.0, 600_000.0)]
+_ZBITS = 10
+
+
+def q_zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering keys (``plans.layout.zorder_key``) for
+    orders on (custkey, totalprice): pure shift-mask integer arithmetic
+    in codegen, grouped by the top-8-bit key prefix — the layout that
+    lets parquet min-max stats prune BOTH dimensions (see
+    ``tests/test_layout.py`` for the measured file-pruning benefit)."""
+    from polars_grouper_spark.plans.layout import zorder_key
+
+    orders = load_table(spark, "orders", sf_dir)
+    shift = 2 * _ZBITS - 8
+    return (
+        orders.select(
+            F.shiftright(zorder_key(_ZDIMS, _ZBITS), shift).alias("z_prefix")
+        )
+        .groupBy("z_prefix")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+
+
+def _zorder_sql() -> str:
+    from polars_grouper_spark.plans.layout import zorder_key_sql
+
+    shift = 2 * _ZBITS - 8
+    k = zorder_key_sql(_ZDIMS, _ZBITS)
+    return f"""
+SELECT ({k} >> {shift}) AS z_prefix, count(*)::BIGINT AS n_orders
+FROM orders GROUP BY 1
+"""
+
+
 _HISTQ_ARGS = dict(qs=[0.5, 0.9, 0.99], lo=0.0, hi=600_000.0, bins=4096)
 
 
@@ -3034,6 +3068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_customers": q_hll_customers,
         "cms_parts": q_cms_parts,
         "hist_quantiles": q_hist_quantiles,
+        "zorder_orders": q_zorder_orders,
         "label_spread_users": q_label_spread_users,
         "kcore_parts": q_kcore_parts,
         "ktruss_parts": q_ktruss_parts,
@@ -3144,6 +3179,7 @@ def oracle_sql() -> dict[str, str]:
         "hist_quantiles": hist_quantiles_sql(
             "SELECT o_totalprice FROM orders", "o_totalprice", **_HISTQ_ARGS
         ),
+        "zorder_orders": _zorder_sql(),
         "label_spread_users": label_spreading_sql(
             _SCC_EDGE_SQL, _ls_seed_sql(), _LS_ROUNDS, directed=True
         ),
