@@ -1677,6 +1677,61 @@ FROM events v JOIN events p
 """
 
 
+def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user funnel depth as a CUSTOM stateful streaming operator
+    (``streaming.stateful.streaming_funnel``, ``applyInPandasWithState``):
+    state = (depth, last-credited-ts) per user, advanced by a greedy
+    time-ordered scan of each micro-batch.  Depth is monotone, so the
+    update-mode emissions reduce to max per user; equals the batch
+    greedy-funnel oracle."""
+    from polars_grouper_spark.streaming.stateful import streaming_funnel
+
+    load_table(spark, "events", sf_dir)
+    stream = _event_stream(spark, sf_dir)
+    depths = streaming_funnel(stream, _FUNNEL_STEPS)
+    name = "stream_funnel_sink"
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            depths.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("depth").cast("int").alias("depth"))
+    )
+
+
+def _funnel_depth_sql(steps: "list[str]") -> str:
+    chain = funnel_counts_sql(steps)
+    ctes = chain[len("WITH ") : chain.index(" SELECT step_index::INT")]
+    types = ",".join(f"'{s}'" for s in steps)
+    joins = " ".join(
+        f"LEFT JOIN s{i} x{i} ON x{i}.u = b.u" for i in range(len(steps))
+    )
+    depth = " + ".join(
+        f"(CASE WHEN x{i}.u IS NOT NULL THEN 1 ELSE 0 END)"
+        for i in range(len(steps))
+    )
+    return f"""
+WITH {ctes},
+base AS (
+  SELECT DISTINCT user_id AS u FROM events
+  WHERE event_type IN ({types}) AND user_id IS NOT NULL AND ts IS NOT NULL
+)
+SELECT b.u AS user_id, ({depth})::INT AS depth
+FROM base b {joins}
+"""
+
+
 def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window stats through a REAL Structured Streaming query
     (2-hour windows sliding hourly): every event lands in exactly two
@@ -3039,6 +3094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hourly": q_stream_hourly,
         "stream_sliding": q_stream_sliding,
         "stream_attrib": q_stream_attrib,
+        "stream_funnel": q_stream_funnel,
         "event_sessions": q_event_sessions,
         "sales_cube": q_sales_cube,
         "priority_rollup": q_priority_rollup,
@@ -3134,6 +3190,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": cohort_retention_sql(period="week", max_offset=12),
         "stream_hourly": _STREAM_HOURLY_SQL,
         "stream_attrib": _STREAM_ATTRIB_SQL,
+        "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,
         "sales_cube": _SALES_CUBE_SQL,

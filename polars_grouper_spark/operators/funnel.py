@@ -34,27 +34,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def funnel_counts(
+def funnel_depths(
     df: DataFrame,
     steps: Sequence[str],
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
 ) -> DataFrame:
-    """Ordered-funnel completion counts -> ``(step_index, step, n_users)``
-    with ``step_index`` starting at 1; every requested step appears, 0
-    when no user reached it.
-
-    A user completes step ``i`` if some step-``i`` event happens strictly
-    after their earliest completion of step ``i-1`` (greedy
-    earliest-completion matching — the standard funnel semantics).  The
-    time-ordered scan computes exactly that: at depth ``i-1`` the first
-    qualifying step-``i`` event in the sorted stream IS the earliest one,
-    and because credits are strictly increasing in time, same-timestamp
-    tie order within the sort never changes the result.
-    """
+    """Per-user greedy funnel depth -> ``(u, depth int)`` for every user
+    with at least one step-typed event (depth 0 = none of step 1 yet).
+    The scan itself runs inside codegen via the ``aggregate`` HOF over
+    the user's time-sorted step events."""
     if not steps:
-        raise ValueError("funnel_counts requires at least one step")
+        raise ValueError("funnel requires at least one step")
     n_steps = len(steps)
     ev = df.select(
         F.col(user_col).alias("u"),
@@ -65,7 +57,6 @@ def funnel_counts(
         & F.col(ts_col).isNotNull()
         & F.col(type_col).isin(list(steps))
     )
-
     per_user = ev.groupBy("u").agg(
         F.sort_array(F.collect_list(F.struct("ts", "et"))).alias("evs")
     )
@@ -89,15 +80,40 @@ def funnel_counts(
             ),
         ).otherwise(acc)
 
+    return per_user.select(
+        "u", F.aggregate("evs", acc0, advance)["depth"].alias("depth")
+    )
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel completion counts -> ``(step_index, step, n_users)``
+    with ``step_index`` starting at 1; every requested step appears, 0
+    when no user reached it.
+
+    A user completes step ``i`` if some step-``i`` event happens strictly
+    after their earliest completion of step ``i-1`` (greedy
+    earliest-completion matching — the standard funnel semantics).  The
+    time-ordered scan computes exactly that: at depth ``i-1`` the first
+    qualifying step-``i`` event in the sorted stream IS the earliest one,
+    and because credits are strictly increasing in time, same-timestamp
+    tie order within the sort never changes the result.
+    """
+    if not steps:
+        raise ValueError("funnel_counts requires at least one step")
     depth_hist = {
         int(r["d"]): int(r["n"])
-        for r in per_user.select(
-            F.aggregate("evs", acc0, advance)["depth"].alias("d")
-        )
-        .groupBy("d")
+        for r in funnel_depths(df, steps, user_col, ts_col, type_col)
+        .groupBy(F.col("depth").alias("d"))
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
+    n_steps = len(steps)
     # n_users(step i) = users whose greedy depth reached at least i.
     counts = []
     for i in range(n_steps, 0, -1):

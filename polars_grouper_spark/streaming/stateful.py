@@ -55,3 +55,71 @@ def running_user_totals(df: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("sum_value"),
     )
+
+
+FUNNEL_OUT_SCHEMA = "user_id long, depth int"
+FUNNEL_STATE_SCHEMA = "depth int, last_us long"
+
+
+def streaming_funnel(
+    df: DataFrame,
+    steps: "list[str]",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user funnel depth as a stateful streaming operator: state =
+    (current depth, timestamp of the last credited step), advanced by a
+    greedy time-ordered scan of each micro-batch's step events.
+
+    Matches the batch ``operators.funnel.funnel_depths`` semantics when
+    per-user events arrive in non-decreasing event-time order across
+    micro-batches (the standard streaming-funnel contract — a step
+    arriving in a later batch with an EARLIER timestamp than an already
+    credited step cannot retroactively rewrite the path).  On a batch
+    frame it simply delegates to ``funnel_depths``.
+
+    Scale: state is two fixed-width values per user — bounded by the
+    user population, not the event volume.
+    """
+    if not steps:
+        raise ValueError("streaming_funnel requires at least one step")
+    if not df.isStreaming:
+        from pyspark.sql import functions as F
+
+        from ..operators.funnel import funnel_depths
+
+        return funnel_depths(df, steps, user_col, ts_col, type_col).select(
+            F.col("u").alias("user_id"), "depth"
+        )
+
+    step_list = list(steps)
+    n_steps = len(step_list)
+
+    def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        depth, last_us = state.get if state.exists else (0, None)
+        if last_us is not None and last_us < 0:
+            last_us = None  # -1 sentinel: no step credited yet
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch[batch[type_col].isin(step_list)]
+        batch = batch.sort_values(ts_col, kind="mergesort")
+        for ts, et in zip(batch[ts_col], batch[type_col]):
+            if depth >= n_steps:
+                break
+            us = int(pd.Timestamp(ts).value // 1000)
+            if et == step_list[depth] and (last_us is None or us > last_us):
+                depth += 1
+                last_us = us
+        state.update((depth, last_us if last_us is not None else -1))
+        yield pd.DataFrame({"user_id": [key[0]], "depth": [depth]})
+
+    return (
+        df.groupBy(user_col)
+        .applyInPandasWithState(
+            _update,
+            outputStructType=FUNNEL_OUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -326,3 +326,65 @@ def test_interval_join_on_real_stream(spark, tmp_path):
         (r["user_id"], r["r_ts"]) for r in spark.table("ij_sink").collect()
     )
     assert got == expect and len(got) == 8
+
+
+def test_streaming_funnel_state_across_microbatches(spark, tmp_path):
+    """Funnel state carries across micro-batches: step A in batch 1,
+    step B in batch 2 -> depth 2; reversed arrival order of the SAME
+    timestamps in a later batch cannot rewrite the path."""
+    import datetime as dt
+
+    from polars_grouper_spark.streaming.stateful import streaming_funnel
+
+    base = dt.datetime(2024, 4, 1, 9, 0, 0)
+    b1 = spark.createDataFrame(
+        [(1, base, "A"), (2, base + dt.timedelta(seconds=5), "B")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    b2 = spark.createDataFrame(
+        [
+            (1, base + dt.timedelta(minutes=1), "B"),
+            (2, base + dt.timedelta(minutes=1), "A"),
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+    path = tmp_path / "fev"
+    b1.write.parquet(str(path / "f1"))
+    b2.write.parquet(str(path / "f2"))
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(path) + "/*")
+    )
+    depths = streaming_funnel(stream, ["A", "B"])
+    q = (
+        depths.writeStream.format("memory")
+        .queryName("sf_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = {
+        r["user_id"]: r["depth"]
+        for r in spark.table("sf_sink")
+        .groupBy("user_id")
+        .agg(F.max("depth").alias("depth"))
+        .collect()
+    }
+    # user 1: A then B -> 2.  user 2: B first (not credited), later A -> 1.
+    assert final == {1: 2, 2: 1}
+
+
+def test_streaming_funnel_batch_delegates(spark):
+    import datetime as dt
+
+    from polars_grouper_spark.streaming.stateful import streaming_funnel
+
+    base = dt.datetime(2024, 4, 1)
+    df = spark.createDataFrame(
+        [(1, base, "A"), (1, base + dt.timedelta(hours=1), "B"), (2, base, "B")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    got = sorted(tuple(r) for r in streaming_funnel(df, ["A", "B"]).collect())
+    assert got == [(1, 2), (2, 0)]
