@@ -62,6 +62,7 @@ from polars_grouper_spark.functions.chunking import (
 from polars_grouper_spark.functions.sketches import (
     cms_topk_sql,
     hist_quantiles_sql,
+    hll_distinct_by_sql,
     hll_distinct_sql,
 )
 from polars_grouper_spark.operators.walks import random_walks_sql
@@ -2465,6 +2466,17 @@ def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist_quantiles(orders, "o_totalprice", **_HISTQ_ARGS)
 
 
+def q_hll_parts_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped HyperLogLog (``functions.sketches.hll_distinct_by``):
+    distinct customers per order status, registers keyed by (status,
+    bucket) — at most 2^12 register rows per group instead of shuffling
+    every distinct (status, customer) pair."""
+    from polars_grouper_spark.functions.sketches import hll_distinct_by
+
+    orders = load_table(spark, "orders", sf_dir)
+    return hll_distinct_by(orders, "o_orderstatus", "o_custkey", b=12)
+
+
 def q_cms_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch (``functions.sketches.cms_counts``/``cms_estimate``):
     4x4096-cell sketch of part frequencies in lineitem, point-queried for
@@ -3123,6 +3135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks_users": q_random_walks,
         "hll_customers": q_hll_customers,
         "cms_parts": q_cms_parts,
+        "hll_parts_by_status": q_hll_parts_by_status,
         "hist_quantiles": q_hist_quantiles,
         "zorder_orders": q_zorder_orders,
         "label_spread_users": q_label_spread_users,
@@ -3237,6 +3250,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_totalprice FROM orders", "o_totalprice", **_HISTQ_ARGS
         ),
         "zorder_orders": _zorder_sql(),
+        "hll_parts_by_status": hll_distinct_by_sql(
+            "SELECT o_orderstatus, o_custkey FROM orders",
+            "o_orderstatus",
+            "o_custkey",
+            12,
+        ),
         "label_spread_users": label_spreading_sql(
             _SCC_EDGE_SQL, _ls_seed_sql(), _LS_ROUNDS, directed=True
         ),

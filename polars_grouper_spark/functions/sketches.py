@@ -325,3 +325,84 @@ SELECT q.q, round({lo!r} + min(c.bucket) * {width!r}, 9) AS value
 FROM q JOIN cum c ON c.cum >= greatest(1, CAST(ceil(q.q * c.total) AS BIGINT))
 GROUP BY q.q
 """
+
+
+def hll_distinct_by(
+    df: DataFrame,
+    key: Column | str,
+    col: Column | str,
+    b: int = 12,
+    *,
+    portable: bool = True,
+) -> DataFrame:
+    """Per-group HyperLogLog estimates -> ``(key, estimate double)``:
+    the same register layout and estimator as :func:`hll_distinct`, with
+    the group key carried through both aggregations.  Replaces a
+    ``count(distinct)`` per group — whose shuffle carries every distinct
+    (key, value) pair — with at most ``2^b`` register rows per key, both
+    aggregations map-side combinable.
+    """
+    if not 4 <= b <= 18:
+        raise ValueError(f"b must be in [4, 18], got {b}")
+    k = F.col(key) if isinstance(key, str) else key
+    c = F.col(col) if isinstance(col, str) else col
+    m = 1 << b
+    rest_bits = _HASH_BITS - b
+    h = portable_hash64(c.cast("string"), portable=portable)
+    bucket = F.shiftright(h, rest_bits).cast("int")
+    rest = F.pmod(h, F.lit(1 << rest_bits))
+    bitlen = F.length(F.conv(rest.cast("string"), 10, 2))
+    rho = F.when(rest == 0, F.lit(rest_bits + 1)).otherwise(
+        F.lit(rest_bits) - bitlen + 1
+    )
+    regs = (
+        df.where(c.isNotNull() & k.isNotNull())
+        .select(k.alias("key"), bucket.alias("bucket"), rho.cast("int").alias("rho"))
+        .groupBy("key", "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+    agg = regs.groupBy("key").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("s"),
+        F.count(F.lit(1)).alias("nonempty"),
+    )
+    empty = F.lit(float(m)) - F.col("nonempty").cast("double")
+    raw = F.lit(_alpha(m) * m * m) / (F.col("s") + empty)
+    lc = -F.lit(float(m)) * F.log(empty / F.lit(float(m)))
+    est = F.when((raw <= F.lit(2.5 * m)) & (empty > 0), lc).otherwise(raw)
+    return agg.select("key", F.round(est, 4).alias("estimate"))
+
+
+def hll_distinct_by_sql(
+    table_sql: str, key_expr: str, expr: str, b: int = 12
+) -> str:
+    """DuckDB oracle for :func:`hll_distinct_by`."""
+    from .hashing import portable_hash64_sql
+
+    m = 1 << b
+    rest_bits = _HASH_BITS - b
+    h = portable_hash64_sql(f"CAST({expr} AS VARCHAR)")
+    return f"""
+WITH src AS ({table_sql}),
+hashed AS (
+  SELECT {key_expr} AS key, {h} AS h FROM src
+  WHERE {expr} IS NOT NULL AND {key_expr} IS NOT NULL
+),
+regs AS (
+  SELECT key, CAST(h // {1 << rest_bits} AS INT) AS bucket,
+         max(CASE WHEN h % {1 << rest_bits} = 0 THEN {rest_bits + 1}
+                  ELSE {rest_bits} - length(bin(h % {1 << rest_bits})) + 1
+             END) AS max_rho
+  FROM hashed GROUP BY 1, 2
+),
+agg AS (
+  SELECT key, sum(power(2.0, -max_rho)) AS s, count(*) AS nonempty
+  FROM regs GROUP BY key
+)
+SELECT key, round(
+  CASE WHEN ({_alpha(m) * m * m!r} / (s + ({m} - nonempty))) <= {2.5 * m}
+        AND ({m} - nonempty) > 0
+       THEN -{float(m)!r} * ln(({m} - nonempty) / {float(m)!r})
+       ELSE {_alpha(m) * m * m!r} / (s + ({m} - nonempty)) END,
+  4) AS estimate
+FROM agg
+"""

@@ -190,3 +190,25 @@ def test_hist_quantiles_duckdb_parity(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_hll_by_group_accuracy_and_parity(spark):
+    from polars_grouper_spark.functions.sketches import (
+        hll_distinct_by,
+        hll_distinct_by_sql,
+    )
+
+    rows = [("g1", f"a{i % 800}") for i in range(2000)] + [
+        ("g2", f"b{i % 50}") for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {r["key"]: r["estimate"] for r in hll_distinct_by(df, "g", "v").collect()}
+    assert got["g1"] == pytest.approx(800, rel=0.05)
+    assert got["g2"] == pytest.approx(50, rel=0.05)
+    vals = ",".join(f"('{g}','{v}')" for g, v in rows)
+    want = dict(
+        duckdb.sql(
+            hll_distinct_by_sql(f"SELECT * FROM (VALUES {vals}) t(g, v)", "g", "v")
+        ).fetchall()
+    )
+    assert got == want
