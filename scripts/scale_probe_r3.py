@@ -134,8 +134,71 @@ def main():
     print(json.dumps(probe_scc(spark, n_edges, n_nodes)), flush=True)
     print(json.dumps(probe_link_pred(spark, n_edges, n_nodes, cap=64)), flush=True)
     print(json.dumps(probe_funnel(spark, n_events, n_events // 200)), flush=True)
+    print(json.dumps(probe_chunk_pack(spark, 1_000_000)), flush=True)
+    print(json.dumps(probe_sketches(spark, 50_000_000)), flush=True)
     spark.stop()
 
+
+
+def synthetic_docs(spark, n_docs: int):
+    """~60-token synthetic docs, executor-side (repeat of hash-derived
+    words; sizes vary 20-100 tokens)."""
+    n_tok = (F.pmod(F.xxhash64("id"), F.lit(81)) + 20).cast("int")
+    toks = F.transform(
+        F.sequence(F.lit(1), n_tok),
+        lambda i: F.concat(
+            F.lit("w"), F.pmod(F.xxhash64(F.col("id") * 1000 + i), F.lit(5000))
+        ),
+    )
+    return spark.range(n_docs, numPartitions=64).select(
+        F.col("id").alias("doc_id"), F.array_join(toks, " ").alias("text")
+    )
+
+
+def probe_chunk_pack(spark, n_docs: int) -> dict:
+    from polars_grouper_spark.functions.chunking import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    docs = synthetic_docs(spark, n_docs)
+    t0 = time.time()
+    n_chunks = chunk_documents(docs, chunk_tokens=32, overlap=4).count()
+    t_chunk = time.time() - t0
+    t0 = time.time()
+    n_bins = pack_sequences(docs, budget=4096).count()
+    t_pack = time.time() - t0
+    return {
+        "probe": "chunk_pack",
+        "docs": n_docs,
+        "chunks": n_chunks,
+        "chunk_wall_sec": round(t_chunk, 1),
+        "bins": n_bins,
+        "pack_wall_sec": round(t_pack, 1),
+    }
+
+
+def probe_sketches(spark, n_rows: int) -> dict:
+    from polars_grouper_spark.functions.sketches import hll_distinct
+
+    df = spark.range(n_rows, numPartitions=64).select(
+        F.concat(F.lit("u"), F.pmod(F.xxhash64("id"), F.lit(2_000_000))).alias("v")
+    )
+    t0 = time.time()
+    est = hll_distinct(df, "v", b=12).collect()[0]["estimate"]
+    t_hll = time.time() - t0
+    t0 = time.time()
+    exact = df.distinct().count()
+    t_exact = time.time() - t0
+    return {
+        "probe": "hll_vs_exact",
+        "rows": n_rows,
+        "hll_estimate": est,
+        "exact": exact,
+        "rel_err": round(abs(est - exact) / exact, 4),
+        "hll_wall_sec": round(t_hll, 1),
+        "exact_wall_sec": round(t_exact, 1),
+    }
 
 if __name__ == "__main__":
     main()
