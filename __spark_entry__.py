@@ -54,6 +54,7 @@ from polars_grouper_spark.operators.funnel import (
     funnel_counts_sql,
 )
 from polars_grouper_spark.operators.label_spreading import label_spreading_sql
+from polars_grouper_spark.operators.modularity import modularity_sql
 from polars_grouper_spark.operators.scc import strongly_connected_components_sql
 from polars_grouper_spark.functions.chunking import (
     chunk_documents_sql,
@@ -2404,6 +2405,37 @@ def _ls_seed_sql() -> str:
     return f"SELECT * FROM (VALUES {vals}) t(node, label)"
 
 
+def q_modularity_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity (``operators.modularity``) of the
+    label-spreading partition on the user graph — operator composition:
+    the spread labels become the community assignment, scored per
+    community as e_c/m - (K_c/2m)²; two joins + two aggregations."""
+    from polars_grouper_spark.operators.label_spreading import label_spreading
+    from polars_grouper_spark.operators.modularity import modularity
+
+    edges = _scc_edges(spark, sf_dir)
+    seeds = spark.createDataFrame(_LS_SEEDS, ["node", "label"])
+    labels = label_spreading(
+        edges, seeds, "src", "dst", rounds=_LS_ROUNDS, directed=True
+    )
+    return modularity(
+        edges,
+        labels.withColumnRenamed("label", "community"),
+        "src",
+        "dst",
+    )
+
+
+def _modularity_users_sql() -> str:
+    inner = label_spreading_sql(
+        _SCC_EDGE_SQL, _ls_seed_sql(), _LS_ROUNDS, directed=True
+    )
+    return modularity_sql(
+        _SCC_EDGE_SQL,
+        f"SELECT node, label AS community FROM ({inner})",
+    )
+
+
 def q_hll_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-customer estimate (``functions.sketches``):
     portable md5-hash registers (m=4096, map-side-combinable max), the
@@ -3139,6 +3171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantiles": q_hist_quantiles,
         "zorder_orders": q_zorder_orders,
         "label_spread_users": q_label_spread_users,
+        "modularity_users": q_modularity_users,
         "kcore_parts": q_kcore_parts,
         "ktruss_parts": q_ktruss_parts,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -3259,6 +3292,7 @@ def oracle_sql() -> dict[str, str]:
         "label_spread_users": label_spreading_sql(
             _SCC_EDGE_SQL, _ls_seed_sql(), _LS_ROUNDS, directed=True
         ),
+        "modularity_users": _modularity_users_sql(),
         "kcore_parts": k_core_sql(_PART_CO_EDGE_SQL, _KCORE_K, _KCORE_ORACLE_ROUNDS),
         "ktruss_parts": k_truss_sql(
             _PART_CO_EDGE_SQL, _KTRUSS_K, _KTRUSS_ORACLE_ROUNDS
