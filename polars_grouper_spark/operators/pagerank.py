@@ -216,7 +216,14 @@ def page_rank_nodes_bucketed(
         (F.col("cnt") / F.sum("cnt").over(Window.partitionBy("src"))).alias("w"),
     )
     if n_buckets is None:
-        n_buckets = _shuffle_partitions(spark.conf)
+        # Size buckets to the rank state (the per-round shuffled side):
+        # ~50k nodes per bucket, floored at 4, capped by the session's
+        # shuffle parallelism.  A tiny graph in 32 buckets pays 32 tasks
+        # of file overhead per round AND per write for no parallelism
+        # gain (measured: the one-off bucketed write dominates the bench
+        # query at sf0.1); a 100M-node graph caps at the configured
+        # shuffle width, which a cluster operator sets in thousands.
+        n_buckets = max(4, min(_shuffle_partitions(spark.conf), n // 50_000))
     if table_name is None:
         import uuid
 
