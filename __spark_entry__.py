@@ -66,7 +66,10 @@ from polars_grouper_spark.functions.sketches import (
     hll_distinct_by_sql,
     hll_distinct_sql,
 )
-from polars_grouper_spark.operators.walks import random_walks_sql
+from polars_grouper_spark.operators.walks import (
+    random_walks_sql,
+    weighted_random_walks_sql,
+)
 from polars_grouper_spark.operators.triangles import (
     clustering_coefficient_sql,
     square_count_sql,
@@ -2555,6 +2558,28 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WWALK_LEN, _WWALK_REPS, _WWALK_SEED = 6, 2, 23
+
+
+def q_weighted_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-biased deterministic walks
+    (``operators.walks.weighted_random_walks``) on the weighted nation
+    cliques: transition odds proportional to milli-quantized edge
+    weights, chosen by portable-hash mod total — integer arithmetic end
+    to end, so the oracle replays identical paths."""
+    from polars_grouper_spark.operators.walks import weighted_random_walks
+
+    return weighted_random_walks(
+        _nation_edges(spark, sf_dir),
+        "src",
+        "dst",
+        "weight",
+        walk_length=_WWALK_LEN,
+        walks_per_node=_WWALK_REPS,
+        seed=_WWALK_SEED,
+    )
+
+
 _PPR_SOURCES = ["U7", "U42", "U137"]
 _PPR_ITERS = 8
 
@@ -3165,6 +3190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_users": q_scc_users,
         "ppr_users": q_ppr_users,
         "random_walks_users": q_random_walks,
+        "weighted_walks_nations": q_weighted_walks,
         "hll_customers": q_hll_customers,
         "cms_parts": q_cms_parts,
         "hll_parts_by_status": q_hll_parts_by_status,
@@ -3270,6 +3296,9 @@ def oracle_sql() -> dict[str, str]:
         "ppr_users": _ppr_sql(_SCC_EDGE_SQL, _PPR_SOURCES, _PPR_ITERS),
         "random_walks_users": random_walks_sql(
             _SCC_EDGE_SQL, _WALK_LEN, _WALKS_PER_NODE, _WALK_SEED
+        ),
+        "weighted_walks_nations": weighted_random_walks_sql(
+            _NATION_EDGE_SQL, _WWALK_LEN, _WWALK_REPS, _WWALK_SEED
         ),
         "hll_customers": hll_distinct_sql(
             "SELECT o_custkey FROM orders", "o_custkey", 12

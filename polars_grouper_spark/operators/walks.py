@@ -167,3 +167,150 @@ def random_walks_sql(
         for s in range(walk_length + 1)
     )
     return "\n".join(parts) + f" SELECT walk_id, step::INT AS step, node FROM ({selects})"
+
+
+def weighted_random_walks(
+    df: DataFrame,
+    src: str = "from",
+    dst: str = "to",
+    weight_col: str = "weight",
+    *,
+    walk_length: int = 4,
+    walks_per_node: int = 1,
+    seed: int = 0,
+    portable: bool = True,
+) -> DataFrame:
+    """Weight-biased deterministic walks -> ``(walk_id, step, node)``:
+    the transition probability to each neighbor is proportional to the
+    edge weight.  The choice stays reproducible AND engine-portable by
+    working in integers end to end: weights quantize to milli-units
+    (``(w * 1000) as long`` — the reference's shortest-path convention,
+    SURVEY.md §2.4), the name-ordered adjacency carries cumulative
+    quantized weights, and step ``s`` of walk ``r`` at node ``v`` picks
+    the neighbor whose cumulative interval contains
+    ``hash(v|r|s|seed) mod total_weight(v)``.  No floating point ever
+    enters the branch, so there are no cross-engine boundary surprises.
+
+    Null endpoints/weights drop the edge; non-positive quantized weights
+    (w < 0.001) drop the edge (they can never be chosen).  Parallel
+    edges sum their weights.  Each step is one equality-join of the
+    frontier against the indexed adjacency with a range predicate on the
+    cumulative interval.
+    """
+    if walk_length < 0:
+        raise ValueError(f"walk_length must be >= 0, got {walk_length}")
+    if walks_per_node < 1:
+        raise ValueError(f"walks_per_node must be >= 1, got {walks_per_node}")
+
+    s = F.col(src).cast("string")
+    d = F.col(dst).cast("string")
+    q = (F.col(weight_col).cast("double") * 1000.0).cast("long")
+    edges = (
+        df.where(s.isNotNull() & d.isNotNull() & F.col(weight_col).isNotNull())
+        .select(s.alias("cur"), d.alias("nbr"), q.alias("q"))
+        .groupBy("cur", "nbr")
+        .agg(F.sum("q").alias("q"))
+        .where(F.col("q") > 0)
+    )
+    w = Window.partitionBy("cur").orderBy("nbr")
+    wt = Window.partitionBy("cur")
+    adj = truncate_lineage(
+        edges.select(
+            "cur",
+            "nbr",
+            (F.sum("q").over(w) - F.col("q")).alias("cum_lo"),
+            F.sum("q").over(w).alias("cum_hi"),
+            F.sum("q").over(wt).alias("total"),
+        )
+    )
+
+    nodes = (
+        edges.select(F.col("cur").alias("node"))
+        .union(edges.select(F.col("nbr").alias("node")))
+        .distinct()
+    )
+    reps = df.sparkSession.range(walks_per_node).select(
+        F.col("id").cast("int").alias("rep")
+    )
+    frontier = nodes.crossJoin(F.broadcast(reps)).select(
+        F.concat("node", F.lit("#"), F.col("rep").cast("string")).alias("walk_id"),
+        F.col("rep"),
+        F.col("node").alias("cur"),
+    )
+    out = frontier.select("walk_id", F.lit(0).alias("step"), F.col("cur").alias("node"))
+
+    for step in range(1, walk_length + 1):
+        f, a = frontier.alias("f"), adj.alias("a")
+        choice_key = F.concat(
+            F.col("f.cur"),
+            F.lit("|"),
+            F.col("f.rep").cast("string"),
+            F.lit(f"|{step}|{seed}"),
+        )
+        draw = F.pmod(portable_hash64(choice_key, portable=portable), F.col("a.total"))
+        frontier = truncate_lineage(
+            f.join(
+                a,
+                (F.col("f.cur") == F.col("a.cur"))
+                & (draw >= F.col("a.cum_lo"))
+                & (draw < F.col("a.cum_hi")),
+            ).select("f.walk_id", "f.rep", F.col("a.nbr").alias("cur")),
+            cache=False,
+        )
+        out = out.unionAll(
+            frontier.select("walk_id", F.lit(step).alias("step"), F.col("cur").alias("node"))
+        )
+    return out
+
+
+def weighted_random_walks_sql(
+    edge_sql: str,
+    walk_length: int = 4,
+    walks_per_node: int = 1,
+    seed: int = 0,
+) -> str:
+    """DuckDB oracle replaying :func:`weighted_random_walks`; ``edge_sql``
+    yields ``(src, dst, weight)``."""
+    parts = [
+        f"WITH raw AS ({edge_sql})",
+        """, e AS (
+  SELECT CAST(src AS VARCHAR) AS cur, CAST(dst AS VARCHAR) AS nbr,
+         sum(CAST(CAST(weight AS DOUBLE) * 1000.0 AS BIGINT)) AS q
+  FROM raw WHERE src IS NOT NULL AND dst IS NOT NULL AND weight IS NOT NULL
+  GROUP BY 1, 2
+  HAVING sum(CAST(CAST(weight AS DOUBLE) * 1000.0 AS BIGINT)) > 0
+)""",
+        """, adj AS (
+  SELECT cur, nbr,
+         sum(q) OVER (PARTITION BY cur ORDER BY nbr
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - q AS cum_lo,
+         sum(q) OVER (PARTITION BY cur ORDER BY nbr
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_hi,
+         sum(q) OVER (PARTITION BY cur) AS total
+  FROM e
+)""",
+        """, nodes AS (SELECT cur AS node FROM e UNION SELECT nbr FROM e)""",
+        f""", reps AS (SELECT unnest(range({walks_per_node})) AS rep)""",
+        """, f0 AS (
+  SELECT node || '#' || CAST(rep AS VARCHAR) AS walk_id, rep, node AS cur
+  FROM nodes, reps
+)""",
+    ]
+    for step in range(1, walk_length + 1):
+        h = portable_hash64_sql(
+            f"f{step - 1}.cur || '|' || CAST(f{step - 1}.rep AS VARCHAR) "
+            f"|| '|{step}|{seed}'"
+        )
+        parts.append(
+            f""", f{step} AS (
+  SELECT f{step - 1}.walk_id, f{step - 1}.rep, adj.nbr AS cur
+  FROM f{step - 1} JOIN adj ON adj.cur = f{step - 1}.cur
+   AND ({h} % adj.total) >= adj.cum_lo
+   AND ({h} % adj.total) < adj.cum_hi
+)"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT walk_id, {s} AS step, cur AS node FROM f{s}"
+        for s in range(walk_length + 1)
+    )
+    return "\n".join(parts) + f" SELECT walk_id, step::INT AS step, node FROM ({selects})"

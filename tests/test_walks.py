@@ -78,3 +78,84 @@ def test_validation(spark):
         random_walks(df, walk_length=-1)
     with pytest.raises(ValueError, match="walks_per_node"):
         random_walks(df, walks_per_node=0)
+
+
+# ---------------------------------------------------------------------------
+# weighted_random_walks
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_bias_dominant_edge(spark):
+    """A 10^6:1 weight ratio: every replica takes the heavy edge."""
+    from polars_grouper_spark.operators.walks import weighted_random_walks
+
+    df = spark.createDataFrame(
+        [("s", "h", 1000.0), ("s", "l", 0.001)], ["from", "to", "weight"]
+    )
+    picks = [
+        r["node"]
+        for r in weighted_random_walks(df, walk_length=1, walks_per_node=20)
+        .where("step = 1 AND walk_id LIKE 's#%'")
+        .collect()
+    ]
+    assert len(picks) == 20 and set(picks) == {"h"}
+
+
+def test_weighted_subunit_weights_dropped(spark):
+    """Weights quantizing to 0 (< 0.001) can never be chosen: the edge
+    drops, and a node left without out-edges becomes a sink."""
+    from polars_grouper_spark.operators.walks import weighted_random_walks
+
+    df = spark.createDataFrame(
+        [("a", "b", 0.0004), ("b", "c", 1.0)], ["from", "to", "weight"]
+    )
+    got = sorted(
+        tuple(r)
+        for r in weighted_random_walks(df, walk_length=3).collect()
+    )
+    # a only appears in the dropped edge -> never interned (SURVEY §1.3):
+    # no walk starts there at all
+    assert not any(w.startswith("a#") for w, _, _ in got)
+    assert ("b#0", 1, "c") in got
+
+
+def test_weighted_parallel_edges_sum(spark):
+    """Two parallel 1.0 edges to x beat one 1.5 edge to y."""
+    from polars_grouper_spark.operators.walks import weighted_random_walks
+
+    df = spark.createDataFrame(
+        [("s", "x", 1.0), ("s", "x", 1.0), ("s", "y", 1.5)],
+        ["from", "to", "weight"],
+    )
+    picks = [
+        r["node"]
+        for r in weighted_random_walks(df, walk_length=1, walks_per_node=40)
+        .where("step = 1 AND walk_id LIKE 's#%'")
+        .collect()
+    ]
+    # 2.0 vs 1.5 odds: both appear, x more often
+    assert picks.count("x") > picks.count("y") > 0
+
+
+def test_weighted_duckdb_replay_parity(spark):
+    from polars_grouper_spark.operators.walks import (
+        weighted_random_walks,
+        weighted_random_walks_sql,
+    )
+
+    edges = [
+        (f"v{(5 * i) % 11}", f"v{(7 * i + 2) % 11}", ((3 * i) % 9 + 1) / 2.0)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(edges, ["from", "to", "weight"])
+    got = rows(weighted_random_walks(df, walk_length=4, walks_per_node=2, seed=5))
+    vals = ",".join(f"('{a}','{b}',{w})" for a, b, w in edges)
+    want = sorted(
+        tuple(r)
+        for r in duckdb.sql(
+            weighted_random_walks_sql(
+                f"SELECT * FROM (VALUES {vals}) t(src, dst, weight)", 4, 2, 5
+            )
+        ).fetchall()
+    )
+    assert got == want
