@@ -48,7 +48,10 @@ from polars_grouper_spark.functions import text as tx
 from polars_grouper_spark.functions.hashing import hash_pair64_sql, portable_hash64_sql
 from polars_grouper_spark.operators.kcore import k_core, k_core_sql
 from polars_grouper_spark.operators.ktruss import k_truss_sql
-from polars_grouper_spark.operators.link_prediction import link_scores_sql
+from polars_grouper_spark.operators.link_prediction import (
+    link_scores_sql,
+    project_bipartite_sql,
+)
 from polars_grouper_spark.operators.funnel import (
     cohort_retention_sql,
     funnel_counts_sql,
@@ -2632,6 +2635,35 @@ def _ppr_sql(edges_sql: str, sources: "list[str]", iters: int, d: float = 0.85) 
 _LINK_PRED_TOPN = 200
 
 
+_COPURCHASE_TOPN = 100
+
+
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted bipartite projection
+    (``operators.link_prediction.project_bipartite``): parts co-occurring
+    in orders, weighted by shared distinct orders; top-100 by (weight
+    desc, pair) — the market-basket co-purchase graph as a first-class
+    operator (capped anchors; one distinct + self-join + combinable
+    count)."""
+    from polars_grouper_spark.operators.link_prediction import project_bipartite
+
+    li = load_table(spark, "lineitem", sf_dir)
+    pairs = li.select(
+        F.col("l_orderkey").alias("anchor"),
+        F.concat(F.lit("P"), F.col("l_partkey")).alias("item"),
+    )
+    return (
+        project_bipartite(pairs, "anchor", "item", max_anchor_degree=6)
+        .orderBy(F.col("weight").desc(), "item_a", "item_b")
+        .limit(_COPURCHASE_TOPN)
+    )
+
+
+_COPURCHASE_PAIR_SQL = (
+    "SELECT l_orderkey AS anchor, 'P' || l_partkey AS item FROM lineitem"
+)
+
+
 def q_link_pred_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link prediction (``operators.link_prediction``): common-neighbor /
     Jaccard / Adamic-Adar scores for non-adjacent part pairs, top-200 by
@@ -3187,6 +3219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_parts": q_clustering_parts,
         "squares_parts": q_squares_parts,
         "link_pred_parts": q_link_pred_parts,
+        "copurchase_pairs": q_copurchase_pairs,
         "scc_users": q_scc_users,
         "ppr_users": q_ppr_users,
         "random_walks_users": q_random_walks,
@@ -3291,6 +3324,10 @@ def oracle_sql() -> dict[str, str]:
         "link_pred_parts": (
             link_scores_sql(_PART_CO_EDGE_SQL)
             + f" ORDER BY common_neighbors DESC, node_a, node_b LIMIT {_LINK_PRED_TOPN}"
+        ),
+        "copurchase_pairs": (
+            project_bipartite_sql(_COPURCHASE_PAIR_SQL, max_anchor_degree=6)
+            + f" ORDER BY weight DESC, item_a, item_b LIMIT {_COPURCHASE_TOPN}"
         ),
         "scc_users": strongly_connected_components_sql(_SCC_EDGE_SQL),
         "ppr_users": _ppr_sql(_SCC_EDGE_SQL, _PPR_SOURCES, _PPR_ITERS),

@@ -168,3 +168,79 @@ FROM non_adj s
 JOIN deg dx ON dx.w = s.x
 JOIN deg dy ON dy.w = s.y
 """
+
+
+def project_bipartite(
+    df: DataFrame,
+    anchor: str,
+    item: str,
+    *,
+    max_anchor_degree: int | None = None,
+) -> DataFrame:
+    """Weighted one-mode projection of a bipartite edge list ->
+    ``(item_a, item_b, weight)``: items sharing an anchor (order, user,
+    document, ...) become connected, weighted by the number of shared
+    DISTINCT anchors; ``item_a < item_b`` in string order.
+
+    The co-occurrence builder behind market-basket graphs, co-purchase
+    networks, and the part graph used by this repo's own triangle/k-core
+    queries — exposed as a first-class operator.
+
+    Scale is the wedge story again (Σ deg(anchor)² pair rows before the
+    count combines them): ``max_anchor_degree`` skips mega-anchors — an
+    order/user touching thousands of items creates quadratic pair fanout
+    and near-zero-signal edges (the same argument as link_scores' hub
+    cap).  One distinct + one self-join + one map-side-combinable count.
+    """
+    a = F.col(anchor).cast("string")
+    it = F.col(item).cast("string")
+    pairs = (
+        df.where(a.isNotNull() & it.isNotNull())
+        .select(a.alias("anchor"), it.alias("item"))
+        .distinct()
+    )
+    if max_anchor_degree is not None:
+        keep = (
+            pairs.groupBy("anchor")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") <= max_anchor_degree)
+            .select("anchor")
+        )
+        pairs = pairs.join(keep, "anchor", "left_semi")
+    x = pairs.select("anchor", F.col("item").alias("item_a"))
+    y = pairs.select("anchor", F.col("item").alias("item_b"))
+    return (
+        x.join(y, "anchor")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+    )
+
+
+def project_bipartite_sql(
+    pair_sql: str, max_anchor_degree: int | None = None
+) -> str:
+    """DuckDB oracle replicating :func:`project_bipartite`; ``pair_sql``
+    yields ``(anchor, item)``."""
+    cap = (
+        ""
+        if max_anchor_degree is None
+        else f"""
+, keep AS (
+  SELECT anchor FROM pairs GROUP BY anchor
+  HAVING count(*) <= {int(max_anchor_degree)}
+), pairs2 AS (SELECT p.* FROM pairs p SEMI JOIN keep k ON k.anchor = p.anchor)
+"""
+    )
+    src = "pairs2" if max_anchor_degree is not None else "pairs"
+    return f"""
+WITH raw AS ({pair_sql}),
+pairs AS (
+  SELECT DISTINCT CAST(anchor AS VARCHAR) AS anchor,
+                  CAST(item AS VARCHAR) AS item
+  FROM raw WHERE anchor IS NOT NULL AND item IS NOT NULL
+){cap}
+SELECT x.item AS item_a, y.item AS item_b, count(*)::BIGINT AS weight
+FROM {src} x JOIN {src} y ON x.anchor = y.anchor AND x.item < y.item
+GROUP BY 1, 2
+"""

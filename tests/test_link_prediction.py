@@ -212,3 +212,50 @@ def test_square_duckdb_parity(spark):
     got = square_count(df).collect()[0]["n_squares"]
     want = duck_rows(square_count_sql(values_sql(edges)))[0][0]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# project_bipartite
+# ---------------------------------------------------------------------------
+
+
+def test_projection_weights(spark):
+    from polars_grouper_spark.operators.link_prediction import project_bipartite
+
+    rows_in = [
+        (1, "x"), (1, "y"), (2, "x"), (2, "y"), (2, "z"), (3, "x"), (3, "x"),
+    ]
+    df = spark.createDataFrame(rows_in, ["anchor", "item"])
+    got = rows(project_bipartite(df, "anchor", "item"), "item_a", "item_b", "weight")
+    # x-y share anchors {1,2}; duplicates within an anchor count once
+    assert got == [("x", "y", 2), ("x", "z", 1), ("y", "z", 1)]
+
+
+def test_projection_anchor_cap(spark):
+    from polars_grouper_spark.operators.link_prediction import project_bipartite
+
+    mega = [(9, f"i{k}") for k in range(10)] + [(1, "a"), (1, "b")]
+    df = spark.createDataFrame(mega, ["anchor", "item"])
+    got = rows(project_bipartite(df, "anchor", "item", max_anchor_degree=5),
+               "item_a", "item_b", "weight")
+    assert got == [("a", "b", 1)]  # the 10-item anchor is skipped
+
+
+def test_projection_duckdb_parity(spark):
+    from polars_grouper_spark.operators.link_prediction import (
+        project_bipartite,
+        project_bipartite_sql,
+    )
+
+    rows_in = [((i * 3) % 7, f"p{(i * 5) % 9}") for i in range(40)]
+    df = spark.createDataFrame(rows_in, ["anchor", "item"])
+    got = rows(project_bipartite(df, "anchor", "item", max_anchor_degree=4),
+               "item_a", "item_b", "weight")
+    vals = ",".join(f"({a},'{b}')" for a, b in rows_in)
+    want = duck_rows(
+        project_bipartite_sql(
+            f"SELECT * FROM (VALUES {vals}) t(anchor, item)",
+            max_anchor_degree=4,
+        )
+    )
+    assert got == want
