@@ -8,7 +8,7 @@ are small aggregates by construction, so timing measures the plan, not
 driver materialization.
 
 Variance control: every query runs $SPARK_GRAFT_BENCH_REPS times
-(default 3) and reports the per-query MINIMUM — the run least polluted by
+(default 2) and reports the per-query MINIMUM — the run least polluted by
 GC pauses / compilation / OS noise, the standard steady-state estimator.
 All raw repetitions are emitted under "queries_all" so a regression can be
 distinguished from noise without re-running.
@@ -67,7 +67,7 @@ def main() -> None:
     )
     graph_association_rules(tx, min_support=0.0, min_confidence=0.0).count()
 
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
