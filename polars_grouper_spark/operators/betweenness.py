@@ -336,8 +336,11 @@ def betweenness_centrality_distributed(
         if new.isEmpty():
             break
         depth += 1
+        # Lazy: the next round's isEmpty (via the anti-join) materializes
+        # it — keeps the loop at one job per round instead of two.
         visited = truncate_lineage(
-            visited.unionByName(new.select("s", "v", F.lit(depth).alias("dist"), "sigma"))
+            visited.unionByName(new.select("s", "v", F.lit(depth).alias("dist"), "sigma")),
+            cache=False,
         )
         levels.append(new)
         frontier = new
