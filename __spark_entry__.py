@@ -75,6 +75,7 @@ from polars_grouper_spark.operators.walks import (
 )
 from polars_grouper_spark.operators.triangles import (
     clustering_coefficient_sql,
+    degree_assortativity_sql,
     square_count_sql,
     triangle_count,
     triangle_count_sql,
@@ -2689,6 +2690,16 @@ def q_squares_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return square_count(_part_co_edges(spark, sf_dir), "src", "dst")
 
 
+def q_assortativity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (``operators.triangles.degree_assortativity``)
+    of the part graph: Pearson correlation of endpoint degrees over the
+    mirrored edge list via explicit population moments (ANSI-safe:
+    zero-variance graphs yield NULL instead of corr()'s divide-by-zero)."""
+    from polars_grouper_spark.operators.triangles import degree_assortativity
+
+    return degree_assortativity(_part_co_edges(spark, sf_dir), "src", "dst")
+
+
 def q_clustering_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient (``operators.triangles``) per part
     node: degree-ordered triangle counts joined with distinct-neighbor
@@ -3218,6 +3229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_parts": q_triangles_parts,
         "clustering_parts": q_clustering_parts,
         "squares_parts": q_squares_parts,
+        "assortativity_parts": q_assortativity_parts,
         "link_pred_parts": q_link_pred_parts,
         "copurchase_pairs": q_copurchase_pairs,
         "scc_users": q_scc_users,
@@ -3321,6 +3333,7 @@ def oracle_sql() -> dict[str, str]:
         "triangles_parts": triangle_count_sql(_PART_CO_EDGE_SQL),
         "clustering_parts": clustering_coefficient_sql(_PART_CO_EDGE_SQL),
         "squares_parts": square_count_sql(_PART_CO_EDGE_SQL),
+        "assortativity_parts": degree_assortativity_sql(_PART_CO_EDGE_SQL),
         "link_pred_parts": (
             link_scores_sql(_PART_CO_EDGE_SQL)
             + f" ORDER BY common_neighbors DESC, node_a, node_b LIMIT {_LINK_PRED_TOPN}"

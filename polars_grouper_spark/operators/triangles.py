@@ -306,3 +306,92 @@ codeg AS (
 SELECT coalesce(sum(c * (c - 1) // 2) // 2, 0)::BIGINT AS n_squares
 FROM codeg
 """
+
+
+def degree_assortativity(
+    df: DataFrame, src: str = "from", dst: str = "to"
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) -> one row
+    ``(assortativity double)``: the Pearson correlation of endpoint
+    degrees over the mirrored distinct edge list (each undirected edge
+    contributes both orientations, which symmetrizes the correlation —
+    exactly Newman's formula).  Positive = hubs link to hubs (social
+    graphs), negative = hubs link to leaves (internet/biology).
+
+    One degree aggregation + two joins + a single ``corr`` aggregate —
+    every step map-side combinable; rounded to 6 (correlation is a
+    ratio of sums whose float order differs across engines).  NaN (all
+    degrees equal, zero variance) is returned as NULL by both engines.
+    """
+    edges, _ = _interned_edges(df, src, dst)
+    deg = (
+        edges.select(F.col("a").alias("nid"))
+        .unionAll(edges.select(F.col("b").alias("nid")))
+        .groupBy("nid")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    mirrored = edges.select("a", "b").unionAll(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    da = deg.select(F.col("nid").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("nid").alias("b"), F.col("deg").alias("deg_b"))
+    # Explicit population moments instead of corr(): ANSI mode makes
+    # corr() raise DIVIDE_BY_ZERO on zero-variance (regular) graphs;
+    # here that case yields NULL in both engines.
+    m = (
+        mirrored.join(da, "a")
+        .join(db, "b")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(F.col("deg_a").cast("double")).alias("sx"),
+            F.sum(F.col("deg_b").cast("double")).alias("sy"),
+            F.sum((F.col("deg_a") * F.col("deg_b")).cast("double")).alias("sxy"),
+            F.sum((F.col("deg_a") * F.col("deg_a")).cast("double")).alias("sxx"),
+            F.sum((F.col("deg_b") * F.col("deg_b")).cast("double")).alias("syy"),
+        )
+    )
+    cov = F.col("sxy") / F.col("n") - (F.col("sx") / F.col("n")) * (
+        F.col("sy") / F.col("n")
+    )
+    vx = F.col("sxx") / F.col("n") - F.pow(F.col("sx") / F.col("n"), 2)
+    vy = F.col("syy") / F.col("n") - F.pow(F.col("sy") / F.col("n"), 2)
+    denom = F.sqrt(vx * vy)
+    return m.select(
+        F.round(
+            F.when(denom > 0, cov / denom).otherwise(F.lit(None).cast("double")), 6
+        ).alias("assortativity")
+    )
+
+
+def degree_assortativity_sql(edge_sql: str) -> str:
+    """DuckDB oracle replicating :func:`degree_assortativity`."""
+    return f"""
+WITH raw AS ({edge_sql}),
+e AS (
+  SELECT DISTINCT least(CAST(src AS VARCHAR), CAST(dst AS VARCHAR)) AS a,
+                  greatest(CAST(src AS VARCHAR), CAST(dst AS VARCHAR)) AS b
+  FROM raw
+  WHERE src IS NOT NULL AND dst IS NOT NULL
+    AND CAST(src AS VARCHAR) <> CAST(dst AS VARCHAR)
+),
+deg AS (
+  SELECT node, count(*)::BIGINT AS deg FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY node
+),
+mirrored AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+m AS (
+  SELECT count(*)::DOUBLE AS n,
+         sum(da.deg)::DOUBLE AS sx, sum(db.deg)::DOUBLE AS sy,
+         sum(da.deg * db.deg)::DOUBLE AS sxy,
+         sum(da.deg * da.deg)::DOUBLE AS sxx,
+         sum(db.deg * db.deg)::DOUBLE AS syy
+  FROM mirrored mm JOIN deg da ON da.node = mm.a JOIN deg db ON db.node = mm.b
+)
+SELECT round(
+  CASE WHEN sqrt((sxx/n - (sx/n)*(sx/n)) * (syy/n - (sy/n)*(sy/n))) > 0
+       THEN (sxy/n - (sx/n)*(sy/n))
+            / sqrt((sxx/n - (sx/n)*(sx/n)) * (syy/n - (sy/n)*(sy/n)))
+       ELSE NULL END, 6) AS assortativity
+FROM m
+"""

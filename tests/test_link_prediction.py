@@ -259,3 +259,43 @@ def test_projection_duckdb_parity(spark):
         )
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# degree_assortativity
+# ---------------------------------------------------------------------------
+
+
+def test_assortativity_star_negative(spark):
+    from polars_grouper_spark.operators.triangles import degree_assortativity
+
+    edges = spark.createDataFrame(
+        [("hub", f"s{i}") for i in range(6)], ["from", "to"]
+    )
+    r = degree_assortativity(edges).collect()[0]["assortativity"]
+    assert r == -1.0  # pure star: maximally disassortative
+
+
+def test_assortativity_regular_graph_null(spark):
+    from polars_grouper_spark.operators.triangles import degree_assortativity
+
+    ring = spark.createDataFrame(
+        [(f"n{i}", f"n{(i + 1) % 6}") for i in range(6)], ["from", "to"]
+    )
+    r = degree_assortativity(ring).collect()[0]["assortativity"]
+    assert r is None  # all degrees equal: zero variance
+
+
+def test_assortativity_duckdb_parity(spark):
+    from polars_grouper_spark.operators.triangles import (
+        degree_assortativity,
+        degree_assortativity_sql,
+    )
+
+    edges = [(f"m{i}", f"m{i + 1}") for i in range(10)] + [
+        ("m0", "m5"), ("m0", "m7"), ("m3", "m9")
+    ]
+    df = spark.createDataFrame(edges, ["from", "to"])
+    got = degree_assortativity(df).collect()[0]["assortativity"]
+    want = duck_rows(degree_assortativity_sql(values_sql(edges)))[0][0]
+    assert got == want
