@@ -70,6 +70,7 @@ from polars_grouper_spark.functions.sketches import (
     hll_distinct_sql,
 )
 from polars_grouper_spark.operators.walks import (
+    node2vec_walks_sql,
     random_walks_sql,
     weighted_random_walks_sql,
 )
@@ -2584,6 +2585,28 @@ def q_weighted_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N2V_P, _N2V_Q, _N2V_LEN, _N2V_SEED = 0.5, 2.0, 4, 31
+
+
+def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order node2vec walks (``operators.walks.node2vec_walks``,
+    p=0.5 return-biased / q=2.0 BFS-ish) on the user graph: the search
+    bias classes quantize to milli-units and the draw is a portable hash
+    mod the cumulative alpha total — integer arithmetic end to end, so
+    the oracle replays identical second-order paths."""
+    from polars_grouper_spark.operators.walks import node2vec_walks
+
+    return node2vec_walks(
+        _scc_edges(spark, sf_dir),
+        "src",
+        "dst",
+        p=_N2V_P,
+        q=_N2V_Q,
+        walk_length=_N2V_LEN,
+        seed=_N2V_SEED,
+    )
+
+
 _PPR_SOURCES = ["U7", "U42", "U137"]
 _PPR_ITERS = 8
 
@@ -3236,6 +3259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_users": q_ppr_users,
         "random_walks_users": q_random_walks,
         "weighted_walks_nations": q_weighted_walks,
+        "node2vec_users": q_node2vec_walks,
         "hll_customers": q_hll_customers,
         "cms_parts": q_cms_parts,
         "hll_parts_by_status": q_hll_parts_by_status,
@@ -3349,6 +3373,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "weighted_walks_nations": weighted_random_walks_sql(
             _NATION_EDGE_SQL, _WWALK_LEN, _WWALK_REPS, _WWALK_SEED
+        ),
+        "node2vec_users": node2vec_walks_sql(
+            _SCC_EDGE_SQL, _N2V_P, _N2V_Q, _N2V_LEN, 1, _N2V_SEED
         ),
         "hll_customers": hll_distinct_sql(
             "SELECT o_custkey FROM orders", "o_custkey", 12

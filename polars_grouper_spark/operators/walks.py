@@ -314,3 +314,188 @@ def weighted_random_walks_sql(
         for s in range(walk_length + 1)
     )
     return "\n".join(parts) + f" SELECT walk_id, step::INT AS step, node FROM ({selects})"
+
+
+def node2vec_walks(
+    df: DataFrame,
+    src: str = "from",
+    dst: str = "to",
+    *,
+    p: float = 1.0,
+    q: float = 1.0,
+    walk_length: int = 4,
+    walks_per_node: int = 1,
+    seed: int = 0,
+    portable: bool = True,
+) -> DataFrame:
+    """Second-order biased walks (node2vec — Grover & Leskovec 2016) ->
+    ``(walk_id, step, node)``: from state (prev, cur), neighbor ``x``
+    of ``cur`` is weighted by the search bias ``α``:
+
+    - ``1/p``  if ``x == prev``                    (return),
+    - ``1``    if the edge ``prev -> x`` exists    (BFS-ish, stay close),
+    - ``1/q``  otherwise                           (DFS-ish, explore).
+
+    Deterministic and engine-portable: the α classes quantize to
+    milli-units (``int(1000/p)`` — the repo's ×1000 truncation
+    convention), candidates cumulate in name order, and the draw is the
+    portable hash of ``(prev|cur|rep|step|seed)`` mod the α total —
+    integer arithmetic end to end, replayed exactly by the DuckDB
+    oracle.  Step 1 has ``prev = cur`` (no self-loops survive
+    cleaning), so every candidate lands in the stay-close class and the
+    first hop is uniform, matching :func:`random_walks`.
+
+    Per step: one join of the frontier against the adjacency, one left
+    join against the edge set (the ``prev -> x`` existence test), and
+    one per-frontier-row window for the cumulative draw.  Distances are
+    with respect to the DIRECTED edge list as given; mirror the input
+    first for the undirected semantics.
+    """
+    if walk_length < 0:
+        raise ValueError(f"walk_length must be >= 0, got {walk_length}")
+    if walks_per_node < 1:
+        raise ValueError(f"walks_per_node must be >= 1, got {walks_per_node}")
+    if p <= 0 or q <= 0:
+        raise ValueError(f"p and q must be > 0, got p={p}, q={q}")
+    a_ret, a_stay, a_expl = int(1000.0 / p), 1000, int(1000.0 / q)
+    if a_ret == 0 or a_expl == 0:
+        raise ValueError("p/q too large: 1000/p and 1000/q must quantize >= 1")
+
+    s = F.col(src).cast("string")
+    d = F.col(dst).cast("string")
+    edges = (
+        df.where(s.isNotNull() & d.isNotNull() & (s != d))
+        .select(s.alias("cur"), d.alias("nbr"))
+        .distinct()
+    )
+    adj = truncate_lineage(edges)
+    # Edge-existence probe table for the prev -> x test.
+    exist = adj.select(F.col("cur").alias("pe"), F.col("nbr").alias("xe"))
+
+    nodes = (
+        edges.select(F.col("cur").alias("node"))
+        .union(edges.select(F.col("nbr").alias("node")))
+        .distinct()
+    )
+    reps = df.sparkSession.range(walks_per_node).select(
+        F.col("id").cast("int").alias("rep")
+    )
+    frontier = nodes.crossJoin(F.broadcast(reps)).select(
+        F.concat("node", F.lit("#"), F.col("rep").cast("string")).alias("walk_id"),
+        F.col("rep"),
+        F.col("node").alias("prev"),
+        F.col("node").alias("cur"),
+    )
+    out = frontier.select("walk_id", F.lit(0).alias("step"), F.col("cur").alias("node"))
+
+    for step in range(1, walk_length + 1):
+        cand = (
+            frontier.alias("f")
+            .join(adj.alias("a"), F.col("f.cur") == F.col("a.cur"))
+            .select(
+                "f.walk_id", "f.rep", "f.prev", "f.cur", F.col("a.nbr").alias("x")
+            )
+            .join(
+                exist,
+                (F.col("prev") == F.col("pe")) & (F.col("x") == F.col("xe")),
+                "left",
+            )
+        )
+        alpha = (
+            F.when(F.col("x") == F.col("prev"), F.lit(a_ret))
+            .when(F.col("pe").isNotNull(), F.lit(a_stay))
+            .otherwise(F.lit(a_expl))
+            .cast("long")
+        )
+        cand = cand.select("walk_id", "rep", "prev", "cur", "x", alpha.alias("w"))
+        win = Window.partitionBy("walk_id").orderBy("x")
+        wtot = Window.partitionBy("walk_id")
+        cum = cand.select(
+            "walk_id", "rep", "prev", "cur", "x", "w",
+            (F.sum("w").over(win) - F.col("w")).alias("lo"),
+            F.sum("w").over(win).alias("hi"),
+            F.sum("w").over(wtot).alias("total"),
+        )
+        # (prev, cur, rep) ride on every candidate row of the walk (one
+        # frontier row per live walk), so the draw re-derives per row.
+        draw = F.pmod(
+            portable_hash64(
+                F.concat(
+                    F.col("prev"), F.lit("|"), F.col("cur"), F.lit("|"),
+                    F.col("rep").cast("string"), F.lit(f"|{step}|{seed}"),
+                ),
+                portable=portable,
+            ),
+            F.col("total"),
+        )
+        frontier = truncate_lineage(
+            cum.where((draw >= F.col("lo")) & (draw < F.col("hi"))).select(
+                "walk_id", "rep", F.col("cur").alias("prev"), F.col("x").alias("cur")
+            ),
+            cache=False,
+        )
+        out = out.unionAll(
+            frontier.select("walk_id", F.lit(step).alias("step"), F.col("cur").alias("node"))
+        )
+    return out
+
+
+def node2vec_walks_sql(
+    edge_sql: str,
+    p: float = 1.0,
+    q: float = 1.0,
+    walk_length: int = 4,
+    walks_per_node: int = 1,
+    seed: int = 0,
+) -> str:
+    """DuckDB oracle replaying :func:`node2vec_walks` step for step."""
+    a_ret, a_stay, a_expl = int(1000.0 / p), 1000, int(1000.0 / q)
+    parts = [
+        f"WITH raw AS ({edge_sql})",
+        """, e AS (
+  SELECT DISTINCT CAST(src AS VARCHAR) AS cur, CAST(dst AS VARCHAR) AS nbr
+  FROM raw WHERE src IS NOT NULL AND dst IS NOT NULL
+    AND CAST(src AS VARCHAR) <> CAST(dst AS VARCHAR)
+)""",
+        """, nodes AS (SELECT cur AS node FROM e UNION SELECT nbr FROM e)""",
+        f""", reps AS (SELECT unnest(range({walks_per_node})) AS rep)""",
+        """, f0 AS (
+  SELECT node || '#' || CAST(rep AS VARCHAR) AS walk_id, rep,
+         node AS prev, node AS cur
+  FROM nodes, reps
+)""",
+    ]
+    for step in range(1, walk_length + 1):
+        prev_f = f"f{step - 1}"
+        h = portable_hash64_sql(
+            f"c.prev || '|' || c.cur || '|' || CAST(c.rep AS VARCHAR) "
+            f"|| '|{step}|{seed}'"
+        )
+        parts.append(
+            f""", cand{step} AS (
+  SELECT f.walk_id, f.rep, f.prev, f.cur, a.nbr AS x,
+         CASE WHEN a.nbr = f.prev THEN {a_ret}
+              WHEN ex.cur IS NOT NULL THEN {a_stay}
+              ELSE {a_expl} END AS w
+  FROM {prev_f} f
+  JOIN e a ON a.cur = f.cur
+  LEFT JOIN e ex ON ex.cur = f.prev AND ex.nbr = a.nbr
+), cum{step} AS (
+  SELECT *,
+         sum(w) OVER (PARTITION BY walk_id ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - w AS lo,
+         sum(w) OVER (PARTITION BY walk_id ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi,
+         sum(w) OVER (PARTITION BY walk_id) AS total
+  FROM cand{step}
+), f{step} AS (
+  SELECT c.walk_id, c.rep, c.cur AS prev, c.x AS cur
+  FROM cum{step} c
+  WHERE ({h} % c.total) >= c.lo AND ({h} % c.total) < c.hi
+)"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT walk_id, {s} AS step, cur AS node FROM f{s}"
+        for s in range(walk_length + 1)
+    )
+    return "\n".join(parts) + f" SELECT walk_id, step::INT AS step, node FROM ({selects})"

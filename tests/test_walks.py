@@ -159,3 +159,71 @@ def test_weighted_duckdb_replay_parity(spark):
         ).fetchall()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# node2vec_walks (second-order)
+# ---------------------------------------------------------------------------
+
+
+def _ring_edges():
+    """Undirected 8-ring (both orientations): every node has 2 neighbors."""
+    es = [(f"r{i}", f"r{(i + 1) % 8}") for i in range(8)]
+    return es + [(b, a) for a, b in es]
+
+
+def test_node2vec_return_bias(spark):
+    """On a ring, step 2 chooses between backtracking (alpha=1000/p) and
+    going on (prev not adjacent to the far neighbor: alpha=1000/q).
+    Tiny p makes every walk backtrack; tiny q makes every walk march on."""
+    from polars_grouper_spark.operators.walks import node2vec_walks
+
+    df = spark.createDataFrame(_ring_edges(), ["from", "to"])
+
+    def step2_backtracks(p, q):
+        out = node2vec_walks(df, p=p, q=q, walk_length=2, seed=1)
+        s1 = {r["walk_id"]: r["node"] for r in out.where("step = 1").collect()}
+        s2 = {r["walk_id"]: r["node"] for r in out.where("step = 2").collect()}
+        starts = {r["walk_id"]: r["node"] for r in out.where("step = 0").collect()}
+        back = sum(1 for w in s2 if s2[w] == starts[w])
+        return back, len(s2)
+
+    back_loving, n = step2_backtracks(p=0.001, q=1000.0)
+    assert back_loving == n  # always return
+    back_avoiding, n2 = step2_backtracks(p=1000.0, q=0.001)
+    assert back_avoiding == 0  # never return
+
+
+def test_node2vec_uniform_equals_first_order_distribution(spark):
+    """p=q=1 on a ring: step-1 choices are uniform over both neighbors
+    (sanity: walks don't collapse to one direction)."""
+    from polars_grouper_spark.operators.walks import node2vec_walks
+
+    df = spark.createDataFrame(_ring_edges(), ["from", "to"])
+    out = node2vec_walks(df, p=1.0, q=1.0, walk_length=1, walks_per_node=8)
+    s1 = [r["node"] for r in out.where("step = 1").collect()]
+    assert len(s1) == 64  # 8 starts x 8 replicas all advanced
+
+
+def test_node2vec_duckdb_replay_parity(spark):
+    from polars_grouper_spark.operators.walks import (
+        node2vec_walks,
+        node2vec_walks_sql,
+    )
+
+    edges = [(f"v{(5 * i) % 11}", f"v{(7 * i + 2) % 11}") for i in range(40)]
+    edges = [(a, b) for a, b in edges if a != b]
+    edges = edges + [(b, a) for a, b in edges]
+    df = spark.createDataFrame(edges, ["from", "to"])
+    got = rows(node2vec_walks(df, p=0.5, q=2.0, walk_length=4,
+                              walks_per_node=2, seed=7))
+    vals = ",".join(f"('{a}','{b}')" for a, b in edges)
+    want = sorted(
+        tuple(r)
+        for r in duckdb.sql(
+            node2vec_walks_sql(
+                f"SELECT * FROM (VALUES {vals}) t(src, dst)", 0.5, 2.0, 4, 2, 7
+            )
+        ).fetchall()
+    )
+    assert got == want
