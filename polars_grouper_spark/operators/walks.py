@@ -17,9 +17,12 @@ walk frontier against it (the modulo choice is evaluated inside the join
 condition), and steps only shrink (walks die at sink nodes).  State is
 ``O(starts)`` rows per step; nothing driver-sized.
 
-Transition semantics: distinct-neighbor uniform choice (parallel edges
-collapse; self-loops are legal transitions).  Null endpoints drop the
-edge (SURVEY.md §1.3).
+Three variants share the machinery: :func:`random_walks` (uniform over
+distinct neighbors), :func:`weighted_random_walks` (transition odds
+proportional to milli-quantized edge weights), and
+:func:`node2vec_walks` (second-order p/q search bias) — all with
+integer-only neighbor selection, so the DuckDB oracle replays each
+variant exactly.  Null endpoints drop the edge (SURVEY.md §1.3).
 """
 
 from __future__ import annotations
