@@ -57,7 +57,10 @@ from polars_grouper_spark.operators.funnel import (
     funnel_counts_sql,
 )
 from polars_grouper_spark.operators.label_spreading import label_spreading_sql
-from polars_grouper_spark.operators.modularity import modularity_sql
+from polars_grouper_spark.operators.modularity import (
+    conductance_sql,
+    modularity_sql,
+)
 from polars_grouper_spark.operators.scc import strongly_connected_components_sql
 from polars_grouper_spark.functions.chunking import (
     chunk_documents_sql,
@@ -2444,6 +2447,34 @@ def _modularity_users_sql() -> str:
     )
 
 
+def q_conductance_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community conductance (``operators.modularity.conductance``) of
+    the label-spreading partition: cut(c) / min(vol(c), vol(rest)) —
+    the cluster-separation metric complementing modularity, from the
+    same tagged-edge construction."""
+    from polars_grouper_spark.operators.label_spreading import label_spreading
+    from polars_grouper_spark.operators.modularity import conductance
+
+    edges = _scc_edges(spark, sf_dir)
+    seeds = spark.createDataFrame(_LS_SEEDS, ["node", "label"])
+    labels = label_spreading(
+        edges, seeds, "src", "dst", rounds=_LS_ROUNDS, directed=True
+    )
+    return conductance(
+        edges, labels.withColumnRenamed("label", "community"), "src", "dst"
+    )
+
+
+def _conductance_users_sql() -> str:
+    inner = label_spreading_sql(
+        _SCC_EDGE_SQL, _ls_seed_sql(), _LS_ROUNDS, directed=True
+    )
+    return conductance_sql(
+        _SCC_EDGE_SQL,
+        f"SELECT node, label AS community FROM ({inner})",
+    )
+
+
 def q_hll_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-customer estimate (``functions.sketches``):
     portable md5-hash registers (m=4096, map-side-combinable max), the
@@ -3267,6 +3298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_orders": q_zorder_orders,
         "label_spread_users": q_label_spread_users,
         "modularity_users": q_modularity_users,
+        "conductance_users": q_conductance_users,
         "kcore_parts": q_kcore_parts,
         "ktruss_parts": q_ktruss_parts,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -3399,6 +3431,7 @@ def oracle_sql() -> dict[str, str]:
             _SCC_EDGE_SQL, _ls_seed_sql(), _LS_ROUNDS, directed=True
         ),
         "modularity_users": _modularity_users_sql(),
+        "conductance_users": _conductance_users_sql(),
         "kcore_parts": k_core_sql(_PART_CO_EDGE_SQL, _KCORE_K, _KCORE_ORACLE_ROUNDS),
         "ktruss_parts": k_truss_sql(
             _PART_CO_EDGE_SQL, _KTRUSS_K, _KTRUSS_ORACLE_ROUNDS

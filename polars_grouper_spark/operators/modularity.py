@@ -143,3 +143,111 @@ FROM sizes s
 LEFT JOIN internal i ON i.c = s.c
 LEFT JOIN deg d ON d.c = s.c
 """
+
+
+def conductance(
+    edges_df: DataFrame,
+    assignment: DataFrame,
+    src: str = "from",
+    dst: str = "to",
+    node_col: str = "node",
+    community_col: str = "community",
+) -> DataFrame:
+    """Per-community conductance -> ``(community, cut_edges, volume,
+    conductance)``: ``phi(c) = cut(c) / min(vol(c), vol(rest))`` with
+    ``cut`` the edges leaving ``c`` and ``vol`` the degree sum (Kannan,
+    Vempala & Vetta 2004) — low conductance = a well-separated cluster.
+    Rounded to 9; NULL when the min volume is 0 (empty side).
+
+    Same input conventions and cost shape as :func:`modularity` (the two
+    share the tagged-edge construction; conductance adds one total-volume
+    scalar that rides as a cross-joined one-row frame).
+    """
+    s = F.col(src).cast("string")
+    d = F.col(dst).cast("string")
+    edges = (
+        edges_df.where(s.isNotNull() & d.isNotNull() & (s != d))
+        .select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
+        .distinct()
+    )
+    asg = assignment.select(
+        F.col(node_col).cast("string").alias("n"),
+        F.col(community_col).cast("string").alias("c"),
+    ).distinct()
+    ca = asg.select(F.col("n").alias("a"), F.col("c").alias("ca"))
+    cb = asg.select(F.col("n").alias("b"), F.col("c").alias("cb"))
+    tagged = edges.join(ca, "a").join(cb, "b")
+
+    cut = (
+        tagged.where(F.col("ca") != F.col("cb"))
+        .select(F.explode(F.array("ca", "cb")).alias("c"))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("cut_edges"))
+    )
+    vol = (
+        tagged.select(F.col("ca").alias("c"))
+        .unionAll(tagged.select(F.col("cb").alias("c")))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("volume"))
+    )
+    total = vol.agg(F.sum("volume").alias("tv"))
+    other = F.col("tv") - F.col("volume")
+    mn = F.least(F.col("volume"), other)
+    return (
+        vol.join(cut, "c", "left")
+        .crossJoin(total)
+        .select(
+            F.col("c").alias("community"),
+            F.coalesce("cut_edges", F.lit(0)).cast("long").alias("cut_edges"),
+            F.col("volume").cast("long").alias("volume"),
+            F.round(
+                F.when(
+                    mn > 0,
+                    F.coalesce("cut_edges", F.lit(0)).cast("double") / mn,
+                ),
+                9,
+            ).alias("conductance"),
+        )
+    )
+
+
+def conductance_sql(edge_sql: str, assignment_sql: str) -> str:
+    """DuckDB oracle replicating :func:`conductance`."""
+    return f"""
+WITH raw AS ({edge_sql}),
+e AS (
+  SELECT DISTINCT least(CAST(src AS VARCHAR), CAST(dst AS VARCHAR)) AS a,
+                  greatest(CAST(src AS VARCHAR), CAST(dst AS VARCHAR)) AS b
+  FROM raw
+  WHERE src IS NOT NULL AND dst IS NOT NULL
+    AND CAST(src AS VARCHAR) <> CAST(dst AS VARCHAR)
+),
+asg AS (
+  SELECT DISTINCT CAST(node AS VARCHAR) AS n, CAST(community AS VARCHAR) AS c
+  FROM ({assignment_sql})
+),
+tagged AS (
+  SELECT e.a, e.b, x.c AS ca, y.c AS cb
+  FROM e JOIN asg x ON x.n = e.a JOIN asg y ON y.n = e.b
+),
+cut AS (
+  SELECT c, count(*)::BIGINT AS cut_edges FROM (
+    SELECT ca AS c FROM tagged WHERE ca <> cb
+    UNION ALL SELECT cb FROM tagged WHERE ca <> cb
+  ) GROUP BY 1
+),
+vol AS (
+  SELECT c, count(*)::BIGINT AS volume FROM (
+    SELECT ca AS c FROM tagged UNION ALL SELECT cb FROM tagged
+  ) GROUP BY 1
+),
+total AS (SELECT sum(volume) AS tv FROM vol)
+SELECT v.c AS community,
+       coalesce(cu.cut_edges, 0) AS cut_edges,
+       v.volume,
+       round(CASE WHEN least(v.volume, (SELECT tv FROM total) - v.volume) > 0
+                  THEN coalesce(cu.cut_edges, 0)
+                       / least(v.volume, (SELECT tv FROM total) - v.volume)::DOUBLE
+                  ELSE NULL END, 9) AS conductance
+FROM vol v LEFT JOIN cut cu ON cu.c = v.c
+"""

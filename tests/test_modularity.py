@@ -72,3 +72,62 @@ def test_duckdb_parity(spark):
         ).fetchall()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# conductance
+# ---------------------------------------------------------------------------
+
+
+def test_conductance_two_cliques(spark):
+    """Two triangles + one bridge: each side has cut 1, volume 7."""
+    from polars_grouper_spark.operators.modularity import conductance
+
+    tri1 = [("a", "b"), ("b", "c"), ("c", "a")]
+    tri2 = [("x", "y"), ("y", "z"), ("z", "x")]
+    edges = spark.createDataFrame(tri1 + tri2 + [("c", "x")], ["from", "to"])
+    asg = spark.createDataFrame(
+        [(n, "t1") for n in "abc"] + [(n, "t2") for n in "xyz"],
+        ["node", "community"],
+    )
+    got = rows(conductance(edges, asg))
+    assert got == [
+        ("t1", 1, 7, round(1 / 7, 9)),
+        ("t2", 1, 7, round(1 / 7, 9)),
+    ]
+
+
+def test_conductance_single_community_null(spark):
+    """One community holds everything: the complement volume is 0."""
+    from polars_grouper_spark.operators.modularity import conductance
+
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")], ["from", "to"])
+    asg = spark.createDataFrame([(n, "all") for n in "abc"], ["node", "community"])
+    got = rows(conductance(edges, asg))
+    assert got == [("all", 0, 4, None)]
+
+
+def test_conductance_duckdb_parity(spark):
+    from polars_grouper_spark.operators.modularity import (
+        conductance,
+        conductance_sql,
+    )
+
+    edges = [(f"n{(3 * i) % 13}", f"n{(5 * i + 1) % 13}") for i in range(30)]
+    edges = [(a, b) for a, b in edges if a != b]
+    asg = [(f"n{i}", f"c{i % 3}") for i in range(13)]
+    e_df = spark.createDataFrame(edges, ["from", "to"])
+    a_df = spark.createDataFrame(asg, ["node", "community"])
+    got = rows(conductance(e_df, a_df))
+    ev = ",".join(f"('{a}','{b}')" for a, b in edges)
+    av = ",".join(f"('{n}','{c}')" for n, c in asg)
+    want = sorted(
+        tuple(round(v, 9) if isinstance(v, float) else v for v in r)
+        for r in duckdb.sql(
+            conductance_sql(
+                f"SELECT * FROM (VALUES {ev}) t(src, dst)",
+                f"SELECT * FROM (VALUES {av}) t(node, community)",
+            )
+        ).fetchall()
+    )
+    assert got == want
