@@ -62,6 +62,7 @@ from polars_grouper_spark.operators.modularity import (
     modularity_sql,
 )
 from polars_grouper_spark.operators.scc import strongly_connected_components_sql
+from polars_grouper_spark.operators.temporal import temporal_reachability_sql
 from polars_grouper_spark.functions.chunking import (
     chunk_documents_sql,
     pack_sequences_sql,
@@ -2616,6 +2617,34 @@ def q_weighted_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TEMPORAL_SEEDS = ["U7", "U42", "U137"]
+_TEMPORAL_HOPS = 4
+
+_TEMPORAL_EDGE_SQL = (
+    "SELECT 'U' || (o_custkey % 400) AS src, 'U' || (o_orderkey % 400) AS dst, "
+    "o_orderdate AS ts FROM orders WHERE o_orderkey % 5 = 0"
+)
+
+
+def q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-respecting reachability (``operators.temporal``): earliest
+    arrival from three seed users over the TIMED user graph — an edge is
+    usable only at-or-after the arrival at its source (non-decreasing
+    paths), so the reach is a subset of static reachability.  Earliest-
+    arrival relaxation, one frontier join + min-combine per hop."""
+    from polars_grouper_spark.operators.temporal import temporal_reachability
+
+    o = load_table(spark, "orders", sf_dir)
+    edges = o.where(F.col("o_orderkey") % 5 == 0).select(
+        F.concat(F.lit("U"), F.col("o_custkey") % 400).alias("src"),
+        F.concat(F.lit("U"), F.col("o_orderkey") % 400).alias("dst"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    return temporal_reachability(
+        edges, _TEMPORAL_SEEDS, "src", "dst", "ts", max_hops=_TEMPORAL_HOPS
+    )
+
+
 _N2V_P, _N2V_Q, _N2V_LEN, _N2V_SEED = 0.5, 2.0, 4, 31
 
 
@@ -3291,6 +3320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks_users": q_random_walks,
         "weighted_walks_nations": q_weighted_walks,
         "node2vec_users": q_node2vec_walks,
+        "temporal_reach_users": q_temporal_reach,
         "hll_customers": q_hll_customers,
         "cms_parts": q_cms_parts,
         "hll_parts_by_status": q_hll_parts_by_status,
@@ -3408,6 +3438,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "node2vec_users": node2vec_walks_sql(
             _SCC_EDGE_SQL, _N2V_P, _N2V_Q, _N2V_LEN, 1, _N2V_SEED
+        ),
+        "temporal_reach_users": temporal_reachability_sql(
+            _TEMPORAL_EDGE_SQL, _TEMPORAL_SEEDS, _TEMPORAL_HOPS
         ),
         "hll_customers": hll_distinct_sql(
             "SELECT o_custkey FROM orders", "o_custkey", 12
