@@ -338,7 +338,14 @@ def q_shortest_path_sp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     most of the graph and benchmarked 17x slower).  Undirected output keys
     pairs with the lexicographically smaller name first, so with
     'S'-prefixed sources the surviving rows are supplier-to-supplier
-    distances through shared parts."""
+    distances through shared parts.
+
+    The source set is BOUNDED deterministically (every 20th supplier,
+    capped at key 640 → at most 32 sources) so the query's work is
+    sf-stable: without the cap the collected list grows linearly with sf
+    and a sf100 run would feed ~50k sources into the O(S·ball) relaxation.
+    The operator itself takes an explicit ``sources=`` list — this cap is
+    bench-query parameterization, not an operator limit."""
     li = load_table(spark, "lineitem", sf_dir)
     edges = li.select(
         F.concat(F.lit("S"), F.col("l_suppkey")).alias("src"),
@@ -347,7 +354,9 @@ def q_shortest_path_sp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     srcs = [
         r["s"]
-        for r in li.where(F.col("l_suppkey") % 20 == 0)
+        for r in li.where(
+            (F.col("l_suppkey") % 20 == 0) & (F.col("l_suppkey") <= 640)
+        )
         .select(F.concat(F.lit("S"), F.col("l_suppkey")).alias("s"))
         .distinct()
         .collect()
@@ -3251,7 +3260,55 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NOTE ordering contract: the driver's correctness gate covers the FIRST
+    # ~50 entries of this dict, so queries that do not yet have a green
+    # driver-recorded CORRECTNESS row are listed FIRST (rotated each round
+    # until every query has one on record).  Round 4: the 40 queries with no
+    # CORRECTNESS_r03 row lead, followed by this round's new queries, then
+    # the 50 queries already driver-verified in r03.
     return {
+        # --- no driver CORRECTNESS row yet (all pass scripts/check_oracle.py) ---
+        "top_bigrams": q_top_bigrams,
+        "doc_chunks": q_doc_chunks,
+        "pack_bins": q_pack_bins,
+        "doc_repetition": q_doc_repetition,
+        "pii_scrub": q_pii_scrub,
+        "train_split": q_train_split,
+        "stratified_sample": q_stratified_sample,
+        "triangles_parts": q_triangles_parts,
+        "clustering_parts": q_clustering_parts,
+        "squares_parts": q_squares_parts,
+        "assortativity_parts": q_assortativity_parts,
+        "link_pred_parts": q_link_pred_parts,
+        "copurchase_pairs": q_copurchase_pairs,
+        "scc_users": q_scc_users,
+        "ppr_users": q_ppr_users,
+        "random_walks_users": q_random_walks,
+        "weighted_walks_nations": q_weighted_walks,
+        "node2vec_users": q_node2vec_walks,
+        "temporal_reach_users": q_temporal_reach,
+        "hll_customers": q_hll_customers,
+        "cms_parts": q_cms_parts,
+        "hll_parts_by_status": q_hll_parts_by_status,
+        "hist_quantiles": q_hist_quantiles,
+        "zorder_orders": q_zorder_orders,
+        "label_spread_users": q_label_spread_users,
+        "modularity_users": q_modularity_users,
+        "conductance_users": q_conductance_users,
+        "kcore_parts": q_kcore_parts,
+        "ktruss_parts": q_ktruss_parts,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "bm25_search": q_bm25_search,
+        "lm_perplexity": q_lm_perplexity,
+        "pipeline_prep": q_pipeline_prep,
+        "dedup_clusters": q_dedup_clusters,
+        "media_frames": q_media_frames,
+        "stream_dedup": q_stream_dedup,
+        "sql_exists": q_sql_exists,
+        "events_rollup": q_events_rollup,
+        "price_quantiles": q_price_quantiles,
+        "events_pivot": q_events_pivot,
+        # --- driver-verified in CORRECTNESS_r03 (all green) ---
         "cc_components": q_cc_components,
         "cc_component_sizes": q_cc_component_sizes,
         "super_merger_orders": q_super_merger_orders,
@@ -3302,46 +3359,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_tiers": q_range_tiers,
         "super_merger_weighted_orders": q_super_merger_weighted_orders,
         "token_counts": q_token_counts,
-        "top_bigrams": q_top_bigrams,
-        "doc_chunks": q_doc_chunks,
-        "pack_bins": q_pack_bins,
-        "doc_repetition": q_doc_repetition,
-        "pii_scrub": q_pii_scrub,
-        "train_split": q_train_split,
-        "stratified_sample": q_stratified_sample,
-        "triangles_parts": q_triangles_parts,
-        "clustering_parts": q_clustering_parts,
-        "squares_parts": q_squares_parts,
-        "assortativity_parts": q_assortativity_parts,
-        "link_pred_parts": q_link_pred_parts,
-        "copurchase_pairs": q_copurchase_pairs,
-        "scc_users": q_scc_users,
-        "ppr_users": q_ppr_users,
-        "random_walks_users": q_random_walks,
-        "weighted_walks_nations": q_weighted_walks,
-        "node2vec_users": q_node2vec_walks,
-        "temporal_reach_users": q_temporal_reach,
-        "hll_customers": q_hll_customers,
-        "cms_parts": q_cms_parts,
-        "hll_parts_by_status": q_hll_parts_by_status,
-        "hist_quantiles": q_hist_quantiles,
-        "zorder_orders": q_zorder_orders,
-        "label_spread_users": q_label_spread_users,
-        "modularity_users": q_modularity_users,
-        "conductance_users": q_conductance_users,
-        "kcore_parts": q_kcore_parts,
-        "ktruss_parts": q_ktruss_parts,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "bm25_search": q_bm25_search,
-        "lm_perplexity": q_lm_perplexity,
-        "pipeline_prep": q_pipeline_prep,
-        "dedup_clusters": q_dedup_clusters,
-        "media_frames": q_media_frames,
-        "stream_dedup": q_stream_dedup,
-        "sql_exists": q_sql_exists,
-        "events_rollup": q_events_rollup,
-        "price_quantiles": q_price_quantiles,
-        "events_pivot": q_events_pivot,
     }
 
 
@@ -3361,7 +3378,8 @@ def oracle_sql() -> dict[str, str]:
         "harmonic_nations": _harmonic_sql(_NATION_EDGE_SQL),
         "shortest_path_sp_bounded": _shortest_path_bounded_sql(
             _SP_W_EDGE_SQL,
-            "node LIKE 'S%' AND CAST(substr(node, 2) AS BIGINT) % 20 = 0",
+            "node LIKE 'S%' AND CAST(substr(node, 2) AS BIGINT) % 20 = 0"
+            " AND CAST(substr(node, 2) AS BIGINT) <= 640",
             q_max=1000,
             rounds=3,
         ),

@@ -1,7 +1,19 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (the driver captures the LAST ~2000 chars of stdout and
+parses one JSON line out of it):
+
+- FULL detail — per-query best times, every raw repetition, failures —
+  is written to the sidecar file ``bench_raw.json`` next to this script.
+- stdout gets exactly ONE compact JSON line, printed LAST, guaranteed to
+  fit the driver's 2000-char tail capture:
+  ``{"metric", "value", "unit", "queries", "reps", "agg", "sf",
+  "n_queries", "n_failed", "queries_omitted", "raw_file"}``.
+  If the per-query map would overflow the budget, the FASTEST queries are
+  dropped from the inline map first (``queries_omitted`` counts them) —
+  the slow ones are the ones worth seeing inline; the sidecar always has
+  all of them.
 
 Each query is forced with a cheap action (count of the result) — results
 are small aggregates by construction, so timing measures the plan, not
@@ -10,8 +22,6 @@ driver materialization.
 Variance control: every query runs $SPARK_GRAFT_BENCH_REPS times
 (default 2) and reports the per-query MINIMUM — the run least polluted by
 GC pauses / compilation / OS noise, the standard steady-state estimator.
-All raw repetitions are emitted under "queries_all" so a regression can be
-distinguished from noise without re-running.
 """
 
 from __future__ import annotations
@@ -29,6 +39,30 @@ from polars_grouper_spark.session import get_spark  # noqa: E402
 # The headline set IS the correctness set: every queries() entry is
 # benched, so BENCH and CORRECTNESS cover the same surface by construction.
 BENCH_QUERIES = list(entry_mod.queries().keys())
+
+# Keep the printed line comfortably inside the driver's 2000-char tail.
+_LINE_BUDGET = 1900
+
+
+def _compact_line(summary: dict, timings: dict[str, float]) -> str:
+    """Serialize the summary with as many per-query timings inline as fit.
+
+    Drops the fastest queries first (sidecar keeps everything) and records
+    how many were omitted.
+    """
+    # Slowest first — those are the ones a perf reviewer needs inline.
+    ordered = sorted(timings.items(), key=lambda kv: -(kv[1] if kv[1] == kv[1] else 0.0))
+    keep = dict(ordered)
+    while True:
+        payload = dict(summary)
+        payload["queries"] = {k: timings[k] for k in timings if k in keep}
+        payload["queries_omitted"] = len(timings) - len(keep)
+        line = json.dumps(payload, separators=(",", ":"))
+        if len(line) <= _LINE_BUDGET or not keep:
+            return line
+        # drop the current fastest kept query
+        ordered = ordered[:-1]
+        keep = dict(ordered)
 
 
 def main() -> None:
@@ -71,6 +105,7 @@ def main() -> None:
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
+    failed: list[str] = []
     total = 0.0
     for name in BENCH_QUERIES:
         fn = qs[name]
@@ -83,26 +118,37 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001
                 print(f"# {name} FAILED: {e}", file=sys.stderr)
                 runs.append(float("nan"))
+                failed.append(name)
                 break
         best = min(runs)
         timings[name] = best
         raw[name] = runs
         total += best if best == best else 0.0
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "queries_all": raw,
-                "reps": reps,
-                "agg": "min",
-                "sf": sf,
-            }
+    summary = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "reps": reps,
+        "agg": "min",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_failed": len(failed),
+        "raw_file": "bench_raw.json",
+    }
+
+    raw_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_raw.json")
+    with open(raw_path, "w") as fh:
+        json.dump(
+            {**summary, "queries": timings, "queries_all": raw, "failed": failed},
+            fh,
+            indent=1,
         )
-    )
+
+    # The compact line goes LAST so the driver's tail capture always ends
+    # with a complete, parseable JSON document.
+    sys.stdout.flush()
+    print(_compact_line(summary, timings))
 
 
 if __name__ == "__main__":

@@ -6,10 +6,20 @@ fixed-length random walks as training sequences.  At corpus scale the
 walk generator must be (a) distributed and (b) *reproducible* — re-runs
 and backfills must emit identical walks.  This operator derives every
 step from a portable 60-bit hash (``functions.hashing``) instead of an
-RNG: walk ``r`` standing at node ``v`` on step ``s`` moves to neighbor
-``hash(v|r|s|seed) mod outdeg(v)`` in the node-name-ordered adjacency —
-fully deterministic, engine-portable (the DuckDB oracle replays the
-identical walks), and embarrassingly parallel.
+RNG: the walk with id ``w`` standing at node ``v`` on step ``s`` moves
+to neighbor ``hash(w|v|s|seed) mod outdeg(v)`` in the node-name-ordered
+adjacency — fully deterministic, engine-portable (the DuckDB oracle
+replays the identical walks), and embarrassingly parallel.  The walk's
+own identity (start node + replica) is part of the hash key, so two
+walks that meet at the same node on the same step still branch
+independently — matching DeepWalk/node2vec's independent-sampling
+assumption instead of coalescing forever.
+
+For graphs too large to start a walk from every node, ``starts=``
+restricts the start set to an explicit node list and ``max_walks=``
+deterministically caps the number of start nodes (smallest node names
+first, a distributed take-ordered — no driver materialization), so a
+10^10-node corpus graph can walk from a sampled seed set.
 
 Plan shape: the indexed adjacency (one ``row_number`` window over the
 distinct edge set) is built once; each step is ONE equality join of the
@@ -34,6 +44,38 @@ from ..functions.hashing import portable_hash64, portable_hash64_sql
 from ..plans.iteration import truncate_lineage
 
 
+def _start_nodes(
+    edges: DataFrame,
+    starts: "DataFrame | list | None",
+    max_walks: "int | None",
+) -> DataFrame:
+    """Start-node frame for a walk variant: all graph nodes by default,
+    optionally restricted to ``starts`` (a single-column DataFrame or a
+    Python list; only nodes present in the graph survive) and capped at
+    ``max_walks`` smallest node names (TakeOrdered — distributed, no
+    driver materialization of the node set)."""
+    nodes = (
+        edges.select(F.col("cur").alias("node"))
+        .union(edges.select(F.col("nbr").alias("node")))
+        .distinct()
+    )
+    if starts is not None:
+        if isinstance(starts, DataFrame):
+            want = starts.select(
+                F.col(starts.columns[0]).cast("string").alias("node")
+            ).distinct()
+        else:
+            want = edges.sparkSession.createDataFrame(
+                [(str(x),) for x in starts], ["node"]
+            ).distinct()
+        nodes = nodes.join(want, "node", "semi")
+    if max_walks is not None:
+        if max_walks < 1:
+            raise ValueError(f"max_walks must be >= 1, got {max_walks}")
+        nodes = nodes.orderBy("node").limit(max_walks)
+    return nodes
+
+
 def random_walks(
     df: DataFrame,
     src: str = "from",
@@ -43,6 +85,8 @@ def random_walks(
     walks_per_node: int = 1,
     seed: int = 0,
     portable: bool = True,
+    starts: "DataFrame | list | None" = None,
+    max_walks: "int | None" = None,
 ) -> DataFrame:
     """Hash-deterministic random walks -> ``(walk_id, step, node)``.
 
@@ -89,27 +133,24 @@ def random_walks(
         )
     )
 
-    nodes = (
-        edges.select(F.col("cur").alias("node"))
-        .union(edges.select(F.col("nbr").alias("node")))
-        .distinct()
-    )
+    nodes = _start_nodes(edges, starts, max_walks)
     reps = df.sparkSession.range(walks_per_node).select(
         F.col("id").cast("int").alias("rep")
     )
     frontier = nodes.crossJoin(F.broadcast(reps)).select(
         F.concat("node", F.lit("#"), F.col("rep").cast("string")).alias("walk_id"),
-        F.col("rep"),
         F.col("node").alias("cur"),
     )
     out = frontier.select("walk_id", F.lit(0).alias("step"), F.col("cur").alias("node"))
 
     for step in range(1, walk_length + 1):
         f, a = frontier.alias("f"), adj.alias("a")
+        # walk_id (start#replica) is part of the key: co-located walks
+        # still branch independently instead of coalescing.
         choice_key = F.concat(
-            F.col("f.cur"),
+            F.col("f.walk_id"),
             F.lit("|"),
-            F.col("f.rep").cast("string"),
+            F.col("f.cur"),
             F.lit(f"|{step}|{seed}"),
         )
         choice = F.pmod(portable_hash64(choice_key, portable=portable), F.col("a.deg"))
@@ -117,7 +158,7 @@ def random_walks(
             f.join(
                 a,
                 (F.col("f.cur") == F.col("a.cur")) & (F.col("a.idx") == choice),
-            ).select("f.walk_id", "f.rep", F.col("a.nbr").alias("cur")),
+            ).select("f.walk_id", F.col("a.nbr").alias("cur")),
             cache=False,
         )
         out = out.unionAll(
@@ -149,18 +190,17 @@ def random_walks_sql(
         """, nodes AS (SELECT cur AS node FROM e UNION SELECT nbr FROM e)""",
         f""", reps AS (SELECT unnest(range({walks_per_node})) AS rep)""",
         """, f0 AS (
-  SELECT node || '#' || CAST(rep AS VARCHAR) AS walk_id, rep, node AS cur
+  SELECT node || '#' || CAST(rep AS VARCHAR) AS walk_id, node AS cur
   FROM nodes, reps
 )""",
     ]
     for step in range(1, walk_length + 1):
         h = portable_hash64_sql(
-            f"f{step - 1}.cur || '|' || CAST(f{step - 1}.rep AS VARCHAR) "
-            f"|| '|{step}|{seed}'"
+            f"f{step - 1}.walk_id || '|' || f{step - 1}.cur || '|{step}|{seed}'"
         )
         parts.append(
             f""", f{step} AS (
-  SELECT f{step - 1}.walk_id, f{step - 1}.rep, adj.nbr AS cur
+  SELECT f{step - 1}.walk_id, adj.nbr AS cur
   FROM f{step - 1} JOIN adj ON adj.cur = f{step - 1}.cur
    AND adj.idx = {h} % adj.deg
 )"""
@@ -182,6 +222,8 @@ def weighted_random_walks(
     walks_per_node: int = 1,
     seed: int = 0,
     portable: bool = True,
+    starts: "DataFrame | list | None" = None,
+    max_walks: "int | None" = None,
 ) -> DataFrame:
     """Weight-biased deterministic walks -> ``(walk_id, step, node)``:
     the transition probability to each neighbor is proportional to the
@@ -227,17 +269,12 @@ def weighted_random_walks(
         )
     )
 
-    nodes = (
-        edges.select(F.col("cur").alias("node"))
-        .union(edges.select(F.col("nbr").alias("node")))
-        .distinct()
-    )
+    nodes = _start_nodes(edges, starts, max_walks)
     reps = df.sparkSession.range(walks_per_node).select(
         F.col("id").cast("int").alias("rep")
     )
     frontier = nodes.crossJoin(F.broadcast(reps)).select(
         F.concat("node", F.lit("#"), F.col("rep").cast("string")).alias("walk_id"),
-        F.col("rep"),
         F.col("node").alias("cur"),
     )
     out = frontier.select("walk_id", F.lit(0).alias("step"), F.col("cur").alias("node"))
@@ -245,9 +282,9 @@ def weighted_random_walks(
     for step in range(1, walk_length + 1):
         f, a = frontier.alias("f"), adj.alias("a")
         choice_key = F.concat(
-            F.col("f.cur"),
+            F.col("f.walk_id"),
             F.lit("|"),
-            F.col("f.rep").cast("string"),
+            F.col("f.cur"),
             F.lit(f"|{step}|{seed}"),
         )
         draw = F.pmod(portable_hash64(choice_key, portable=portable), F.col("a.total"))
@@ -257,7 +294,7 @@ def weighted_random_walks(
                 (F.col("f.cur") == F.col("a.cur"))
                 & (draw >= F.col("a.cum_lo"))
                 & (draw < F.col("a.cum_hi")),
-            ).select("f.walk_id", "f.rep", F.col("a.nbr").alias("cur")),
+            ).select("f.walk_id", F.col("a.nbr").alias("cur")),
             cache=False,
         )
         out = out.unionAll(
@@ -295,18 +332,17 @@ def weighted_random_walks_sql(
         """, nodes AS (SELECT cur AS node FROM e UNION SELECT nbr FROM e)""",
         f""", reps AS (SELECT unnest(range({walks_per_node})) AS rep)""",
         """, f0 AS (
-  SELECT node || '#' || CAST(rep AS VARCHAR) AS walk_id, rep, node AS cur
+  SELECT node || '#' || CAST(rep AS VARCHAR) AS walk_id, node AS cur
   FROM nodes, reps
 )""",
     ]
     for step in range(1, walk_length + 1):
         h = portable_hash64_sql(
-            f"f{step - 1}.cur || '|' || CAST(f{step - 1}.rep AS VARCHAR) "
-            f"|| '|{step}|{seed}'"
+            f"f{step - 1}.walk_id || '|' || f{step - 1}.cur || '|{step}|{seed}'"
         )
         parts.append(
             f""", f{step} AS (
-  SELECT f{step - 1}.walk_id, f{step - 1}.rep, adj.nbr AS cur
+  SELECT f{step - 1}.walk_id, adj.nbr AS cur
   FROM f{step - 1} JOIN adj ON adj.cur = f{step - 1}.cur
    AND ({h} % adj.total) >= adj.cum_lo
    AND ({h} % adj.total) < adj.cum_hi
@@ -330,6 +366,8 @@ def node2vec_walks(
     walks_per_node: int = 1,
     seed: int = 0,
     portable: bool = True,
+    starts: "DataFrame | list | None" = None,
+    max_walks: "int | None" = None,
 ) -> DataFrame:
     """Second-order biased walks (node2vec — Grover & Leskovec 2016) ->
     ``(walk_id, step, node)``: from state (prev, cur), neighbor ``x``
@@ -375,17 +413,12 @@ def node2vec_walks(
     # Edge-existence probe table for the prev -> x test.
     exist = adj.select(F.col("cur").alias("pe"), F.col("nbr").alias("xe"))
 
-    nodes = (
-        edges.select(F.col("cur").alias("node"))
-        .union(edges.select(F.col("nbr").alias("node")))
-        .distinct()
-    )
+    nodes = _start_nodes(edges, starts, max_walks)
     reps = df.sparkSession.range(walks_per_node).select(
         F.col("id").cast("int").alias("rep")
     )
     frontier = nodes.crossJoin(F.broadcast(reps)).select(
         F.concat("node", F.lit("#"), F.col("rep").cast("string")).alias("walk_id"),
-        F.col("rep"),
         F.col("node").alias("prev"),
         F.col("node").alias("cur"),
     )
@@ -396,7 +429,7 @@ def node2vec_walks(
             frontier.alias("f")
             .join(adj.alias("a"), F.col("f.cur") == F.col("a.cur"))
             .select(
-                "f.walk_id", "f.rep", "f.prev", "f.cur", F.col("a.nbr").alias("x")
+                "f.walk_id", "f.prev", "f.cur", F.col("a.nbr").alias("x")
             )
             .join(
                 exist,
@@ -410,22 +443,24 @@ def node2vec_walks(
             .otherwise(F.lit(a_expl))
             .cast("long")
         )
-        cand = cand.select("walk_id", "rep", "prev", "cur", "x", alpha.alias("w"))
+        cand = cand.select("walk_id", "prev", "cur", "x", alpha.alias("w"))
         win = Window.partitionBy("walk_id").orderBy("x")
         wtot = Window.partitionBy("walk_id")
         cum = cand.select(
-            "walk_id", "rep", "prev", "cur", "x", "w",
+            "walk_id", "prev", "cur", "x", "w",
             (F.sum("w").over(win) - F.col("w")).alias("lo"),
             F.sum("w").over(win).alias("hi"),
             F.sum("w").over(wtot).alias("total"),
         )
-        # (prev, cur, rep) ride on every candidate row of the walk (one
-        # frontier row per live walk), so the draw re-derives per row.
+        # (walk_id, prev, cur) ride on every candidate row of the walk
+        # (one frontier row per live walk), so the draw re-derives per
+        # row; walk_id in the key keeps co-located walks independent.
         draw = F.pmod(
             portable_hash64(
                 F.concat(
-                    F.col("prev"), F.lit("|"), F.col("cur"), F.lit("|"),
-                    F.col("rep").cast("string"), F.lit(f"|{step}|{seed}"),
+                    F.col("walk_id"), F.lit("|"),
+                    F.col("prev"), F.lit("|"), F.col("cur"),
+                    F.lit(f"|{step}|{seed}"),
                 ),
                 portable=portable,
             ),
@@ -433,7 +468,7 @@ def node2vec_walks(
         )
         frontier = truncate_lineage(
             cum.where((draw >= F.col("lo")) & (draw < F.col("hi"))).select(
-                "walk_id", "rep", F.col("cur").alias("prev"), F.col("x").alias("cur")
+                "walk_id", F.col("cur").alias("prev"), F.col("x").alias("cur")
             ),
             cache=False,
         )
@@ -463,7 +498,7 @@ def node2vec_walks_sql(
         """, nodes AS (SELECT cur AS node FROM e UNION SELECT nbr FROM e)""",
         f""", reps AS (SELECT unnest(range({walks_per_node})) AS rep)""",
         """, f0 AS (
-  SELECT node || '#' || CAST(rep AS VARCHAR) AS walk_id, rep,
+  SELECT node || '#' || CAST(rep AS VARCHAR) AS walk_id,
          node AS prev, node AS cur
   FROM nodes, reps
 )""",
@@ -471,12 +506,11 @@ def node2vec_walks_sql(
     for step in range(1, walk_length + 1):
         prev_f = f"f{step - 1}"
         h = portable_hash64_sql(
-            f"c.prev || '|' || c.cur || '|' || CAST(c.rep AS VARCHAR) "
-            f"|| '|{step}|{seed}'"
+            f"c.walk_id || '|' || c.prev || '|' || c.cur || '|{step}|{seed}'"
         )
         parts.append(
             f""", cand{step} AS (
-  SELECT f.walk_id, f.rep, f.prev, f.cur, a.nbr AS x,
+  SELECT f.walk_id, f.prev, f.cur, a.nbr AS x,
          CASE WHEN a.nbr = f.prev THEN {a_ret}
               WHEN ex.cur IS NOT NULL THEN {a_stay}
               ELSE {a_expl} END AS w
@@ -492,7 +526,7 @@ def node2vec_walks_sql(
          sum(w) OVER (PARTITION BY walk_id) AS total
   FROM cand{step}
 ), f{step} AS (
-  SELECT c.walk_id, c.rep, c.cur AS prev, c.x AS cur
+  SELECT c.walk_id, c.cur AS prev, c.x AS cur
   FROM cum{step} c
   WHERE ({h} % c.total) >= c.lo AND ({h} % c.total) < c.hi
 )"""

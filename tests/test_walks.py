@@ -227,3 +227,38 @@ def test_node2vec_duckdb_replay_parity(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_starts_restricts_start_set(spark):
+    edges = [(f"n{i}", f"n{(i + d) % 11}") for i in range(11) for d in (1, 3)]
+    df = spark.createDataFrame(edges, ["from", "to"])
+    got = rows(random_walks(df, walk_length=3, starts=["n0", "n5", "nope"]))
+    start_rows = {r[2] for r in got if r[1] == 0}
+    assert start_rows == {"n0", "n5"}  # absent node 'nope' never walks
+    # restricted walks replay the unrestricted walks exactly (same hash key)
+    full = rows(random_walks(df, walk_length=3))
+    assert set(got) == {r for r in full if r[0].split("#")[0] in ("n0", "n5")}
+
+
+def test_max_walks_caps_start_nodes(spark):
+    edges = [(f"n{i}", f"n{(i + 1) % 11}") for i in range(11)]
+    df = spark.createDataFrame(edges, ["from", "to"])
+    got = rows(random_walks(df, walk_length=2, max_walks=3))
+    starts = {r[2] for r in got if r[1] == 0}
+    assert starts == {"n0", "n1", "n10"}  # 3 smallest node names
+
+
+def test_colocated_walks_stay_independent(spark):
+    """Two replicas forced onto the same node at step 1 still branch apart
+    later (walk_id is in the hash key) — the ADVICE coalescing fix."""
+    # b is the only neighbor of a, so a#0 and a#1 meet at b on step 1;
+    # b then has out-degree 4, many steps of branching follow.
+    edges = [("a", "b")] + [
+        (f"m{i}", f"m{(i + d) % 13}") for i in range(13) for d in (1, 2, 5, 7)
+    ] + [("b", "m0"), ("b", "m1"), ("b", "m2"), ("b", "m3")]
+    df = spark.createDataFrame(edges, ["from", "to"])
+    got = rows(random_walks(df, walk_length=6, walks_per_node=2, starts=["a"]))
+    w0 = [r[2] for r in sorted(got) if r[0] == "a#0"]
+    w1 = [r[2] for r in sorted(got) if r[0] == "a#1"]
+    assert w0[:2] == w1[:2] == ["a", "b"]
+    assert w0 != w1  # diverge after meeting despite identical (node, step)
