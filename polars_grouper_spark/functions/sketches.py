@@ -170,9 +170,35 @@ def cms_estimate(
     the min over the sketch's depth rows (a deterministic overestimate of
     the true count).  ``items`` stays a DataFrame — the probe set is
     exploded against the same hashing and joined to the sketch cells on
-    (row, bucket), so querying never collects the sketch."""
+    (row, bucket), so querying never collects the sketch.
+
+    ``width_bits``/``depth`` must repeat the values used in
+    :func:`cms_counts` — a mismatch would silently break CMS's
+    never-underestimate guarantee via the left-join's 0-coalesce, so the
+    probe domain is validated against the sketch first (one 1-row
+    aggregate over the metadata-sized sketch): a sketch whose row ids
+    don't span exactly ``[0, depth)`` or whose buckets overflow
+    ``2^width_bits`` raises instead of underestimating.  (A probe width
+    strictly larger than the build width with all occupied buckets in
+    range is undetectable from the state alone — the depth check catches
+    the common copy-paste mismatch.)"""
     c = F.col(col) if isinstance(col, str) else col
     w = 1 << width_bits
+    meta = sketch.agg(
+        F.max("row").alias("max_row"), F.max("bucket").alias("max_bucket")
+    ).first()
+    if meta["max_row"] is not None:
+        actual_depth = int(meta["max_row"]) + 1
+        if actual_depth != depth:
+            raise ValueError(
+                f"depth mismatch: sketch has {actual_depth} rows, probe "
+                f"asked for depth={depth} — repeat cms_counts' parameters"
+            )
+        if int(meta["max_bucket"]) >= w:
+            raise ValueError(
+                f"width mismatch: sketch has bucket {meta['max_bucket']} "
+                f">= 2^{width_bits} — repeat cms_counts' width_bits"
+            )
     rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row")
     probes = items.select(c.cast("string").alias("item")).distinct().select(
         "item", rows

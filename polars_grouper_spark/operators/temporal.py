@@ -61,7 +61,7 @@ def temporal_reachability(
         df.where(s.isNotNull() & d.isNotNull() & F.col(ts_col).isNotNull())
         .select(s.alias("u"), d.alias("v"), t.alias("t"))
         .groupBy("u", "v")
-        .agg(F.min("t").alias("t_min"), F.collect_list("t").alias("ts"))
+        .agg(F.collect_list("t").alias("ts"))
         .select("u", "v", F.array_sort("ts").alias("ts"))
     )
 

@@ -21,6 +21,8 @@ from pyspark.sql import functions as F
 
 def _scaled(col: Column, lo: float, hi: float, bits: int) -> Column:
     """Map a numeric column into [0, 2^bits) integer cells (clamped)."""
+    if not hi > lo:
+        raise ValueError(f"dimension range must have hi > lo, got [{lo}, {hi}]")
     cells = 1 << bits
     c = col.cast("double")
     raw = F.floor((c - F.lit(lo)) / F.lit(hi - lo) * cells).cast("long")
@@ -59,6 +61,10 @@ def zorder_key_sql(dims: "list[tuple]", bits: int = 12) -> str:
     cells = 1 << bits
     terms = []
     for j, (expr, lo, hi) in enumerate(dims):
+        if not float(hi) > float(lo):
+            raise ValueError(
+                f"dimension range must have hi > lo, got [{lo}, {hi}]"
+            )
         cell = (
             f"greatest(0, least({cells - 1}, "
             f"CAST(floor((CAST({expr} AS DOUBLE) - {float(lo)!r}) "

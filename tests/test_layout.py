@@ -82,3 +82,14 @@ def test_zordered_write_prunes_files(spark, tmp_path):
     x_files = files_touched(xpath, "y >= 10 AND y < 20")
     assert z_files <= 4  # compact z-runs: few files hold the box
     assert x_files >= 12  # x-sorted layout can't prune a y predicate
+
+
+def test_zorder_degenerate_range_raises(spark):
+    import pytest as _pytest
+
+    from polars_grouper_spark.plans.layout import zorder_key, zorder_key_sql
+
+    with _pytest.raises(ValueError, match="hi > lo"):
+        zorder_key([("x", 5.0, 5.0)], bits=4)
+    with _pytest.raises(ValueError, match="hi > lo"):
+        zorder_key_sql([("x", 9.0, 1.0)], bits=4)

@@ -212,3 +212,19 @@ def test_hll_by_group_accuracy_and_parity(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_cms_probe_param_mismatch_raises(spark):
+    """ADVICE fix: probing with the wrong depth/width must fail loudly
+    instead of silently underestimating via the 0-coalesce."""
+    import pytest as _pytest
+
+    from polars_grouper_spark.functions.sketches import cms_counts, cms_estimate
+
+    df = spark.createDataFrame([(f"v{i % 5}",) for i in range(50)], ["v"])
+    probe = spark.createDataFrame([("v0",)], ["v"])
+    sketch = cms_counts(df, "v", width_bits=10, depth=4)
+    with _pytest.raises(ValueError, match="depth mismatch"):
+        cms_estimate(sketch, probe, "v", width_bits=10, depth=8).collect()
+    with _pytest.raises(ValueError, match="width mismatch"):
+        cms_estimate(sketch, probe, "v", width_bits=2, depth=4).collect()
