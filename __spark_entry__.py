@@ -68,11 +68,16 @@ from polars_grouper_spark.functions.chunking import (
     pack_sequences_sql,
 )
 from polars_grouper_spark.functions.sketches import (
+    bloom_bits,
+    bloom_contains,
+    bloom_contains_sql,
     cms_topk_sql,
     hist_quantiles_sql,
     hll_distinct_by_sql,
     hll_distinct_sql,
+    hll_union_distinct,
 )
+from polars_grouper_spark.operators.neighbor_agg import neighbor_agg, neighbor_agg_sql
 from polars_grouper_spark.operators.walks import (
     node2vec_walks_sql,
     random_walks_sql,
@@ -1288,7 +1293,12 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_topk_sql() -> str:
+def _ivf_topk_sql(query_pred: str | None = None) -> str:
+    """IVF oracle; ``query_pred`` restricts the query set (defaults to the
+    bench's first-N filter; pass ``"TRUE"`` for the full-corpus k-NN
+    graph)."""
+    if query_pred is None:
+        query_pred = f"e.vec_id < {_TOPK_QUERIES}"
     assign = """
   SELECT vec_id, cell FROM (
     SELECT e.vec_id, c.cell,
@@ -1327,7 +1337,7 @@ probes AS (
                               ORDER BY sum((e.x - c.v) * (e.x - c.v)) ASC,
                                        c.cell ASC) AS rn
     FROM ex e JOIN c2 c ON c.i = e.i
-    WHERE e.vec_id < {_TOPK_QUERIES}
+    WHERE {query_pred}
     GROUP BY e.vec_id, c.cell
   ) WHERE rn <= {_IVF_PROBE}
 ),
@@ -3238,6 +3248,295 @@ GROUP BY t.tier
 
 
 # ---------------------------------------------------------------------------
+# round-4 additions: corpus hygiene, graph features, summaries
+# ---------------------------------------------------------------------------
+
+_LINE_MIN_COUNT = 2
+_LINE_MIN_CHARS = 5
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-corpus line dedup (``functions.dedup.line_dedup``)
+    on synthesized order 'documents': each order renders as three lines —
+    a unique id line (always kept), a priority line (shared by thousands
+    of orders → dropped corpus-wide), and a customer line (dropped iff
+    the customer has >= 2 orders) — so the query exercises both the drop
+    and keep paths at every sf.  The documents table itself is
+    single-line synthetic text; real multi-line corpora are covered by
+    unit tests."""
+    o = load_table(spark, "orders", sf_dir)
+    docs = o.select(
+        F.col("o_orderkey").alias("doc_id"),
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("order "), F.col("o_orderkey")),
+            F.concat(F.lit("priority "), F.col("o_orderpriority")),
+            F.concat(F.lit("customer "), F.col("o_custkey")),
+        ).alias("text"),
+    )
+    return dd.line_dedup(
+        docs, "doc_id", "text",
+        sep="\n", min_count=_LINE_MIN_COUNT, min_line_chars=_LINE_MIN_CHARS,
+    )
+
+
+def _line_dedup_sql() -> str:
+    table = (
+        "(SELECT o_orderkey AS doc_id, "
+        "'order ' || o_orderkey || chr(10) || "
+        "'priority ' || o_orderpriority || chr(10) || "
+        "'customer ' || o_custkey AS text FROM orders) t"
+    )
+    return dd.line_dedup_sql(
+        table, "doc_id", "text",
+        sep="\n", min_count=_LINE_MIN_COUNT, min_line_chars=_LINE_MIN_CHARS,
+    )
+
+
+_CONTAM_N = 5
+
+
+def _shingles_pred_sql(pred: str, n: int) -> str:
+    """Distinct word-n-gram shingles of a documents subset (DuckDB)."""
+    return f"""
+  SELECT doc_id AS id, unnest(list_distinct(
+    CASE WHEN len(toks) >= {n}
+         THEN list_transform(range(1, len(toks) - {n} + 2),
+                             i -> array_to_string(toks[i : i + {n} - 1], ' '))
+         WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+         ELSE [] END)) AS shingle
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+    FROM documents WHERE {pred}
+  )
+"""
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test n-gram contamination
+    (``functions.dedup.ngram_contamination``): an 80/20 key split of the
+    documents table, word 5-grams, one hash semi-join — the eval-leakage
+    check every LLM data pipeline runs before training."""
+    docs = load_table(spark, "documents", sf_dir)
+    train = docs.where(F.col("doc_id") % 10 < 8)
+    test = docs.where(F.col("doc_id") % 10 >= 8)
+    return dd.ngram_contamination(train, test, "doc_id", "text", n=_CONTAM_N)
+
+
+def _contamination_sql() -> str:
+    h = portable_hash64_sql("shingle")
+    tr = _shingles_pred_sql("doc_id % 10 < 8", _CONTAM_N)
+    te = _shingles_pred_sql("doc_id % 10 >= 8", _CONTAM_N)
+    return f"""
+WITH tr AS (SELECT DISTINCT {h} AS g FROM ({tr})),
+te AS (SELECT id, {h} AS g FROM ({te})),
+tot AS (SELECT id, count(*)::BIGINT AS n_ngrams FROM te GROUP BY id),
+hits AS (SELECT te.id, count(*)::BIGINT AS n_cont FROM te JOIN tr ON tr.g = te.g
+         GROUP BY te.id)
+SELECT t.id, t.n_ngrams,
+       coalesce(h.n_cont, 0)::BIGINT AS n_contaminated,
+       round(coalesce(h.n_cont, 0) / t.n_ngrams, 6) AS contamination_ratio
+FROM tot t LEFT JOIN hits h ON h.id = t.id
+"""
+
+
+def q_closeness_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closeness centrality (Wasserman-Faust disconnected-graph
+    normalization) over the weighted nation cliques — the companion to
+    ``harmonic_nations`` built on the same multi-source relaxation."""
+    from polars_grouper_spark.operators.shortest_path import closeness_centrality
+
+    return closeness_centrality(_nation_edges(spark, sf_dir), "src", "dst", "weight")
+
+
+def _closeness_sql(edges_sql: str, rounds: int = 6) -> str:
+    sp = _shortest_path_sql(edges_sql, rounds)
+    return f"""
+WITH pairs AS ({sp}),
+contrib AS (
+  SELECT src AS node, distance AS dist FROM pairs
+  UNION ALL
+  SELECT dst AS node, distance AS dist FROM pairs
+),
+agg AS (
+  SELECT node, sum(dist) AS sum_d, count(*)::BIGINT AS n_others
+  FROM contrib GROUP BY node
+),
+nn AS (
+  SELECT count(DISTINCT node)::BIGINT AS n FROM (
+    SELECT src AS node FROM ({edges_sql}) UNION SELECT dst FROM ({edges_sql})
+  )
+)
+SELECT a.node,
+       round(CAST(a.n_others * a.n_others AS DOUBLE)
+             / ((nn.n - 1) * a.sum_d), 8) AS closeness,
+       (a.n_others + 1)::BIGINT AS n_reachable
+FROM agg a, nn
+"""
+
+
+def q_neighbor_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GNN-style 2-hop neighbor feature aggregation
+    (``operators.neighbor_agg``) on the undirected supplier-part graph
+    with part retail prices as features: hop 1 gives each supplier the
+    price mass of its parts, hop 2 gives each part the price mass
+    visible through its suppliers — one O(E) join per hop, no path
+    materialization."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    edges = li.select(
+        F.concat(F.lit("S"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("P"), F.col("l_partkey")).alias("dst"),
+    )
+    feats = part.select(
+        F.concat(F.lit("P"), F.col("p_partkey")).alias("node"),
+        F.col("p_retailprice").alias("feat"),
+    )
+    return neighbor_agg(
+        edges, feats, "src", "dst", "node", "feat", hops=2, directed=False
+    )
+
+
+_BLOOM_M_BITS = 16
+_BLOOM_K = 4
+
+
+def q_bloom_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership (``functions.sketches.bloom_bits`` /
+    ``bloom_contains``): build over every part key seen in lineitem,
+    probe a mix of genuine keys (never a false negative) and fabricated
+    ones (false positives at the classic rate).  The filter state is at
+    most 2^16 rows regardless of sf."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    bits = bloom_bits(
+        li.select(F.concat(F.lit("P"), F.col("l_partkey")).alias("p")),
+        "p", m_bits=_BLOOM_M_BITS, k=_BLOOM_K,
+    )
+    sel = part.where(F.col("p_partkey") % 37 == 0)
+    probes = sel.select(
+        F.concat(F.lit("P"), F.col("p_partkey")).alias("item")
+    ).union(sel.select(F.concat(F.lit("X"), F.col("p_partkey")).alias("item")))
+    return bloom_contains(bits, probes, "item", m_bits=_BLOOM_M_BITS, k=_BLOOM_K)
+
+
+def _bloom_parts_sql() -> str:
+    return bloom_contains_sql(
+        "SELECT 'P' || l_partkey AS p FROM lineitem",
+        "p",
+        "SELECT 'P' || p_partkey AS item FROM part WHERE p_partkey % 37 = 0 "
+        "UNION ALL "
+        "SELECT 'X' || p_partkey FROM part WHERE p_partkey % 37 = 0",
+        m_bits=_BLOOM_M_BITS,
+        k=_BLOOM_K,
+    )
+
+
+def q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch MERGE (``functions.sketches.hll_union_distinct``):
+    distinct customers across orders ∪ customer without materializing the
+    union — build one register sketch per side, merge by per-bucket max,
+    estimate once.  The estimate is bit-identical to running HLL over the
+    concatenated inputs (register max is associative)."""
+    o = load_table(spark, "orders", sf_dir).select(F.col("o_custkey").alias("k"))
+    c = load_table(spark, "customer", sf_dir).select(F.col("c_custkey").alias("k"))
+    return hll_union_distinct([(o, "k"), (c, "k")], b=12)
+
+
+_MIX_BUDGETS = {"en": 30000.0, "zh": 15000.0, "de": 25000.0}
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix sampling to per-group token budgets
+    (``functions.sampling.token_budget_mix``): en and zh are downsampled
+    to their budgets, de is under budget and passes through whole, fr/es
+    default to 0 and drop — the data-mixing step of LLM corpus prep,
+    as a deterministic row-local hash decision."""
+    docs = load_table(spark, "documents", sf_dir)
+    kept = smp.token_budget_mix(
+        docs, _MIX_BUDGETS, "lang", "n_chars", "doc_id", salt="mix"
+    )
+    return kept.select("doc_id", "lang", "n_chars")
+
+
+def _domain_mix_sql() -> str:
+    pred = smp.token_budget_mix_sql(
+        _MIX_BUDGETS, "lang", "n_chars", "doc_id", salt="mix"
+    )
+    return f"""
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         sum(n_chars) OVER (PARTITION BY lang) AS _tok_total
+  FROM documents
+) WHERE {pred}
+"""
+
+
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric k-NN graph over the whole embeddings table (every vector
+    is a query) via the same IVF machinery as ``ivf_topk`` — the
+    candidate set per vector is its n_probe cells, never the corpus.
+    This is the edge-list input to embedding-space near-dup clustering
+    and graph-based label propagation."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = sim.ivf_topk(emb, emb, k=_TOPK_K, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
+_JOURNEY_STEPS = 5
+_JOURNEY_TOPN = 20
+
+
+def q_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: each user's first 5 event types (by time,
+    event_id tie-break) joined into a path string, counted, top-20 —
+    the classic product-analytics path query.  One window + two
+    aggregations, all map-side-combinable."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first_n = ev.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= _JOURNEY_STEPS
+    )
+    j = first_n.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("journey")
+    )
+    return (
+        j.groupBy("journey")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "journey")
+        .limit(_JOURNEY_TOPN)
+    )
+
+
+_USER_JOURNEYS_SQL = f"""
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+j AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS journey
+  FROM r WHERE rn <= {_JOURNEY_STEPS} GROUP BY user_id
+)
+SELECT journey, count(*)::BIGINT AS n_users
+FROM j GROUP BY journey
+ORDER BY n_users DESC, journey LIMIT {_JOURNEY_TOPN}
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -3308,6 +3607,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "price_quantiles": q_price_quantiles,
         "events_pivot": q_events_pivot,
+        # --- new in round 4 (inside the window, no driver row yet) ---
+        "line_dedup_orders": q_line_dedup,
+        "contamination_docs": q_contamination,
+        "closeness_nations": q_closeness_nations,
+        "neighbor_agg_sp": q_neighbor_agg,
+        "bloom_parts": q_bloom_parts,
+        "hll_union_custkeys": q_hll_union,
+        "domain_mix_docs": q_domain_mix,
+        "knn_graph": q_knn_graph,
+        "user_journeys": q_user_journeys,
         # --- driver-verified in CORRECTNESS_r03 (all green) ---
         "cc_components": q_cc_components,
         "cc_component_sizes": q_cc_component_sizes,
@@ -3498,4 +3807,23 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup": _EVENTS_ROLLUP_SQL,
         "price_quantiles": _PRICE_QUANTILES_SQL,
         "events_pivot": _EVENTS_PIVOT_SQL,
+        "line_dedup_orders": _line_dedup_sql(),
+        "contamination_docs": _contamination_sql(),
+        "closeness_nations": _closeness_sql(_NATION_EDGE_SQL),
+        "neighbor_agg_sp": neighbor_agg_sql(
+            "SELECT 'S' || l_suppkey AS src, 'P' || l_partkey AS dst FROM lineitem",
+            "SELECT 'P' || p_partkey AS id, p_retailprice AS feat FROM part",
+            hops=2,
+            directed=False,
+        ),
+        "bloom_parts": _bloom_parts_sql(),
+        "hll_union_custkeys": hll_distinct_sql(
+            "SELECT o_custkey AS k FROM orders "
+            "UNION ALL SELECT c_custkey FROM customer",
+            "k",
+            12,
+        ),
+        "domain_mix_docs": _domain_mix_sql(),
+        "knn_graph": _ivf_topk_sql("TRUE"),
+        "user_journeys": _USER_JOURNEYS_SQL,
     }

@@ -358,3 +358,154 @@ def simhash_pairs(
         "id_b",
         F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("int").alias("hamming"),
     ).where(F.col("hamming") <= max_hamming)
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    sep: str = "\n",
+    min_count: int = 2,
+    min_line_chars: int = 8,
+) -> DataFrame:
+    """CCNet-style cross-corpus line deduplication ->
+    ``(id, clean_text, n_lines, n_dropped)``.
+
+    Boilerplate (headers, nav bars, cookie banners) repeats verbatim
+    across crawled documents; dropping every line that occurs in at
+    least ``min_count`` distinct documents removes it corpus-wide (CCNet
+    — Wenzek et al. 2020, §4.1 "deduplicating paragraphs").  Lines split
+    on ``sep``, compare trimmed, and only lines of at least
+    ``min_line_chars`` characters participate (short lines are kept
+    as-is — they are too generic to count).  Surviving lines rejoin in
+    their original order; a document whose every line is boilerplate
+    comes back with ``clean_text = ''``.
+
+    Plan: one posexplode scan, one map-side-combinable distinct-doc
+    count over trimmed lines, one anti-join back, one per-doc
+    re-assembly aggregation — every shuffle equality-keyed on the line
+    or the doc id, nothing driver-sized.
+    """
+    import re as _re
+
+    # Spark's split() takes a regex while DuckDB's string_split is literal
+    # — escape so both engines split on the literal separator.
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep), -1)).alias(
+            "pos", "line"
+        ),
+    ).withColumn("norm", F.trim("line"))
+    dup = (
+        lines.where(F.length("norm") >= min_line_chars)
+        .groupBy("norm")
+        .agg(F.count_distinct("id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_count)
+        .select("norm")
+    )
+    kept = lines.join(dup, "norm", "left_anti")
+    reassembled = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = lines.groupBy("id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        totals.join(reassembled, "id", "left")
+        .select(
+            "id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
+        )
+    )
+
+
+def line_dedup_sql(
+    table: str = "documents",
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    *,
+    sep: str = "\n",
+    min_count: int = 2,
+    min_line_chars: int = 8,
+) -> str:
+    """DuckDB oracle replaying :func:`line_dedup` (parallel unnests zip)."""
+    sep_sql = sep.replace("'", "''")
+    return f"""
+WITH lines AS (
+  SELECT {id_expr} AS id,
+         unnest(range(len(string_split({text_expr}, '{sep_sql}')))) AS pos,
+         unnest(string_split({text_expr}, '{sep_sql}')) AS line
+  FROM {table}
+),
+dup AS (
+  SELECT trim(line) AS norm
+  FROM lines WHERE length(trim(line)) >= {min_line_chars}
+  GROUP BY 1 HAVING count(DISTINCT id) >= {min_count}
+),
+kept AS (
+  SELECT l.id, l.pos, l.line
+  FROM lines l LEFT JOIN dup d ON trim(l.line) = d.norm
+  WHERE d.norm IS NULL
+),
+re AS (
+  SELECT id, string_agg(line, '{sep_sql}' ORDER BY pos) AS clean_text,
+         count(*)::BIGINT AS n_kept
+  FROM kept GROUP BY id
+),
+tot AS (SELECT id, count(*)::BIGINT AS n_lines FROM lines GROUP BY id)
+SELECT t.id, coalesce(r.clean_text, '') AS clean_text, t.n_lines,
+       (t.n_lines - coalesce(r.n_kept, 0))::BIGINT AS n_dropped
+FROM tot t LEFT JOIN re r ON r.id = t.id
+"""
+
+
+def ngram_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 8,
+    portable: bool = True,
+) -> DataFrame:
+    """Train/test n-gram contamination check ->
+    ``(id, n_ngrams, n_contaminated, contamination_ratio)`` per TEST doc.
+
+    Benchmark leakage detection (GPT-3 appendix C; PaLM/Llama eval
+    decontamination): a test document is contaminated to the extent its
+    word ``n``-grams also occur anywhere in the training corpus.  Both
+    sides shingle with the same zip-with builder as the Jaccard dedup,
+    reduce each distinct shingle to its portable 60-bit hash, and meet in
+    ONE equality join on the hash — the train side is a distinct hash set
+    (never the documents themselves), so at 100 TB this is a
+    hash-partitioned semi-join, not a text comparison.  Ratios round to
+    6 decimals.
+    """
+    tr = (
+        _shingle_table(train, id_col, text_col, n)
+        .select(portable_hash64("shingle", portable=portable).alias("g"))
+        .distinct()
+    )
+    te = _shingle_table(test, id_col, text_col, n).select(
+        "id", portable_hash64("shingle", portable=portable).alias("g")
+    )
+    hits = te.join(tr, "g", "semi").groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_contaminated")
+    )
+    totals = te.groupBy("id").agg(F.count(F.lit(1)).alias("n_ngrams"))
+    return totals.join(hits, "id", "left").select(
+        "id",
+        "n_ngrams",
+        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        F.round(
+            F.coalesce("n_contaminated", F.lit(0)) / F.col("n_ngrams"), 6
+        ).alias("contamination_ratio"),
+    )

@@ -119,3 +119,74 @@ def stratified_sample_sql(
         case += f" WHEN {strata_expr} = '{stratum}' THEN {f_!r}"
     case += f" ELSE {default_fraction!r} END"
     return f"CAST({_bucket_sql(id_expr, salt)} AS DOUBLE) < ({case}) * {N_BUCKETS}"
+
+
+def token_budget_mix(
+    df: DataFrame,
+    budgets: "dict[str, float]",
+    group_col: str,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    *,
+    default_budget: float = 0.0,
+    portable: bool = True,
+) -> DataFrame:
+    """Domain/language mixing to a per-group token budget — the sampling
+    step of LLM data curation (The Pile / Llama data mixes): group ``g``
+    is deterministically downsampled by ``min(1, budget_g / tokens_g)``
+    so its expected kept-token mass meets the budget; groups already
+    under budget pass through whole.  Unlisted groups get
+    ``default_budget`` (0.0 = dropped).
+
+    Two scans, zero data-sized state: one map-side-combinable sum of
+    ``weight_col`` per group (the fraction inputs), then the row-local
+    salted-hash Bernoulli keep — the fraction arrives by broadcast join
+    of the tiny per-group frame, and the keep decision is the same
+    IEEE-exact ``bucket < frac * N_BUCKETS`` double compare as
+    :func:`stratified_sample` (sum and division are exactly rounded in
+    both engines; no libm).  Re-rolls with the salt; stable across runs,
+    partitionings, and engines.
+    """
+    tot = df.groupBy(group_col).agg(
+        F.sum(F.col(weight_col).cast("long")).alias("_tok_total")
+    )
+    budget = None
+    for g, bdg in budgets.items():
+        cond = F.col(group_col) == F.lit(g)
+        budget = (
+            F.when(cond, F.lit(float(bdg)))
+            if budget is None
+            else budget.when(cond, F.lit(float(bdg)))
+        )
+    budget = (
+        F.lit(float(default_budget))
+        if budget is None
+        else budget.otherwise(F.lit(float(default_budget)))
+    )
+    frac = F.least(F.lit(1.0), budget / F.col("_tok_total").cast("double"))
+    b = _bucket(id_col, salt, portable=portable)
+    return (
+        df.join(F.broadcast(tot), group_col)
+        .where(b.cast("double") < frac * N_BUCKETS)
+        .drop("_tok_total")
+    )
+
+
+def token_budget_mix_sql(
+    budgets: "dict[str, float]",
+    group_expr: str,
+    weight_expr: str,
+    id_expr: str,
+    salt: str = "mix",
+    default_budget: float = 0.0,
+) -> str:
+    """DuckDB WHERE-clause fragment replicating :func:`token_budget_mix`
+    (use with a window sum: ``sum(weight) OVER (PARTITION BY group)``
+    aliased as the total, or a joined totals CTE named ``_tok_total``)."""
+    case = "CASE"
+    for g, bdg in budgets.items():
+        case += f" WHEN {group_expr} = '{g}' THEN {float(bdg)!r}"
+    case += f" ELSE {float(default_budget)!r} END"
+    frac = f"least(1.0, ({case}) / CAST(_tok_total AS DOUBLE))"
+    return f"CAST({_bucket_sql(id_expr, salt)} AS DOUBLE) < ({frac}) * {N_BUCKETS}"

@@ -64,14 +64,13 @@ def hll_registers(
     )
 
 
-def hll_distinct(
-    df: DataFrame, col: Column | str, b: int = 12, *, portable: bool = True
-) -> DataFrame:
-    """HyperLogLog distinct-count estimate -> one row ``(estimate double)``
-    (rounded to 4 decimals; relative error ~ 1.04/sqrt(2^b), ~1.6% at
-    the default b=12)."""
+def hll_estimate(regs: DataFrame, b: int = 12) -> DataFrame:
+    """Estimate from a register frame ``(bucket, max_rho)`` -> one row
+    ``(estimate double)``.  Registers MERGE by
+    ``groupBy(bucket).max(max_rho)`` first — this is the read side of the
+    mergeable-sketch contract (build once per partition/day/source, merge
+    states, estimate at the end — the 100 TB summary pattern)."""
     m = 1 << b
-    regs = hll_registers(df, col, b, portable=portable)
     agg = regs.agg(
         F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("s"),
         F.count(F.lit(1)).alias("nonempty"),
@@ -81,6 +80,37 @@ def hll_distinct(
     lc = -F.lit(float(m)) * F.log(empty / F.lit(float(m)))  # m * ln(m/V)
     est = F.when((raw <= F.lit(2.5 * m)) & (empty > 0), lc).otherwise(raw)
     return agg.select(F.round(est, 4).alias("estimate"))
+
+
+def hll_distinct(
+    df: DataFrame, col: Column | str, b: int = 12, *, portable: bool = True
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate -> one row ``(estimate double)``
+    (rounded to 4 decimals; relative error ~ 1.04/sqrt(2^b), ~1.6% at
+    the default b=12)."""
+    return hll_estimate(hll_registers(df, col, b, portable=portable), b)
+
+
+def hll_union_distinct(
+    frames: "list[tuple[DataFrame, Column | str]]",
+    b: int = 12,
+    *,
+    portable: bool = True,
+) -> DataFrame:
+    """Distinct count of the UNION of several columns without ever
+    materializing the union: build one register sketch per input, merge
+    by per-bucket max, estimate once -> one row ``(estimate double)``.
+    |A ∪ B| via sketch merge is exact HLL semantics (registers are
+    max-combinable), so the estimate equals ``hll_distinct`` over the
+    concatenated inputs bit for bit."""
+    if not frames:
+        raise ValueError("hll_union_distinct needs at least one (df, col)")
+    merged = None
+    for df, col in frames:
+        regs = hll_registers(df, col, b, portable=portable)
+        merged = regs if merged is None else merged.unionAll(regs)
+    merged = merged.groupBy("bucket").agg(F.max("max_rho").alias("max_rho"))
+    return hll_estimate(merged, b)
 
 
 def hll_distinct_sql(
@@ -431,4 +461,112 @@ SELECT key, round(
        ELSE {_alpha(m) * m * m!r} / (s + ({m} - nonempty)) END,
   4) AS estimate
 FROM agg
+"""
+
+
+def bloom_bits(
+    df: DataFrame,
+    col: Column | str,
+    *,
+    m_bits: int = 18,
+    k: int = 4,
+    portable: bool = True,
+) -> DataFrame:
+    """Bloom filter state (Bloom 1970) -> ``(pos int)`` — the DISTINCT set
+    positions of a ``2^m_bits``-bit filter with ``k`` hash functions
+    (position ``i`` of value ``v`` is ``hash(i || '|' || v) mod 2^m_bits``
+    through the portable hash).  Mergeable by plain union+distinct (bit
+    OR); one map-side-combinable aggregation to build.  The row-per-set-bit
+    representation keeps the state queryable by equality join — at the
+    default 2^18 bits that is at most 262 144 rows regardless of input
+    size, the fixed-state summary contract."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 4 <= m_bits <= 30:
+        raise ValueError(f"m_bits must be in [4, 30], got {m_bits}")
+    c = F.col(col) if isinstance(col, str) else col
+    m = 1 << m_bits
+    hashes = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("i")
+    keyed = df.where(c.isNotNull()).select(c.cast("string").alias("v"), hashes)
+    h = portable_hash64(
+        F.concat(F.col("i").cast("string"), F.lit("|"), F.col("v")),
+        portable=portable,
+    )
+    return keyed.select(F.pmod(h, F.lit(m)).cast("int").alias("pos")).distinct()
+
+
+def bloom_contains(
+    bits: DataFrame,
+    items: DataFrame,
+    col: Column | str,
+    *,
+    m_bits: int = 18,
+    k: int = 4,
+    portable: bool = True,
+) -> DataFrame:
+    """Probe a Bloom filter -> ``(item, maybe_present)``: true iff ALL
+    ``k`` positions of the item are set (never a false negative; false
+    positives at the classic ``(1 - e^{-kn/m})^k`` rate).  The probe set
+    explodes to its k positions and equality-joins the bit rows — the
+    filter is never collected.  ``m_bits``/``k`` must repeat the build
+    parameters; a probe whose positions overflow the filter's bit space
+    raises (same validation contract as :func:`cms_estimate`)."""
+    meta = bits.agg(F.max("pos").alias("max_pos")).first()
+    m = 1 << m_bits
+    if meta["max_pos"] is not None and int(meta["max_pos"]) >= m:
+        raise ValueError(
+            f"width mismatch: filter has bit {meta['max_pos']} >= 2^{m_bits}"
+            " — repeat bloom_bits' m_bits"
+        )
+    c = F.col(col) if isinstance(col, str) else col
+    hashes = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("i")
+    probes = items.select(c.cast("string").alias("item")).distinct().select(
+        "item", hashes
+    )
+    h = portable_hash64(
+        F.concat(F.col("i").cast("string"), F.lit("|"), F.col("item")),
+        portable=portable,
+    )
+    probes = probes.select("item", F.pmod(h, F.lit(m)).cast("int").alias("pos"))
+    hit = bits.withColumn("_set", F.lit(1))
+    return (
+        probes.join(hit, "pos", "left")
+        .groupBy("item")
+        .agg((F.count("_set") == k).alias("maybe_present"))
+    )
+
+
+def bloom_contains_sql(
+    table_sql: str,
+    expr: str,
+    probe_sql: str,
+    *,
+    m_bits: int = 18,
+    k: int = 4,
+) -> str:
+    """DuckDB oracle: build the identical filter over ``table_sql`` and
+    probe the items from ``probe_sql`` (column ``item``)."""
+    from .hashing import portable_hash64_sql
+
+    m = 1 << m_bits
+    h_build = portable_hash64_sql(
+        f"CAST(r.i AS VARCHAR) || '|' || CAST({expr} AS VARCHAR)"
+    )
+    h_probe = portable_hash64_sql("CAST(r.i AS VARCHAR) || '|' || p.item")
+    return f"""
+WITH src AS ({table_sql}),
+hashes AS (SELECT unnest(range({k})) AS i),
+bits AS (
+  SELECT DISTINCT CAST({h_build} % {m} AS INT) AS pos
+  FROM src, hashes r
+  WHERE {expr} IS NOT NULL
+),
+probe AS (SELECT DISTINCT CAST(item AS VARCHAR) AS item FROM ({probe_sql})),
+probed AS (
+  SELECT p.item, CAST({h_probe} % {m} AS INT) AS pos
+  FROM probe p, hashes r
+)
+SELECT pb.item, (count(b.pos) = {k}) AS maybe_present
+FROM probed pb LEFT JOIN bits b ON b.pos = pb.pos
+GROUP BY pb.item
 """

@@ -193,3 +193,48 @@ def harmonic_centrality(
         pairs.select(F.col("to").alias("node"), (F.lit(1.0) / F.col("distance")).alias("c"))
     )
     return contrib.groupBy("node").agg(F.round(F.sum("c"), 8).alias("centrality"))
+
+
+def closeness_centrality(df: DataFrame,
+                         from_col: str = "from",
+                         to_col: str = "to",
+                         weight_col: str = "weight") -> DataFrame:
+    """Closeness centrality (Bavelas 1950 normalization à la Wasserman &
+    Faust): ``CC(v) = (r_v - 1)² / ((N - 1) · Σ_u d(v, u))`` where ``r_v``
+    counts the nodes reachable from ``v`` (itself included) and ``N`` is
+    the whole node set — the standard disconnected-graph correction
+    (a node reaching a small component cheaply must not out-score one
+    central to a big component).  Returns ``(node, closeness, n_reachable)``
+    with closeness rounded to 8, over undirected weighted shortest paths.
+
+    Unlike :func:`harmonic_centrality`, truncating the distance ball is
+    NOT principled here (far pairs dominate the sum), so there is no
+    ``max_distance`` lever — bound the graph, not the ball.
+    """
+    pairs = calculate_shortest_path(
+        df, from_col, to_col, weight_col, directed=False
+    )
+    s = F.col(from_col).cast("string")
+    d = F.col(to_col).cast("string")
+    nodes = (
+        df.where(s.isNotNull() & d.isNotNull())
+        .select(s.alias("node"))
+        .union(df.where(s.isNotNull() & d.isNotNull()).select(d.alias("node")))
+        .distinct()
+    )
+    n_total = nodes.count()  # one scalar; the node set is never collected
+    contrib = pairs.select(
+        F.col("from").alias("node"), F.col("distance").alias("dist")
+    ).unionAll(pairs.select(F.col("to").alias("node"), F.col("distance").alias("dist")))
+    agg = contrib.groupBy("node").agg(
+        F.sum("dist").alias("sum_d"), F.count(F.lit(1)).alias("n_others")
+    )
+    r = F.col("n_others") + 1  # reachable set includes the node itself
+    cc = ((r - 1) * (r - 1)).cast("double") / (
+        F.lit(float(n_total - 1)) * F.col("sum_d")
+    )
+    return agg.select(
+        "node",
+        F.round(cc, 8).alias("closeness"),
+        r.cast("long").alias("n_reachable"),
+    )

@@ -84,3 +84,104 @@ FROM bits GROUP BY doc_id
     )
     for k, v in duck.items():
         assert got[k] == v, (k, got[k], v)
+
+
+# ---------------------------------------------------------------------------
+# line_dedup (CCNet-style cross-corpus line removal)
+# ---------------------------------------------------------------------------
+
+def test_line_dedup_drops_boilerplate_keeps_order(spark):
+    from polars_grouper_spark.functions.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "COOKIE BANNER XX\nunique alpha content\nCOOKIE BANNER XX"),
+            (2, "COOKIE BANNER XX\nunique beta content"),
+            (3, "totally original document"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["id"]: r for r in line_dedup(docs, min_count=2).collect()}
+    # the banner occurs in 2 distinct docs -> dropped everywhere (both copies in doc 1)
+    assert got[1]["clean_text"] == "unique alpha content"
+    assert (got[1]["n_lines"], got[1]["n_dropped"]) == (3, 2)
+    assert got[2]["clean_text"] == "unique beta content"
+    assert got[3]["clean_text"] == "totally original document"
+    assert got[3]["n_dropped"] == 0
+
+
+def test_line_dedup_all_boilerplate_doc_survives_empty(spark):
+    from polars_grouper_spark.functions.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "SAME LINE HERE"), (2, "SAME LINE HERE")], ["doc_id", "text"]
+    )
+    got = {r["id"]: r for r in line_dedup(docs, min_count=2).collect()}
+    assert got[1]["clean_text"] == "" and got[1]["n_dropped"] == 1
+    assert got[2]["clean_text"] == "" and got[2]["n_dropped"] == 1
+
+
+def test_line_dedup_short_lines_never_counted(spark):
+    from polars_grouper_spark.functions.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "ok\nlong duplicated line"), (2, "ok\nlong duplicated line x")],
+        ["doc_id", "text"],
+    )
+    got = {r["id"]: r for r in line_dedup(docs, min_count=2, min_line_chars=3).collect()}
+    # 'ok' is below min_line_chars -> kept even though it repeats
+    assert got[1]["clean_text"].startswith("ok")
+    assert got[1]["n_dropped"] == 0  # the long lines differ
+
+
+def test_line_dedup_duckdb_parity(spark):
+    import duckdb
+
+    from polars_grouper_spark.functions.dedup import line_dedup, line_dedup_sql
+
+    data = [
+        (i, "\n".join([f"id line {i}", "shared header line", f"tail {i % 3}"]))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(data, ["doc_id", "text"])
+    got = sorted(tuple(r) for r in line_dedup(df, min_count=2, min_line_chars=5).collect())
+    vals = ",".join("(%d, '%s')" % (i, t.replace("'", "''").replace("\n", "' || chr(10) || '")) for i, t in data)
+    sql = line_dedup_sql(
+        f"(SELECT * FROM (VALUES {vals}) v(doc_id, text)) t",
+        "doc_id", "text", min_count=2, min_line_chars=5,
+    )
+    want = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# ngram_contamination (train/test leakage check)
+# ---------------------------------------------------------------------------
+
+def test_contamination_planted_overlap(spark):
+    from polars_grouper_spark.functions.dedup import ngram_contamination
+
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    test = spark.createDataFrame(
+        [
+            (10, "quick brown fox jumps completely novel words here"),
+            (11, "entirely disjoint vocabulary nothing shared at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["id"]: r for r in ngram_contamination(train, test, n=3).collect()}
+    # doc 10: 6 trigrams, 2 of them ('quick brown fox', 'brown fox jumps') in train
+    assert got[10]["n_ngrams"] == 6 and got[10]["n_contaminated"] == 2
+    assert abs(got[10]["contamination_ratio"] - round(2 / 6, 6)) < 1e-9
+    assert got[11]["n_contaminated"] == 0 and got[11]["contamination_ratio"] == 0.0
+
+
+def test_contamination_short_doc_whole_text_shingle(spark):
+    from polars_grouper_spark.functions.dedup import ngram_contamination
+
+    train = spark.createDataFrame([(1, "tiny doc")], ["doc_id", "text"])
+    test = spark.createDataFrame([(2, "tiny doc")], ["doc_id", "text"])
+    got = ngram_contamination(train, test, n=5).collect()[0]
+    assert got["n_ngrams"] == 1 and got["n_contaminated"] == 1

@@ -1,0 +1,46 @@
+"""Entry-registry invariants: every query has an oracle, counts can't
+drift between the registry, README, and SCALE.md (VERDICT r3 task #8)."""
+
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+
+
+def test_every_query_has_an_oracle():
+    qs = entry_mod.queries()
+    os_ = entry_mod.oracle_sql()
+    missing = sorted(set(qs) - set(os_))
+    assert missing == [], f"queries without oracle_sql: {missing}"
+    orphans = sorted(set(os_) - set(qs))
+    assert orphans == [], f"oracle_sql without queries entry: {orphans}"
+
+
+def test_readme_query_count_matches_registry():
+    n = len(entry_mod.queries())
+    readme = (REPO / "README.md").read_text()
+    m = re.search(r"`entry`, (\d+) `queries\(\)`, (\d+)\s+DuckDB", readme)
+    assert m, "README no longer states the registry counts"
+    assert int(m.group(1)) == n and int(m.group(2)) == n, (
+        f"README says {m.group(1)}/{m.group(2)} but the registry holds {n}"
+    )
+
+
+def test_driver_window_holds_the_unverified_queries_first():
+    """The driver's correctness gate covers the first ~50 entries; every
+    query WITHOUT a green driver row from r03 must sit inside that
+    window (VERDICT r3 task #1)."""
+    import json
+
+    r03 = REPO / "CORRECTNESS_r03.json"
+    verified = set(json.loads(r03.read_text())) if r03.exists() else set()
+    order = list(entry_mod.queries())
+    window, rest = order[:50], order[50:]
+    stale = [q for q in rest if q not in verified]
+    assert stale == [], (
+        f"queries with no driver correctness row outside the 50-entry window: {stale}"
+    )

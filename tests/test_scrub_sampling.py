@@ -172,3 +172,34 @@ def test_repetition_single_scan(spark):
     # one "(n) Scan ..." detail header per physical scan node
     assert plan.count(") Scan ") == 1
     assert "Join" not in plan
+
+
+def test_token_budget_mix_under_budget_group_passes_whole(spark):
+    from polars_grouper_spark.functions.sampling import token_budget_mix
+
+    rows = [(i, "small", 10) for i in range(20)] + [
+        (100 + i, "big", 100) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "n_tok"])
+    kept = token_budget_mix(
+        df, {"small": 1000.0, "big": 2000.0}, "lang", "n_tok"
+    )
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_lang["small"] == 20  # budget 1000 >= total 200 -> keep all
+    # big: total 10000, budget 2000 -> ~20% kept (hash Bernoulli, wide slack)
+    assert 5 <= by_lang.get("big", 0) <= 40
+
+
+def test_token_budget_mix_unlisted_group_dropped_and_deterministic(spark):
+    from polars_grouper_spark.functions.sampling import token_budget_mix
+
+    rows = [(i, ["en", "fr"][i % 2], 50) for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "n_tok"])
+    a = sorted(r["doc_id"] for r in token_budget_mix(df, {"en": 500.0}, "lang", "n_tok").collect())
+    b = sorted(r["doc_id"] for r in token_budget_mix(df, {"en": 500.0}, "lang", "n_tok").collect())
+    assert a == b  # pure hash decision, stable across runs
+    langs = {r["lang"] for r in token_budget_mix(df, {"en": 500.0}, "lang", "n_tok").collect()}
+    assert langs <= {"en"}  # fr has default budget 0 -> dropped

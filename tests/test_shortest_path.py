@@ -153,3 +153,32 @@ def test_harmonic_max_distance_truncates(spark):
     }
     # the a-c pair (distance 2) is truncated away
     assert got == {"a": 1.0, "b": 2.0, "c": 1.0}
+
+
+def test_closeness_path_graph_hand_computed(spark):
+    """Path a-b-c (unit weights): classic closeness values, full reach."""
+    from polars_grouper_spark.operators.shortest_path import closeness_centrality
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0)], ["from", "to", "weight"]
+    )
+    got = {r["node"]: r for r in closeness_centrality(edges).collect()}
+    # b: sum_d = 2, r-1 = 2, N-1 = 2 -> 4 / (2*2) = 1.0
+    assert got["b"]["closeness"] == 1.0 and got["b"]["n_reachable"] == 3
+    # a: sum_d = 1+2 = 3 -> 4 / (2*3)
+    assert abs(got["a"]["closeness"] - round(4 / 6, 8)) < 1e-9
+    assert got["a"]["closeness"] == got["c"]["closeness"]
+
+
+def test_closeness_disconnected_penalizes_small_component(spark):
+    """Wasserman-Faust: a node central to a 2-clique must not out-score
+    the center of a 4-path just because its sums are tiny."""
+    from polars_grouper_spark.operators.shortest_path import closeness_centrality
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("c", "d", 1.0), ("x", "y", 1.0)],
+        ["from", "to", "weight"],
+    )
+    got = {r["node"]: r for r in closeness_centrality(edges).collect()}
+    assert got["x"]["n_reachable"] == 2
+    assert got["b"]["closeness"] > got["x"]["closeness"]

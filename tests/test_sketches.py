@@ -228,3 +228,41 @@ def test_cms_probe_param_mismatch_raises(spark):
         cms_estimate(sketch, probe, "v", width_bits=10, depth=8).collect()
     with _pytest.raises(ValueError, match="width mismatch"):
         cms_estimate(sketch, probe, "v", width_bits=2, depth=4).collect()
+
+
+def test_bloom_never_false_negative_and_rejects_mismatch(spark):
+    import pytest as _pytest
+
+    from polars_grouper_spark.functions.sketches import bloom_bits, bloom_contains
+
+    vals = spark.createDataFrame([(f"v{i}",) for i in range(200)], ["v"])
+    bits = bloom_bits(vals, "v", m_bits=12, k=3)
+    present = spark.createDataFrame([(f"v{i}",) for i in range(0, 200, 7)], ["v"])
+    got = bloom_contains(bits, present, "v", m_bits=12, k=3).collect()
+    assert all(r["maybe_present"] for r in got)  # no false negatives, ever
+    with _pytest.raises(ValueError, match="width mismatch"):
+        bloom_contains(bits, present, "v", m_bits=8, k=3).collect()
+
+
+def test_bloom_absent_items_mostly_rejected(spark):
+    from polars_grouper_spark.functions.sketches import bloom_bits, bloom_contains
+
+    vals = spark.createDataFrame([(f"v{i}",) for i in range(100)], ["v"])
+    bits = bloom_bits(vals, "v", m_bits=16, k=4)  # sparse filter -> tiny FP rate
+    absent = spark.createDataFrame([(f"nope{i}",) for i in range(50)], ["v"])
+    got = bloom_contains(bits, absent, "v", m_bits=16, k=4).collect()
+    fp = sum(1 for r in got if r["maybe_present"])
+    assert fp <= 2  # (kn/m)^k ~ 4e-9 here; allow huge slack
+
+
+def test_hll_union_equals_distinct_over_concat(spark):
+    from polars_grouper_spark.functions.sketches import (
+        hll_distinct,
+        hll_union_distinct,
+    )
+
+    a = spark.createDataFrame([(i % 40,) for i in range(200)], ["k"])
+    b = spark.createDataFrame([(i % 55 + 20,) for i in range(200)], ["k"])
+    merged = hll_union_distinct([(a, "k"), (b, "k")], b=10).collect()[0]["estimate"]
+    direct = hll_distinct(a.unionAll(b), "k", b=10).collect()[0]["estimate"]
+    assert merged == direct  # register max is associative: bit-identical
