@@ -30,6 +30,16 @@ def test_readme_query_count_matches_registry():
     )
 
 
+def test_scale_md_count_matches_registry():
+    n = len(entry_mod.oracle_sql())
+    scale = (REPO / "SCALE.md").read_text()
+    m = re.search(r"\*\*(\d+) fully-oracle-checked queries\*\*", scale)
+    assert m, "SCALE.md no longer states the oracle-checked query count"
+    assert int(m.group(1)) == n, (
+        f"SCALE.md says {m.group(1)} but oracle_sql() holds {n}"
+    )
+
+
 def test_driver_window_holds_the_unverified_queries_first():
     """The driver's correctness gate covers the first ~50 entries; every
     query WITHOUT a green driver row from r03 must sit inside that

@@ -197,3 +197,198 @@ def test_max_distance_equals_posthoc_filter(spark, wedges, cutoff):
     }
     q = int(cutoff * 1000.0) / 1000.0
     assert cut == {k: v for k, v in full.items() if v <= q}
+
+
+# ---------------------------------------------------------------------------
+# round-3/4 operators vs their exactly-replayable DuckDB oracles
+# (VERDICT r3 task #5: the _sql builders ARE the spec — fuzz against them)
+# ---------------------------------------------------------------------------
+
+def _vals_sql(edges):
+    return "SELECT * FROM (VALUES {}) t(src, dst)".format(
+        ",".join(f"('{a}','{b}')" for a, b in edges)
+    )
+
+
+def _r9(row):
+    return tuple(round(v, 9) if isinstance(v, float) else v for v in row)
+
+
+@_SETTINGS
+@given(EDGES)
+def test_scc_matches_transitive_closure_oracle(spark, edges):
+    import duckdb
+
+    from polars_grouper_spark.operators.scc import (
+        strongly_connected_components,
+        strongly_connected_components_sql,
+    )
+
+    e = [(str(a), str(b)) for a, b in edges if a != b]
+    if not e:
+        return
+    df = spark.createDataFrame(e, ["from", "to"])
+    got = sorted(tuple(r) for r in strongly_connected_components(df).collect())
+    want = sorted(duckdb.sql(strongly_connected_components_sql(_vals_sql(e))).fetchall())
+    assert got == want, (edges,)
+
+
+@_SETTINGS
+@given(EDGES, st.integers(min_value=1, max_value=4))
+def test_k_core_matches_unrolled_peel_oracle(spark, edges, k):
+    import duckdb
+
+    from polars_grouper_spark.operators.kcore import k_core, k_core_sql
+
+    e = [(str(a), str(b)) for a, b in edges if a != b]
+    if not e:
+        return
+    df = spark.createDataFrame(e, ["from", "to"])
+    got = sorted(tuple(r) for r in k_core(df, k).collect())
+    want = sorted(duckdb.sql(k_core_sql(_vals_sql(e), k, rounds=12)).fetchall())
+    assert got == want, (edges, k)
+
+
+@_SETTINGS
+@given(EDGES, st.integers(min_value=3, max_value=4))
+def test_k_truss_matches_unrolled_peel_oracle(spark, edges, k):
+    import duckdb
+
+    from polars_grouper_spark.operators.ktruss import k_truss, k_truss_sql
+
+    e = [(str(a), str(b)) for a, b in edges if a != b]
+    if not e:
+        return
+    df = spark.createDataFrame(e, ["from", "to"])
+    got = sorted(tuple(r) for r in k_truss(df, k).collect())
+    want = sorted(duckdb.sql(k_truss_sql(_vals_sql(e), k, rounds=12)).fetchall())
+    assert got == want, (edges, k)
+
+
+@_SETTINGS
+@given(EDGES, st.sampled_from([None, 3]))
+def test_link_scores_matches_wedge_oracle(spark, edges, cap):
+    import duckdb
+
+    from polars_grouper_spark.operators.link_prediction import (
+        link_scores,
+        link_scores_sql,
+    )
+
+    e = [(str(a), str(b)) for a, b in edges if a != b]
+    if not e:
+        return
+    df = spark.createDataFrame(e, ["from", "to"])
+    got = sorted(
+        _r9(tuple(r)) for r in link_scores(df, max_center_degree=cap).collect()
+    )
+    want = sorted(
+        _r9(t)
+        for t in duckdb.sql(
+            link_scores_sql(_vals_sql(e), max_center_degree=cap)
+        ).fetchall()
+    )
+    assert got == want, (edges, cap)
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.tuples(NODE, NODE, st.integers(min_value=0, max_value=20)),
+        min_size=1,
+        max_size=12,
+    ),
+    st.sets(NODE, min_size=1, max_size=3),
+    st.integers(min_value=1, max_value=5),
+)
+def test_temporal_reachability_matches_oracle(spark, tedges, seeds, hops):
+    import datetime as dt
+
+    import duckdb
+
+    from polars_grouper_spark.operators.temporal import (
+        temporal_reachability,
+        temporal_reachability_sql,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(str(a), str(b), base + dt.timedelta(hours=h)) for a, b, h in tedges]
+    srcs = sorted(str(s) for s in seeds)
+    df = spark.createDataFrame(rows, "src string, dst string, ts timestamp")
+    got = sorted(
+        (r["node"], r["earliest_arrival"])
+        for r in temporal_reachability(
+            df, srcs, "src", "dst", "ts", max_hops=hops
+        ).collect()
+    )
+    vals = ",".join(f"('{a}','{b}',TIMESTAMP '{t}')" for a, b, t in rows)
+    want = sorted(
+        duckdb.sql(
+            temporal_reachability_sql(
+                f"SELECT * FROM (VALUES {vals}) t(src, dst, ts)", srcs, hops
+            )
+        ).fetchall()
+    )
+    assert got == want, (tedges, srcs, hops)
+
+
+_WORDS = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "x", "yy"]),
+    min_size=0,
+    max_size=30,
+)
+
+
+@_SETTINGS
+@given(
+    st.lists(_WORDS, min_size=1, max_size=6),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=0, max_value=7),
+)
+def test_chunking_matches_oracle(spark, docs, chunk_tokens, overlap):
+    import duckdb
+
+    from polars_grouper_spark.functions.chunking import (
+        chunk_documents,
+        chunk_documents_sql,
+    )
+
+    if overlap >= chunk_tokens:
+        overlap = chunk_tokens - 1
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(
+        tuple(r)
+        for r in chunk_documents(
+            df, chunk_tokens=chunk_tokens, overlap=overlap
+        ).collect()
+    )
+    vals = ",".join("({}, '{}')".format(i, t) for i, t in rows)
+    sql = chunk_documents_sql(
+        f"(SELECT * FROM (VALUES {vals}) v(doc_id, text))",
+        chunk_tokens=chunk_tokens,
+        overlap=overlap,
+    )
+    want = sorted(duckdb.sql(sql).fetchall())
+    assert got == want, (docs, chunk_tokens, overlap)
+
+
+@_SETTINGS
+@given(st.lists(_WORDS, min_size=1, max_size=8), st.integers(min_value=1, max_value=40))
+def test_packing_matches_oracle(spark, docs, budget):
+    import duckdb
+
+    from polars_grouper_spark.functions.chunking import (
+        pack_sequences,
+        pack_sequences_sql,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(tuple(r) for r in pack_sequences(df, budget=budget).collect())
+    vals = ",".join("({}, '{}')".format(i, t) for i, t in rows)
+    sql = pack_sequences_sql(
+        f"(SELECT * FROM (VALUES {vals}) v(doc_id, text))", budget=budget
+    )
+    want = sorted(duckdb.sql(sql).fetchall())
+    assert got == want, (docs, budget)

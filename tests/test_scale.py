@@ -219,3 +219,35 @@ def test_link_pred_hub_cap_bounds_wedges(spark):
     assert 0 < n  # produced candidates without enumerating hub wedges
     top = capped.orderBy(F.desc("common_neighbors")).limit(5).collect()
     assert all(r["jaccard"] <= 1.0 for r in top)
+
+
+def test_walks_frontier_stays_o_starts_on_big_graph(spark):
+    """1M-edge hub-skewed multigraph: a max_walks-seeded walk keeps its
+    per-step frontier at O(starts) regardless of graph size (walks only
+    die at sinks, never multiply), and node2vec completes with the same
+    bound — the r4 scale-probe claim (SCALE.md 'Round-4 walks probe')
+    as a regression test."""
+    from polars_grouper_spark.operators.walks import node2vec_walks, random_walks
+
+    edges = _power_law_edges(spark, 1_000_000, 100_000)
+    starts = 20_000
+    out = random_walks(
+        edges, walk_length=6, walks_per_node=1, portable=False, max_walks=starts
+    )
+    per_step = {
+        int(r["step"]): int(r["n"])
+        for r in out.groupBy("step").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_step[0] == starts
+    assert all(n <= starts for n in per_step.values())  # never multiplies
+    assert per_step[6] > 0.9 * starts  # hub graph: few sinks, walks survive
+
+    n2v = node2vec_walks(
+        edges, p=2.0, q=0.5, walk_length=3, walks_per_node=1,
+        portable=False, max_walks=5_000,
+    )
+    n2v_steps = {
+        int(r["step"]): int(r["n"])
+        for r in n2v.groupBy("step").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert n2v_steps[0] == 5_000 and all(n <= 5_000 for n in n2v_steps.values())
