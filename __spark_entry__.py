@@ -78,6 +78,9 @@ from polars_grouper_spark.functions.sketches import (
     hll_union_distinct,
 )
 from polars_grouper_spark.operators.neighbor_agg import neighbor_agg, neighbor_agg_sql
+from polars_grouper_spark.operators.hits import hits_sql
+from polars_grouper_spark.operators.pagerank import weighted_pagerank_sql
+from polars_grouper_spark.functions.sketches import hist_quantiles_by_sql
 from polars_grouper_spark.operators.walks import (
     node2vec_walks_sql,
     random_walks_sql,
@@ -1293,12 +1296,9 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_topk_sql(query_pred: str | None = None) -> str:
-    """IVF oracle; ``query_pred`` restricts the query set (defaults to the
-    bench's first-N filter; pass ``"TRUE"`` for the full-corpus k-NN
-    graph)."""
-    if query_pred is None:
-        query_pred = f"e.vec_id < {_TOPK_QUERIES}"
+def _ivf_assign_prefix() -> str:
+    """Shared WITH-prefix replaying ivf_build's deterministic seeding and
+    two unrolled Lloyd rounds; ends at ``a3`` (the final assignments)."""
     assign = """
   SELECT vec_id, cell FROM (
     SELECT e.vec_id, c.cell,
@@ -1328,7 +1328,16 @@ a1 AS MATERIALIZED ({assign.format(cent="c0")}),
 c1 AS MATERIALIZED ({means.format(assign="a1")}),
 a2 AS MATERIALIZED ({assign.format(cent="c1")}),
 c2 AS MATERIALIZED ({means.format(assign="a2")}),
-a3 AS MATERIALIZED ({assign.format(cent="c2")}),
+a3 AS MATERIALIZED ({assign.format(cent="c2")})"""
+
+
+def _ivf_topk_sql(query_pred: str | None = None) -> str:
+    """IVF oracle; ``query_pred`` restricts the query set (defaults to the
+    bench's first-N filter; pass ``"TRUE"`` for the full-corpus k-NN
+    graph)."""
+    if query_pred is None:
+        query_pred = f"e.vec_id < {_TOPK_QUERIES}"
+    return f"""{_ivf_assign_prefix()},
 norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
 probes AS (
   SELECT vec_id AS query_id, cell FROM (
@@ -3537,6 +3546,191 @@ ORDER BY n_users DESC, journey LIMIT {_JOURNEY_TOPN}
 
 
 # ---------------------------------------------------------------------------
+# round-4 additions, batch 2: ranking, grouped summaries, sampling
+# ---------------------------------------------------------------------------
+
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-weighted PageRank (``operators.pagerank.weighted_page_rank_nodes``)
+    on the quantity-weighted supplier-part graph: transition probability
+    proportional to milli-quantized edge weight, fixed 5 rounds, same
+    power-iteration plan as the unweighted entry."""
+    from polars_grouper_spark.operators.pagerank import weighted_page_rank_nodes
+
+    li = load_table(spark, "lineitem", sf_dir)
+    edges = li.select(
+        F.concat(F.lit("S"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("P"), F.col("l_partkey")).alias("dst"),
+        ((F.col("l_quantity").cast("long") % 5 + 1) / 2.0).alias("weight"),
+    )
+    pr = weighted_page_rank_nodes(
+        edges, "src", "dst", "weight",
+        damping_factor=_PR_DAMP, max_iterations=_PR_ITERS,
+        convergence_threshold=0.0,
+    )
+    return pr.select("node", F.round("score", 8).alias("score"))
+
+
+_HITS_ITERS = 3
+
+
+def q_hits_sp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (``operators.hits``) on the supplier-part
+    graph: integer-exact mutual recursion (no per-round float
+    normalization to drift across engines), max-normalized at the end."""
+    from polars_grouper_spark.operators.hits import hits
+
+    return hits(_sp_edges(spark, sf_dir), "src", "dst", iters=_HITS_ITERS)
+
+
+_PQBS_ARGS = dict(qs=[0.25, 0.5, 0.9, 0.99], lo=0.0, hi=600_000.0, bins=2048)
+
+
+def q_price_quantiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group histogram quantiles (``sketches.hist_quantiles_by``):
+    order-price quantiles per order status from fixed-grid registers —
+    at most ``bins`` rows per group ever shuffled, versus a full sort
+    per group for exact quantiles."""
+    from polars_grouper_spark.functions.sketches import hist_quantiles_by
+
+    o = load_table(spark, "orders", sf_dir)
+    return hist_quantiles_by(o, "o_orderstatus", "o_totalprice", **_PQBS_ARGS)
+
+
+_VOCAB_K = 20
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve (``text.vocab_coverage``): top-k corpus
+    tokens with the cumulative share of all token occurrences they
+    cover — the tokenizer-budget question as one explode + count."""
+    docs = load_table(spark, "documents", sf_dir)
+    return tx.vocab_coverage(docs, "text", k=_VOCAB_K)
+
+
+def q_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source novelty rate: the fraction of each source's documents
+    whose exact text is NOT a duplicate of an earlier (min-doc_id)
+    document anywhere in the corpus — the dedup-health metric a crawl
+    pipeline tracks per feed.  Composes ``dedup.exact_dedup`` with one
+    aggregation."""
+    docs = load_table(spark, "documents", sf_dir)
+    flags = dd.exact_dedup(docs, "doc_id", ["text"])
+    joined = docs.select("doc_id", "source").join(flags, "doc_id")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((~F.col("is_duplicate")).cast("long")).alias("n_novel"),
+        F.round(
+            F.sum((~F.col("is_duplicate")).cast("long"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("novelty_rate"),
+    )
+
+
+_NOVELTY_SQL = """
+WITH canon AS (
+  SELECT text, min(doc_id) AS canonical_id FROM documents GROUP BY text
+),
+flags AS (
+  SELECT d.doc_id, d.source, (d.doc_id = c.canonical_id) AS novel
+  FROM documents d JOIN canon c ON c.text = d.text
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN novel THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+       round(sum(CASE WHEN novel THEN 1 ELSE 0 END) / count(*), 6)
+         AS novelty_rate
+FROM flags GROUP BY source
+"""
+
+_WSAMPLE_K = 5
+
+
+def q_weighted_sample_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-biased sampling
+    (``sampling.weighted_sample_topk``): 5 parts per brand, selection
+    probability growing with retail price — importance sampling with a
+    portable hash in place of the RNG, replayed exactly by the oracle."""
+    from polars_grouper_spark.functions.sampling import weighted_sample_topk
+
+    part = load_table(spark, "part", sf_dir)
+    kept = weighted_sample_topk(
+        part, _WSAMPLE_K, "p_retailprice", "p_partkey", "p_brand"
+    )
+    return kept.select(
+        "p_partkey",
+        "p_brand",
+        F.col("p_retailprice").cast("double").alias("price"),
+    )
+
+
+def _weighted_sample_parts_sql() -> str:
+    rn = smp.weighted_sample_topk_sql(
+        _WSAMPLE_K, "p_retailprice", "p_partkey", "p_brand"
+    )
+    return f"""
+SELECT p_partkey, p_brand, CAST(p_retailprice AS DOUBLE) AS price
+FROM (
+  SELECT p_partkey, p_brand, p_retailprice, {rn} AS rn
+  FROM part WHERE p_retailprice IS NOT NULL AND CAST(p_retailprice AS DOUBLE) > 0
+) WHERE rn <= {_WSAMPLE_K}
+"""
+
+
+_MAVG_WINDOW_SEC = 3600
+
+
+def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing 1-hour moving average of event values — the
+    time-RANGE window frame (not row-count), the idiom behind rate
+    limiting and rolling KPIs.  The frame is over integer epoch seconds
+    so both engines bound it identically; the mean rounds to 6."""
+    ev = load_table(spark, "events", sf_dir)
+    sec = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-_MAVG_WINDOW_SEC, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_window"),
+        F.round(F.avg("value").over(w), 6).alias("avg_value"),
+    )
+
+
+_EVENTS_MAVG_SQL = f"""
+SELECT event_id, user_id,
+       count(*) OVER w AS n_window,
+       round(avg(value) OVER w, 6) AS avg_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+             RANGE BETWEEN {_MAVG_WINDOW_SEC} PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means cluster sizes (``similarity.ivf_build`` — deterministic
+    lowest-id seeding, 2 Lloyd rounds): the cluster-assignment building
+    block of IVF exposed as its own query, with the full unrolled
+    replay in the oracle."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    assignments, _ = sim.ivf_build(emb, n_cells=_IVF_CELLS)
+    return assignments.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("id").alias("min_vec_id"),
+    )
+
+
+def _kmeans_cells_sql() -> str:
+    return (
+        _ivf_assign_prefix()
+        + "\nSELECT cell, count(*)::BIGINT AS n_vecs,"
+        " min(vec_id) AS min_vec_id FROM a3 GROUP BY cell"
+    )
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -3617,6 +3811,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix_docs": q_domain_mix,
         "knn_graph": q_knn_graph,
         "user_journeys": q_user_journeys,
+        # --- round-4 batch 2 (positions 50+: rotate into the window next
+        #     round; all pass scripts/check_oracle.py locally) ---
+        "pagerank_weighted": q_pagerank_weighted,
+        "hits_sp": q_hits_sp,
+        "price_quantiles_by_status": q_price_quantiles_by_status,
+        "vocab_coverage": q_vocab_coverage,
+        "novelty_by_source": q_novelty_by_source,
+        "weighted_sample_parts": q_weighted_sample_parts,
+        "events_moving_avg": q_events_moving_avg,
+        "kmeans_cells": q_kmeans_cells,
         # --- driver-verified in CORRECTNESS_r03 (all green) ---
         "cc_components": q_cc_components,
         "cc_component_sizes": q_cc_component_sizes,
@@ -3826,4 +4030,19 @@ def oracle_sql() -> dict[str, str]:
         "domain_mix_docs": _domain_mix_sql(),
         "knn_graph": _ivf_topk_sql("TRUE"),
         "user_journeys": _USER_JOURNEYS_SQL,
+        "pagerank_weighted": weighted_pagerank_sql(
+            _SP_W_EDGE_SQL, _PR_ITERS, _PR_DAMP
+        ),
+        "hits_sp": hits_sql(_SP_EDGE_SQL, _HITS_ITERS),
+        "price_quantiles_by_status": hist_quantiles_by_sql(
+            "SELECT o_orderstatus, o_totalprice FROM orders",
+            "o_orderstatus",
+            "o_totalprice",
+            **_PQBS_ARGS,
+        ),
+        "vocab_coverage": tx.vocab_coverage_sql("documents", "text", _VOCAB_K),
+        "novelty_by_source": _NOVELTY_SQL,
+        "weighted_sample_parts": _weighted_sample_parts_sql(),
+        "events_moving_avg": _EVENTS_MAVG_SQL,
+        "kmeans_cells": _kmeans_cells_sql(),
     }

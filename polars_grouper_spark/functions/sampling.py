@@ -16,7 +16,7 @@ decision without touching data layout.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .hashing import portable_hash64, portable_hash64_sql
@@ -190,3 +190,67 @@ def token_budget_mix_sql(
     case += f" ELSE {float(default_budget)!r} END"
     frac = f"least(1.0, ({case}) / CAST(_tok_total AS DOUBLE))"
     return f"CAST({_bucket_sql(id_expr, salt)} AS DOUBLE) < ({frac}) * {N_BUCKETS}"
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    group_col: "str | None" = None,
+    salt: str = "wsample",
+    *,
+    portable: bool = True,
+) -> DataFrame:
+    """Deterministic weight-biased sample of ``k`` rows (per group):
+    row priority is ``hash(salt|id) / weight`` and the ``k`` LOWEST
+    priorities win — heavier rows draw systematically smaller priorities,
+    so selection probability grows with weight (the hash plays the role
+    of the uniform draw in Efraimidis-Spirakis A-ES sampling; the
+    ``u^(1/w)`` key is replaced by ``h/w`` to stay inside exactly-rounded
+    IEEE ops — one cast, one division — because ``pow``/``ln`` differ
+    across libms and a last-ulp flip would change WHICH rows are picked,
+    not just a printed digit).  Weight-monotone, reproducible across
+    runs/engines/partitionings; re-roll with the salt.
+
+    Null/non-positive weights are never sampled.  One projection + one
+    per-group top-k window — no RNG state, no driver involvement.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = portable_hash64(
+        F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")),
+        portable=portable,
+    )
+    w = F.col(weight_col).cast("double")
+    pri = h.cast("double") / w
+    base = df.where(F.col(weight_col).isNotNull() & (w > 0)).withColumn(
+        "_pri", pri
+    )
+    part = [group_col] if group_col else []
+    win = Window.partitionBy(*part).orderBy("_pri", F.col(id_col).cast("string"))
+    return (
+        base.withColumn("_rn", F.row_number().over(win))
+        .where(F.col("_rn") <= k)
+        .drop("_pri", "_rn")
+    )
+
+
+def weighted_sample_topk_sql(
+    k: int,
+    weight_expr: str,
+    id_expr: str,
+    group_expr: "str | None" = None,
+    salt: str = "wsample",
+) -> str:
+    """DuckDB qualify-style fragment replicating
+    :func:`weighted_sample_topk`; wrap as
+    ``SELECT ... FROM (SELECT *, <this> AS rn FROM t WHERE w > 0) WHERE
+    rn <= k`` or use the returned full row_number expression."""
+    h = portable_hash64_sql(f"'{salt}' || '|' || CAST({id_expr} AS VARCHAR)")
+    part = f"PARTITION BY {group_expr} " if group_expr else ""
+    return (
+        f"row_number() OVER ({part}ORDER BY "
+        f"CAST({h} AS DOUBLE) / CAST({weight_expr} AS DOUBLE), "
+        f"CAST({id_expr} AS VARCHAR))"
+    )

@@ -570,3 +570,98 @@ SELECT pb.item, (count(b.pos) = {k}) AS maybe_present
 FROM probed pb LEFT JOIN bits b ON b.pos = pb.pos
 GROUP BY pb.item
 """
+
+
+def hist_quantiles_by(
+    df: DataFrame,
+    key: Column | str,
+    col: Column | str,
+    qs: "list[float]",
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 1024,
+) -> DataFrame:
+    """Per-group histogram quantiles -> ``(key, q double, value double)``:
+    :func:`hist_quantiles` with the group key carried through the
+    register build and the rank scan.  Replaces a per-group exact
+    quantile — whose sort shuffles every value — with at most ``bins``
+    register rows per key; the register aggregation is map-side
+    combinable and the cumulative scan is a per-key window over those
+    registers, never the data."""
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    spark = df.sparkSession
+    k = F.col(key) if isinstance(key, str) else key
+    c = (F.col(col) if isinstance(col, str) else col).cast("double")
+    width = (hi - lo) / bins
+    raw = F.floor((c - F.lit(lo)) / F.lit(width)).cast("int")
+    bucket = F.greatest(F.lit(0), F.least(F.lit(bins - 1), raw))
+    regs = (
+        df.where(c.isNotNull() & k.isNotNull())
+        .select(k.alias("key"), bucket.alias("bucket"))
+        .groupBy("key", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("key").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = regs.select(
+        "key",
+        "bucket",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("key")).alias("total"),
+    )
+    q_tbl = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    joined = q_tbl.crossJoin(cum).where(
+        F.col("cum") >= F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("total")))
+    )
+    return (
+        joined.groupBy("key", "q")
+        .agg(F.min("bucket").alias("b"))
+        .select(
+            "key", "q",
+            F.round(F.lit(lo) + F.col("b") * F.lit(width), 9).alias("value"),
+        )
+    )
+
+
+def hist_quantiles_by_sql(
+    table_sql: str,
+    key_expr: str,
+    expr: str,
+    qs: "list[float]",
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 1024,
+) -> str:
+    """DuckDB oracle computing identical per-group histogram quantiles."""
+    width = (hi - lo) / bins
+    q_vals = ",".join(f"({float(q)!r}::DOUBLE)" for q in qs)
+    return f"""
+WITH src AS ({table_sql}),
+vals AS (
+  SELECT {key_expr} AS key, CAST({expr} AS DOUBLE) AS v
+  FROM src WHERE {expr} IS NOT NULL AND {key_expr} IS NOT NULL
+),
+regs AS (
+  SELECT key, greatest(0, least({bins - 1},
+           CAST(floor((v - {lo!r}) / {width!r}) AS INT))) AS bucket,
+         count(*)::BIGINT AS cnt
+  FROM vals GROUP BY 1, 2
+),
+cum AS (
+  SELECT key, bucket,
+         sum(cnt) OVER (PARTITION BY key ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER (PARTITION BY key) AS total
+  FROM regs
+),
+q AS (SELECT unnest(ARRAY[{q_vals}]) AS q)
+SELECT c.key, q.q, round({lo!r} + min(c.bucket) * {width!r}, 9) AS value
+FROM q JOIN cum c ON c.cum >= greatest(1, CAST(ceil(q.q * c.total) AS BIGINT))
+GROUP BY c.key, q.q
+"""

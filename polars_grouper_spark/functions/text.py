@@ -8,7 +8,7 @@ speed and scales linearly with executors.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Small built-in stopword lists for the language-id heuristic.  Word
@@ -431,4 +431,72 @@ SELECT o.ngram, d.n_docs, o.n_occurrences
 FROM occ o JOIN docs d USING (ngram)
 ORDER BY o.n_occurrences DESC, o.ngram
 LIMIT {k}
+"""
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 100,
+) -> DataFrame:
+    """Vocabulary coverage curve -> ``(rank, token, cnt, cum_share)`` for
+    the top-``k`` tokens by corpus frequency: ``cum_share`` is the
+    fraction of all token occurrences covered by ranks 1..r — the
+    tokenizer-design question "how much of the corpus do the top N
+    words cover?".  Count sums are exact integers; the only float is
+    the final cum/total division (rounded to 9).  Ties break by token
+    string, so the ranking is a total order on any engine.
+
+    One explode + one map-side-combinable count; the window runs over
+    the top-k token rows only (the count table is vocabulary-sized, and
+    the curve needs just its head).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    staged = df.select(tokens(F.col(text_col)).alias("_toks"))
+    counts = (
+        staged.select(F.explode("_toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt")).first()[0] or 0
+    top = counts.orderBy(F.col("cnt").desc(), "token").limit(k)
+    w = Window.orderBy(F.col("cnt").desc(), "token").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), "token"))
+        .cast("long")
+        .alias("rank"),
+        "token",
+        "cnt",
+        F.round(
+            F.sum("cnt").over(w).cast("double") / F.lit(float(max(total, 1))), 9
+        ).alias("cum_share"),
+    )
+
+
+def vocab_coverage_sql(
+    table: str = "documents", text_expr: str = "text", k: int = 100
+) -> str:
+    """DuckDB oracle replaying :func:`vocab_coverage`."""
+    return f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(trim({text_expr}), '\\s+'),
+                            x -> x <> '')) AS token
+  FROM {table}
+),
+counts AS (SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY token),
+total AS (SELECT greatest(sum(cnt), 1)::DOUBLE AS t FROM counts),
+top AS (
+  SELECT token, cnt,
+         row_number() OVER (ORDER BY cnt DESC, token) AS rank,
+         sum(cnt) OVER (ORDER BY cnt DESC, token
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM counts
+)
+SELECT rank::BIGINT AS rank, token, cnt,
+       round(CAST(cum AS DOUBLE) / total.t, 9) AS cum_share
+FROM top, total WHERE rank <= {k}
 """

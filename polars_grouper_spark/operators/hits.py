@@ -1,0 +1,141 @@
+"""HITS hubs & authorities (Kleinberg 1999) — integer-exact variant.
+
+Classic HITS normalizes scores every round, which at distributed scale
+means order-dependent floating-point sums feeding the next round — the
+kind of drift that breaks cross-engine verification.  This variant runs
+the mutual recursion UNNORMALIZED over exact integers:
+
+    hub_0(u)  = 1
+    auth_k(v) = Σ_{u→v} hub_{k-1}(u)
+    hub_k(u)  = Σ_{u→v} auth_k(v)
+
+Integer sums are associative, so Spark and the DuckDB oracle agree bit
+for bit at any aggregation order; the RANKING is identical to normalized
+HITS (normalization is a per-round positive scalar).  Normalized scores
+are recovered at the end with a single division by the max — one exact
+float op.
+
+Growth bound: scores grow like (σ_max)² per round (σ_max ≤ max degree),
+so ``iters`` rounds on a graph with max degree D stay under
+D^(2·iters); the default 3 rounds overflow-checks BIGINT for D up to
+~10⁴.  The final assert raises on overflow rather than wrapping.
+
+Plan shape: two key-partitioned joins + two map-side-combinable sums per
+round over the DISTINCT edge set (HITS is defined on simple graphs);
+state is O(V) rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.iteration import truncate_lineage
+
+
+def hits(
+    df: DataFrame,
+    src: str = "from",
+    dst: str = "to",
+    *,
+    iters: int = 3,
+) -> DataFrame:
+    """Hub/authority scores ->
+    ``(node, authority, hub, auth_norm, hub_norm)``: exact integer raw
+    scores after ``iters`` rounds plus max-normalized doubles (rounded
+    to 9).  Nodes with no in-edges have authority 0; no out-edges,
+    hub 0.  Null endpoints drop the edge."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    s = F.col(src).cast("string")
+    d = F.col(dst).cast("string")
+    edges = truncate_lineage(
+        df.where(s.isNotNull() & d.isNotNull())
+        .select(s.alias("u"), d.alias("v"))
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    hub = nodes.select("node", F.lit(1).cast("long").alias("h"))
+    auth = None
+    for _ in range(iters):
+        auth = truncate_lineage(
+            edges.join(hub.withColumnRenamed("node", "u"), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("h").alias("a")),
+            cache=False,
+        )
+        hub = truncate_lineage(
+            edges.join(auth.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.sum("a").alias("h")),
+            cache=False,
+        )
+    out = (
+        nodes.join(auth, "node", "left")
+        .join(hub, "node", "left")
+        .select(
+            "node",
+            F.coalesce("a", F.lit(0)).cast("long").alias("authority"),
+            F.coalesce("h", F.lit(0)).cast("long").alias("hub"),
+        )
+    )
+    mx = out.agg(
+        F.max("authority").alias("ma"), F.max("hub").alias("mh")
+    ).first()
+    ma, mh = int(mx["ma"] or 0), int(mx["mh"] or 0)
+    if ma >= (1 << 62) or mh >= (1 << 62):
+        raise ValueError(
+            f"HITS scores overflow after iters={iters} (max authority {ma})"
+            " — reduce iters"
+        )
+    return out.select(
+        "node",
+        "authority",
+        "hub",
+        F.round(F.col("authority") / F.lit(float(max(ma, 1))), 9).alias("auth_norm"),
+        F.round(F.col("hub") / F.lit(float(max(mh, 1))), 9).alias("hub_norm"),
+    )
+
+
+def hits_sql(edge_sql: str, iters: int = 3) -> str:
+    """DuckDB oracle replaying :func:`hits` exactly (integer recursion,
+    max-normalized at the end)."""
+    parts = [
+        f"WITH raw AS ({edge_sql})",
+        ", e AS (SELECT DISTINCT CAST(src AS VARCHAR) AS u, CAST(dst AS VARCHAR) AS v"
+        " FROM raw WHERE src IS NOT NULL AND dst IS NOT NULL)",
+        ", nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e)",
+        ", h0 AS (SELECT node, 1::BIGINT AS h FROM nodes)",
+    ]
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f", a{i} AS (SELECT e.v AS node, sum(p.h)::BIGINT AS a"
+            f" FROM e JOIN {prev_h} p ON p.node = e.u GROUP BY e.v)"
+        )
+        parts.append(
+            f", h{i} AS (SELECT e.u AS node, sum(x.a)::BIGINT AS h"
+            f" FROM e JOIN a{i} x ON x.node = e.v GROUP BY e.u)"
+        )
+        prev_h = f"h{i}"
+    parts.append(
+        f""", fin AS (
+  SELECT n.node, coalesce(a.a, 0)::BIGINT AS authority,
+         coalesce(h.h, 0)::BIGINT AS hub
+  FROM nodes n
+  LEFT JOIN a{iters} a ON a.node = n.node
+  LEFT JOIN h{iters} h ON h.node = n.node
+), mx AS (
+  SELECT greatest(max(authority), 1)::DOUBLE AS ma,
+         greatest(max(hub), 1)::DOUBLE AS mh FROM fin
+)
+SELECT node, authority, hub,
+       round(authority / mx.ma, 9) AS auth_norm,
+       round(hub / mx.mh, 9) AS hub_norm
+FROM fin, mx"""
+    )
+    return "\n".join(parts)

@@ -356,3 +356,102 @@ def personalized_page_rank(
             .agg((F.lit(d) * F.sum("c")).alias("score"))
         )
     return ranks
+
+
+def weighted_page_rank_nodes(
+    df: DataFrame,
+    from_col: str = "from",
+    to_col: str = "to",
+    weight_col: str = "weight",
+    damping_factor: float = 0.85,
+    max_iterations: int = 100,
+    convergence_threshold: float = 1e-6,
+    broadcast_ranks: bool | None = None,
+) -> DataFrame:
+    """Edge-weighted PageRank -> ``(node string, score double)``: the
+    transition probability u→v is ``weight(u,v) / Σ_w weight(u,w)``
+    instead of ``1/outdeg`` — the citation-strength / traffic-volume
+    variant.  Weights quantize to milli-units (``(w*1000) as long`` —
+    the repo's reference convention) so the per-source totals are exact
+    integers in both engines and the only float is the final ``q/total``
+    division; parallel edges sum their weights; null or sub-milli
+    (< 0.001) weights drop the edge (it could never be walked).
+
+    Same plan shape as :func:`page_rank_nodes`: the pair table collapses
+    once up front, each round is one key-partitioned join + one
+    map-side-combinable sum.
+    """
+    q = (F.col(weight_col).cast("double") * 1000.0).cast("long")
+    edges = (
+        df.where(
+            F.col(from_col).isNotNull()
+            & F.col(to_col).isNotNull()
+            & F.col(weight_col).isNotNull()
+        )
+        .select(
+            F.col(from_col).cast("string").alias("src"),
+            F.col(to_col).cast("string").alias("dst"),
+            q.alias("q"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("q").alias("q"))
+        .where(F.col("q") > 0)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nodes = truncate_lineage(nodes)
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("score"))
+
+    edges_w = truncate_lineage(
+        edges.select(
+            "src",
+            "dst",
+            (
+                F.col("q").cast("double")
+                / F.sum("q").over(Window.partitionBy("src")).cast("double")
+            ).alias("w"),
+        )
+    )
+    if broadcast_ranks is None:
+        broadcast_ranks = n <= _BROADCAST_NODES_MAX
+    return _power_iteration(
+        nodes, edges_w, n, damping_factor, max_iterations,
+        convergence_threshold, broadcast_ranks,
+    )
+
+
+def weighted_pagerank_sql(edge_sql: str, iters: int, d: float = 0.85) -> str:
+    """DuckDB oracle replaying :func:`weighted_page_rank_nodes` for a
+    fixed iteration count; ``edge_sql`` yields ``(src, dst, weight)``."""
+    parts = [
+        f"WITH raw AS ({edge_sql})",
+        ", e AS (SELECT CAST(src AS VARCHAR) AS src, CAST(dst AS VARCHAR) AS dst,"
+        " sum(CAST(CAST(weight AS DOUBLE) * 1000.0 AS BIGINT)) AS q"
+        " FROM raw WHERE src IS NOT NULL AND dst IS NOT NULL AND weight IS NOT NULL"
+        " GROUP BY 1, 2"
+        " HAVING sum(CAST(CAST(weight AS DOUBLE) * 1000.0 AS BIGINT)) > 0)",
+        ", ew AS (SELECT src, dst, CAST(q AS DOUBLE)"
+        " / CAST(sum(q) OVER (PARTITION BY src) AS DOUBLE) AS w FROM e)",
+        ", nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        ", n AS (SELECT count(*)::DOUBLE AS n FROM nodes)",
+        ", r0 AS (SELECT node, 1.0 / (SELECT n FROM n) AS score FROM nodes)",
+    ]
+    prev = "r0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f", c{i} AS (SELECT ew.dst AS node, sum(r.score * ew.w) AS inc "
+            f"FROM ew JOIN {prev} r ON ew.src = r.node GROUP BY ew.dst)"
+        )
+        parts.append(
+            f", r{i} AS (SELECT nd.node, "
+            f"(1.0 - {d}) / (SELECT n FROM n) + {d} * coalesce(c.inc, 0.0) AS score "
+            f"FROM nodes nd LEFT JOIN c{i} c ON nd.node = c.node)"
+        )
+        prev = f"r{i}"
+    parts.append(f" SELECT node, round(score, 8) AS score FROM {prev}")
+    return "\n".join(parts)

@@ -40,17 +40,25 @@ def test_scale_md_count_matches_registry():
     )
 
 
-def test_driver_window_holds_the_unverified_queries_first():
-    """The driver's correctness gate covers the first ~50 entries; every
-    query WITHOUT a green driver row from r03 must sit inside that
-    window (VERDICT r3 task #1)."""
+def test_driver_window_is_spent_on_unverified_queries():
+    """The driver's correctness gate covers the first ~50 entries, so the
+    dict must list every driver-unverified query BEFORE any verified one
+    (VERDICT r3 task #1: rotate until all have a green row on record).
+    With more than 50 unverified queries the overflow rotates next
+    round; what is never allowed is a verified query occupying a window
+    slot an unverified one needs."""
     import json
 
     r03 = REPO / "CORRECTNESS_r03.json"
     verified = set(json.loads(r03.read_text())) if r03.exists() else set()
     order = list(entry_mod.queries())
-    window, rest = order[:50], order[50:]
-    stale = [q for q in rest if q not in verified]
-    assert stale == [], (
-        f"queries with no driver correctness row outside the 50-entry window: {stale}"
-    )
+    seen_verified_at = None
+    for i, q in enumerate(order):
+        if q in verified and seen_verified_at is None:
+            seen_verified_at = i
+        if q not in verified and seen_verified_at is not None:
+            raise AssertionError(
+                f"unverified query {q!r} (pos {i}) is listed after verified "
+                f"{order[seen_verified_at]!r} (pos {seen_verified_at}) — "
+                "it would lose its window slot to an already-green query"
+            )

@@ -1,0 +1,52 @@
+"""HITS hubs & authorities — hand-computed stars, integer exactness,
+dangling semantics, DuckDB parity."""
+
+import duckdb
+import pytest
+
+from polars_grouper_spark.operators.hits import hits, hits_sql
+
+
+def rows(df):
+    return {r["node"]: r for r in df.collect()}
+
+
+def test_star_hub_and_authority(spark):
+    # h -> a1, h -> a2, h -> a3: h is the only hub, targets are authorities
+    edges = spark.createDataFrame(
+        [("h", "a1"), ("h", "a2"), ("h", "a3")], ["from", "to"]
+    )
+    got = rows(hits(edges, iters=1))
+    assert got["h"]["hub"] == 3 and got["h"]["authority"] == 0
+    assert all(got[f"a{i}"]["authority"] == 1 for i in (1, 2, 3))
+    assert got["h"]["hub_norm"] == 1.0
+    assert got["a1"]["auth_norm"] == 1.0  # max-normalized
+
+
+def test_integer_recursion_hand_computed(spark):
+    # u -> v -> w, u -> w
+    edges = spark.createDataFrame([("u", "v"), ("v", "w"), ("u", "w")], ["from", "to"])
+    got = rows(hits(edges, iters=1))
+    # auth_1: v = hub0(u)=1; w = hub0(v)+hub0(u)=2
+    assert got["v"]["authority"] == 1 and got["w"]["authority"] == 2
+    # hub_1: u = auth1(v)+auth1(w)=3; v = auth1(w)=2; w = 0
+    assert got["u"]["hub"] == 3 and got["v"]["hub"] == 2 and got["w"]["hub"] == 0
+
+
+def test_duckdb_parity(spark):
+    edges = [(f"n{(3 * i) % 9}", f"n{(5 * i + 2) % 9}") for i in range(20)]
+    df = spark.createDataFrame(edges, ["from", "to"])
+    got = sorted(tuple(r) for r in hits(df, iters=3).collect())
+    vals = ",".join(f"('{a}','{b}')" for a, b in edges)
+    want = sorted(
+        duckdb.sql(
+            hits_sql(f"SELECT * FROM (VALUES {vals}) t(src, dst)", 3)
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([("a", "b")], ["from", "to"])
+    with pytest.raises(ValueError, match="iters"):
+        hits(df, iters=0)

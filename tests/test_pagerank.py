@@ -63,3 +63,44 @@ def test_page_rank_duplicate_edges_count(spark):
     base = 0.15 / 3
     assert scores["B"] == pytest.approx(base + 0.85 * (1 / 3) * (2 / 3), abs=1e-12)
     assert scores["C"] == pytest.approx(base + 0.85 * (1 / 3) * (1 / 3), abs=1e-12)
+
+
+def test_weighted_pagerank_bias_and_parity(spark):
+    """A 2x-heavier edge must pull more rank mass to its target, and the
+    DataFrame loop must replay the SQL oracle exactly at round-8."""
+    import duckdb
+
+    from polars_grouper_spark.operators.pagerank import (
+        weighted_page_rank_nodes,
+        weighted_pagerank_sql,
+    )
+    from pyspark.sql import functions as F
+
+    wedges = [("s", "heavy", 2.0), ("s", "light", 1.0), ("heavy", "s", 1.0),
+              ("light", "s", 1.0)]
+    df = spark.createDataFrame(wedges, ["from", "to", "weight"])
+    out = weighted_page_rank_nodes(
+        df, max_iterations=5, convergence_threshold=0.0
+    ).select("node", F.round("score", 8).alias("score"))
+    got = {r["node"]: r["score"] for r in out.collect()}
+    assert got["heavy"] > got["light"]
+    vals = ",".join(f"('{a}','{b}',{w!r})" for a, b, w in wedges)
+    want = dict(
+        duckdb.sql(
+            weighted_pagerank_sql(
+                f"SELECT * FROM (VALUES {vals}) t(src, dst, weight)", 5
+            )
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_weighted_pagerank_drops_subunit_weights(spark):
+    """Weights quantizing to 0 milli-units drop the edge entirely."""
+    from polars_grouper_spark.operators.pagerank import weighted_page_rank_nodes
+
+    df = spark.createDataFrame(
+        [("a", "b", 0.0004), ("c", "d", 1.0)], ["from", "to", "weight"]
+    )
+    nodes = {r["node"] for r in weighted_page_rank_nodes(df, max_iterations=2).collect()}
+    assert nodes == {"c", "d"}

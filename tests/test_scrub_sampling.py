@@ -203,3 +203,27 @@ def test_token_budget_mix_unlisted_group_dropped_and_deterministic(spark):
     assert a == b  # pure hash decision, stable across runs
     langs = {r["lang"] for r in token_budget_mix(df, {"en": 500.0}, "lang", "n_tok").collect()}
     assert langs <= {"en"}  # fr has default budget 0 -> dropped
+
+
+def test_weighted_sample_topk_monotone_and_deterministic(spark):
+    from polars_grouper_spark.functions.sampling import weighted_sample_topk
+
+    # two strata of weights: heavy rows 100x the weight of light rows
+    rows = [(i, "g", 100.0 if i % 2 == 0 else 1.0) for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "w"])
+    kept = weighted_sample_topk(df, 50, "w", "doc_id", "grp").collect()
+    assert len(kept) == 50
+    heavy = sum(1 for r in kept if r["doc_id"] % 2 == 0)
+    assert heavy >= 40  # 100x weight dominates the sample
+    again = weighted_sample_topk(df, 50, "w", "doc_id", "grp").collect()
+    assert sorted(r["doc_id"] for r in kept) == sorted(r["doc_id"] for r in again)
+
+
+def test_weighted_sample_topk_skips_nonpositive(spark):
+    from polars_grouper_spark.functions.sampling import weighted_sample_topk
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, None), (4, 5.0)], ["doc_id", "w"]
+    )
+    got = [r["doc_id"] for r in weighted_sample_topk(df, 10, "w").collect()]
+    assert got == [4]

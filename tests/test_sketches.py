@@ -266,3 +266,21 @@ def test_hll_union_equals_distinct_over_concat(spark):
     merged = hll_union_distinct([(a, "k"), (b, "k")], b=10).collect()[0]["estimate"]
     direct = hll_distinct(a.unionAll(b), "k", b=10).collect()[0]["estimate"]
     assert merged == direct  # register max is associative: bit-identical
+
+
+def test_hist_quantiles_by_hand_computed(spark):
+    from polars_grouper_spark.functions.sketches import hist_quantiles_by
+
+    rows = [("a", float(v)) for v in range(1, 101)] + [("b", 50.0)] * 10
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = {
+        (r["key"], r["q"]): r["value"]
+        for r in hist_quantiles_by(
+            df, "k", "v", [0.5, 0.99], lo=0.0, hi=100.0, bins=100
+        ).collect()
+    }
+    # group a: uniform 1..100, bin width 1 -> median bucket left edge 50.0
+    assert got[("a", 0.5)] == 50.0
+    assert got[("a", 0.99)] == 99.0
+    # group b: constant 50 -> every quantile in the 50-bucket
+    assert got[("b", 0.5)] == 50.0 and got[("b", 0.99)] == 50.0

@@ -98,3 +98,18 @@ def test_pipeline_prep_reads_corpus_at_most_twice(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 2
     assert out.count() >= 1
+
+
+def test_vocab_coverage_hand_computed(spark):
+    from polars_grouper_spark.functions.text import vocab_coverage
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b z")], ["doc_id", "text"]
+    )
+    got = {r["rank"]: r for r in vocab_coverage(df, k=3).collect()}
+    # counts: a=4, b=3, c=1, z=1 (ties by token: c before z); total=9
+    assert (got[1]["token"], got[1]["cnt"]) == ("a", 4)
+    assert (got[2]["token"], got[2]["cnt"]) == ("b", 3)
+    assert got[3]["token"] == "c"
+    assert abs(got[1]["cum_share"] - round(4 / 9, 9)) < 1e-12
+    assert abs(got[3]["cum_share"] - round(8 / 9, 9)) < 1e-12
