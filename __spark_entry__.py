@@ -78,6 +78,7 @@ from polars_grouper_spark.functions.sketches import (
     hll_union_distinct,
 )
 from polars_grouper_spark.operators.neighbor_agg import neighbor_agg, neighbor_agg_sql
+from polars_grouper_spark.operators.densest import densest_subgraph_rounds_sql
 from polars_grouper_spark.operators.hits import hits_sql
 from polars_grouper_spark.operators.pagerank import weighted_pagerank_sql
 from polars_grouper_spark.functions.sketches import hist_quantiles_by_sql
@@ -1278,6 +1279,7 @@ _NEAR_DUP_COS = 0.4
 _ND_PLANES = 4
 _IVF_CELLS = 16
 _IVF_PROBE = 4
+_KNN_GRAPH_PROBE = 2
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1331,12 +1333,14 @@ c2 AS MATERIALIZED ({means.format(assign="a2")}),
 a3 AS MATERIALIZED ({assign.format(cent="c2")})"""
 
 
-def _ivf_topk_sql(query_pred: str | None = None) -> str:
+def _ivf_topk_sql(query_pred: str | None = None, n_probe: int | None = None) -> str:
     """IVF oracle; ``query_pred`` restricts the query set (defaults to the
     bench's first-N filter; pass ``"TRUE"`` for the full-corpus k-NN
-    graph)."""
+    graph) and ``n_probe`` overrides the probe fan-out."""
     if query_pred is None:
         query_pred = f"e.vec_id < {_TOPK_QUERIES}"
+    if n_probe is None:
+        n_probe = _IVF_PROBE
     return f"""{_ivf_assign_prefix()},
 norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
 probes AS (
@@ -1348,7 +1352,7 @@ probes AS (
     FROM ex e JOIN c2 c ON c.i = e.i
     WHERE {query_pred}
     GROUP BY e.vec_id, c.cell
-  ) WHERE rn <= {_IVF_PROBE}
+  ) WHERE rn <= {n_probe}
 ),
 cand AS (
   SELECT p.query_id, a.vec_id AS neighbor_id
@@ -3487,9 +3491,18 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a query) via the same IVF machinery as ``ivf_topk`` — the
     candidate set per vector is its n_probe cells, never the corpus.
     This is the edge-list input to embedding-space near-dup clustering
-    and graph-based label propagation."""
+    and graph-based label propagation.
+
+    Probe fan-out is 2 (vs 4 for the point-query entry): with EVERY
+    vector a query, candidate volume is corpus²·n_probe/n_cells, so
+    halving the probes halves the dominant scoring cost — and for graph
+    construction (edges feed a downstream CC/label-propagation step that
+    tolerates a missing edge) that recall trade is the right corpus-scale
+    default."""
     emb = load_table(spark, "embeddings", sf_dir)
-    out = sim.ivf_topk(emb, emb, k=_TOPK_K, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE)
+    out = sim.ivf_topk(
+        emb, emb, k=_TOPK_K, n_cells=_IVF_CELLS, n_probe=_KNN_GRAPH_PROBE
+    )
     return out.select(
         "query_id",
         "neighbor_id",
@@ -3731,6 +3744,143 @@ def _kmeans_cells_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# round-4 additions, batch 3: dense clusters, incremental dedup, IO
+# ---------------------------------------------------------------------------
+
+_DSG_EPS = (3, 2)  # (1+ε) = 3/2 → ε = 0.5: 3-approx, O(log₁.₅ V) rounds
+_DSG_ROUNDS = 16
+
+
+def q_densest_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densest-subgraph peeling (``operators.densest`` — Charikar 2000 /
+    Bahmani et al. 2012) on the part co-purchase graph: per-round
+    (nodes, edges, density) of the greedy peel; the max-density row is
+    the 2(1+ε)-approximate densest subgraph.  The peel threshold is an
+    exact integer cross-product, so the oracle replays every round."""
+    from polars_grouper_spark.operators.densest import densest_subgraph_rounds
+
+    edges = _part_co_edges(spark, sf_dir)
+    return densest_subgraph_rounds(
+        edges, "src", "dst",
+        eps_num=_DSG_EPS[0], eps_den=_DSG_EPS[1], max_rounds=_DSG_ROUNDS,
+    )
+
+
+_INC_THRESHOLD = 0.5
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup (``dedup.dedup_against_corpus``): every tenth
+    document plays today's crawl batch, the rest are the historical
+    corpus; each batch doc gets its exact-text match and its best
+    MinHash-LSH near-match against the corpus only — the production
+    new-data-vs-index pattern, with both matchers oracle-replayed."""
+    docs = load_table(spark, "documents", sf_dir)
+    batch = docs.where(F.col("doc_id") % 10 == 7)
+    corpus = docs.where(F.col("doc_id") % 10 != 7)
+    return dd.dedup_against_corpus(
+        batch, corpus, "doc_id", "text",
+        num_hashes=_MH_HASHES, bands=_MH_BANDS, shingle_n=_SHINGLE_N,
+        threshold=_INC_THRESHOLD,
+    )
+
+
+def _dedup_incremental_sql() -> str:
+    rows_per_band = _MH_HASHES // _MH_BANDS
+    h1, h2 = hash_pair64_sql("shingle")
+    sh_b = _shingles_pred_sql("doc_id % 10 = 7", _SHINGLE_N)
+    sh_c = _shingles_pred_sql("doc_id % 10 <> 7", _SHINGLE_N)
+
+    def sig(sh: str) -> str:
+        return f"""
+  SELECT id, perm, min((h1 + perm * h2) % {1 << 60}) AS minhash
+  FROM (SELECT id, {h1} AS h1, {h2} AS h2 FROM ({sh})), range({_MH_HASHES}) r(perm)
+  GROUP BY id, perm
+"""
+
+    def bands(s: str) -> str:
+        return f"""
+  SELECT id, CAST(perm / {rows_per_band} AS INT) AS band,
+         md5(string_agg(minhash::VARCHAR, ',' ORDER BY perm)) AS bsig
+  FROM {s} GROUP BY id, CAST(perm / {rows_per_band} AS INT)
+"""
+
+    return f"""
+WITH sig_b AS MATERIALIZED ({sig(sh_b)}),
+sig_c AS MATERIALIZED ({sig(sh_c)}),
+bands_b AS ({bands('sig_b')}),
+bands_c AS ({bands('sig_c')}),
+cand AS (
+  SELECT DISTINCT b.id AS bid, c.id AS cid
+  FROM bands_b b JOIN bands_c c ON b.band = c.band AND b.bsig = c.bsig
+),
+est AS (
+  SELECT cd.bid, cd.cid,
+         sum(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END)
+           / {_MH_HASHES}.0 AS est
+  FROM cand cd
+  JOIN sig_b a ON a.id = cd.bid
+  JOIN sig_c b ON b.id = cd.cid AND b.perm = a.perm
+  GROUP BY cd.bid, cd.cid
+),
+best AS (
+  SELECT bid, cid, est FROM (
+    SELECT bid, cid, est,
+           row_number() OVER (PARTITION BY bid
+                              ORDER BY est DESC, CAST(cid AS VARCHAR)) AS rn
+    FROM est WHERE est >= {_INC_THRESHOLD}
+  ) WHERE rn = 1
+),
+exact AS (
+  SELECT text, min(CAST(doc_id AS VARCHAR)) AS exact_dup_of
+  FROM documents WHERE doc_id % 10 <> 7 GROUP BY text
+)
+SELECT CAST(d.doc_id AS VARCHAR) AS id,
+       e.exact_dup_of,
+       CAST(b.cid AS VARCHAR) AS near_dup_of,
+       round(b.est, 6) AS near_est
+FROM documents d
+LEFT JOIN exact e ON e.text = d.text
+LEFT JOIN best b ON b.bid = d.doc_id
+WHERE d.doc_id % 10 = 7
+"""
+
+
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source/sink exercise (``sources.io``): project an
+    integer/string-only slice of orders, write it through the CSV sink,
+    read it back with an EXPLICIT schema (no inference scan), and
+    aggregate — proving the non-parquet IO path end to end inside the
+    correctness gate.  The scratch dir is per-sf under /tmp."""
+    import os as _os
+
+    from polars_grouper_spark.sources.io import read_csv, write_parquet  # noqa: F401
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_custkey"
+    )
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    path = _os.path.join("/tmp", f"spark_graft_csv_rt_{tag}")
+    o.write.mode("overwrite").option("header", True).csv(path)
+    back = read_csv(
+        spark, path,
+        "o_orderkey long, o_orderstatus string, o_custkey long",
+        header=True,
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_custkey").alias("custkey_sum"),
+    )
+
+
+_CSV_ROUNDTRIP_SQL = """
+SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+       sum(o_custkey)::BIGINT AS custkey_sum
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -3821,6 +3971,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_parts": q_weighted_sample_parts,
         "events_moving_avg": q_events_moving_avg,
         "kmeans_cells": q_kmeans_cells,
+        "densest_parts": q_densest_parts,
+        "dedup_incremental": q_dedup_incremental,
+        "csv_roundtrip": q_csv_roundtrip,
         # --- driver-verified in CORRECTNESS_r03 (all green) ---
         "cc_components": q_cc_components,
         "cc_component_sizes": q_cc_component_sizes,
@@ -4028,7 +4181,7 @@ def oracle_sql() -> dict[str, str]:
             12,
         ),
         "domain_mix_docs": _domain_mix_sql(),
-        "knn_graph": _ivf_topk_sql("TRUE"),
+        "knn_graph": _ivf_topk_sql("TRUE", n_probe=_KNN_GRAPH_PROBE),
         "user_journeys": _USER_JOURNEYS_SQL,
         "pagerank_weighted": weighted_pagerank_sql(
             _SP_W_EDGE_SQL, _PR_ITERS, _PR_DAMP
@@ -4045,4 +4198,12 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample_parts": _weighted_sample_parts_sql(),
         "events_moving_avg": _EVENTS_MAVG_SQL,
         "kmeans_cells": _kmeans_cells_sql(),
+        "densest_parts": densest_subgraph_rounds_sql(
+            _PART_CO_EDGE_SQL,
+            eps_num=_DSG_EPS[0],
+            eps_den=_DSG_EPS[1],
+            rounds=_DSG_ROUNDS,
+        ),
+        "dedup_incremental": _dedup_incremental_sql(),
+        "csv_roundtrip": _CSV_ROUNDTRIP_SQL,
     }

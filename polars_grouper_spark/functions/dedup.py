@@ -22,7 +22,7 @@ Embedding-space near-dup lives in ``functions.similarity``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from polars_grouper_spark.functions.hashing import (
@@ -508,4 +508,117 @@ def ngram_contamination(
         F.round(
             F.coalesce("n_contaminated", F.lit(0)) / F.col("n_ngrams"), 6
         ).alias("contamination_ratio"),
+    )
+
+
+def _band_signatures(sig: DataFrame, rows_per_band: int) -> DataFrame:
+    """(id, band, bsig) band-signature strings from a signature table
+    ``(id, perm, minhash)`` — md5 over the band's minhashes in perm
+    order, the exact format the SQL oracle reproduces."""
+    banded = sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+    return (
+        banded.groupBy("id", "band")
+        .agg(F.sort_array(F.collect_list(F.struct("perm", "minhash"))).alias("mh"))
+        .select(
+            "id",
+            "band",
+            F.md5(
+                F.concat_ws(
+                    ",", F.transform("mh", lambda x: x["minhash"].cast("string"))
+                )
+            ).alias("bsig"),
+        )
+    )
+
+
+def dedup_against_corpus(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    portable: bool = True,
+) -> DataFrame:
+    """Incremental dedup: flag each BATCH document against an existing
+    CORPUS -> ``(id, exact_dup_of, near_dup_of, near_est)``.
+
+    The production crawl pattern: today's batch is checked against the
+    historical index, never against itself, and the corpus is touched
+    only through its (re-usable) signature table.  Two matchers:
+
+    - exact: text-equality join against the corpus (match = min corpus
+      id, hash-partitioned on the text key);
+    - near: MinHash band signatures on BOTH sides, candidates from the
+      (band, bsig) equality join across sides only, estimated Jaccard
+      verified at ``threshold``, best match per batch doc (highest
+      estimate, then smallest corpus id).
+
+    Every join is equality-keyed; candidate volume is bounded by band
+    collisions exactly as in :func:`minhash_lsh_pairs`.  A batch doc with
+    no match reports nulls in both match columns.
+    """
+    assert num_hashes % bands == 0, "num_hashes must divide evenly into bands"
+    rows_per_band = num_hashes // bands
+
+    b_ids = batch.select(
+        F.col(id_col).cast("string").alias("id"), F.col(text_col).alias("_bt")
+    )
+    exact = (
+        corpus.select(
+            F.col(text_col).alias("_bt"),
+            F.col(id_col).cast("string").alias("_cid"),
+        )
+        .groupBy("_bt")
+        .agg(F.min("_cid").alias("exact_dup_of"))
+    )
+    with_exact = b_ids.join(exact, "_bt", "left").select("id", "exact_dup_of")
+
+    sig_b = truncate_lineage(
+        minhash_signatures(batch, id_col, text_col, num_hashes, shingle_n, portable)
+    )
+    sig_c = truncate_lineage(
+        minhash_signatures(corpus, id_col, text_col, num_hashes, shingle_n, portable)
+    )
+    bands_b = _band_signatures(sig_b, rows_per_band)
+    bands_c = _band_signatures(sig_c, rows_per_band)
+    cand = (
+        bands_b.select(F.col("id").alias("bid"), "band", "bsig")
+        .join(bands_c.select(F.col("id").alias("cid"), "band", "bsig"), ["band", "bsig"])
+        .select("bid", "cid")
+        .distinct()
+    )
+    sa = sig_b.select(F.col("id").alias("bid"), "perm", F.col("minhash").alias("mh_a"))
+    sb = sig_c.select(F.col("id").alias("cid"), "perm", F.col("minhash").alias("mh_b"))
+    est = (
+        cand.join(sa, "bid")
+        .join(sb, ["cid", "perm"])
+        .groupBy("bid", "cid")
+        .agg(
+            (
+                F.sum((F.col("mh_a") == F.col("mh_b")).cast("int"))
+                / F.lit(num_hashes)
+            ).alias("est")
+        )
+        .where(F.col("est") >= F.lit(threshold))
+    )
+    # tie-break on the STRING form of the corpus id (ids may arrive as
+    # longs; the oracle compares VARCHARs, and '113' < '72' as strings)
+    w = Window.partitionBy("bid").orderBy(
+        F.col("est").desc(), F.col("cid").cast("string").asc()
+    )
+    best = (
+        est.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("bid").cast("string").alias("id"),
+            F.col("cid").cast("string").alias("near_dup_of"),
+            F.round("est", 6).alias("near_est"),
+        )
+    )
+    return with_exact.join(best, "id", "left").select(
+        "id", "exact_dup_of", "near_dup_of", "near_est"
     )

@@ -54,22 +54,29 @@ def hits(
         .select(s.alias("u"), d.alias("v"))
         .distinct()
     )
-    nodes = (
+    nodes = truncate_lineage(
         edges.select(F.col("u").alias("node"))
         .union(edges.select(F.col("v").alias("node")))
         .distinct()
     )
+    # The score state is O(V) rows; when it fits the broadcast budget,
+    # shipping it into each join leaves the (checkpointed) O(E) edge side
+    # un-shuffled for the whole loop — the same lever as PageRank's
+    # broadcast_ranks.  Checkpointed frames carry no size estimate, so
+    # AQE cannot make this call on its own.
+    n_nodes = nodes.count()
+    bcast = (lambda d: F.broadcast(d)) if n_nodes <= 5_000_000 else (lambda d: d)
     hub = nodes.select("node", F.lit(1).cast("long").alias("h"))
     auth = None
     for _ in range(iters):
         auth = truncate_lineage(
-            edges.join(hub.withColumnRenamed("node", "u"), "u")
+            edges.join(bcast(hub.withColumnRenamed("node", "u")), "u")
             .groupBy(F.col("v").alias("node"))
             .agg(F.sum("h").alias("a")),
             cache=False,
         )
         hub = truncate_lineage(
-            edges.join(auth.withColumnRenamed("node", "v"), "v")
+            edges.join(bcast(auth.withColumnRenamed("node", "v")), "v")
             .groupBy(F.col("u").alias("node"))
             .agg(F.sum("a").alias("h")),
             cache=False,

@@ -29,6 +29,14 @@ from pyspark.sql import functions as F
 
 from ..plans.iteration import truncate_lineage
 
+_BROADCAST_STATE_ROWS = 5_000_000
+
+
+def _estimate_small(features: DataFrame) -> bool:
+    """One count over the feature table (<= one row per node) decides the
+    broadcast-vs-shuffle join strategy for the whole loop."""
+    return features.count() <= _BROADCAST_STATE_ROWS
+
 
 def neighbor_agg(
     edges: DataFrame,
@@ -78,9 +86,14 @@ def neighbor_agg(
     )
 
     outs = []
+    # State is O(V) rows per hop — broadcast it into the join so the
+    # checkpointed O(E) edge side never re-shuffles (AQE can't size a
+    # checkpointed frame, so the hint is explicit); fall back to the
+    # shuffle join past the broadcast budget.
+    bcast = F.broadcast if _estimate_small(features) else (lambda d: d)
     for hop in range(1, hops + 1):
         state = truncate_lineage(
-            e.join(state.withColumnRenamed("node", "v"), "v")
+            e.join(bcast(state.withColumnRenamed("node", "v")), "v")
             .groupBy(F.col("u").alias("node"))
             .agg(F.sum("fsum").alias("fsum"), F.sum("cnt").alias("cnt")),
             cache=False,

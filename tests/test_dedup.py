@@ -185,3 +185,52 @@ def test_contamination_short_doc_whole_text_shingle(spark):
     test = spark.createDataFrame([(2, "tiny doc")], ["doc_id", "text"])
     got = ngram_contamination(train, test, n=5).collect()[0]
     assert got["n_ngrams"] == 1 and got["n_contaminated"] == 1
+
+
+# ---------------------------------------------------------------------------
+# dedup_against_corpus (incremental batch-vs-index dedup)
+# ---------------------------------------------------------------------------
+
+def test_incremental_exact_near_and_novel(spark):
+    from polars_grouper_spark.functions.dedup import dedup_against_corpus
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different corpus text about spark engines"),
+        ],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog today"),  # exact
+            (11, "the quick brown fox jumps over the lazy dog tonight"),  # near
+            (12, "nothing like anything in the corpus whatsoever here"),  # novel
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["id"]: r
+        for r in dedup_against_corpus(
+            batch, corpus, num_hashes=32, bands=16, threshold=0.3
+        ).collect()
+    }
+    assert got["10"]["exact_dup_of"] == "1"
+    assert got["10"]["near_dup_of"] == "1" and got["10"]["near_est"] == 1.0
+    assert got["11"]["exact_dup_of"] is None
+    assert got["11"]["near_dup_of"] == "1" and 0.3 <= got["11"]["near_est"] < 1.0
+    assert got["12"]["exact_dup_of"] is None and got["12"]["near_dup_of"] is None
+
+
+def test_incremental_never_matches_within_batch(spark):
+    from polars_grouper_spark.functions.dedup import dedup_against_corpus
+
+    corpus = spark.createDataFrame([(1, "unrelated corpus entry")], ["doc_id", "text"])
+    dup_text = "two batch documents that duplicate each other exactly"
+    batch = spark.createDataFrame(
+        [(10, dup_text), (11, dup_text)], ["doc_id", "text"]
+    )
+    got = {r["id"]: r for r in dedup_against_corpus(batch, corpus).collect()}
+    # batch-internal duplicates are NOT each other's matches
+    assert got["10"]["exact_dup_of"] is None and got["11"]["exact_dup_of"] is None
+    assert got["10"]["near_dup_of"] is None and got["11"]["near_dup_of"] is None
