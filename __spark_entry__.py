@@ -79,6 +79,7 @@ from polars_grouper_spark.functions.sketches import (
 )
 from polars_grouper_spark.operators.neighbor_agg import neighbor_agg, neighbor_agg_sql
 from polars_grouper_spark.operators.densest import densest_subgraph_rounds_sql
+from polars_grouper_spark.operators.mis import maximal_independent_set_sql
 from polars_grouper_spark.operators.hits import hits_sql
 from polars_grouper_spark.operators.pagerank import weighted_pagerank_sql
 from polars_grouper_spark.functions.sketches import hist_quantiles_by_sql
@@ -3881,6 +3882,102 @@ FROM orders GROUP BY o_orderstatus
 
 
 # ---------------------------------------------------------------------------
+# round-4 additions, batch 4: fuzzy matching, sweeps, symmetry breaking
+# ---------------------------------------------------------------------------
+
+def q_fuzzy_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 self-join (``functions.fuzzy.fuzzy_join_ed1``,
+    SymSpell deletion neighborhoods): brand strings that differ by one
+    character — candidates from a neighborhood-key equality join, exact
+    ``levenshtein`` verification, no cross join anywhere."""
+    from polars_grouper_spark.functions.fuzzy import fuzzy_join_ed1
+
+    part = load_table(spark, "part", sf_dir)
+    return fuzzy_join_ed1(part, part, "p_brand", "p_brand")
+
+
+def _fuzzy_brands_sql() -> str:
+    from polars_grouper_spark.functions.fuzzy import fuzzy_join_ed1_sql
+
+    src = "SELECT p_brand AS v FROM part"
+    return fuzzy_join_ed1_sql(src, src)
+
+
+def q_peak_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency (``operators.intervals.peak_concurrency``): each
+    user's daily activity span [first event, last event] is an interval;
+    the sweep line finds, per day, the most users simultaneously active
+    — two rows per interval and one partitioned cumulative sum, never a
+    self-join."""
+    from polars_grouper_spark.operators.intervals import peak_concurrency
+
+    ev = load_table(spark, "events", sf_dir)
+    spans = ev.groupBy(
+        F.to_date("ts").alias("day"), "user_id"
+    ).agg(
+        F.min(F.unix_timestamp("ts")).alias("s"),
+        F.max(F.unix_timestamp("ts")).alias("e"),
+    )
+    out = peak_concurrency(spans, "s", "e", "day")
+    return out.select(F.col("day").cast("string").alias("day"), "peak", "n_intervals")
+
+
+def _peak_sessions_sql() -> str:
+    from polars_grouper_spark.operators.intervals import peak_concurrency_sql
+
+    spans = (
+        "SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, user_id,"
+        " min(CAST(epoch(ts) AS BIGINT)) AS s, max(CAST(epoch(ts) AS BIGINT)) AS e"
+        " FROM events GROUP BY 1, 2"
+    )
+    inner = peak_concurrency_sql(spans, "s", "e", "day")
+    return f"SELECT grp AS day, peak, n_intervals FROM ({inner})"
+
+
+_MIS_ROUNDS = 16
+
+
+def q_mis_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal independent set (``operators.mis`` — Luby's algorithm with
+    deterministic portable-hash priorities) on the part co-purchase
+    graph: the distributed symmetry-breaking primitive, every round two
+    equality joins + one min-aggregation, oracle-replayed round for
+    round."""
+    from polars_grouper_spark.operators.mis import maximal_independent_set
+
+    edges = _part_co_edges(spark, sf_dir)
+    return maximal_independent_set(
+        edges, "src", "dst", max_rounds=_MIS_ROUNDS
+    )
+
+
+def q_stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming running mean/std kernel (``streaming.stateful.
+    running_user_stats`` — Welford state per user, the z-score anomaly
+    building block), exercised through its batch-degenerate path; the
+    true streaming path is driven by a real stream in
+    ``tests/test_streaming.py``."""
+    from polars_grouper_spark.streaming.stateful import running_user_stats
+
+    ev = load_table(spark, "events", sf_dir)
+    out = running_user_stats(ev)
+    return out.select(
+        "user_id",
+        "n_events",
+        F.round("mean", 6).alias("mean"),
+        F.round("std", 6).alias("std"),
+    )
+
+
+_STREAM_USER_STATS_SQL = """
+SELECT user_id, count(*)::BIGINT AS n_events,
+       round(avg(value), 6) AS mean,
+       round(sqrt(var_pop(value)), 6) AS std
+FROM events WHERE value IS NOT NULL GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -3974,6 +4071,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densest_parts": q_densest_parts,
         "dedup_incremental": q_dedup_incremental,
         "csv_roundtrip": q_csv_roundtrip,
+        "fuzzy_brands": q_fuzzy_brands,
+        "peak_sessions": q_peak_sessions,
+        "mis_parts": q_mis_parts,
+        "stream_user_stats": q_stream_user_stats,
         # --- driver-verified in CORRECTNESS_r03 (all green) ---
         "cc_components": q_cc_components,
         "cc_component_sizes": q_cc_component_sizes,
@@ -4206,4 +4307,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_incremental": _dedup_incremental_sql(),
         "csv_roundtrip": _CSV_ROUNDTRIP_SQL,
+        "fuzzy_brands": _fuzzy_brands_sql(),
+        "peak_sessions": _peak_sessions_sql(),
+        "mis_parts": maximal_independent_set_sql(
+            _PART_CO_EDGE_SQL, rounds=_MIS_ROUNDS
+        ),
+        "stream_user_stats": _STREAM_USER_STATS_SQL,
     }

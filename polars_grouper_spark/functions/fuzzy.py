@@ -1,0 +1,99 @@
+"""Fuzzy string matching at join scale (SymSpell deletion neighborhoods).
+
+Entity resolution and typo clustering need "edit distance ≤ 1" joins.
+The naive formulation is an all-pairs Levenshtein — O(N²·L²), dead at
+corpus scale.  The SymSpell trick (Garbe 2012, public domain algorithm):
+two strings within edit distance 1 MUST share a member of their
+deletion neighborhoods (the string itself plus every single-character
+deletion), so candidates come from an EQUALITY join on neighborhood
+keys — linear shuffle, no cross join — and only candidates pay the
+exact ``levenshtein()`` verification (a shared deletion alone admits
+some distance-2 pairs, e.g. substitutions at different positions).
+
+Everything is built-in expressions: the neighborhood is a row-local
+``transform(sequence(...))``, verification is Spark's ``levenshtein``
+(same definition as DuckDB's), no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _deletions(c: Column) -> Column:
+    """Every single-character deletion of ``c`` -> array<string>."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c), F.lit(0))),
+        lambda i: F.concat(
+            c.substr(F.lit(1), (i - 1).cast("int")),
+            c.substr((i + 1).cast("int"), F.length(c)),
+        ),
+    )
+
+
+def neighborhood_keys(col: Column | str) -> Column:
+    """Distinct deletion-neighborhood keys of a string (itself + all
+    1-deletions); empty array for NULL."""
+    c = F.col(col) if isinstance(col, str) else col
+    keys = F.array_union(F.array(c), _deletions(c))
+    return F.when(c.isNotNull(), F.array_distinct(keys)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def fuzzy_join_ed1(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+) -> DataFrame:
+    """Pairs of DISTINCT values within Levenshtein distance 1 ->
+    ``(val_a, val_b, distance)`` with ``val_a < val_b`` (string order;
+    a self-pair never appears).  Candidates from the neighborhood-key
+    equality join, verified with exact ``levenshtein``."""
+    lv = left.select(F.col(left_col).cast("string").alias("v")).where(
+        F.col("v").isNotNull()
+    ).distinct()
+    rv = right.select(F.col(right_col).cast("string").alias("v")).where(
+        F.col("v").isNotNull()
+    ).distinct()
+    lk = lv.select("v", F.explode(neighborhood_keys(F.col("v"))).alias("key"))
+    rk = rv.select("v", F.explode(neighborhood_keys(F.col("v"))).alias("key"))
+    cand = (
+        lk.select(F.col("v").alias("val_a"), "key")
+        .join(rk.select(F.col("v").alias("val_b"), "key"), "key")
+        .where(F.col("val_a") < F.col("val_b"))
+        .select("val_a", "val_b")
+        .distinct()
+    )
+    dist = F.levenshtein("val_a", "val_b")
+    return cand.select("val_a", "val_b", dist.cast("long").alias("distance")).where(
+        F.col("distance") <= 1
+    )
+
+
+def fuzzy_join_ed1_sql(left_sql: str, right_sql: str) -> str:
+    """DuckDB oracle replaying :func:`fuzzy_join_ed1`; each input yields a
+    single column ``v``."""
+
+    def keys(src: str, alias: str) -> str:
+        return f"""
+  SELECT v, unnest(list_distinct(list_append(
+           list_transform(range(1, len(v) + 1),
+                          i -> substr(v, 1, i - 1) || substr(v, i + 1)),
+           v))) AS key
+  FROM (SELECT DISTINCT CAST(v AS VARCHAR) AS v FROM ({src}) WHERE v IS NOT NULL) {alias}
+"""
+
+    return f"""
+WITH lk AS ({keys(left_sql, "l")}),
+rk AS ({keys(right_sql, "r")}),
+cand AS (
+  SELECT DISTINCT lk.v AS val_a, rk.v AS val_b
+  FROM lk JOIN rk ON lk.key = rk.key
+  WHERE lk.v < rk.v
+)
+SELECT val_a, val_b, levenshtein(val_a, val_b)::BIGINT AS distance
+FROM cand WHERE levenshtein(val_a, val_b) <= 1
+"""

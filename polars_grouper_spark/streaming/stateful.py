@@ -123,3 +123,62 @@ def streaming_funnel(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+STATS_OUT_SCHEMA = "user_id long, n_events long, mean double, std double"
+STATS_STATE_SCHEMA = "n long, mean double, m2 double"
+
+
+def running_user_stats(df: DataFrame) -> DataFrame:
+    """Per-user running mean/std, emitted every micro-batch ->
+    ``(user_id, n_events, mean, std)`` (population std; both rounded to
+    6 by the caller if oracle parity is needed).
+
+    Streaming path: Welford's online algorithm (numerically stable
+    single-pass mean/M2) inside ``applyInPandasWithState`` — the
+    canonical streaming-anomaly building block: downstream a z-score
+    gate is one join of incoming events against this state.  State is
+    three fixed-width values per user, bounded by the user population.
+
+    Batch path: delegates to the equivalent groupBy aggregation
+    (``avg``/``var_pop``), which is what the DuckDB oracle replays —
+    Welford and the two-pass formula agree to float rounding, and the
+    contract rounds to 6 decimals.
+    """
+    from pyspark.sql import functions as F
+
+    if df.isStreaming:
+
+        def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+            n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+            for pdf in pdfs:
+                for v in pdf["value"].dropna():
+                    n += 1
+                    delta = float(v) - mean
+                    mean += delta / n
+                    m2 += delta * (float(v) - mean)
+            state.update((n, mean, m2))
+            std = (m2 / n) ** 0.5 if n > 0 else 0.0
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "mean": [mean],
+                    "std": [std],
+                }
+            )
+
+        return df.groupBy("user_id").applyInPandasWithState(
+            _update,
+            outputStructType=STATS_OUT_SCHEMA,
+            stateStructType=STATS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    vals = df.where(F.col("value").isNotNull())
+    return vals.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.avg("value").alias("mean"),
+        F.sqrt(F.var_pop("value")).alias("std"),
+    )
