@@ -66,9 +66,17 @@ def maximal_independent_set(
     )
     spark = df.sparkSession
     mis = spark.createDataFrame([], "node string")
+    # The active set is O(V) rows and only shrinks; broadcasting it into
+    # the two symmetric-edge joins keeps the O(E) edge side un-shuffled
+    # every round (checkpointed frames have no size estimate — AQE cannot
+    # make this call).  Past the broadcast budget fall back to shuffles.
+    bcast_ok = None
 
     for rnd in range(max_rounds + 1):
         n_active = active.count()
+        if bcast_ok is None:
+            bcast_ok = n_active <= 5_000_000
+        bc = F.broadcast if bcast_ok else (lambda d: d)
         if n_active == 0:
             break
         if rnd == max_rounds:
@@ -76,8 +84,8 @@ def maximal_independent_set(
                 f"MIS did not converge within max_rounds={max_rounds}"
             )
         act_edges = (
-            sym.join(active.select(F.col("node").alias("u"), F.col("p").alias("pu")), "u")
-            .join(active.select(F.col("node").alias("v"), F.col("p").alias("pv")), "v")
+            sym.join(bc(active.select(F.col("node").alias("u"), F.col("p").alias("pu"))), "u")
+            .join(bc(active.select(F.col("node").alias("v"), F.col("p").alias("pv"))), "v")
         )
         nbr_min = act_edges.groupBy("u").agg(F.min("pv").alias("min_nbr"))
         winners = (
@@ -89,9 +97,13 @@ def maximal_independent_set(
         winners = truncate_lineage(winners, cache=False)
         mis = mis.unionAll(winners.select("node"))
         # deactivate winners and their whole neighborhoods
-        killed = winners.select(F.col("node").alias("u")).join(
-            sym, "u"
-        ).select(F.col("v").alias("node")).union(winners.select("node")).distinct()
+        killed = (
+            bc(winners.select(F.col("node").alias("u")))
+            .join(sym, "u")
+            .select(F.col("v").alias("node"))
+            .union(winners.select("node"))
+            .distinct()
+        )
         active = truncate_lineage(
             active.join(killed, "node", "left_anti"), cache=False
         )
