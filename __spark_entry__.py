@@ -3978,6 +3978,87 @@ FROM events WHERE value IS NOT NULL GROUP BY user_id
 
 
 # ---------------------------------------------------------------------------
+# round-4 additions, batch 5: profiling and change capture
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ["o_orderkey", "o_orderstatus", "opri", "o_totalprice"]
+
+
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling (``functions.profile.profile_table``): every
+    column's null rate / HLL distinct / range in ONE scan + one
+    register shuffle — the schema-drift check a 100 TB ingest runs
+    before training.  ``opri`` nulls out one priority value so the
+    null-rate path is exercised (the synthetic tables are null-free)."""
+    from polars_grouper_spark.functions.profile import profile_table
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("opri"),
+        "o_totalprice",
+    )
+    return profile_table(o, _PROFILE_COLS)
+
+
+def _profile_orders_sql() -> str:
+    from polars_grouper_spark.functions.profile import profile_table_sql
+
+    src = (
+        "(SELECT o_orderkey, o_orderstatus,"
+        " nullif(o_orderpriority, '1-URGENT') AS opri, o_totalprice"
+        " FROM orders)"
+    )
+    return profile_table_sql(src, _PROFILE_COLS)
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture classification (``operators.snapshot_diff``):
+    'yesterday' is the customer table; 'today' drops every 97th key
+    (→ removed), rewrites the segment of every 13th (→ changed), and
+    appends shifted copies of every 89th (→ added) — one full outer
+    join, NULL-safe comparisons, delta-sized output."""
+    from polars_grouper_spark.operators.snapshot_diff import snapshot_diff
+
+    c = load_table(spark, "customer", sf_dir)
+    old = c.select("c_custkey", "c_mktsegment", "c_nationkey")
+    survivors = c.where(F.col("c_custkey") % 97 != 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 13 == 0, F.lit("MODIFIED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        "c_nationkey",
+    )
+    added = c.where(F.col("c_custkey") % 89 == 0).select(
+        (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+        "c_mktsegment",
+        "c_nationkey",
+    )
+    new = survivors.unionAll(added)
+    return snapshot_diff(
+        old, new, ["c_custkey"], ["c_mktsegment", "c_nationkey"]
+    )
+
+
+def _snapshot_diff_sql() -> str:
+    from polars_grouper_spark.operators.snapshot_diff import snapshot_diff_sql
+
+    old = "SELECT c_custkey, c_mktsegment, c_nationkey FROM customer"
+    new = (
+        "SELECT c_custkey,"
+        " CASE WHEN c_custkey % 13 = 0 THEN 'MODIFIED' ELSE c_mktsegment END"
+        " AS c_mktsegment, c_nationkey"
+        " FROM customer WHERE c_custkey % 97 <> 0"
+        " UNION ALL "
+        "SELECT c_custkey + 10000000, c_mktsegment, c_nationkey"
+        " FROM customer WHERE c_custkey % 89 = 0"
+    )
+    return snapshot_diff_sql(
+        old, new, ["c_custkey"], ["c_mktsegment", "c_nationkey"]
+    )
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -4075,6 +4156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "peak_sessions": q_peak_sessions,
         "mis_parts": q_mis_parts,
         "stream_user_stats": q_stream_user_stats,
+        "profile_orders": q_profile_orders,
+        "snapshot_diff": q_snapshot_diff,
         # --- driver-verified in CORRECTNESS_r03 (all green) ---
         "cc_components": q_cc_components,
         "cc_component_sizes": q_cc_component_sizes,
@@ -4313,4 +4396,6 @@ def oracle_sql() -> dict[str, str]:
             _PART_CO_EDGE_SQL, rounds=_MIS_ROUNDS
         ),
         "stream_user_stats": _STREAM_USER_STATS_SQL,
+        "profile_orders": _profile_orders_sql(),
+        "snapshot_diff": _snapshot_diff_sql(),
     }
