@@ -382,49 +382,48 @@ def line_dedup(
     their original order; a document whose every line is boilerplate
     comes back with ``clean_text = ''``.
 
-    Plan: one posexplode scan, one map-side-combinable distinct-doc
-    count over trimmed lines, one anti-join back, one per-doc
-    re-assembly aggregation — every shuffle equality-keyed on the line
-    or the doc id, nothing driver-sized.
+    Plan: ONE posexplode pass (checkpointed — the exploded line table
+    feeds both the duplicate count and the reassembly, and re-splitting
+    a 100 TB corpus per consumer would triple the scan), one
+    map-side-combinable distinct-doc count over trimmed lines, one
+    left join back, and one merged per-doc aggregation that computes
+    the reassembled text, the line total, and the drop count together —
+    every shuffle equality-keyed on the line or the doc id, nothing
+    driver-sized.
     """
     import re as _re
 
     # Spark's split() takes a regex while DuckDB's string_split is literal
     # — escape so both engines split on the literal separator.
-    lines = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), _re.escape(sep), -1)).alias(
-            "pos", "line"
-        ),
-    ).withColumn("norm", F.trim("line"))
+    lines = truncate_lineage(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), _re.escape(sep), -1)).alias(
+                "pos", "line"
+            ),
+        ).withColumn("norm", F.trim("line"))
+    )
     dup = (
         lines.where(F.length("norm") >= min_line_chars)
         .groupBy("norm")
         .agg(F.count_distinct("id").alias("n_docs"))
         .where(F.col("n_docs") >= min_count)
-        .select("norm")
+        .select("norm", F.lit(True).alias("_dup"))
     )
-    kept = lines.join(dup, "norm", "left_anti")
-    reassembled = kept.groupBy("id").agg(
+    flagged = lines.join(dup, "norm", "left")
+    keep_struct = F.when(
+        F.col("_dup").isNull(), F.struct("pos", "line")
+    )  # collect_list skips nulls: dropped lines vanish from the rebuild
+    return flagged.groupBy("id").agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda s: s["line"],
+                F.array_sort(F.collect_list(keep_struct)), lambda s: s["line"]
             ),
             sep,
         ).alias("clean_text"),
-        F.count(F.lit(1)).alias("n_kept"),
-    )
-    totals = lines.groupBy("id").agg(F.count(F.lit(1)).alias("n_lines"))
-    return (
-        totals.join(reassembled, "id", "left")
-        .select(
-            "id",
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            "n_lines",
-            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
-        )
-    )
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("_dup").isNotNull().cast("long")).alias("n_dropped"),
+    ).select("id", "clean_text", "n_lines", "n_dropped")
 
 
 def line_dedup_sql(
