@@ -4059,6 +4059,51 @@ def _snapshot_diff_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# round-4 additions, batch 6: embedding training data, collocations
+# ---------------------------------------------------------------------------
+
+_SKIPGRAM_WINDOW = 2
+
+
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram pairs (``operators.walks.skipgram_pairs``): the
+    walks→word2vec bridge — deterministic random walks over the user
+    graph become (center, context) training pairs with a ±2 window, one
+    walk-local self-join + one count.  Composes with
+    ``random_walks_users`` (identical walk parameters)."""
+    from polars_grouper_spark.operators.walks import random_walks, skipgram_pairs
+
+    walks = random_walks(
+        _scc_edges(spark, sf_dir),
+        "src",
+        "dst",
+        walk_length=_WALK_LEN,
+        walks_per_node=_WALKS_PER_NODE,
+        seed=_WALK_SEED,
+    )
+    return skipgram_pairs(walks, window=_SKIPGRAM_WINDOW)
+
+
+def _skipgram_pairs_sql() -> str:
+    from polars_grouper_spark.operators.walks import skipgram_pairs_sql
+
+    walks = random_walks_sql(_SCC_EDGE_SQL, _WALK_LEN, _WALKS_PER_NODE, _WALK_SEED)
+    return skipgram_pairs_sql(walks, window=_SKIPGRAM_WINDOW)
+
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 50
+
+
+def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation detection (``text.pmi_pairs`` — Church & Hanks PMI):
+    strongest adjacent-token associations; the top-k ordering uses an
+    exact integer surrogate so selection never rides on libm."""
+    docs = load_table(spark, "documents", sf_dir)
+    return tx.pmi_pairs(docs, "text", min_count=_PMI_MIN_COUNT, top_k=_PMI_TOPK)
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -4158,6 +4203,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_user_stats": q_stream_user_stats,
         "profile_orders": q_profile_orders,
         "snapshot_diff": q_snapshot_diff,
+        "skipgram_pairs": q_skipgram_pairs,
+        "pmi_pairs": q_pmi_pairs,
         # --- driver-verified in CORRECTNESS_r03 (all green) ---
         "cc_components": q_cc_components,
         "cc_component_sizes": q_cc_component_sizes,
@@ -4398,4 +4445,8 @@ def oracle_sql() -> dict[str, str]:
         "stream_user_stats": _STREAM_USER_STATS_SQL,
         "profile_orders": _profile_orders_sql(),
         "snapshot_diff": _snapshot_diff_sql(),
+        "skipgram_pairs": _skipgram_pairs_sql(),
+        "pmi_pairs": tx.pmi_pairs_sql(
+            "documents", "text", min_count=_PMI_MIN_COUNT, top_k=_PMI_TOPK
+        ),
     }

@@ -500,3 +500,126 @@ SELECT rank::BIGINT AS rank, token, cnt,
        round(CAST(cum AS DOUBLE) / total.t, 9) AS cum_share
 FROM top, total WHERE rank <= {k}
 """
+
+
+def pmi_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Pointwise mutual information of adjacent token bigrams ->
+    ``(tok_a, tok_b, n_ab, pmi)`` for the ``top_k`` strongest
+    associations among bigrams seen at least ``min_count`` times:
+    ``pmi = ln(P(ab) / (P(a)·P(b)))`` with unigram probabilities over
+    token occurrences and bigram probabilities over bigram positions —
+    the classic collocation detector (Church & Hanks 1990).
+
+    All counts are exact integer aggregations; ``ln`` touches only the
+    OUTPUT value (rounded to 6), never a selection — except the final
+    top-k ordering, which therefore orders by the log's exact integer
+    ARGUMENT cross-products instead: pmi(a,b) > pmi(c,d) ⇔
+    n_ab·N_uni² · n_c·n_d  >  n_cd·N_uni² · n_a·n_b (monotone transform;
+    evaluated as exact BIGINT products) — so the picked rows are
+    engine-stable even when two pmi values differ past double
+    precision.  Ties break on the token pair.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    staged = df.select(tokens(F.col(text_col)).alias("_toks"))
+    uni = (
+        staged.select(F.explode("_toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n_uni = uni.agg(F.sum("n")).first()[0] or 0
+    bi = staged.select(
+        F.explode(
+            F.zip_with(
+                F.slice("_toks", 1, F.greatest(F.size("_toks") - 1, F.lit(0))),
+                F.slice("_toks", 2, F.greatest(F.size("_toks") - 1, F.lit(0))),
+                lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b"))
+    bic = (
+        bi.groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_count)
+    )
+    n_bi = bi.count()
+    ua = uni.select(F.col("tok").alias("tok_a"), F.col("n").alias("n_a"))
+    ub = uni.select(F.col("tok").alias("tok_b"), F.col("n").alias("n_b"))
+    joined = bic.join(F.broadcast(ua), "tok_a").join(F.broadcast(ub), "tok_b")
+    # ordering key: n_ab / (n_a * n_b) as exact rationals -> compare via
+    # the double of the ratio is NOT safe; use (n_ab, n_a*n_b) cross
+    # ordering through a single exact integer-ratio surrogate: order by
+    # n_ab * 10^12 / (n_a * n_b) integer-divided — collisions then break
+    # on the pair, which is engine-stable.
+    surrogate = (F.col("n_ab") * F.lit(1_000_000_000_000)) / (
+        F.col("n_a") * F.col("n_b")
+    )
+    pmi = F.log(
+        F.col("n_ab").cast("double")
+        * F.lit(float(n_uni))
+        * F.lit(float(n_uni))
+        / (
+            F.lit(float(n_bi))
+            * F.col("n_a").cast("double")
+            * F.col("n_b").cast("double")
+        )
+    )
+    return (
+        joined.select(
+            "tok_a", "tok_b", "n_ab",
+            F.round(pmi, 6).alias("pmi"),
+            F.floor(surrogate).cast("long").alias("_key"),
+        )
+        .orderBy(F.col("_key").desc(), "tok_a", "tok_b")
+        .limit(top_k)
+        .drop("_key")
+    )
+
+
+def pmi_pairs_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    *,
+    min_count: int = 5,
+    top_k: int = 50,
+) -> str:
+    """DuckDB oracle replaying :func:`pmi_pairs` (same integer ordering
+    surrogate)."""
+    toks = (
+        f"SELECT list_filter(string_split_regex(trim({text_expr}), '\\s+'),"
+        f" x -> x <> '') AS t FROM {table}"
+    )
+    return f"""
+WITH staged AS ({toks}),
+uni AS (
+  SELECT unnest(t) AS tok FROM staged
+),
+uc AS (SELECT tok, count(*)::BIGINT AS n FROM uni GROUP BY tok),
+nu AS (SELECT sum(n)::BIGINT AS n_uni FROM uc),
+bi AS (
+  SELECT t[i] AS tok_a, t[i + 1] AS tok_b
+  FROM staged, unnest(range(1, len(t))) u(i)
+),
+nb AS (SELECT count(*)::BIGINT AS n_bi FROM bi),
+bc AS (
+  SELECT tok_a, tok_b, count(*)::BIGINT AS n_ab
+  FROM bi GROUP BY tok_a, tok_b HAVING count(*) >= {min_count}
+)
+SELECT tok_a, tok_b, n_ab,
+       round(ln(CAST(n_ab AS DOUBLE) * nu.n_uni * nu.n_uni
+                / (nb.n_bi * CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE))), 6)
+         AS pmi
+FROM bc
+JOIN uc a ON a.tok = bc.tok_a
+JOIN uc b ON b.tok = bc.tok_b
+CROSS JOIN nu CROSS JOIN nb
+ORDER BY CAST(floor((n_ab * 1000000000000) / (a.n * b.n)) AS BIGINT) DESC,
+         tok_a, tok_b
+LIMIT {top_k}
+"""

@@ -536,3 +536,55 @@ def node2vec_walks_sql(
         for s in range(walk_length + 1)
     )
     return "\n".join(parts) + f" SELECT walk_id, step::INT AS step, node FROM ({selects})"
+
+
+def skipgram_pairs(
+    walks: DataFrame,
+    *,
+    window: int = 2,
+) -> DataFrame:
+    """Skip-gram training pairs from a walk table -> ``(center, context,
+    n_pairs)``: for every walk, each (node@step, node@step±δ) pair with
+    1 <= δ <= ``window``, aggregated to pair counts — the step that
+    turns :func:`random_walks`/:func:`node2vec_walks` output into
+    word2vec/DeepWalk training data.
+
+    One self-equality-join on ``walk_id`` with the step-distance
+    predicate (each walk contributes O(len·window) rows — row-local
+    fan-out, no all-pairs), one map-side-combinable count.  Input is any
+    frame with (walk_id, step, node); sentence tables work identically
+    (sentence_id, position, token).
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    a, b = walks.alias("a"), walks.alias("b")
+    d = F.col("b.step") - F.col("a.step")
+    pairs = a.join(
+        b,
+        (F.col("a.walk_id") == F.col("b.walk_id"))
+        & (d >= 1)
+        & (d <= window),
+    ).select(F.col("a.node").alias("x"), F.col("b.node").alias("y"))
+    # emit both directions so the pair table is symmetric, like word2vec's
+    # center/context windows
+    sym = pairs.unionAll(pairs.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    return (
+        sym.groupBy(F.col("x").alias("center"), F.col("y").alias("context"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def skipgram_pairs_sql(walks_sql: str, window: int = 2) -> str:
+    """DuckDB oracle replaying :func:`skipgram_pairs` over a walk
+    subquery producing (walk_id, step, node)."""
+    return f"""
+WITH w AS MATERIALIZED ({walks_sql}),
+fwd AS (
+  SELECT a.node AS x, b.node AS y
+  FROM w a JOIN w b ON a.walk_id = b.walk_id
+   AND b.step - a.step BETWEEN 1 AND {window}
+),
+sym AS (SELECT x, y FROM fwd UNION ALL SELECT y, x FROM fwd)
+SELECT x AS center, y AS context, count(*)::BIGINT AS n_pairs
+FROM sym GROUP BY x, y
+"""

@@ -113,3 +113,33 @@ def test_vocab_coverage_hand_computed(spark):
     assert got[3]["token"] == "c"
     assert abs(got[1]["cum_share"] - round(4 / 9, 9)) < 1e-12
     assert abs(got[3]["cum_share"] - round(8 / 9, 9)) < 1e-12
+
+
+def test_pmi_collocation_beats_chance(spark):
+    from polars_grouper_spark.functions.text import pmi_pairs
+
+    # 'strong glue' always adjacent; 'the' everywhere (low association)
+    docs = [(i, "the strong glue the filler the strong glue the mix") for i in range(10)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {(r["tok_a"], r["tok_b"]): r["pmi"] for r in
+           pmi_pairs(df, min_count=5, top_k=10).collect()}
+    assert ("strong", "glue") in got
+    assert got[("strong", "glue")] > got.get(("the", "strong"), -99)
+
+
+def test_pmi_duckdb_parity(spark):
+    import duckdb
+
+    from polars_grouper_spark.functions.text import pmi_pairs, pmi_pairs_sql
+
+    words = ["alpha", "beta", "gamma", "delta"]
+    docs = [(i, " ".join(words[(i + j) % 4] for j in range(12))) for i in range(20)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = sorted(tuple(r) for r in pmi_pairs(df, min_count=3, top_k=8).collect())
+    vals = ",".join(f"({i}, '{t}')" for i, t in docs)
+    sql = pmi_pairs_sql(
+        f"(SELECT * FROM (VALUES {vals}) v(doc_id, text))", "text",
+        min_count=3, top_k=8,
+    )
+    want = sorted(duckdb.sql(sql).fetchall())
+    assert got == want

@@ -262,3 +262,35 @@ def test_colocated_walks_stay_independent(spark):
     w1 = [r[2] for r in sorted(got) if r[0] == "a#1"]
     assert w0[:2] == w1[:2] == ["a", "b"]
     assert w0 != w1  # diverge after meeting despite identical (node, step)
+
+
+def test_skipgram_pairs_hand_computed(spark):
+    from polars_grouper_spark.operators.walks import skipgram_pairs
+
+    walks = spark.createDataFrame(
+        [("w1", 0, "a"), ("w1", 1, "b"), ("w1", 2, "c"), ("w2", 0, "a"), ("w2", 1, "b")],
+        ["walk_id", "step", "node"],
+    )
+    got = {(r["center"], r["context"]): r["n_pairs"]
+           for r in skipgram_pairs(walks, window=1).collect()}
+    # window 1: (a,b)x2 walks, (b,c)x1 — symmetric
+    assert got[("a", "b")] == 2 and got[("b", "a")] == 2
+    assert got[("b", "c")] == 1 and got[("c", "b")] == 1
+    assert ("a", "c") not in got
+    wide = {(r["center"], r["context"]): r["n_pairs"]
+            for r in skipgram_pairs(walks, window=2).collect()}
+    assert wide[("a", "c")] == 1  # distance-2 pair appears at window 2
+
+
+def test_skipgram_duckdb_parity(spark):
+    import duckdb
+
+    from polars_grouper_spark.operators.walks import skipgram_pairs, skipgram_pairs_sql
+
+    rows = [(f"w{i % 3}", s, f"n{(i + s) % 5}") for i in range(9) for s in range(4)]
+    df = spark.createDataFrame(rows, ["walk_id", "step", "node"])
+    got = sorted(tuple(r) for r in skipgram_pairs(df, window=2).collect())
+    vals = ",".join(f"('{w}',{s},'{n}')" for w, s, n in rows)
+    want = sorted(duckdb.sql(skipgram_pairs_sql(
+        f"SELECT * FROM (VALUES {vals}) t(walk_id, step, node)", 2)).fetchall())
+    assert got == want
