@@ -205,30 +205,23 @@ def cms_estimate(
     ``width_bits``/``depth`` must repeat the values used in
     :func:`cms_counts` — a mismatch would silently break CMS's
     never-underestimate guarantee via the left-join's 0-coalesce, so the
-    probe domain is validated against the sketch first (one 1-row
-    aggregate over the metadata-sized sketch): a sketch whose row ids
-    don't span exactly ``[0, depth)`` or whose buckets overflow
-    ``2^width_bits`` raises instead of underestimating.  (A probe width
-    strictly larger than the build width with all occupied buckets in
-    range is undetectable from the state alone — the depth check catches
-    the common copy-paste mismatch.)"""
+    probe domain is validated against the sketch LAZILY, inside the probe
+    action itself, at zero extra scans: the probe join is FULL OUTER, so
+    every sketch cell flows through exactly once — matched cells carry
+    ``cnt`` alongside their keys, unmatched cells (which include every
+    cell outside the probe's (row, bucket) domain) surface under a null
+    item — and the true sketch ``max(row)``/``max(bucket)`` fall out of
+    the same aggregation as the estimates (cells are the rows where
+    ``cnt`` is non-null).  A whole-result window max (over the
+    item-count-sized aggregate, not the data) feeds a ``raise_error``
+    guard: a sketch whose row ids don't span exactly ``[0, depth)`` or
+    whose buckets overflow ``2^width_bits`` raises at collection time
+    instead of underestimating.  (A probe width strictly larger than the
+    build width with all occupied buckets in range is undetectable from
+    the state alone — the depth check catches the common copy-paste
+    mismatch.)"""
     c = F.col(col) if isinstance(col, str) else col
     w = 1 << width_bits
-    meta = sketch.agg(
-        F.max("row").alias("max_row"), F.max("bucket").alias("max_bucket")
-    ).first()
-    if meta["max_row"] is not None:
-        actual_depth = int(meta["max_row"]) + 1
-        if actual_depth != depth:
-            raise ValueError(
-                f"depth mismatch: sketch has {actual_depth} rows, probe "
-                f"asked for depth={depth} — repeat cms_counts' parameters"
-            )
-        if int(meta["max_bucket"]) >= w:
-            raise ValueError(
-                f"width mismatch: sketch has bucket {meta['max_bucket']} "
-                f">= 2^{width_bits} — repeat cms_counts' width_bits"
-            )
     rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row")
     probes = items.select(c.cast("string").alias("item")).distinct().select(
         "item", rows
@@ -238,10 +231,48 @@ def cms_estimate(
         portable=portable,
     )
     probes = probes.select("item", "row", F.pmod(h, F.lit(w)).alias("bucket"))
-    return (
-        probes.join(sketch, ["row", "bucket"], "left")
+    cell = F.col("cnt").isNotNull()  # full-join rows that ARE sketch cells
+    est = (
+        probes.join(sketch, ["row", "bucket"], "full")
         .groupBy("item")
-        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_count"))
+        .agg(
+            F.min(F.coalesce("cnt", F.lit(0))).alias("est_count"),
+            F.max(F.when(cell, F.col("row"))).alias("_cell_row"),
+            F.max(F.when(cell, F.col("bucket"))).alias("_cell_bucket"),
+        )
+    )
+    whole = Window.partitionBy()
+    est = est.select(
+        "item",
+        "est_count",
+        F.max("_cell_row").over(whole).alias("_max_row"),
+        F.max("_cell_bucket").over(whole).alias("_max_bucket"),
+    ).where(F.col("item").isNotNull())
+    params_ok = F.col("_max_row").isNull() | (
+        (F.col("_max_row") == depth - 1) & (F.col("_max_bucket") < w)
+    )
+    err_msg = F.concat(
+        F.when(
+            F.col("_max_row") != depth - 1,
+            F.concat(
+                F.lit("depth mismatch: sketch has "),
+                (F.col("_max_row") + 1).cast("string"),
+                F.lit(f" rows, probe asked for depth={depth}"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("width mismatch: sketch has bucket "),
+                F.col("_max_bucket").cast("string"),
+                F.lit(f" >= 2^{width_bits}"),
+            )
+        ),
+        F.lit(" -- repeat cms_counts' parameters"),
+    )
+    return est.select(
+        "item",
+        F.when(params_ok, F.col("est_count"))
+        .otherwise(F.raise_error(err_msg).cast("long"))
+        .alias("est_count"),
     )
 
 
@@ -510,14 +541,12 @@ def bloom_contains(
     explodes to its k positions and equality-joins the bit rows — the
     filter is never collected.  ``m_bits``/``k`` must repeat the build
     parameters; a probe whose positions overflow the filter's bit space
-    raises (same validation contract as :func:`cms_estimate`)."""
-    meta = bits.agg(F.max("pos").alias("max_pos")).first()
+    raises at collection time (same lazy zero-extra-scan validation
+    contract as :func:`cms_estimate`: the probe join is FULL OUTER so
+    every set bit flows through once, the true ``max(pos)`` falls out of
+    the same per-item aggregation, and a whole-result window max feeds a
+    ``raise_error`` guard)."""
     m = 1 << m_bits
-    if meta["max_pos"] is not None and int(meta["max_pos"]) >= m:
-        raise ValueError(
-            f"width mismatch: filter has bit {meta['max_pos']} >= 2^{m_bits}"
-            " — repeat bloom_bits' m_bits"
-        )
     c = F.col(col) if isinstance(col, str) else col
     hashes = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("i")
     probes = items.select(c.cast("string").alias("item")).distinct().select(
@@ -529,10 +558,32 @@ def bloom_contains(
     )
     probes = probes.select("item", F.pmod(h, F.lit(m)).cast("int").alias("pos"))
     hit = bits.withColumn("_set", F.lit(1))
-    return (
-        probes.join(hit, "pos", "left")
+    res = (
+        probes.join(hit, "pos", "full")
         .groupBy("item")
-        .agg((F.count("_set") == k).alias("maybe_present"))
+        .agg(
+            (F.count("_set") == k).alias("maybe_present"),
+            F.max(F.when(F.col("_set").isNotNull(), F.col("pos"))).alias(
+                "_bit_pos"
+            ),
+        )
+    )
+    res = res.select(
+        "item",
+        "maybe_present",
+        F.max("_bit_pos").over(Window.partitionBy()).alias("_max_pos"),
+    ).where(F.col("item").isNotNull())
+    params_ok = F.col("_max_pos").isNull() | (F.col("_max_pos") < m)
+    err_msg = F.concat(
+        F.lit("width mismatch: filter has bit "),
+        F.col("_max_pos").cast("string"),
+        F.lit(f" >= 2^{m_bits} -- repeat bloom_bits' m_bits"),
+    )
+    return res.select(
+        "item",
+        F.when(params_ok, F.col("maybe_present"))
+        .otherwise(F.raise_error(err_msg).cast("boolean"))
+        .alias("maybe_present"),
     )
 
 

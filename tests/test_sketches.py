@@ -216,7 +216,9 @@ def test_hll_by_group_accuracy_and_parity(spark):
 
 def test_cms_probe_param_mismatch_raises(spark):
     """ADVICE fix: probing with the wrong depth/width must fail loudly
-    instead of silently underestimating via the 0-coalesce."""
+    instead of silently underestimating via the 0-coalesce.  r5: the guard
+    is now LAZY (raise_error inside the probe action, no second sketch
+    scan) so the failure surfaces at collect() as a Spark runtime error."""
     import pytest as _pytest
 
     from polars_grouper_spark.functions.sketches import cms_counts, cms_estimate
@@ -224,9 +226,9 @@ def test_cms_probe_param_mismatch_raises(spark):
     df = spark.createDataFrame([(f"v{i % 5}",) for i in range(50)], ["v"])
     probe = spark.createDataFrame([("v0",)], ["v"])
     sketch = cms_counts(df, "v", width_bits=10, depth=4)
-    with _pytest.raises(ValueError, match="depth mismatch"):
+    with _pytest.raises(Exception, match="depth mismatch"):
         cms_estimate(sketch, probe, "v", width_bits=10, depth=8).collect()
-    with _pytest.raises(ValueError, match="width mismatch"):
+    with _pytest.raises(Exception, match="width mismatch"):
         cms_estimate(sketch, probe, "v", width_bits=2, depth=4).collect()
 
 
@@ -240,7 +242,7 @@ def test_bloom_never_false_negative_and_rejects_mismatch(spark):
     present = spark.createDataFrame([(f"v{i}",) for i in range(0, 200, 7)], ["v"])
     got = bloom_contains(bits, present, "v", m_bits=12, k=3).collect()
     assert all(r["maybe_present"] for r in got)  # no false negatives, ever
-    with _pytest.raises(ValueError, match="width mismatch"):
+    with _pytest.raises(Exception, match="width mismatch"):
         bloom_contains(bits, present, "v", m_bits=8, k=3).collect()
 
 
