@@ -65,6 +65,42 @@ def _compact_line(summary: dict, timings: dict[str, float]) -> str:
         keep = dict(ordered)
 
 
+def _cleanup_session(spark, *, deep: bool) -> None:
+    """Between-query session hygiene so query N's timing doesn't inherit
+    query 1..N-1's state (round-4 finding: late-positioned streaming
+    queries benched 3x their isolated steady-state under 100+ queries of
+    accumulated memory-sink tables, cached frames, and localCheckpoint
+    RDD blocks).
+
+    After every query: stop stray streaming queries, drop memory-sink /
+    temp views (their rows live in driver memory), clear the DataFrame
+    cache.  Every 10th query (``deep``): drop Python refs and ask the JVM
+    for a GC so the ContextCleaner reclaims orphaned localCheckpoint
+    blocks and shuffle state instead of letting them pile into the pauses
+    of whichever query runs last.
+    """
+    import gc
+
+    try:
+        for q in spark.streams.active:
+            try:
+                q.stop()
+            except Exception:  # noqa: BLE001
+                pass
+        for t in spark.catalog.listTables():
+            if t.tableType == "TEMPORARY":
+                spark.catalog.dropTempView(t.name)
+        spark.catalog.clearCache()
+    except Exception:  # noqa: BLE001
+        pass  # hygiene must never fail the bench
+    if deep:
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001
+            pass
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
@@ -107,7 +143,7 @@ def main() -> None:
     raw: dict[str, list[float]] = {}
     failed: list[str] = []
     total = 0.0
-    for name in BENCH_QUERIES:
+    for i, name in enumerate(BENCH_QUERIES):
         fn = qs[name]
         runs: list[float] = []
         for _ in range(reps):
@@ -124,6 +160,7 @@ def main() -> None:
         timings[name] = best
         raw[name] = runs
         total += best if best == best else 0.0
+        _cleanup_session(spark, deep=(i % 10 == 9))
 
     summary = {
         "metric": "headline_queries_total",
