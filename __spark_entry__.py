@@ -4129,11 +4129,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE ordering contract: the driver's correctness gate covers the FIRST
     # ~50 entries of this dict, so queries that do not yet have a green
     # driver-recorded CORRECTNESS row are listed FIRST (rotated each round
-    # until every query has one on record).  Round 4: the 40 queries with no
-    # CORRECTNESS_r03 row lead, followed by this round's new queries, then
-    # the 50 queries already driver-verified in r03.
+    # until every query has one on record).  Round 5: the 18 round-4 tail
+    # queries with no CORRECTNESS_r01..r04 row lead, then this round's new
+    # queries, then everything already driver-verified (union of r01-r04 =
+    # 100/118 green rows).
     return {
         # --- no driver CORRECTNESS row yet (all pass scripts/check_oracle.py) ---
+        "hits_sp": q_hits_sp,
+        "price_quantiles_by_status": q_price_quantiles_by_status,
+        "vocab_coverage": q_vocab_coverage,
+        "novelty_by_source": q_novelty_by_source,
+        "weighted_sample_parts": q_weighted_sample_parts,
+        "events_moving_avg": q_events_moving_avg,
+        "kmeans_cells": q_kmeans_cells,
+        "densest_parts": q_densest_parts,
+        "dedup_incremental": q_dedup_incremental,
+        "csv_roundtrip": q_csv_roundtrip,
+        "fuzzy_brands": q_fuzzy_brands,
+        "peak_sessions": q_peak_sessions,
+        "mis_parts": q_mis_parts,
+        "stream_user_stats": q_stream_user_stats,
+        "profile_orders": q_profile_orders,
+        "snapshot_diff": q_snapshot_diff,
+        "skipgram_pairs": q_skipgram_pairs,
+        "pmi_pairs": q_pmi_pairs,
+        # --- new in round 5 (inside the window, no driver row yet) ---
+        # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
         "pack_bins": q_pack_bins,
@@ -4174,7 +4195,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "price_quantiles": q_price_quantiles,
         "events_pivot": q_events_pivot,
-        # --- new in round 4 (inside the window, no driver row yet) ---
         "line_dedup_orders": q_line_dedup,
         "contamination_docs": q_contamination,
         "closeness_nations": q_closeness_nations,
@@ -4184,28 +4204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix_docs": q_domain_mix,
         "knn_graph": q_knn_graph,
         "user_journeys": q_user_journeys,
-        # --- round-4 batch 2 (positions 50+: rotate into the window next
-        #     round; all pass scripts/check_oracle.py locally) ---
         "pagerank_weighted": q_pagerank_weighted,
-        "hits_sp": q_hits_sp,
-        "price_quantiles_by_status": q_price_quantiles_by_status,
-        "vocab_coverage": q_vocab_coverage,
-        "novelty_by_source": q_novelty_by_source,
-        "weighted_sample_parts": q_weighted_sample_parts,
-        "events_moving_avg": q_events_moving_avg,
-        "kmeans_cells": q_kmeans_cells,
-        "densest_parts": q_densest_parts,
-        "dedup_incremental": q_dedup_incremental,
-        "csv_roundtrip": q_csv_roundtrip,
-        "fuzzy_brands": q_fuzzy_brands,
-        "peak_sessions": q_peak_sessions,
-        "mis_parts": q_mis_parts,
-        "stream_user_stats": q_stream_user_stats,
-        "profile_orders": q_profile_orders,
-        "snapshot_diff": q_snapshot_diff,
-        "skipgram_pairs": q_skipgram_pairs,
-        "pmi_pairs": q_pmi_pairs,
-        # --- driver-verified in CORRECTNESS_r03 (all green) ---
         "cc_components": q_cc_components,
         "cc_component_sizes": q_cc_component_sizes,
         "super_merger_orders": q_super_merger_orders,

@@ -49,8 +49,9 @@ def test_driver_window_is_spent_on_unverified_queries():
     slot an unverified one needs."""
     import json
 
-    r03 = REPO / "CORRECTNESS_r03.json"
-    verified = set(json.loads(r03.read_text())) if r03.exists() else set()
+    verified = set()
+    for path in REPO.glob("CORRECTNESS_r*.json"):
+        verified |= set(json.loads(path.read_text()))
     order = list(entry_mod.queries())
     seen_verified_at = None
     for i, q in enumerate(order):
