@@ -1712,6 +1712,25 @@ def q_stream_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_stream_attrib_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same attribution join as ``stream_attrib`` but replayed TIME-ORDERED
+    (``streaming.replay``: events split into ascending time-disjoint chunk
+    files, one file per microbatch) under a REALISTIC 1-hour watermark —
+    so the state store actually expires rows between microbatches instead
+    of holding 90 days of history behind a demo watermark.  State per
+    batch is bounded by (chunk span + watermark + interval) x rate;
+    ``tests/test_streaming.py`` asserts the recorded per-batch state-store
+    row counts stay flat.  Chunks are time-disjoint and ascending, so
+    nothing is late and the result still equals the batch SQL oracle."""
+    from polars_grouper_spark.streaming.replay import replay_attribution
+
+    ev = load_table(spark, "events", sf_dir)
+    res, _state = replay_attribution(
+        spark, ev, n_chunks=4, sink_name="stream_attrib_bounded_sink"
+    )
+    return res
+
+
 _STREAM_ATTRIB_SQL = """
 SELECT v.user_id,
        v.event_id AS view_id,
@@ -4154,6 +4173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgram_pairs": q_skipgram_pairs,
         "pmi_pairs": q_pmi_pairs,
         # --- new in round 5 (inside the window, no driver row yet) ---
+        "stream_attrib_bounded": q_stream_attrib_bounded,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -4307,6 +4327,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": cohort_retention_sql(period="week", max_offset=12),
         "stream_hourly": _STREAM_HOURLY_SQL,
         "stream_attrib": _STREAM_ATTRIB_SQL,
+        "stream_attrib_bounded": _STREAM_ATTRIB_SQL,
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,
