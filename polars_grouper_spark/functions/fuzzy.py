@@ -47,11 +47,27 @@ def fuzzy_join_ed1(
     right: DataFrame,
     left_col: str,
     right_col: str,
+    max_key_df: int | None = None,
 ) -> DataFrame:
     """Pairs of DISTINCT values within Levenshtein distance 1 ->
     ``(val_a, val_b, distance)`` with ``val_a < val_b`` (string order;
     a self-pair never appears).  Candidates from the neighborhood-key
-    equality join, verified with exact ``levenshtein``."""
+    equality join, verified with exact ``levenshtein``.
+
+    Bucket-size analysis (the "short strings" watch-point): the join is
+    over DISTINCT values, and the strings sharing a deletion key ``k``
+    of length L are ``k`` itself plus single-character insertions into
+    ``k`` — at most ``1 + (L+1)*|alphabet|`` DISTINCT strings — so every
+    bucket is alphabet-bounded, not corpus-bounded (the empty-string key
+    collects exactly the distinct length-<=1 strings, <= |alphabet|+1).
+    Measured on the fully-adversarial corpus (ALL 475k strings of length
+    <= 4 over a 26-letter alphabet, every possible neighbor present):
+    max bucket 105 = 1+4*26, see SCALE.md.  ``max_key_df`` remains as an
+    escape hatch for huge-alphabet corpora (CJK: |alphabet| ~ 10^4):
+    keys shared by more than ``max_key_df`` distinct values are dropped
+    from BOTH sides, trading the pairs that share only a dropped key for
+    a hard bound on join fan-out (same contract as ``max_shingle_df`` /
+    ``max_bucket_size`` in the dedup/LSH paths)."""
     lv = left.select(F.col(left_col).cast("string").alias("v")).where(
         F.col("v").isNotNull()
     ).distinct()
@@ -60,6 +76,16 @@ def fuzzy_join_ed1(
     ).distinct()
     lk = lv.select("v", F.explode(neighborhood_keys(F.col("v"))).alias("key"))
     rk = rv.select("v", F.explode(neighborhood_keys(F.col("v"))).alias("key"))
+    if max_key_df is not None:
+        hot = (
+            lk.select("key").union(rk.select("key"))
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_key_df)
+            .select("key")
+        )
+        lk = lk.join(F.broadcast(hot), "key", "left_anti")
+        rk = rk.join(F.broadcast(hot), "key", "left_anti")
     cand = (
         lk.select(F.col("v").alias("val_a"), "key")
         .join(rk.select(F.col("v").alias("val_b"), "key"), "key")

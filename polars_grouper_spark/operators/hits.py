@@ -66,19 +66,42 @@ def hits(
     # AQE cannot make this call on its own.
     n_nodes = nodes.count()
     bcast = (lambda d: F.broadcast(d)) if n_nodes <= 5_000_000 else (lambda d: d)
+    # Overflow guard: scores grow like (d_in_max * d_out_max)^iters, and
+    # under ANSI mode an overflowing long sum dies mid-aggregation with a
+    # raw ARITHMETIC_OVERFLOW.  Each half-round therefore sums in
+    # decimal(38,0) — which cannot overflow at any realistic depth — and
+    # folds a raise_error threshold check into the SAME aggregation, so
+    # the guard is exact (fires iff a true score exceeds 2^62), costs no
+    # extra job, and fails with an actionable message instead of a raw
+    # arithmetic error.  Scores at or below the threshold cast back to
+    # long losslessly, keeping the integer-exact recursion bit-stable.
+    _overflow_checked = (
+        lambda s, out: F.when(
+            s > F.lit(1 << 62).cast("decimal(38,0)"),
+            F.raise_error(
+                F.lit(
+                    "HITS scores overflow 62-bit integers -- reduce iters "
+                    "or contract hub nodes first"
+                )
+            ).cast("decimal(38,0)"),
+        )
+        .otherwise(s)
+        .cast("long")
+        .alias(out)
+    )
     hub = nodes.select("node", F.lit(1).cast("long").alias("h"))
     auth = None
     for _ in range(iters):
         auth = truncate_lineage(
             edges.join(bcast(hub.withColumnRenamed("node", "u")), "u")
             .groupBy(F.col("v").alias("node"))
-            .agg(F.sum("h").alias("a")),
+            .agg(_overflow_checked(F.sum(F.col("h").cast("decimal(38,0)")), "a")),
             cache=False,
         )
         hub = truncate_lineage(
             edges.join(bcast(auth.withColumnRenamed("node", "v")), "v")
             .groupBy(F.col("u").alias("node"))
-            .agg(F.sum("a").alias("h")),
+            .agg(_overflow_checked(F.sum(F.col("a").cast("decimal(38,0)")), "h")),
             cache=False,
         )
     out = (
