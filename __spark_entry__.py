@@ -3374,6 +3374,34 @@ FROM tot t LEFT JOIN hits h ON h.id = t.id
 """
 
 
+def q_mst_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning forest (Borůvka rounds,
+    ``operators.mst.minimum_spanning_forest``) over the weighted
+    intra-region nation cliques — 5 regional components × 5 nations →
+    20 forest edges.  The total edge order (quantized weight, canonical
+    pair) makes the forest unique, so Borůvka == Kruskal == the oracle's
+    cycle-rule characterization (an edge survives iff its endpoints
+    aren't connected by strictly-smaller edges)."""
+    from polars_grouper_spark.operators.mst import minimum_spanning_forest
+
+    out = minimum_spanning_forest(
+        _nation_edges(spark, sf_dir), "src", "dst", "weight"
+    )
+    return out.select(
+        "edge_a", "edge_b", F.round("weight", 4).alias("weight")
+    )
+
+
+def _mst_nations_sql() -> str:
+    from polars_grouper_spark.operators.mst import minimum_spanning_forest_sql
+
+    inner = minimum_spanning_forest_sql(_NATION_EDGE_SQL)
+    return (
+        "SELECT edge_a, edge_b, round(weight, 4) AS weight "
+        f"FROM ({inner}) t"
+    )
+
+
 def q_closeness_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Closeness centrality (Wasserman-Faust disconnected-graph
     normalization) over the weighted nation cliques — the companion to
@@ -4174,6 +4202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_pairs": q_pmi_pairs,
         # --- new in round 5 (inside the window, no driver row yet) ---
         "stream_attrib_bounded": q_stream_attrib_bounded,
+        "mst_nations": q_mst_nations,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -4328,6 +4357,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_hourly": _STREAM_HOURLY_SQL,
         "stream_attrib": _STREAM_ATTRIB_SQL,
         "stream_attrib_bounded": _STREAM_ATTRIB_SQL,
+        "mst_nations": _mst_nations_sql(),
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,

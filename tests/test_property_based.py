@@ -496,3 +496,53 @@ def test_fuzzy_ed1_no_false_negatives(spark, words):
         for r in fuzzy_join_ed1(df, df, "w", "w").collect()
     }
     assert got == want
+
+
+@given(
+    wedges=st.lists(
+        st.tuples(NODE, NODE, st.sampled_from([0.25, 0.5, 0.75, 1.0, 1.5, 2.0])),
+        min_size=1,
+        max_size=16,
+    )
+)
+@_SETTINGS
+def test_boruvka_msf_matches_kruskal(spark, wedges):
+    """Borůvka rounds vs an in-memory Kruskal under the same total edge
+    order (wq, a, b) — with a total order the MSF is unique, so the two
+    algorithms must agree edge-for-edge on any random multigraph."""
+    from polars_grouper_spark.operators.mst import minimum_spanning_forest
+
+    canon = {}
+    for a, b, w in wedges:
+        a, b = str(a), str(b)
+        if a == b:
+            continue
+        k = (min(a, b), max(a, b))
+        canon[k] = min(canon.get(k, 1 << 40), int(w * 1000))
+    edges = [(a, b, w) for (a, b), w in canon.items()]
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    want = []
+    for wq, a, b in sorted((w, a, b) for a, b, w in edges):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            want.append((a, b, wq))
+
+    df = spark.createDataFrame(
+        [(str(a), str(b), w) for a, b, w in wedges],
+        "src string, dst string, weight double",
+    )
+    got = sorted(
+        (r["edge_a"], r["edge_b"], int(r["weight"] * 1000))
+        for r in minimum_spanning_forest(df, "src", "dst", "weight").collect()
+    )
+    assert got == sorted(want)
