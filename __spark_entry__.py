@@ -46,6 +46,7 @@ from polars_grouper_spark.functions import scrub
 from polars_grouper_spark.functions import similarity as sim
 from polars_grouper_spark.functions import text as tx
 from polars_grouper_spark.functions.hashing import hash_pair64_sql, portable_hash64_sql
+from polars_grouper_spark.functions.outliers import robust_outliers_sql
 from polars_grouper_spark.operators.kcore import k_core, k_core_sql
 from polars_grouper_spark.operators.ktruss import k_truss_sql
 from polars_grouper_spark.operators.link_prediction import (
@@ -3402,6 +3403,31 @@ def _mst_nations_sql() -> str:
     )
 
 
+def q_event_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier scan (``functions.outliers``): events
+    whose value has an Iglewicz-Hoaglin modified z-score > 3.5 within
+    their event type — median/MAD, so the outliers can't mask themselves
+    the way they would under mean/stddev (392 flagged rows at sf0.01).
+    WHICH rows are flagged is a pure integer comparison (milli-unit
+    quantization); the oracle replays the identical medians."""
+    from polars_grouper_spark.functions.outliers import robust_outliers
+
+    ev = load_table(spark, "events", sf_dir)
+    src = ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 1000).cast("long").alias("milli"),
+    )
+    return robust_outliers(src, "event_type", "milli", "event_id")
+
+
+_EVENT_OUTLIER_SRC_SQL = (
+    "SELECT event_id AS id, event_type AS grp, "
+    "CAST(round(value * 1000) AS BIGINT) AS vq FROM events "
+    "WHERE value IS NOT NULL"
+)
+
+
 def q_closeness_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Closeness centrality (Wasserman-Faust disconnected-graph
     normalization) over the weighted nation cliques — the companion to
@@ -4203,6 +4229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 5 (inside the window, no driver row yet) ---
         "stream_attrib_bounded": q_stream_attrib_bounded,
         "mst_nations": q_mst_nations,
+        "event_outliers": q_event_outliers,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -4358,6 +4385,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_attrib": _STREAM_ATTRIB_SQL,
         "stream_attrib_bounded": _STREAM_ATTRIB_SQL,
         "mst_nations": _mst_nations_sql(),
+        "event_outliers": robust_outliers_sql(_EVENT_OUTLIER_SRC_SQL),
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,

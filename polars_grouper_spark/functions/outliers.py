@@ -1,0 +1,123 @@
+"""Robust per-group outlier detection (median / MAD modified z-score).
+
+Data-quality triage for training pipelines: "which rows are wildly off
+for their group" — price anomalies per priority class, doc lengths per
+source, latency per endpoint.  Mean/stddev z-scores break down under the
+very outliers being hunted (masking); the standard robust alternative is
+the Iglewicz–Hoadley modified z-score ``0.6745 * (x - med) / MAD`` with
+``MAD = median(|x - med|)``, flagging ``|z| > 3.5`` (Iglewicz & Hoaglin
+1993).
+
+Cross-engine determinism: WHICH rows are flagged is decided entirely in
+integer arithmetic.  Values are quantized to integers by the caller
+(cents); medians of integers land on halves, and MADs of those deviations
+on quarters, so ``med*2`` and ``mad2*2`` are exact integers in both
+engines, and the flag condition
+
+    z = 0.6745*dx2/mad2 > T    <=>    6745*dx2*2 > 10*T_milli*mad4
+
+is an exact 64-bit integer comparison — no float rounding ever decides
+membership (the repo's float-selection rule).  The printed ``z`` is a
+single rounded division, display-only.
+
+Scale: one exact ``median`` per group is a full sort of that group's
+values — fine for the moderate group counts this targets (priorities,
+sources, endpoints); at extreme cardinality x volume swap the two
+median passes for ``sketches.grouped_quantiles`` (mergeable histogram),
+trading exactness for a one-scan sketch.  The per-group medians/MADs are
+a group-count-sized table broadcast back onto the scan, so the data
+itself is read twice and shuffled once per median.
+
+Reference surface: none (beyond-reference operator, SURVEY.md §2
+extension list).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def robust_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: Column | str,
+    id_col: str,
+    *,
+    threshold_milli: int = 3500,
+) -> DataFrame:
+    """Rows whose modified z-score exceeds ``threshold_milli / 1000`` ->
+    ``(id, grp, value_q, med, mad, z)``, one row per flagged input row.
+
+    ``value_col`` must already be integer-quantized (e.g. cents) — the
+    integer-exact flag guarantee depends on it.  Groups with ``MAD == 0``
+    (more than half the group at the median) are excluded: the modified
+    z-score is undefined there and flagging "any deviation at all" is
+    never what an outlier scan means.  Null groups/values/ids drop.
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    src = df.where(
+        F.col(group_col).isNotNull() & v.isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).cast("string").alias("grp"),
+        v.cast("long").alias("vq"),
+    )
+    med = src.groupBy("grp").agg(F.median("vq").alias("med"))
+    # med is k or k+0.5 -> med*2 is an exact integer; dx2 = |2x - 2med|
+    dx = src.join(F.broadcast(med), "grp").select(
+        "id",
+        "grp",
+        "vq",
+        "med",
+        F.abs(F.col("vq") * 2 - (F.col("med") * 2).cast("long")).alias("dx2"),
+    )
+    mad = dx.groupBy("grp").agg(F.median("dx2").alias("mad2"))
+    # mad2 is j or j+0.5 -> mad2*2 = mad4 exact; real MAD = mad2/2
+    flagged = (
+        dx.join(F.broadcast(mad), "grp")
+        .withColumn("mad4", (F.col("mad2") * 2).cast("long"))
+        # z = 0.6745*dx2/mad2 > T_milli/1000
+        #   <=> 6745*dx2 > 10*T_milli*mad2  <=>  6745*dx2*2 > 10*T_milli*mad4
+        .where(
+            (F.col("mad4") > 0)
+            & (
+                F.lit(6745) * F.col("dx2") * 2
+                > F.lit(10 * threshold_milli) * F.col("mad4")
+            )
+        )
+    )
+    return flagged.select(
+        "id",
+        "grp",
+        F.col("vq").alias("value_q"),
+        F.round("med", 1).alias("med"),
+        F.round(F.col("mad2") / 2.0, 2).alias("mad"),
+        F.round(
+            F.lit(6745.0) * F.col("dx2") / (1.0e4 * F.col("mad2")), 6
+        ).alias("z"),
+    )
+
+
+def robust_outliers_sql(
+    src_sql: str, *, threshold_milli: int = 3500
+) -> str:
+    """DuckDB oracle replaying :func:`robust_outliers` — ``src_sql``
+    yields (id, grp, vq) already quantized."""
+    return f"""
+WITH src AS ({src_sql}),
+med AS (SELECT grp, median(vq) AS med FROM src GROUP BY grp),
+dx AS (
+  SELECT s.id, s.grp, s.vq, m.med,
+         abs(s.vq * 2 - CAST(m.med * 2 AS BIGINT)) AS dx2
+  FROM src s JOIN med m ON s.grp = m.grp
+),
+mad AS (SELECT grp, median(dx2) AS mad2 FROM dx GROUP BY grp)
+SELECT d.id, d.grp, d.vq AS value_q,
+       round(d.med, 1) AS med,
+       round(a.mad2 / 2.0, 2) AS mad,
+       round(6745.0 * d.dx2 / (1.0e4 * a.mad2), 6) AS z
+FROM dx d JOIN mad a ON d.grp = a.grp
+WHERE CAST(a.mad2 * 2 AS BIGINT) > 0
+  AND 6745 * d.dx2 * 2 > {10 * threshold_milli} * CAST(a.mad2 * 2 AS BIGINT)
+"""
