@@ -47,6 +47,7 @@ from polars_grouper_spark.functions import similarity as sim
 from polars_grouper_spark.functions import text as tx
 from polars_grouper_spark.functions.hashing import hash_pair64_sql, portable_hash64_sql
 from polars_grouper_spark.functions.outliers import robust_outliers_sql
+from polars_grouper_spark.operators.sequences import precedence_pairs_sql
 from polars_grouper_spark.operators.kcore import k_core, k_core_sql
 from polars_grouper_spark.operators.ktruss import k_truss_sql
 from polars_grouper_spark.operators.link_prediction import (
@@ -3403,6 +3404,23 @@ def _mst_nations_sql() -> str:
     )
 
 
+def q_precedence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-order mining (``operators.sequences.precedence_pairs``):
+    for every ordered pair of event types, the number of users who did
+    ``a`` strictly before ``b`` — reduced to per-(user, type) min/max
+    timestamps first, so the pair join is O(users x types^2), never
+    O(events^2)."""
+    from polars_grouper_spark.operators.sequences import precedence_pairs
+
+    ev = load_table(spark, "events", sf_dir)
+    return precedence_pairs(ev, "user_id", "ts", "event_type")
+
+
+_PRECEDENCE_EVENTS_SQL = (
+    "SELECT user_id AS u, ts, event_type AS t FROM events"
+)
+
+
 def q_event_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-group outlier scan (``functions.outliers``): events
     whose value has an Iglewicz-Hoaglin modified z-score > 3.5 within
@@ -4230,6 +4248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_attrib_bounded": q_stream_attrib_bounded,
         "mst_nations": q_mst_nations,
         "event_outliers": q_event_outliers,
+        "precedence_pairs": q_precedence_pairs,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -4386,6 +4405,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_attrib_bounded": _STREAM_ATTRIB_SQL,
         "mst_nations": _mst_nations_sql(),
         "event_outliers": robust_outliers_sql(_EVENT_OUTLIER_SRC_SQL),
+        "precedence_pairs": precedence_pairs_sql(_PRECEDENCE_EVENTS_SQL),
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,
