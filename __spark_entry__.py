@@ -3404,6 +3404,55 @@ def _mst_nations_sql() -> str:
     )
 
 
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental no-rescan rollup (``functions.incremental``): orders
+    reduce to daily (order-date, priority) partial-aggregate states —
+    count/sum/min/max over cents — then MERGE to monthly totals without
+    touching the raw rows again.  The oracle aggregates raw directly;
+    equality IS the incremental-correctness property (integer sums make
+    the merge exact and order-independent)."""
+    from polars_grouper_spark.functions.incremental import (
+        agg_state,
+        finalize_state,
+        merge_agg_state,
+    )
+
+    o = load_table(spark, "orders", sf_dir).select(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    daily = agg_state(o, ["day", "month", "priority"], "cents")
+    monthly = merge_agg_state(daily, ["month", "priority"])
+    return finalize_state(monthly, scale=100.0, mean_decimals=4).select(
+        "month",
+        "priority",
+        "n",
+        F.round("sum_v", 2).alias("sum_v"),
+        F.round("min_v", 2).alias("min_v"),
+        F.round("max_v", 2).alias("max_v"),
+        "mean_v",
+    )
+
+
+_INCREMENTAL_ROLLUP_SQL = """
+WITH src AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         o_orderpriority AS priority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT month, priority,
+       count(*)::BIGINT AS n,
+       round(sum(cents) / 100.0, 2) AS sum_v,
+       round(min(cents) / 100.0, 2) AS min_v,
+       round(max(cents) / 100.0, 2) AS max_v,
+       round(sum(cents) / (100.0 * count(*)), 4) AS mean_v
+FROM src GROUP BY month, priority
+"""
+
+
 def q_precedence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-order mining (``operators.sequences.precedence_pairs``):
     for every ordered pair of event types, the number of users who did
@@ -4249,6 +4298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mst_nations": q_mst_nations,
         "event_outliers": q_event_outliers,
         "precedence_pairs": q_precedence_pairs,
+        "incremental_rollup": q_incremental_rollup,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -4406,6 +4456,7 @@ def oracle_sql() -> dict[str, str]:
         "mst_nations": _mst_nations_sql(),
         "event_outliers": robust_outliers_sql(_EVENT_OUTLIER_SRC_SQL),
         "precedence_pairs": precedence_pairs_sql(_PRECEDENCE_EVENTS_SQL),
+        "incremental_rollup": _INCREMENTAL_ROLLUP_SQL,
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,
