@@ -3476,6 +3476,35 @@ FROM src GROUP BY month, priority
 """
 
 
+def q_scd2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build (``operators.snapshot_diff.scd2_history``):
+    collapse each customer's order sequence (versioned by order key)
+    into maximal runs of unchanged (status, priority) — the standard
+    gaps-and-islands warehouse history: two key-partitioned windows plus
+    one aggregation, no iteration, no collect."""
+    from polars_grouper_spark.operators.snapshot_diff import scd2_history
+
+    o = load_table(spark, "orders", sf_dir).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("version"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    return scd2_history(o, ["custkey"], ["status", "priority"], "version")
+
+
+def _scd2_orders_sql() -> str:
+    from polars_grouper_spark.operators.snapshot_diff import scd2_history_sql
+
+    return scd2_history_sql(
+        "SELECT o_custkey AS custkey, o_orderkey AS version, "
+        "o_orderstatus AS status, o_orderpriority AS priority FROM orders",
+        ["custkey"],
+        ["status", "priority"],
+        "version",
+    )
+
+
 def q_precedence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-order mining (``operators.sequences.precedence_pairs``):
     for every ordered pair of event types, the number of users who did
@@ -4323,6 +4352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "precedence_pairs": q_precedence_pairs,
         "incremental_rollup": q_incremental_rollup,
         "lsh_topk_multiprobe": q_lsh_topk_multiprobe,
+        "scd2_orders": q_scd2_orders,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -4484,6 +4514,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_topk_multiprobe": _lsh_topk_sql(
             masks=(0,) + tuple(1 << p for p in range(_LSH_PLANES))
         ),
+        "scd2_orders": _scd2_orders_sql(),
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,

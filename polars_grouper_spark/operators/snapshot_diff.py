@@ -19,7 +19,7 @@ via null-safe equality (``<=>``); no collect, no window.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -107,4 +107,95 @@ j AS (
   FROM o FULL OUTER JOIN n ON {on}
 )
 SELECT {keys}, change, n_diff_cols FROM j {pred}
+"""
+
+
+def scd2_history(
+    snapshots: DataFrame,
+    key_cols: "list[str]",
+    attr_cols: "list[str]",
+    version_col: str,
+) -> DataFrame:
+    """Collapse a pile of keyed snapshots into SCD type-2 validity
+    ranges -> ``(*key_cols, *attr_cols, valid_from, valid_to,
+    n_versions)``: one row per maximal run of consecutive versions over
+    which the attributes were unchanged.  ``valid_to`` is the last
+    version the row was observed with those attributes (closed range;
+    the currently-live row is the one whose ``valid_to`` equals the
+    key's max version).  ``n_versions`` counts the snapshots in the run.
+
+    The standard warehouse history build, expressed as the gaps-and-
+    islands idiom — fully relational, no collect, no iteration:
+
+    1. ``lag`` each attribute over (key, version order);
+    2. a run starts where ANY attribute differs from its lag (null-safe:
+       NULL vs NULL is no change, NULL vs value is) or there is no lag;
+    3. a running sum of start flags numbers the runs; group by run.
+
+    Two window passes over data partitioned by key plus one aggregation —
+    at 100 TB all three shuffle on the key; skewed keys (one entity with
+    millions of versions) are the watch-point, and AQE's skew handling
+    applies to the final group-by but windows concentrate a key in one
+    task (same caveat as the star-step window in connected components).
+    """
+    if not key_cols or not attr_cols:
+        raise ValueError("scd2_history needs key and attribute columns")
+    w = Window.partitionBy(*key_cols).orderBy(version_col)
+    changed = F.lit(False)
+    for c in attr_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    start = F.when(
+        F.lag(version_col).over(w).isNull() | changed, F.lit(1)
+    ).otherwise(F.lit(0))
+    runs = snapshots.select(
+        *key_cols,
+        *attr_cols,
+        F.col(version_col).alias("_v"),
+        start.alias("_start"),
+    ).select(
+        *key_cols,
+        *attr_cols,
+        "_v",
+        F.sum("_start")
+        .over(Window.partitionBy(*key_cols).orderBy("_v"))
+        .alias("_run"),
+    )
+    return runs.groupBy(*key_cols, "_run", *attr_cols).agg(
+        F.min("_v").alias("valid_from"),
+        F.max("_v").alias("valid_to"),
+        F.count(F.lit(1)).alias("n_versions"),
+    ).drop("_run")
+
+
+def scd2_history_sql(
+    src_sql: str,
+    key_cols: "list[str]",
+    attr_cols: "list[str]",
+    version_col: str,
+) -> str:
+    """DuckDB oracle replaying :func:`scd2_history` (same gaps-and-
+    islands formulation)."""
+    keys = ", ".join(key_cols)
+    attrs = ", ".join(attr_cols)
+    change = " OR ".join(
+        f"NOT ({c} IS NOT DISTINCT FROM lag({c}) OVER w)" for c in attr_cols
+    )
+    return f"""
+WITH src AS ({src_sql}),
+flagged AS (
+  SELECT {keys}, {attrs}, {version_col} AS _v,
+         CASE WHEN lag({version_col}) OVER w IS NULL OR {change}
+              THEN 1 ELSE 0 END AS _start
+  FROM src
+  WINDOW w AS (PARTITION BY {keys} ORDER BY {version_col})
+),
+runs AS (
+  SELECT {keys}, {attrs}, _v,
+         sum(_start) OVER (PARTITION BY {keys} ORDER BY _v) AS _run
+  FROM flagged
+)
+SELECT {keys}, {attrs},
+       min(_v) AS valid_from, max(_v) AS valid_to,
+       count(*)::BIGINT AS n_versions
+FROM runs GROUP BY {keys}, _run, {attrs}
 """

@@ -81,3 +81,39 @@ def test_snapshot_diff_duckdb_parity(spark):
     )
     want = sorted(duckdb.sql(sql).fetchall())
     assert got == want
+
+
+def test_scd2_history_hand_computed(spark):
+    """Runs collapse on change, reopen on revert (v5 returns to 'a' but
+    starts a NEW row — SCD2 history, not a distinct-values table)."""
+    from polars_grouper_spark.operators.snapshot_diff import scd2_history
+
+    rows = [
+        ("k", 1, "a"), ("k", 2, "a"), ("k", 3, "b"),
+        ("k", 4, "b"), ("k", 5, "a"),
+        ("j", 1, "x"),
+    ]
+    df = spark.createDataFrame(rows, "key string, v long, attr string")
+    got = sorted(
+        (r["key"], r["attr"], r["valid_from"], r["valid_to"], r["n_versions"])
+        for r in scd2_history(df, ["key"], ["attr"], "v").collect()
+    )
+    assert got == [
+        ("j", "x", 1, 1, 1),
+        ("k", "a", 1, 2, 2),
+        ("k", "a", 5, 5, 1),
+        ("k", "b", 3, 4, 2),
+    ]
+
+
+def test_scd2_null_attrs_null_safe(spark):
+    from polars_grouper_spark.operators.snapshot_diff import scd2_history
+
+    rows = [("k", 1, None), ("k", 2, None), ("k", 3, "a"), ("k", 4, None)]
+    df = spark.createDataFrame(rows, "key string, v long, attr string")
+    got = sorted(
+        (r["valid_from"], r["valid_to"], r["attr"])
+        for r in scd2_history(df, ["key"], ["attr"], "v").collect()
+    )
+    # NULL vs NULL is "unchanged"; NULL vs value is a change
+    assert got == [(1, 2, None), (3, 3, "a"), (4, 4, None)]
