@@ -3476,6 +3476,60 @@ FROM src GROUP BY month, priority
 """
 
 
+def q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate (``functions.validate``): null/unique/range/
+    regex rules fold into ONE aggregation over ONE scan (a rule is an
+    expression, not a job); the referential check is one broadcast
+    left-anti join.  Output is rule-count rows — bounded by the rule
+    list, never the data."""
+    from polars_grouper_spark.functions.validate import validate
+
+    o = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    return validate(
+        o,
+        not_null=["o_orderkey", "o_custkey", "o_orderdate"],
+        unique=["o_orderkey"],
+        ranges={"o_totalprice": (0.01, 600000.0)},
+        regex={"o_orderstatus": "^[FOP]$", "o_orderpriority": "^[1-5]-"},
+        foreign={"o_custkey": (cust, "c_custkey")},
+    )
+
+
+_VALIDATE_ORDERS_SQL = """
+SELECT 'not_null:o_orderkey' AS rule,
+       sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_violations FROM orders
+UNION ALL
+SELECT 'not_null:o_custkey', sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT FROM orders
+UNION ALL
+SELECT 'not_null:o_orderdate', sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT FROM orders
+UNION ALL
+SELECT 'unique:o_orderkey',
+       (sum(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+        - count(DISTINCT o_orderkey))::BIGINT FROM orders
+UNION ALL
+SELECT 'range:o_totalprice',
+       sum(CASE WHEN o_totalprice IS NOT NULL
+                 AND o_totalprice NOT BETWEEN 0.01 AND 600000.0
+            THEN 1 ELSE 0 END)::BIGINT FROM orders
+UNION ALL
+SELECT 'regex:o_orderstatus',
+       sum(CASE WHEN o_orderstatus IS NOT NULL
+                 AND NOT regexp_matches(o_orderstatus, '^[FOP]$')
+            THEN 1 ELSE 0 END)::BIGINT FROM orders
+UNION ALL
+SELECT 'regex:o_orderpriority',
+       sum(CASE WHEN o_orderpriority IS NOT NULL
+                 AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+            THEN 1 ELSE 0 END)::BIGINT FROM orders
+UNION ALL
+SELECT 'foreign:o_custkey',
+       count(*)::BIGINT FROM orders o
+WHERE o.o_custkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+"""
+
+
 def q_scd2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 history build (``operators.snapshot_diff.scd2_history``):
     collapse each customer's order sequence (versioned by order key)
@@ -4353,6 +4407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_rollup": q_incremental_rollup,
         "lsh_topk_multiprobe": q_lsh_topk_multiprobe,
         "scd2_orders": q_scd2_orders,
+        "validate_orders": q_validate_orders,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -4515,6 +4570,7 @@ def oracle_sql() -> dict[str, str]:
             masks=(0,) + tuple(1 << p for p in range(_LSH_PLANES))
         ),
         "scd2_orders": _scd2_orders_sql(),
+        "validate_orders": _VALIDATE_ORDERS_SQL,
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,

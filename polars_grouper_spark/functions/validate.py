@@ -1,0 +1,112 @@
+"""Declarative data-quality expectations over a DataFrame.
+
+The "don't ship a broken partition" gate every production pipeline runs
+before publishing: null checks, uniqueness, value ranges, format
+regexes, referential integrity.  Inspired by the expectations style of
+Great Expectations / Deequ (public tools), re-expressed as plain
+Catalyst aggregations:
+
+- ALL row-local rules (not-null, range, regex) and uniqueness fold into
+  ONE aggregation over ONE scan — each rule is a conditional sum, and
+  uniqueness is ``count(rows with non-null key) - count_distinct(key)``
+  in the same pass.  Adding a rule adds an expression, not a job.
+- Each referential-integrity rule is one left-anti join against the
+  (deduplicated, usually broadcastable) reference keys — the only rule
+  class that cannot share the scan.
+
+Output is rule-count rows (``(rule, n_violations)``) — bounded by the
+number of rules, never by the data, so the gate itself is free to run
+at 100 TB.
+
+Reference surface: none (beyond-reference operator, SURVEY.md §2
+extension list).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def validate(
+    df: DataFrame,
+    *,
+    not_null: Sequence[str] = (),
+    unique: Sequence[str] = (),
+    ranges: "Mapping[str, tuple[float, float]] | None" = None,
+    regex: "Mapping[str, str] | None" = None,
+    foreign: "Mapping[str, tuple[DataFrame, str]] | None" = None,
+) -> DataFrame:
+    """Violation counts per rule -> ``(rule, n_violations)``.
+
+    Rule names are ``kind:column`` (stable output schema regardless of
+    data).  Range bounds are inclusive; range/regex rules only count
+    NON-NULL violators (pair them with ``not_null`` to also reject
+    nulls); ``unique`` counts the rows beyond the first occurrence of
+    each non-null key; ``foreign`` counts non-null values missing from
+    the reference column."""
+    entries: "list[tuple[str, object]]" = []
+    for c in not_null:
+        entries.append(
+            (f"not_null:{c}", F.sum(F.col(c).isNull().cast("long")))
+        )
+    for c in unique:
+        entries.append(
+            (
+                f"unique:{c}",
+                F.sum(F.col(c).isNotNull().cast("long"))
+                - F.count_distinct(F.col(c)),
+            )
+        )
+    for c, (lo, hi) in (ranges or {}).items():
+        entries.append(
+            (
+                f"range:{c}",
+                F.sum(
+                    (
+                        F.col(c).isNotNull()
+                        & ~F.col(c).between(F.lit(lo), F.lit(hi))
+                    ).cast("long")
+                ),
+            )
+        )
+    for c, pat in (regex or {}).items():
+        entries.append(
+            (
+                f"regex:{c}",
+                F.sum(
+                    (F.col(c).isNotNull() & ~F.col(c).rlike(pat)).cast(
+                        "long"
+                    )
+                ),
+            )
+        )
+    out = None
+    if entries:
+        row = df.agg(
+            *[e.alias(f"_r{i}") for i, (_, e) in enumerate(entries)]
+        )
+        pairs = []
+        for i, (name, _) in enumerate(entries):
+            pairs.append(F.lit(name))
+            pairs.append(F.coalesce(F.col(f"_r{i}"), F.lit(0)).cast("long"))
+        out = row.select(
+            F.explode(F.create_map(*pairs)).alias("rule", "n_violations")
+        )
+    for c, (ref, ref_col) in (foreign or {}).items():
+        cnt = (
+            df.where(F.col(c).isNotNull())
+            .join(
+                F.broadcast(ref.select(F.col(ref_col).alias(c)).distinct()),
+                c,
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+            .select(F.lit(f"foreign:{c}").alias("rule"), "n_violations")
+        )
+        out = cnt if out is None else out.unionAll(cnt)
+    if out is None:
+        raise ValueError("validate() called with no rules")
+    return out
