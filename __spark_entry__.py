@@ -47,6 +47,7 @@ from polars_grouper_spark.functions import similarity as sim
 from polars_grouper_spark.functions import text as tx
 from polars_grouper_spark.functions.hashing import hash_pair64_sql, portable_hash64_sql
 from polars_grouper_spark.functions.outliers import robust_outliers_sql
+from polars_grouper_spark.operators.negative_sampling import negative_samples_sql
 from polars_grouper_spark.operators.sequences import precedence_pairs_sql
 from polars_grouper_spark.operators.kcore import k_core, k_core_sql
 from polars_grouper_spark.operators.ktruss import k_truss_sql
@@ -3476,6 +3477,18 @@ FROM src GROUP BY month, priority
 """
 
 
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction negative sampling
+    (``operators.negative_sampling``): k deterministic non-edges per
+    node of the supplier-part graph via hash-bucket pairing — no global
+    rank/sort (a row_number over V is a single-partition sort at
+    cluster scale); candidate volume is k*V*bucket_factor equality-join
+    rows, and the oracle replays the identical portable-hash draws."""
+    from polars_grouper_spark.operators.negative_sampling import negative_samples
+
+    return negative_samples(_sp_edges(spark, sf_dir), "src", "dst", k=2)
+
+
 def q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality gate (``functions.validate``): null/unique/range/
     regex rules fold into ONE aggregation over ONE scan (a rule is an
@@ -4408,6 +4421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk_multiprobe": q_lsh_topk_multiprobe,
         "scd2_orders": q_scd2_orders,
         "validate_orders": q_validate_orders,
+        "negative_samples_sp": q_negative_samples,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -4571,6 +4585,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "scd2_orders": _scd2_orders_sql(),
         "validate_orders": _VALIDATE_ORDERS_SQL,
+        "negative_samples_sp": negative_samples_sql(_SP_EDGE_SQL, k=2),
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,
