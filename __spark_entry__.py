@@ -3477,6 +3477,64 @@ FROM src GROUP BY month, priority
 """
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE publish step (``operators.upsert.merge_upsert``): a
+    deterministic change batch against the customer table — upserts
+    (custkey % 10 == 0 gets +100.00 balance), deletes (custkey % 17 ==
+    0), and inserts (shadow keys +1,000,000) — applied as ONE full
+    outer key join.  Duplicate-key and unknown-op guards raise lazily
+    inside the same action."""
+    from polars_grouper_spark.operators.upsert import merge_upsert
+
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+    )
+    ups = cust.where("custkey % 10 = 0 AND custkey % 17 <> 0").select(
+        "custkey",
+        "name",
+        (F.col("acctbal_cents") + 10000).alias("acctbal_cents"),
+        F.lit("upsert").alias("op"),
+    )
+    dels = cust.where("custkey % 17 = 0").select(
+        "custkey", "name", "acctbal_cents", F.lit("delete").alias("op")
+    )
+    ins = cust.where("custkey % 25 = 0").select(
+        (F.col("custkey") + 1000000).alias("custkey"),
+        F.concat(F.lit("NEW "), F.col("name")).alias("name"),
+        F.lit(0).cast("long").alias("acctbal_cents"),
+        F.lit("upsert").alias("op"),
+    )
+    return merge_upsert(
+        cust, ups.union(dels).union(ins), ["custkey"]
+    )
+
+
+_MERGE_UPSERT_SQL = """
+WITH cust AS (
+  SELECT c_custkey AS custkey, c_name AS name,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+  FROM customer
+),
+changes AS (
+  SELECT custkey, name, acctbal_cents + 10000 AS acctbal_cents, 'upsert' AS op
+  FROM cust WHERE custkey % 10 = 0 AND custkey % 17 <> 0
+  UNION ALL
+  SELECT custkey, name, acctbal_cents, 'delete' FROM cust WHERE custkey % 17 = 0
+  UNION ALL
+  SELECT custkey + 1000000, 'NEW ' || name, 0, 'upsert'
+  FROM cust WHERE custkey % 25 = 0
+)
+SELECT coalesce(b.custkey, c.custkey) AS custkey,
+       CASE WHEN c.op = 'upsert' THEN c.name ELSE b.name END AS name,
+       CASE WHEN c.op = 'upsert' THEN c.acctbal_cents
+            ELSE b.acctbal_cents END AS acctbal_cents
+FROM cust b FULL OUTER JOIN changes c ON b.custkey = c.custkey
+WHERE c.op IS NULL OR c.op <> 'delete'
+"""
+
+
 def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-prediction negative sampling
     (``operators.negative_sampling``): k deterministic non-edges per
@@ -4422,6 +4480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_orders": q_scd2_orders,
         "validate_orders": q_validate_orders,
         "negative_samples_sp": q_negative_samples,
+        "merge_upsert_customers": q_merge_upsert,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -4586,6 +4645,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_orders": _scd2_orders_sql(),
         "validate_orders": _VALIDATE_ORDERS_SQL,
         "negative_samples_sp": negative_samples_sql(_SP_EDGE_SQL, k=2),
+        "merge_upsert_customers": _MERGE_UPSERT_SQL,
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,
