@@ -3477,6 +3477,38 @@ FROM src GROUP BY month, priority
 """
 
 
+def q_hll_cube_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user estimates for EVERY grouping set of (month,
+    event_type) — the full cube — from ONE scan
+    (``functions.sketches.hll_cube``): data reduces once to
+    finest-grain HLL registers, every coarser set merges REGISTERS
+    (register-wise max), never re-reading rows.  An exact
+    count-distinct cube re-shuffles every distinct (group, user) pair
+    per grouping set; here each extra set costs a max-merge over
+    groups x 2^b register rows."""
+    from polars_grouper_spark.functions.sketches import hll_cube
+
+    ev = load_table(spark, "events", sf_dir)
+    df = ev.select(
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM").alias("month"),
+        "event_type",
+        "user_id",
+    )
+    return hll_cube(df, ["month", "event_type"], "user_id", b=10)
+
+
+def _hll_cube_users_sql() -> str:
+    from polars_grouper_spark.functions.sketches import hll_cube_sql
+
+    return hll_cube_sql(
+        "SELECT strftime(ts, '%Y-%m') AS month, event_type, user_id "
+        "FROM events",
+        [("month", "month"), ("event_type", "event_type")],
+        "user_id",
+        b=10,
+    )
+
+
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch MERGE publish step (``operators.upsert.merge_upsert``): a
     deterministic change batch against the customer table — upserts
@@ -4481,6 +4513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_orders": q_validate_orders,
         "negative_samples_sp": q_negative_samples,
         "merge_upsert_customers": q_merge_upsert,
+        "hll_cube_users": q_hll_cube_users,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -4646,6 +4679,7 @@ def oracle_sql() -> dict[str, str]:
         "validate_orders": _VALIDATE_ORDERS_SQL,
         "negative_samples_sp": negative_samples_sql(_SP_EDGE_SQL, k=2),
         "merge_upsert_customers": _MERGE_UPSERT_SQL,
+        "hll_cube_users": _hll_cube_users_sql(),
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,

@@ -495,6 +495,137 @@ FROM agg
 """
 
 
+def hll_cube(
+    df: DataFrame,
+    keys: "list[str]",
+    col: Column | str,
+    b: int = 12,
+    *,
+    portable: bool = True,
+) -> DataFrame:
+    """Distinct-count estimates for EVERY subset of ``keys`` (the full
+    cube) -> ``(*keys, estimate)`` with NULL in rolled-up dimensions —
+    from ONE scan of the data.
+
+    This is the mergeable-sketch property doing real work: the data is
+    reduced once to finest-grain registers ``(keys..., bucket,
+    max_rho)``; every coarser grouping set then merges REGISTERS
+    (register-wise max over the dropped dimensions), never re-reading
+    rows.  An exact ``count(distinct)`` cube re-shuffles every distinct
+    (group, value) pair once per grouping set; here each extra set costs
+    a max-merge over at most ``groups x 2^b`` register rows.  Exactly
+    the daily-partial → any-rollup pattern of ``functions.incremental``,
+    with HLL as the state."""
+    if not keys:
+        raise ValueError("hll_cube needs at least one key column")
+    if not 4 <= b <= 18:
+        raise ValueError(f"b must be in [4, 18], got {b}")
+    c = F.col(col) if isinstance(col, str) else col
+    m = 1 << b
+    rest_bits = _HASH_BITS - b
+    h = portable_hash64(c.cast("string"), portable=portable)
+    bucket = F.shiftright(h, rest_bits).cast("int")
+    rest = F.pmod(h, F.lit(1 << rest_bits))
+    bitlen = F.length(F.conv(rest.cast("string"), 10, 2))
+    rho = F.when(rest == 0, F.lit(rest_bits + 1)).otherwise(
+        F.lit(rest_bits) - bitlen + 1
+    )
+    notnull = c.isNotNull()
+    for k in keys:
+        notnull = notnull & F.col(k).isNotNull()
+    fine = (
+        df.where(notnull)
+        .select(
+            *[F.col(k).cast("string").alias(k) for k in keys],
+            bucket.alias("bucket"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy(*keys, "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+        .localCheckpoint(eager=True)  # one scan; every set merges from here
+    )
+
+    def _estimate(grouped: DataFrame, present: "list[str]") -> DataFrame:
+        agg = grouped.groupBy(*present, "bucket").agg(
+            F.max("max_rho").alias("max_rho")
+        ).groupBy(*present).agg(
+            F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("s"),
+            F.count(F.lit(1)).alias("nonempty"),
+        )
+        empty = F.lit(float(m)) - F.col("nonempty").cast("double")
+        raw = F.lit(_alpha(m) * m * m) / (F.col("s") + empty)
+        lc = -F.lit(float(m)) * F.log(empty / F.lit(float(m)))
+        est = F.when((raw <= F.lit(2.5 * m)) & (empty > 0), lc).otherwise(raw)
+        cols = [
+            (F.col(k) if k in present else F.lit(None).cast("string")).alias(k)
+            for k in keys
+        ]
+        return agg.select(*cols, F.round(est, 4).alias("estimate"))
+
+    from itertools import combinations
+
+    out = None
+    for r in range(len(keys), -1, -1):
+        for subset in combinations(keys, r):
+            part = _estimate(fine, list(subset))
+            out = part if out is None else out.unionAll(part)
+    return out
+
+
+def hll_cube_sql(
+    table_sql: str, key_exprs: "list[tuple[str, str]]", expr: str, b: int = 12
+) -> str:
+    """DuckDB oracle for :func:`hll_cube`: one register replay per
+    grouping set, unioned.  ``key_exprs`` is ``[(name, sql_expr), ...]``."""
+    from itertools import combinations
+
+    from .hashing import portable_hash64_sql
+
+    m = 1 << b
+    rest_bits = _HASH_BITS - b
+    h = portable_hash64_sql(f"CAST({expr} AS VARCHAR)")
+    names = [n for n, _ in key_exprs]
+    not_null = " AND ".join(
+        [f"{expr} IS NOT NULL"] + [f"{e} IS NOT NULL" for _, e in key_exprs]
+    )
+    hashed_cols = ", ".join(
+        f"CAST({e} AS VARCHAR) AS {n}" for n, e in key_exprs
+    )
+    est = f"""round(
+  CASE WHEN ({_alpha(m) * m * m!r} / (s + ({m} - nonempty))) <= {2.5 * m}
+        AND ({m} - nonempty) > 0
+       THEN -{float(m)!r} * ln(({m} - nonempty) / {float(m)!r})
+       ELSE {_alpha(m) * m * m!r} / (s + ({m} - nonempty)) END,
+  4) AS estimate"""
+    parts = []
+    for r in range(len(names), -1, -1):
+        for subset in combinations(names, r):
+            grp = ", ".join(subset)
+            grp_kw = f"{grp}, " if subset else ""
+            sel = ", ".join(
+                (n if n in subset else f"CAST(NULL AS VARCHAR) AS {n}")
+                for n in names
+            )
+            parts.append(f"""(
+WITH src AS ({table_sql}),
+hashed AS (
+  SELECT {hashed_cols}, {h} AS h FROM src WHERE {not_null}
+),
+regs AS (
+  SELECT {grp_kw}CAST(h // {1 << rest_bits} AS INT) AS bucket,
+         max(CASE WHEN h % {1 << rest_bits} = 0 THEN {rest_bits + 1}
+                  ELSE {rest_bits} - length(bin(h % {1 << rest_bits})) + 1
+             END) AS max_rho
+  FROM hashed GROUP BY {grp_kw}bucket
+),
+agg AS (
+  SELECT {grp_kw}sum(power(2.0, -max_rho)) AS s, count(*) AS nonempty
+  FROM regs GROUP BY {grp_kw.rstrip(', ') if subset else "'all'"}
+)
+SELECT {sel}, {est} FROM agg)""")
+    return "\nUNION ALL\n".join(parts)
+
+
 def bloom_bits(
     df: DataFrame,
     col: Column | str,

@@ -286,3 +286,33 @@ def test_hist_quantiles_by_hand_computed(spark):
     assert got[("a", 0.99)] == 99.0
     # group b: constant 50 -> every quantile in the 50-bucket
     assert got[("b", 0.5)] == 50.0 and got[("b", 0.99)] == 50.0
+
+
+def test_hll_cube_matches_per_set_estimates_and_truth(spark):
+    """Cube register-merge must equal computing each grouping set's HLL
+    independently (merge-correctness), and estimates must sit near the
+    exact distinct counts."""
+    from polars_grouper_spark.functions.sketches import hll_cube, hll_distinct_by
+
+    rows = [
+        (f"d{i % 3}", f"t{i % 2}", f"u{i % 47}") for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "d string, t string, u string")
+    cube = {
+        (r["d"], r["t"]): r["estimate"]
+        for r in hll_cube(df, ["d", "t"], "u", b=10).collect()
+    }
+    assert len(cube) == 3 * 2 + 3 + 2 + 1  # all grouping sets
+    # merge-correctness vs the independent per-set operator
+    per_d = {
+        (r["key"], None): r["estimate"]
+        for r in hll_distinct_by(df, "d", "u", b=10).collect()
+    }
+    for k, v in per_d.items():
+        assert cube[k] == v
+    # accuracy: each (d, t) cell has ~24 distinct users (47 spread over 6)
+    exact = {}
+    for d, t, u in rows:
+        exact.setdefault((d, t), set()).add(u)
+    for k, s in exact.items():
+        assert abs(cube[k] - len(s)) / len(s) < 0.15
