@@ -47,6 +47,7 @@ from polars_grouper_spark.functions import similarity as sim
 from polars_grouper_spark.functions import text as tx
 from polars_grouper_spark.functions.hashing import hash_pair64_sql, portable_hash64_sql
 from polars_grouper_spark.functions.outliers import robust_outliers_sql
+from polars_grouper_spark.operators.debounce import debounce_sql
 from polars_grouper_spark.operators.negative_sampling import negative_samples_sql
 from polars_grouper_spark.operators.sequences import precedence_pairs_sql
 from polars_grouper_spark.operators.kcore import k_core, k_core_sql
@@ -3477,6 +3478,24 @@ FROM src GROUP BY month, priority
 """
 
 
+def q_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-user debounce (``operators.debounce``): keep an event
+    only if >= 4 hours passed since the last KEPT event of that user —
+    the recurrence depends on its own output (not lag-expressible), so
+    it runs as an Arrow ``applyInPandas`` scan per user; the oracle
+    replays the greedy chain with a recursive CTE."""
+    from polars_grouper_spark.operators.debounce import debounce
+
+    ev = load_table(spark, "events", sf_dir)
+    return debounce(ev, "user_id", "ts", "event_id", gap_seconds=14400)
+
+
+_DEBOUNCE_EVENTS_SQL = (
+    "SELECT user_id AS key, event_id AS id, epoch_us(ts) AS ts_us "
+    "FROM events"
+)
+
+
 def q_hll_cube_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-user estimates for EVERY grouping set of (month,
     event_type) — the full cube — from ONE scan
@@ -4514,6 +4533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_samples_sp": q_negative_samples,
         "merge_upsert_customers": q_merge_upsert,
         "hll_cube_users": q_hll_cube_users,
+        "debounce_events": q_debounce_events,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -4680,6 +4700,7 @@ def oracle_sql() -> dict[str, str]:
         "negative_samples_sp": negative_samples_sql(_SP_EDGE_SQL, k=2),
         "merge_upsert_customers": _MERGE_UPSERT_SQL,
         "hll_cube_users": _hll_cube_users_sql(),
+        "debounce_events": debounce_sql(_DEBOUNCE_EVENTS_SQL, gap_seconds=14400),
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,
