@@ -47,6 +47,10 @@ from polars_grouper_spark.functions import similarity as sim
 from polars_grouper_spark.functions import text as tx
 from polars_grouper_spark.functions.hashing import hash_pair64_sql, portable_hash64_sql
 from polars_grouper_spark.functions.outliers import robust_outliers_sql
+from polars_grouper_spark.functions.features import (
+    class_centroids_sql,
+    rank_normalize_sql,
+)
 from polars_grouper_spark.operators.debounce import debounce_sql
 from polars_grouper_spark.operators.negative_sampling import negative_samples_sql
 from polars_grouper_spark.operators.sequences import precedence_pairs_sql
@@ -3478,6 +3482,32 @@ FROM src GROUP BY month, priority
 """
 
 
+def q_rank_normalize_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based feature normalization (``functions.features``):
+    percent-rank + equi-depth decile of order totals within each
+    priority class, ties broken by the TOTAL order (value, id) so the
+    result never depends on partitioning."""
+    from polars_grouper_spark.functions.features import rank_normalize
+
+    o = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").cast("double").alias("value"),
+    )
+    return rank_normalize(o, "grp", "value", "id", n_bins=10)
+
+
+def q_class_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (``functions.features.class_centroids``)
+    — nearest-class-mean prototypes: one posexplode + map-side
+    combinable average, emitted as (label, dim, mean) rows so the
+    oracle comparison stays exact."""
+    from polars_grouper_spark.functions.features import class_centroids
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return class_centroids(emb, "label", "embedding")
+
+
 def q_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy per-user debounce (``operators.debounce``): keep an event
     only if >= 4 hours passed since the last KEPT event of that user —
@@ -4534,6 +4564,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert_customers": q_merge_upsert,
         "hll_cube_users": q_hll_cube_users,
         "debounce_events": q_debounce_events,
+        "rank_normalize_orders": q_rank_normalize_orders,
+        "class_centroids": q_class_centroids,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -4701,6 +4733,13 @@ def oracle_sql() -> dict[str, str]:
         "merge_upsert_customers": _MERGE_UPSERT_SQL,
         "hll_cube_users": _hll_cube_users_sql(),
         "debounce_events": debounce_sql(_DEBOUNCE_EVENTS_SQL, gap_seconds=14400),
+        "rank_normalize_orders": rank_normalize_sql(
+            "SELECT o_orderkey AS id, o_orderpriority AS grp, "
+            "CAST(o_totalprice AS DOUBLE) AS value FROM orders"
+        ),
+        "class_centroids": class_centroids_sql(
+            "SELECT label, embedding FROM embeddings", "label", "embedding"
+        ),
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,
