@@ -3405,6 +3405,25 @@ FROM tot t LEFT JOIN hits h ON h.id = t.id
 """
 
 
+def q_coloring_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed greedy coloring (``operators.coloring``): iterated
+    Luby-MIS classes over the intra-region nation cliques — a 5-clique
+    needs exactly 5 colors, and MIS maximality bounds the palette by
+    max-degree + 1.  The oracle unrolls all colors x MIS rounds and
+    poisons the output if anything is uncolored at the horizon."""
+    from polars_grouper_spark.operators.coloring import greedy_coloring
+
+    return greedy_coloring(
+        _nation_edges(spark, sf_dir), "src", "dst", max_colors=8
+    )
+
+
+def _coloring_nations_sql() -> str:
+    from polars_grouper_spark.operators.coloring import greedy_coloring_sql
+
+    return greedy_coloring_sql(_NATION_EDGE_SQL, colors=8, rounds=10)
+
+
 def q_mst_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum spanning forest (Borůvka rounds,
     ``operators.mst.minimum_spanning_forest``) over the weighted
@@ -4554,6 +4573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 5 (inside the window, no driver row yet) ---
         "stream_attrib_bounded": q_stream_attrib_bounded,
         "mst_nations": q_mst_nations,
+        "coloring_nations": q_coloring_nations,
         "event_outliers": q_event_outliers,
         "precedence_pairs": q_precedence_pairs,
         "incremental_rollup": q_incremental_rollup,
@@ -4721,6 +4741,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_attrib": _STREAM_ATTRIB_SQL,
         "stream_attrib_bounded": _STREAM_ATTRIB_SQL,
         "mst_nations": _mst_nations_sql(),
+        "coloring_nations": _coloring_nations_sql(),
         "event_outliers": robust_outliers_sql(_EVENT_OUTLIER_SRC_SQL),
         "precedence_pairs": precedence_pairs_sql(_PRECEDENCE_EVENTS_SQL),
         "incremental_rollup": _INCREMENTAL_ROLLUP_SQL,

@@ -546,3 +546,29 @@ def test_boruvka_msf_matches_kruskal(spark, wedges):
         for r in minimum_spanning_forest(df, "src", "dst", "weight").collect()
     )
     assert got == sorted(want)
+
+
+@given(edges=EDGES)
+@_SETTINGS
+def test_greedy_coloring_proper_and_bounded(spark, edges):
+    """Coloring invariants on random graphs: every node colored, no
+    monochromatic edge, palette <= max-degree + 1 (guaranteed by MIS
+    maximality: a node uncolored after class c had a neighbor in each
+    of the first c classes)."""
+    from polars_grouper_spark.operators.coloring import greedy_coloring
+
+    simple = {tuple(sorted((str(a), str(b)))) for a, b in edges if str(a) != str(b)}
+    if not simple:
+        return
+    got = {
+        r["node"]: r["color"]
+        for r in greedy_coloring(_df(spark, edges)).collect()
+    }
+    deg = {}
+    for a, b in simple:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    assert set(got) == set(deg), "every edge-list node must be colored"
+    for a, b in simple:
+        assert got[a] != got[b], f"monochromatic edge {a}-{b}"
+    assert max(got.values()) <= max(deg.values()) + 1
