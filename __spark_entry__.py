@@ -3405,6 +3405,37 @@ FROM tot t LEFT JOIN hits h ON h.id = t.id
 """
 
 
+def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: SymSpell ed<=1 blocking over
+    customer names (``functions.fuzzy``) feeds connected components
+    (``operators.connected_components``) — near-identical names collapse
+    into entity clusters, the standard record-linkage pipeline (block ->
+    match -> cluster) with every stage an equality join.  Output is one
+    row per matched name with its canonical (min-name) cluster label."""
+    from polars_grouper_spark.functions.fuzzy import fuzzy_join_ed1
+
+    cust = load_table(spark, "customer", sf_dir)
+    pairs = fuzzy_join_ed1(cust, cust, "c_name", "c_name")
+    cc = components(pairs, "val_a", "val_b")
+    return cc.select(
+        F.col("node").alias("name"), F.col("component").alias("entity")
+    )
+
+
+def _entity_clusters_sql() -> str:
+    from polars_grouper_spark.functions.fuzzy import fuzzy_join_ed1_sql
+
+    pairs = fuzzy_join_ed1_sql(
+        "SELECT c_name AS v FROM customer", "SELECT c_name AS v FROM customer"
+    )
+    cc = _cc_label_sql(
+        f"SELECT val_a AS src, val_b AS dst FROM ({pairs}) fz", rounds=20
+    )
+    return (
+        f"SELECT node AS name, comp_label AS entity FROM ({cc}) cc"
+    )
+
+
 def q_coloring_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed greedy coloring (``operators.coloring``): iterated
     Luby-MIS classes over the intra-region nation cliques — a 5-clique
@@ -4574,6 +4605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_attrib_bounded": q_stream_attrib_bounded,
         "mst_nations": q_mst_nations,
         "coloring_nations": q_coloring_nations,
+        "entity_clusters": q_entity_clusters,
         "event_outliers": q_event_outliers,
         "precedence_pairs": q_precedence_pairs,
         "incremental_rollup": q_incremental_rollup,
@@ -4742,6 +4774,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_attrib_bounded": _STREAM_ATTRIB_SQL,
         "mst_nations": _mst_nations_sql(),
         "coloring_nations": _coloring_nations_sql(),
+        "entity_clusters": _entity_clusters_sql(),
         "event_outliers": robust_outliers_sql(_EVENT_OUTLIER_SRC_SQL),
         "precedence_pairs": precedence_pairs_sql(_PRECEDENCE_EVENTS_SQL),
         "incremental_rollup": _INCREMENTAL_ROLLUP_SQL,
