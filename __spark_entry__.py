@@ -3405,6 +3405,68 @@ FROM tot t LEFT JOIN hits h ON h.id = t.id
 """
 
 
+def q_graph_metrics_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node eccentricity and per-component diameter/radius over the
+    weighted nation cliques — a pure composition over the all-pairs
+    shortest-path operator: unreachable pairs are omitted, so each
+    node's reachable set IS its component and the component label falls
+    out as least(node, min(peer)) with no separate CC pass."""
+    sp = calculate_shortest_path(
+        _nation_edges(spark, sf_dir), "src", "dst", "weight", directed=False
+    )
+    both = sp.select(
+        F.col("from").alias("node"), F.col("to").alias("peer"), "distance"
+    ).unionAll(
+        sp.select(
+            F.col("to").alias("node"), F.col("from").alias("peer"), "distance"
+        )
+    )
+    ecc = both.groupBy("node").agg(
+        F.max("distance").alias("ecc"),
+        F.least(F.min("peer"), F.first("node")).alias("_m"),
+    ).select(
+        "node",
+        "ecc",
+        F.least(F.col("node"), F.col("_m")).alias("comp"),
+    )
+    stats = ecc.groupBy("comp").agg(
+        F.max("ecc").alias("diameter"), F.min("ecc").alias("radius")
+    )
+    return ecc.join(F.broadcast(stats), "comp").select(
+        "node",
+        "comp",
+        F.round("ecc", 4).alias("eccentricity"),
+        F.round("diameter", 4).alias("diameter"),
+        F.round("radius", 4).alias("radius"),
+    )
+
+
+def _graph_metrics_nations_sql() -> str:
+    sp = _shortest_path_sql(_NATION_EDGE_SQL)
+    return f"""
+WITH pairs AS ({sp}),
+both_dir AS (
+  SELECT src AS node, dst AS peer, distance FROM pairs
+  UNION ALL
+  SELECT dst, src, distance FROM pairs
+),
+ecc AS (
+  SELECT node, max(distance) AS ecc,
+         least(node, min(peer)) AS comp
+  FROM both_dir GROUP BY node
+),
+stats AS (
+  SELECT comp, max(ecc) AS diameter, min(ecc) AS radius
+  FROM ecc GROUP BY comp
+)
+SELECT e.node, e.comp,
+       round(e.ecc, 4) AS eccentricity,
+       round(s.diameter, 4) AS diameter,
+       round(s.radius, 4) AS radius
+FROM ecc e JOIN stats s ON e.comp = s.comp
+"""
+
+
 def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end entity resolution: SymSpell ed<=1 blocking over
     customer names (``functions.fuzzy``) feeds connected components
@@ -4606,6 +4668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mst_nations": q_mst_nations,
         "coloring_nations": q_coloring_nations,
         "entity_clusters": q_entity_clusters,
+        "graph_metrics_nations": q_graph_metrics_nations,
         "event_outliers": q_event_outliers,
         "precedence_pairs": q_precedence_pairs,
         "incremental_rollup": q_incremental_rollup,
@@ -4775,6 +4838,7 @@ def oracle_sql() -> dict[str, str]:
         "mst_nations": _mst_nations_sql(),
         "coloring_nations": _coloring_nations_sql(),
         "entity_clusters": _entity_clusters_sql(),
+        "graph_metrics_nations": _graph_metrics_nations_sql(),
         "event_outliers": robust_outliers_sql(_EVENT_OUTLIER_SRC_SQL),
         "precedence_pairs": precedence_pairs_sql(_PRECEDENCE_EVENTS_SQL),
         "incremental_rollup": _INCREMENTAL_ROLLUP_SQL,
