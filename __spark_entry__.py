@@ -3469,15 +3469,15 @@ FROM ecc e JOIN stats s ON e.comp = s.comp
 
 def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end entity resolution: SymSpell ed<=1 blocking over
-    customer names (``functions.fuzzy``) feeds connected components
+    supplier names (``functions.fuzzy``) feeds connected components
     (``operators.connected_components``) — near-identical names collapse
     into entity clusters, the standard record-linkage pipeline (block ->
     match -> cluster) with every stage an equality join.  Output is one
     row per matched name with its canonical (min-name) cluster label."""
     from polars_grouper_spark.functions.fuzzy import fuzzy_join_ed1
 
-    cust = load_table(spark, "customer", sf_dir)
-    pairs = fuzzy_join_ed1(cust, cust, "c_name", "c_name")
+    supp = load_table(spark, "supplier", sf_dir)
+    pairs = fuzzy_join_ed1(supp, supp, "s_name", "s_name")
     cc = components(pairs, "val_a", "val_b")
     return cc.select(
         F.col("node").alias("name"), F.col("component").alias("entity")
@@ -3488,7 +3488,7 @@ def _entity_clusters_sql() -> str:
     from polars_grouper_spark.functions.fuzzy import fuzzy_join_ed1_sql
 
     pairs = fuzzy_join_ed1_sql(
-        "SELECT c_name AS v FROM customer", "SELECT c_name AS v FROM customer"
+        "SELECT s_name AS v FROM supplier", "SELECT s_name AS v FROM supplier"
     )
     cc = _cc_label_sql(
         f"SELECT val_a AS src, val_b AS dst FROM ({pairs}) fz", rounds=20
