@@ -4444,6 +4444,37 @@ def _peak_sessions_sql() -> str:
     return f"SELECT grp AS day, peak, n_intervals FROM ({inner})"
 
 
+def q_user_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covered-time union (``operators.intervals.interval_coverage``):
+    per user, the total seconds in which at least one of their daily
+    activity spans was open — union length of overlapping intervals via
+    the running-max window (new ground = end - max(start, prev max
+    end)), one window pass, no self-join, no merged-interval
+    materialization."""
+    from polars_grouper_spark.operators.intervals import interval_coverage
+
+    ev = load_table(spark, "events", sf_dir)
+    spans = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("s"),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("e"),
+    )
+    return interval_coverage(spans, "s", "e", "user_id")
+
+
+def _user_coverage_sql() -> str:
+    from polars_grouper_spark.operators.intervals import interval_coverage_sql
+
+    spans = (
+        "SELECT user_id AS grp,"
+        " min(epoch_us(ts)) AS s, max(epoch_us(ts)) AS e"
+        " FROM events GROUP BY user_id, CAST(ts AS DATE)"
+    )
+    inner = interval_coverage_sql(spans, "grp")
+    return f"SELECT grp AS user_id, covered, n_intervals FROM ({inner})"
+
+
 _MIS_ROUNDS = 16
 
 
@@ -4681,6 +4712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "debounce_events": q_debounce_events,
         "rank_normalize_orders": q_rank_normalize_orders,
         "class_centroids": q_class_centroids,
+        "user_coverage": q_user_coverage,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -4858,6 +4890,7 @@ def oracle_sql() -> dict[str, str]:
         "class_centroids": class_centroids_sql(
             "SELECT label, embedding FROM embeddings", "label", "embedding"
         ),
+        "user_coverage": _user_coverage_sql(),
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,

@@ -114,3 +114,73 @@ n AS (SELECT {g_cols}count(*)::BIGINT AS n_intervals FROM base {g_group})
 SELECT {"peaks.grp, " if group_expr else ""}peaks.peak, n.n_intervals
 FROM peaks JOIN n {g_join}
 """
+
+
+def interval_coverage(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    group_col: "str | None" = None,
+) -> DataFrame:
+    """Per-group covered length -> ``([group,] covered, n_intervals)``:
+    the total length of the UNION of (possibly overlapping) closed
+    intervals — "how much wall-clock was at least one session active" —
+    without materializing the merged intervals.
+
+    Classic running-max formulation, one window pass, no join: with
+    intervals ordered by (start, end), the new ground an interval covers
+    is ``max(0, end - max(start, max_prev_end))`` where ``max_prev_end``
+    is the running max of ``end`` over all EARLIER intervals of the
+    group.  Degenerate point intervals (start == end) add zero length —
+    use :func:`peak_concurrency` for presence-at-a-tick questions.
+    Inputs must be numeric/timestamp-ordered; units are whatever
+    ``end - start`` yields."""
+    s, e = F.col(start_col), F.col(end_col)
+    base = df.where(s.isNotNull() & e.isNotNull() & (e >= s)).select(
+        *([group_col] if group_col else []),
+        s.alias("_s"),
+        e.alias("_e"),
+    )
+    gcols = [group_col] if group_col else []
+    w_prev = (
+        Window.partitionBy(*gcols)
+        .orderBy("_s", "_e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    gain = F.greatest(
+        F.lit(0),
+        F.col("_e")
+        - F.greatest(F.col("_s"), F.coalesce(F.max("_e").over(w_prev), F.col("_s"))),
+    )
+    per_row = base.select(*gcols, gain.alias("_gain"))
+    return per_row.groupBy(*gcols).agg(
+        F.sum("_gain").alias("covered"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+
+
+def interval_coverage_sql(
+    intervals_sql: str, group: "str | None" = None
+) -> str:
+    """DuckDB oracle for :func:`interval_coverage` — ``intervals_sql``
+    yields ([grp,] s, e) numeric."""
+    gsel = "grp, " if group else ""
+    gby = "PARTITION BY grp " if group else ""
+    ggrp = "GROUP BY grp" if group else ""
+    return f"""
+WITH src AS ({intervals_sql}),
+clean AS (
+  SELECT {gsel}s AS _s, e AS _e FROM src
+  WHERE s IS NOT NULL AND e IS NOT NULL AND e >= s
+),
+gains AS (
+  SELECT {gsel}
+         greatest(0, _e - greatest(_s, coalesce(
+           max(_e) OVER ({gby}ORDER BY _s, _e
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           _s))) AS _gain
+  FROM clean
+)
+SELECT {gsel}sum(_gain) AS covered, count(*)::BIGINT AS n_intervals
+FROM gains {ggrp}
+"""

@@ -113,3 +113,49 @@ def test_retention_duckdb_parity(spark):
     want = sorted(tuple(r) for r in con.sql(
         cohort_retention_sql(period="day", max_offset=30)).fetchall())
     assert got == want
+
+
+def test_interval_coverage_hand_computed(spark):
+    """Union length: [0,10] + [5,15] + [20,25] covers 15 + 5 = 20;
+    a duplicate interval and a contained interval add nothing."""
+    from polars_grouper_spark.operators.intervals import interval_coverage
+
+    rows = [
+        ("u", 0, 10), ("u", 5, 15), ("u", 20, 25),
+        ("u", 5, 15), ("u", 6, 9),
+        ("v", 100, 100),  # degenerate point: zero length
+    ]
+    df = spark.createDataFrame(rows, "g string, s long, e long")
+    got = {r["g"]: (r["covered"], r["n_intervals"]) for r in
+           interval_coverage(df, "s", "e", "g").collect()}
+    assert got == {"u": (20, 5), "v": (0, 1)}
+
+
+def test_interval_coverage_matches_duckdb(spark):
+    import random
+
+    import duckdb
+
+    from polars_grouper_spark.operators.intervals import (
+        interval_coverage,
+        interval_coverage_sql,
+    )
+
+    random.seed(21)
+    rows = []
+    for g in range(6):
+        for _ in range(40):
+            s = random.randint(0, 1000)
+            rows.append((f"g{g}", s, s + random.randint(0, 80)))
+    df = spark.createDataFrame(rows, "grp string, s long, e long")
+    got = sorted(map(tuple, interval_coverage(df, "s", "e", "grp").collect()))
+    vals = ", ".join(f"('{g}',{s},{e})" for g, s, e in rows)
+    want = sorted(
+        tuple(r)
+        for r in duckdb.sql(
+            interval_coverage_sql(
+                f"SELECT * FROM (VALUES {vals}) t(grp, s, e)", "grp"
+            )
+        ).fetchall()
+    )
+    assert got == want
