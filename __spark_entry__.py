@@ -4444,6 +4444,33 @@ def _peak_sessions_sql() -> str:
     return f"SELECT grp AS day, peak, n_intervals FROM ({inner})"
 
 
+def q_jaccard_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT token-set Jaccard >= 0.95 join over documents
+    (``functions.dedup.jaccard_threshold_join``, PPJoin prefix
+    filtering): candidates only from rarest-prefix token equality joins
+    — lossless, unlike MinHash — verified by the integer cross-product
+    threshold test.  The oracle is deliberately brute-force all-pairs,
+    so any recall loss in the prefix filter breaks the compare."""
+    from polars_grouper_spark.functions.dedup import jaccard_threshold_join
+
+    # the synthetic corpus is adversarially template-heavy (~40 near-twins
+    # per doc at sf0.1); a fifth of it keeps the demo's output pair count
+    # in the thousands
+    docs = load_table(spark, "documents", sf_dir).where("doc_id % 5 = 0")
+    return jaccard_threshold_join(
+        docs, "doc_id", "text", t_num=19, t_den=20
+    )
+
+
+def _jaccard_join_docs_sql() -> str:
+    from polars_grouper_spark.functions.dedup import jaccard_threshold_join_sql
+
+    return jaccard_threshold_join_sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0", "doc_id", "text",
+        t_num=19, t_den=20,
+    )
+
+
 def q_user_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Covered-time union (``operators.intervals.interval_coverage``):
     per user, the total seconds in which at least one of their daily
@@ -4713,6 +4740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_normalize_orders": q_rank_normalize_orders,
         "class_centroids": q_class_centroids,
         "user_coverage": q_user_coverage,
+        "jaccard_join_docs": q_jaccard_join_docs,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -4891,6 +4919,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT label, embedding FROM embeddings", "label", "embedding"
         ),
         "user_coverage": _user_coverage_sql(),
+        "jaccard_join_docs": _jaccard_join_docs_sql(),
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,

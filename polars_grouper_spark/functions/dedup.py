@@ -621,3 +621,148 @@ def dedup_against_corpus(
     return with_exact.join(best, "id", "left").select(
         "id", "exact_dup_of", "near_dup_of", "near_est"
     )
+
+
+def jaccard_threshold_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    t_num: int = 7,
+    t_den: int = 10,
+) -> DataFrame:
+    """EXACT token-set Jaccard join (PPJoin-style prefix filtering,
+    Xiao et al. 2008) -> ``(id_a, id_b, inter, uni, jaccard)`` for every
+    DISTINCT doc pair with ``|A∩B| / |A∪B| >= t_num/t_den`` — no
+    recall loss, unlike the MinHash path.
+
+    The prefix-filter theorem makes this shuffle-bounded: order each
+    doc's tokens globally by (document frequency, token) — rarest first
+    — and keep only the first ``n - ceil(t·n) + 1`` as the doc's
+    PREFIX.  Two docs at Jaccard >= t MUST share a prefix token, so
+    candidates come from an equality join on PREFIX tokens only (the
+    hot common tokens sit at the ends of the ordering and never join),
+    plus the length filter ``t·max(|A|,|B|) <= min(|A|,|B|)``.
+    Verification counts the true intersection on candidate pairs only;
+    the threshold test is the integer cross-product
+    ``(t_den + t_num)·inter >= t_num·(|A| + |B|)`` — no float decides
+    membership.  ``jaccard`` is a display-rounded division.
+
+    At 100 TB every stage is an equality join or map-side-combinable
+    count; the prefix trick is the df-cap idea (``max_shingle_df``)
+    made LOSSLESS — rare-token posting lists drive candidates, frequent
+    tokens never explode."""
+    if not (0 < t_num <= t_den):
+        raise ValueError(f"need 0 < t_num <= t_den, got {t_num}/{t_den}")
+    toks = (
+        df.where(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                F.array_distinct(
+                    F.split(F.lower(F.col(text_col)), r"\s+", -1)
+                )
+            ).alias("token"),
+        )
+        .where(F.col("token") != "")
+    )
+    sizes = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        toks.join(dfreq, "token")
+        .join(sizes, "doc")
+        .select(
+            "doc",
+            "token",
+            "n",
+            F.row_number()
+            .over(Window.partitionBy("doc").orderBy("df", "token"))
+            .alias("rn"),
+        )
+    )
+    # prefix length = n - ceil(t*n) + 1, all-integer ceil
+    prefix_len = F.col("n") - F.floor(
+        (F.lit(t_num) * F.col("n") + F.lit(t_den - 1)) / F.lit(t_den)
+    ) + 1
+    prefix = ranked.where(F.col("rn") <= prefix_len).select("doc", "token", "n")
+    cand = (
+        prefix.select(F.col("doc").alias("id_a"), "token", F.col("n").alias("na"))
+        .join(
+            prefix.select(
+                F.col("doc").alias("id_b"), "token", F.col("n").alias("nb")
+            ),
+            "token",
+        )
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.lit(t_num) * F.greatest("na", "nb")
+                <= F.lit(t_den) * F.least("na", "nb")
+            )
+        )
+        .select("id_a", "id_b", "na", "nb")
+        .distinct()
+    )
+    # intersection: candidate x |A| rows equality-probe the (doc, token)
+    # table on the COMPOSITE key — joining on id_b alone would fan every
+    # candidate out to |A| x |B| rows before filtering
+    inter = (
+        cand.join(toks.select(F.col("doc").alias("id_a"), "token"), "id_a")
+        .join(
+            toks.select(F.col("doc").alias("id_b"), "token"),
+            ["id_b", "token"],
+        )
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.where(
+            F.lit(t_den + t_num) * F.col("inter")
+            >= F.lit(t_num) * (F.col("na") + F.col("nb"))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            (F.col("na") + F.col("nb") - F.col("inter")).alias("uni"),
+            F.round(
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def jaccard_threshold_join_sql(
+    table_sql: str,
+    id_expr: str,
+    text_expr: str,
+    *,
+    t_num: int = 7,
+    t_den: int = 10,
+) -> str:
+    """DuckDB oracle for :func:`jaccard_threshold_join` — brute-force
+    ALL-pairs exact Jaccard (no prefix logic), which is precisely what
+    makes it a strong oracle: the prefix filter must be lossless."""
+    return f"""
+WITH src AS ({table_sql}),
+toks AS (
+  SELECT DISTINCT {id_expr} AS doc, t.token
+  FROM src, unnest(list_distinct(string_split_regex(lower({text_expr}), '\\s+'))) AS t(token)
+  WHERE {id_expr} IS NOT NULL AND {text_expr} IS NOT NULL AND t.token <> ''
+),
+sizes AS (SELECT doc, count(*) AS n FROM toks GROUP BY doc),
+inter AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS inter
+  FROM toks a JOIN toks b ON a.token = b.token AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+)
+SELECT i.id_a, i.id_b, i.inter,
+       (sa.n + sb.n - i.inter) AS uni,
+       round(i.inter / CAST(sa.n + sb.n - i.inter AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc = i.id_a
+JOIN sizes sb ON sb.doc = i.id_b
+WHERE ({t_den + t_num}) * i.inter >= {t_num} * (sa.n + sb.n)
+"""

@@ -234,3 +234,55 @@ def test_incremental_never_matches_within_batch(spark):
     # batch-internal duplicates are NOT each other's matches
     assert got["10"]["exact_dup_of"] is None and got["11"]["exact_dup_of"] is None
     assert got["10"]["near_dup_of"] is None and got["11"]["near_dup_of"] is None
+
+
+def test_jaccard_threshold_join_lossless_vs_bruteforce(spark):
+    """The prefix filter must be LOSSLESS: exact pair-set equality with
+    a brute-force all-pairs oracle (which replays no prefix logic)."""
+    import duckdb
+
+    from polars_grouper_spark.functions.dedup import (
+        jaccard_threshold_join,
+        jaccard_threshold_join_sql,
+    )
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over a lazy dog"),
+        (3, "the quick brown fox leaps over the lazy dog"),
+        (4, "completely different text about spark engines"),
+        (5, "the quick brown fox jumps over the lazy dog"),
+        (6, "text about spark engines completely different"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        map(tuple, jaccard_threshold_join(df, "doc_id", "text", t_num=7, t_den=10).collect())
+    )
+    vals = ", ".join(f"({i}, '{t}')" for i, t in docs)
+    want = sorted(
+        tuple(r)
+        for r in duckdb.sql(
+            jaccard_threshold_join_sql(
+                f"SELECT * FROM (VALUES {vals}) t(doc_id, text)",
+                "doc_id",
+                "text",
+                t_num=7,
+                t_den=10,
+            )
+        ).fetchall()
+    )
+    assert got == want
+    pairs = {(a, b) for a, b, *_ in got}
+    assert (1, 5) in pairs      # identical docs
+    assert (4, 6) in pairs      # same token set, different order
+    assert (1, 4) not in pairs  # unrelated
+
+
+def test_jaccard_threshold_join_validation(spark):
+    import pytest as _pytest
+
+    from polars_grouper_spark.functions.dedup import jaccard_threshold_join
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="t_num"):
+        jaccard_threshold_join(df, "doc_id", "text", t_num=11, t_den=10)
