@@ -4444,6 +4444,123 @@ def _peak_sessions_sql() -> str:
     return f"SELECT grp AS day, peak, n_intervals FROM ({inner})"
 
 
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping-priority revenue): customer dim broadcast into
+    orders, then lineitem joined on the order key — Catalyst picks
+    broadcast joins for both dims and pushes the segment/date filters to
+    the scans (PushedFilters in .explain).  Revenue sums in
+    decimal(18,4) — exact and associative, so the top-10 ordering can't
+    flip on float summation order; ties break on (date, orderkey)."""
+    cust = load_table(spark, "customer", sf_dir).where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, "orders", sf_dir).where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    li = load_table(spark, "lineitem", sf_dir).where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    g = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+            ).alias("_rev")
+        )
+    )
+    return (
+        g.orderBy(F.col("_rev").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("_rev").cast("double").alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+_TPCH_Q3_SQL = """
+WITH g AS (
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+         sum(CAST(l_extendedprice AS DECIMAL(18,4))
+             * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS rev
+  FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+    AND l_shipdate > TIMESTAMP '1998-01-01'
+  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+)
+SELECT l_orderkey, CAST(rev AS DOUBLE) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
+FROM g ORDER BY rev DESC, o_orderdate, l_orderkey LIMIT 10
+"""
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local-supplier revenue by nation): the snowflake join —
+    region -> nation broadcast through both customer and supplier legs,
+    with the co-location condition c_nationkey = s_nationkey.  Decimal
+    sums keep per-nation revenue exact across engines."""
+    region = load_table(spark, "region", sf_dir).where(
+        F.col("r_name") == "ASIA"
+    )
+    nation = load_table(spark, "nation", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    j = (
+        region.join(nation, F.col("r_regionkey") == F.col("n_regionkey"))
+        .join(cust, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+            ).alias("_rev")
+        )
+        .select("n_name", F.col("_rev").cast("double").alias("revenue"))
+    )
+
+
+_TPCH_Q5_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+            * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+         AS revenue
+FROM region
+JOIN nation ON r_regionkey = n_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
 def q_jaccard_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT token-set Jaccard >= 0.95 join over documents
     (``functions.dedup.jaccard_threshold_join``, PPJoin prefix
@@ -4741,6 +4858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "class_centroids": q_class_centroids,
         "user_coverage": q_user_coverage,
         "jaccard_join_docs": q_jaccard_join_docs,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -4920,6 +5039,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "user_coverage": _user_coverage_sql(),
         "jaccard_join_docs": _jaccard_join_docs_sql(),
+        "tpch_q3": _TPCH_Q3_SQL,
+        "tpch_q5": _TPCH_Q5_SQL,
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,
