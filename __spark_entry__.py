@@ -3638,6 +3638,54 @@ _DEBOUNCE_EVENTS_SQL = (
 )
 
 
+def q_stream_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-user debounce as a CUSTOM stateful streaming operator
+    (``streaming.stateful.streaming_debounce``): one long of state per
+    user (last kept event-time), continued across time-ordered replay
+    microbatches (``streaming.replay`` chunking).  With ordered arrival
+    the result equals the batch greedy chain, so the oracle is the same
+    recursive-CTE SQL as ``debounce_events``."""
+    import shutil
+    import tempfile
+
+    from polars_grouper_spark.streaming.replay import write_time_ordered_chunks
+    from polars_grouper_spark.streaming.stateful import streaming_debounce
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_id", "ts"
+    )
+    out_dir = tempfile.mkdtemp(prefix="pgs_sdb_")
+    try:
+        n = write_time_ordered_chunks(ev, "ts", out_dir, 4)
+        if n == 0:
+            return spark.createDataFrame([], "key string, id long, ts_us long")
+        schema = spark.read.parquet(f"{out_dir}/c0000").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(f"{out_dir}/c*")
+        )
+        kept = streaming_debounce(stream, gap_seconds=14400)
+        name = "stream_debounce_sink"
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            q = (
+                kept.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        return spark.table(name)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def q_hll_cube_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-user estimates for EVERY grouping set of (month,
     event_type) — the full cube — from ONE scan
@@ -4854,6 +4902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert_customers": q_merge_upsert,
         "hll_cube_users": q_hll_cube_users,
         "debounce_events": q_debounce_events,
+        "stream_debounce": q_stream_debounce,
         "rank_normalize_orders": q_rank_normalize_orders,
         "class_centroids": q_class_centroids,
         "user_coverage": q_user_coverage,
@@ -5030,6 +5079,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_upsert_customers": _MERGE_UPSERT_SQL,
         "hll_cube_users": _hll_cube_users_sql(),
         "debounce_events": debounce_sql(_DEBOUNCE_EVENTS_SQL, gap_seconds=14400),
+        "stream_debounce": debounce_sql(_DEBOUNCE_EVENTS_SQL, gap_seconds=14400),
         "rank_normalize_orders": rank_normalize_sql(
             "SELECT o_orderkey AS id, o_orderpriority AS grp, "
             "CAST(o_totalprice AS DOUBLE) AS value FROM orders"

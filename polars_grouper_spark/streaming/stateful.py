@@ -182,3 +182,70 @@ def running_user_stats(df: DataFrame) -> DataFrame:
         F.avg("value").alias("mean"),
         F.sqrt(F.var_pop("value")).alias("std"),
     )
+
+
+def streaming_debounce(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    *,
+    gap_seconds: int,
+) -> DataFrame:
+    """Per-key greedy rate limit as a CUSTOM stateful streaming operator
+    -> append-mode ``(key, id, ts_us)`` of KEPT events: keep an event
+    only if >= ``gap_seconds`` passed since the last kept event of its
+    key.  The streaming twin of ``operators.debounce``.
+
+    State is ONE long per key (the last kept event-time) — the minimal
+    stateful-operator footprint, bounded by key population regardless of
+    history.  Each micro-batch sorts its own rows by (ts, id) and
+    continues the key's greedy chain from the stored timestamp.
+
+    Exactness contract: equals the batch operator when arrival order is
+    event-time-ordered ACROSS micro-batches (the ``streaming/replay``
+    time-ordered chunk contract) — a row arriving after the watermark of
+    its gap window would be compared against a later kept timestamp.
+    Batch inputs delegate to ``operators.debounce`` directly.
+    """
+    from ..operators.debounce import debounce as batch_debounce
+
+    if not df.isStreaming:
+        return batch_debounce(
+            df, key_col, ts_col, id_col, gap_seconds=gap_seconds
+        )
+    gap_us = int(gap_seconds) * 1_000_000
+
+    def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        last = state.get[0] if state.exists else None
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts_us", "id"], kind="mergesort")
+        keep = []
+        for i, t in enumerate(batch["ts_us"].to_numpy()):
+            if last is None or t >= last + gap_us:
+                keep.append(i)
+                last = int(t)
+        state.update((int(last),))
+        out = batch.iloc[keep]
+        yield pd.DataFrame(
+            {"key": [key[0]] * len(out), "id": out["id"], "ts_us": out["ts_us"]}
+        )
+
+    from pyspark.sql import functions as F
+
+    slim = df.where(
+        F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(id_col).isNotNull()
+    ).select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(id_col).cast("long").alias("id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
+    )
+    return slim.groupBy("key").applyInPandasWithState(
+        _update,
+        outputStructType="key string, id long, ts_us long",
+        stateStructType="last long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

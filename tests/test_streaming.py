@@ -439,3 +439,44 @@ def test_replay_attribution_state_stays_bounded(spark, tmp_path):
     )
     # the final watermark advance drains nearly everything
     assert state_rows[-1] < max(state_rows)
+
+
+def test_streaming_debounce_equals_batch_on_ordered_replay(spark):
+    """With time-ordered chunk replay, the stateful streaming debounce
+    must continue each key's greedy chain ACROSS microbatches and equal
+    the batch operator exactly; state is one long per key."""
+    import shutil
+    import tempfile
+
+    from polars_grouper_spark.operators.debounce import debounce
+    from polars_grouper_spark.streaming.replay import write_time_ordered_chunks
+    from polars_grouper_spark.streaming.stateful import streaming_debounce
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, "events", sf).select("user_id", "event_id", "ts")
+    want = sorted(map(tuple, debounce(ev, gap_seconds=7200).collect()))
+
+    out_dir = tempfile.mkdtemp(prefix="sdb_test_")
+    try:
+        write_time_ordered_chunks(ev, "ts", out_dir, 8)
+        schema = spark.read.parquet(f"{out_dir}/c0000").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(f"{out_dir}/c*")
+        )
+        q = (
+            streaming_debounce(stream, gap_seconds=7200)
+            .writeStream.format("memory")
+            .queryName("sdb_test_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(map(tuple, spark.table("sdb_test_sink").collect()))
+        assert len(q.recentProgress) >= 5, "must span multiple microbatches"
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    assert got == want
