@@ -3594,6 +3594,72 @@ FROM src GROUP BY month, priority
 """
 
 
+def q_psi_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index (``functions.drift.psi_drift``)
+    between view-event and purchase-event value distributions: both
+    sides reduce to a fixed 20-bucket histogram (mergeable, tiny), so
+    at scale the compare runs on persisted summaries, never the raw
+    data.  Half-count smoothing keeps empty buckets finite; per-bucket
+    contributions plus the grand total (bucket = -1)."""
+    from polars_grouper_spark.functions.drift import psi_drift
+
+    ev = load_table(spark, "events", sf_dir)
+    return psi_drift(
+        ev.where(F.col("event_type") == "view"),
+        ev.where(F.col("event_type") == "purchase"),
+        "value",
+        lo=0.0,
+        hi=100.0,
+        bins=20,
+    )
+
+
+def _psi_drift_events_sql() -> str:
+    from polars_grouper_spark.functions.drift import psi_drift_sql
+
+    return psi_drift_sql(
+        "SELECT value FROM events WHERE event_type = 'view'",
+        "SELECT value FROM events WHERE event_type = 'purchase'",
+        "value",
+        lo=0.0,
+        hi=100.0,
+        bins=20,
+    )
+
+
+def q_term_drift_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term-shift monitor (``functions.drift.term_drift``):
+    tokens whose smoothed document frequency moved >= 3x between a
+    corpus snapshot and its next crawl — the synthetic corpus is
+    deliberately vocabulary-uniform (zero organic drift, which the
+    operator correctly reports as an empty set), so the "next crawl"
+    here applies a deterministic rename (spark/join -> flink), the
+    new-template/lost-source shape this monitor exists to catch.
+    Membership is decided entirely by integer cross-products over doc
+    counts (the float-selection rule)."""
+    from polars_grouper_spark.functions.drift import term_drift
+
+    docs = load_table(spark, "documents", sf_dir)
+    nxt = docs.select(
+        F.regexp_replace("text", "spark|join", "flink").alias("text")
+    )
+    return term_drift(docs, nxt, "text", ratio_num=3, ratio_den=1, min_docs=5)
+
+
+def _term_drift_docs_sql() -> str:
+    from polars_grouper_spark.functions.drift import term_drift_sql
+
+    return term_drift_sql(
+        "SELECT text FROM documents",
+        "SELECT regexp_replace(text, 'spark|join', 'flink', 'g') AS text "
+        "FROM documents",
+        "text",
+        ratio_num=3,
+        ratio_den=1,
+        min_docs=5,
+    )
+
+
 def q_rank_normalize_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-based feature normalization (``functions.features``):
     percent-rank + equi-depth decile of order totals within each
@@ -4903,6 +4969,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_cube_users": q_hll_cube_users,
         "debounce_events": q_debounce_events,
         "stream_debounce": q_stream_debounce,
+        "psi_drift_events": q_psi_drift_events,
+        "term_drift_docs": q_term_drift_docs,
         "rank_normalize_orders": q_rank_normalize_orders,
         "class_centroids": q_class_centroids,
         "user_coverage": q_user_coverage,
@@ -5080,6 +5148,8 @@ def oracle_sql() -> dict[str, str]:
         "hll_cube_users": _hll_cube_users_sql(),
         "debounce_events": debounce_sql(_DEBOUNCE_EVENTS_SQL, gap_seconds=14400),
         "stream_debounce": debounce_sql(_DEBOUNCE_EVENTS_SQL, gap_seconds=14400),
+        "psi_drift_events": _psi_drift_events_sql(),
+        "term_drift_docs": _term_drift_docs_sql(),
         "rank_normalize_orders": rank_normalize_sql(
             "SELECT o_orderkey AS id, o_orderpriority AS grp, "
             "CAST(o_totalprice AS DOUBLE) AS value FROM orders"

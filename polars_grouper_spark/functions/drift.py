@@ -1,0 +1,245 @@
+"""Dataset drift detection: PSI over value distributions, term-shift
+over text corpora.
+
+The monitoring layer of a training pipeline: "did this week's crawl
+change under us?".  Two complementary views:
+
+- :func:`psi_drift` — Population Stability Index over a fixed bucket
+  grid (the credit-scoring standard: PSI < 0.1 stable, > 0.25 action).
+  Reuses the fixed-grid histogram contract of ``sketches``: both sides
+  reduce to ``bins`` counting rows, mergeable and tiny, so the compare
+  runs on summaries — at 100 TB you PSI yesterday's persisted histogram
+  against today's without touching either raw dataset again.
+- :func:`term_drift` — terms whose document frequency shifted by more
+  than ``ratio`` between two corpus snapshots (new spam template, lost
+  source, language mix change).  Membership is decided ENTIRELY by
+  integer cross-products over smoothed counts — the repo's
+  float-selection rule — and the reported log2 ratio is display-only.
+
+Both emit bounded outputs (bins / shifted terms), never data-sized.
+
+Reference surface: none (beyond-reference operators, SURVEY.md §2
+extension list).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _bucketed(df: DataFrame, col, lo: float, hi: float, bins: int):
+    c = (F.col(col) if isinstance(col, str) else col).cast("double")
+    w = (hi - lo) / bins
+    b = F.least(
+        F.greatest(F.floor((c - F.lit(lo)) / F.lit(w)), F.lit(0)),
+        F.lit(bins - 1),
+    ).cast("int")
+    return (
+        df.where(c.isNotNull())
+        .select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def psi_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: Column | str,
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 20,
+) -> DataFrame:
+    """Per-bucket PSI decomposition -> ``(bucket, cnt_a, cnt_b, contrib)``
+    plus the grand total as bucket = -1: ``contrib = (pa - pb) *
+    ln(pa / pb)`` with half-count smoothing (every bucket gets +0.5 on
+    both sides, so empty buckets contribute finitely and membership
+    never depends on a float).  Values outside [lo, hi) clamp into the
+    edge buckets, as in ``sketches.hist_registers``."""
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    a = _bucketed(df_a, col, lo, hi, bins).withColumnRenamed("cnt", "ca")
+    b = _bucketed(df_b, col, lo, hi, bins).withColumnRenamed("cnt", "cb")
+    spark = df_a.sparkSession
+    grid = spark.range(bins).select(F.col("id").cast("int").alias("bucket"))
+    tot = (
+        grid.join(a, "bucket", "left")
+        .join(b, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("ca", F.lit(0)).alias("cnt_a"),
+            F.coalesce("cb", F.lit(0)).alias("cnt_b"),
+        )
+    )
+    na = F.sum("cnt_a").over(Window.partitionBy())
+    nb = F.sum("cnt_b").over(Window.partitionBy())
+    pa = (F.col("cnt_a") + F.lit(0.5)) / (na + F.lit(0.5 * bins))
+    pb = (F.col("cnt_b") + F.lit(0.5)) / (nb + F.lit(0.5 * bins))
+    per = tot.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "cnt_a",
+        "cnt_b",
+        F.round((pa - pb) * F.log(pa / pb), 6).alias("contrib"),
+    )
+    total = per.groupBy().agg(
+        F.lit(-1).cast("long").alias("bucket"),
+        F.sum("cnt_a").alias("cnt_a"),
+        F.sum("cnt_b").alias("cnt_b"),
+        F.round(F.sum("contrib"), 6).alias("contrib"),
+    )
+    return per.unionAll(total)
+
+
+def psi_drift_sql(
+    a_sql: str,
+    b_sql: str,
+    expr: str,
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 20,
+) -> str:
+    """DuckDB oracle for :func:`psi_drift` — each input yields rows with
+    the value expression ``{expr}``."""
+    w = (hi - lo) / bins
+
+    def bucketed(src, alias):
+        return f"""
+  SELECT least(greatest(CAST(floor((CAST({expr} AS DOUBLE) - {lo!r}) / {w!r}) AS BIGINT), 0), {bins - 1}) AS bucket,
+         count(*) AS cnt
+  FROM ({src}) {alias} WHERE {expr} IS NOT NULL GROUP BY 1
+"""
+
+    return f"""
+WITH a AS ({bucketed(a_sql, "sa")}),
+b AS ({bucketed(b_sql, "sb")}),
+grid AS (SELECT unnest(range({bins})) AS bucket),
+tot AS (
+  SELECT g.bucket, coalesce(a.cnt, 0) AS cnt_a, coalesce(b.cnt, 0) AS cnt_b
+  FROM grid g LEFT JOIN a ON a.bucket = g.bucket LEFT JOIN b ON b.bucket = g.bucket
+),
+per AS (
+  SELECT CAST(bucket AS BIGINT) AS bucket, cnt_a, cnt_b,
+         round(((cnt_a + 0.5) / (sum(cnt_a) OVER () + {0.5 * bins})
+                - (cnt_b + 0.5) / (sum(cnt_b) OVER () + {0.5 * bins}))
+               * ln(((cnt_a + 0.5) / (sum(cnt_a) OVER () + {0.5 * bins}))
+                    / ((cnt_b + 0.5) / (sum(cnt_b) OVER () + {0.5 * bins}))),
+               6) AS contrib
+  FROM tot
+)
+SELECT bucket, cnt_a, cnt_b, contrib FROM per
+UNION ALL
+SELECT -1, sum(cnt_a), sum(cnt_b), round(sum(contrib), 6) FROM per
+"""
+
+
+def term_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str,
+    *,
+    ratio_num: int = 2,
+    ratio_den: int = 1,
+    min_docs: int = 5,
+) -> DataFrame:
+    """Terms whose smoothed document frequency shifted by more than
+    ``ratio_num/ratio_den`` between snapshots ->
+    ``(token, df_a, df_b, direction)`` with direction 'up' (more common
+    in B) or 'down'.  Document frequency = number of docs containing the
+    token; add-one smoothing; normalization by corpus doc counts.  The
+    shift test is the exact integer cross-product
+
+        (df_b + 1) * (NA + 1) * ratio_den > (df_a + 1) * (NB + 1) * ratio_num
+
+    (and symmetrically for 'down'), so membership never depends on a
+    float.  ``min_docs`` drops noise terms seen in fewer than that many
+    docs on BOTH sides."""
+    if ratio_num <= 0 or ratio_den <= 0:
+        raise ValueError("ratio must be positive")
+
+    def docfreq(df, name):
+        return (
+            df.where(F.col(text_col).isNotNull())
+            .select(
+                F.explode(
+                    F.array_distinct(
+                        F.split(F.lower(F.col(text_col)), r"\s+", -1)
+                    )
+                ).alias("token"),
+            )
+            .where(F.col("token") != "")
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    na = df_a.where(F.col(text_col).isNotNull()).count()
+    nb = df_b.where(F.col(text_col).isNotNull()).count()
+    a = docfreq(df_a, "da")
+    b = docfreq(df_b, "db")
+    j = a.join(b, "token", "full").select(
+        "token",
+        F.coalesce("da", F.lit(0)).alias("df_a"),
+        F.coalesce("db", F.lit(0)).alias("df_b"),
+    )
+    up = (F.col("df_b") + 1) * F.lit((na + 1) * ratio_den) > (
+        F.col("df_a") + 1
+    ) * F.lit((nb + 1) * ratio_num)
+    down = (F.col("df_a") + 1) * F.lit((nb + 1) * ratio_den) > (
+        F.col("df_b") + 1
+    ) * F.lit((na + 1) * ratio_num)
+    return (
+        j.where(
+            (F.greatest("df_a", "df_b") >= min_docs) & (up | down)
+        )
+        .select(
+            "token",
+            "df_a",
+            "df_b",
+            F.when(up, F.lit("up")).otherwise(F.lit("down")).alias("direction"),
+        )
+    )
+
+
+def term_drift_sql(
+    a_sql: str,
+    b_sql: str,
+    text_expr: str,
+    *,
+    ratio_num: int = 2,
+    ratio_den: int = 1,
+    min_docs: int = 5,
+) -> str:
+    """DuckDB oracle for :func:`term_drift`."""
+
+    def docfreq(src, alias):
+        return f"""
+  SELECT t.token, count(*) AS df
+  FROM (SELECT row_number() OVER () AS rid, {text_expr} AS txt
+        FROM ({src}) {alias} WHERE {text_expr} IS NOT NULL) d,
+       unnest(list_distinct(string_split_regex(lower(d.txt), '\\s+'))) AS t(token)
+  WHERE t.token <> '' GROUP BY t.token
+"""
+
+    return f"""
+WITH a AS ({docfreq(a_sql, "qa")}),
+b AS ({docfreq(b_sql, "qb")}),
+na AS (SELECT count(*) AS n FROM ({a_sql}) x WHERE {text_expr} IS NOT NULL),
+nb AS (SELECT count(*) AS n FROM ({b_sql}) y WHERE {text_expr} IS NOT NULL),
+j AS (
+  SELECT coalesce(a.token, b.token) AS token,
+         coalesce(a.df, 0) AS df_a, coalesce(b.df, 0) AS df_b
+  FROM a FULL OUTER JOIN b ON a.token = b.token
+)
+SELECT token, df_a, df_b,
+       CASE WHEN (df_b + 1) * ((SELECT n FROM na) + 1) * {ratio_den}
+                 > (df_a + 1) * ((SELECT n FROM nb) + 1) * {ratio_num}
+            THEN 'up' ELSE 'down' END AS direction
+FROM j
+WHERE greatest(df_a, df_b) >= {min_docs}
+  AND ((df_b + 1) * ((SELECT n FROM na) + 1) * {ratio_den}
+         > (df_a + 1) * ((SELECT n FROM nb) + 1) * {ratio_num}
+    OR (df_a + 1) * ((SELECT n FROM nb) + 1) * {ratio_den}
+         > (df_b + 1) * ((SELECT n FROM na) + 1) * {ratio_num})
+"""
