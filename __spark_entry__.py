@@ -3717,12 +3717,14 @@ def q_stream_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_grouper_spark.streaming.replay import write_time_ordered_chunks
     from polars_grouper_spark.streaming.stateful import streaming_debounce
 
-    ev = load_table(spark, "events", sf_dir).select(
-        "user_id", "event_id", "ts"
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .where(F.col("event_type").isin("view", "purchase"))
+        .select("user_id", "event_id", "ts")
     )
     out_dir = tempfile.mkdtemp(prefix="pgs_sdb_")
     try:
-        n = write_time_ordered_chunks(ev, "ts", out_dir, 4)
+        n = write_time_ordered_chunks(ev, "ts", out_dir, 3)
         if n == 0:
             return spark.createDataFrame([], "key string, id long, ts_us long")
         schema = spark.read.parquet(f"{out_dir}/c0000").schema
@@ -5147,7 +5149,11 @@ def oracle_sql() -> dict[str, str]:
         "merge_upsert_customers": _MERGE_UPSERT_SQL,
         "hll_cube_users": _hll_cube_users_sql(),
         "debounce_events": debounce_sql(_DEBOUNCE_EVENTS_SQL, gap_seconds=14400),
-        "stream_debounce": debounce_sql(_DEBOUNCE_EVENTS_SQL, gap_seconds=14400),
+        "stream_debounce": debounce_sql(
+            "SELECT user_id AS key, event_id AS id, epoch_us(ts) AS ts_us "
+            "FROM events WHERE event_type IN ('view', 'purchase')",
+            gap_seconds=14400,
+        ),
         "psi_drift_events": _psi_drift_events_sql(),
         "term_drift_docs": _term_drift_docs_sql(),
         "rank_normalize_orders": rank_normalize_sql(
