@@ -3594,6 +3594,37 @@ FROM src GROUP BY month, priority
 """
 
 
+def q_cusum_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift alarms (``operators.changepoint``): per-user
+    two-sided cumulative sums over time-ordered event values in exact
+    milli-units — detects sustained shifts, not single outliers.  The
+    reset-on-alarm recurrence is genuinely sequential per key (Arrow
+    ``applyInPandas`` scan); the oracle replays the integer chain row
+    by row with a recursive CTE."""
+    from polars_grouper_spark.operators.changepoint import cusum_alarms
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 1000).cast("long").alias("milli"),
+    )
+    return cusum_alarms(
+        ev, "user_id", "ts", "milli",
+        target=50_000, slack=10_000, threshold=400_000,
+    )
+
+
+def _cusum_users_sql() -> str:
+    from polars_grouper_spark.operators.changepoint import cusum_alarms_sql
+
+    return cusum_alarms_sql(
+        "SELECT user_id AS key, epoch_us(ts) AS ts_us, "
+        "CAST(round(value * 1000) AS BIGINT) AS value_q "
+        "FROM events WHERE value IS NOT NULL",
+        target=50_000, slack=10_000, threshold=400_000,
+    )
+
+
 def q_psi_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index (``functions.drift.psi_drift``)
     between view-event and purchase-event value distributions: both
@@ -4971,6 +5002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_cube_users": q_hll_cube_users,
         "debounce_events": q_debounce_events,
         "stream_debounce": q_stream_debounce,
+        "cusum_users": q_cusum_users,
         "psi_drift_events": q_psi_drift_events,
         "term_drift_docs": q_term_drift_docs,
         "rank_normalize_orders": q_rank_normalize_orders,
@@ -5154,6 +5186,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM events WHERE event_type IN ('view', 'purchase')",
             gap_seconds=14400,
         ),
+        "cusum_users": _cusum_users_sql(),
         "psi_drift_events": _psi_drift_events_sql(),
         "term_drift_docs": _term_drift_docs_sql(),
         "rank_normalize_orders": rank_normalize_sql(

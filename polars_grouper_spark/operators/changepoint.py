@@ -1,0 +1,122 @@
+"""CUSUM change-point detection per key (Page 1954).
+
+The streaming-quality classic: detect when a metric's level SHIFTS
+(latency regression, fraud burst, sensor drift) rather than when a
+single point is extreme (that's ``functions.outliers``).  Two one-sided
+cumulative sums per key over time-ordered values:
+
+    S+ = max(0, S+ + (x - target - slack))     alarm when S+ > h, reset
+    S- = max(0, S- + (target - slack - x))     alarm when S- > h, reset
+
+The recurrence depends on its own output (resets), so — like
+``operators.debounce`` — it is genuinely sequential per key and runs as
+an Arrow ``applyInPandas`` scan (keys independent, partitioning
+invariant).  All state is INTEGER (caller-quantized values, integer
+target/slack/h), so the chain is bit-identical across engines and the
+DuckDB oracle replays it with a row-by-row recursive CTE.
+
+Scale: one shuffle on the key; per-key volume is the bound (the same
+contract as every per-key kernel).  At 100 TB of events over many keys
+the scan parallelizes on the key shuffle; a single pathological key is
+the documented watch-point.
+
+Reference surface: none (beyond-reference operator, SURVEY.md §2
+extension list).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cusum_alarms(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    target: int,
+    slack: int,
+    threshold: int,
+) -> DataFrame:
+    """Alarm rows -> ``(key, ts_us, value_q, direction)`` ('up' level
+    shift or 'down'), one row per alarm, accumulators reset after each
+    alarm.  ``value_col`` must be integer-quantized; ties in event time
+    order by (ts, value) — a total order within realistic data.  Null
+    key/ts/value rows drop."""
+    if threshold <= 0 or slack < 0:
+        raise ValueError("need threshold > 0 and slack >= 0")
+    slim = df.where(
+        F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(key_col).cast("string").alias("key"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
+        F.col(value_col).cast("long").alias("value_q"),
+    )
+
+    def scan(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["ts_us", "value_q"], kind="mergesort")
+        sp = sn = 0
+        out_ts, out_v, out_d = [], [], []
+        for t, x in zip(pdf["ts_us"].to_numpy(), pdf["value_q"].to_numpy()):
+            sp = max(0, sp + (int(x) - target - slack))
+            sn = max(0, sn + (target - slack - int(x)))
+            if sp > threshold:
+                out_ts.append(int(t)); out_v.append(int(x)); out_d.append("up")
+                sp = 0
+            if sn > threshold:
+                out_ts.append(int(t)); out_v.append(int(x)); out_d.append("down")
+                sn = 0
+        key = pdf["key"].iloc[0] if len(pdf) else None
+        return pd.DataFrame(
+            {"key": [key] * len(out_ts), "ts_us": out_ts,
+             "value_q": out_v, "direction": out_d}
+        )
+
+    return slim.groupBy("key").applyInPandas(
+        scan, "key string, ts_us long, value_q long, direction string"
+    )
+
+
+def cusum_alarms_sql(
+    events_sql: str,
+    *,
+    target: int,
+    slack: int,
+    threshold: int,
+) -> str:
+    """DuckDB oracle replaying the CUSUM chain row by row with a
+    recursive CTE.  ``events_sql`` yields (key, ts_us, value_q)."""
+    k_up = target + slack
+    k_dn = target - slack
+    return f"""
+WITH RECURSIVE src AS ({events_sql}),
+clean AS (
+  SELECT CAST(key AS VARCHAR) AS key, CAST(ts_us AS BIGINT) AS ts_us,
+         CAST(value_q AS BIGINT) AS value_q,
+         row_number() OVER (PARTITION BY key ORDER BY ts_us, value_q) AS rn
+  FROM src WHERE key IS NOT NULL AND ts_us IS NOT NULL AND value_q IS NOT NULL
+),
+chain(key, rn, sp, sn, ts_us, value_q, alarm_up, alarm_dn) AS (
+  SELECT key, 0, 0::BIGINT, 0::BIGINT, NULL::BIGINT, NULL::BIGINT, false, false
+  FROM (SELECT DISTINCT key FROM clean)
+  UNION ALL
+  SELECT c.key, c.rn,
+         CASE WHEN greatest(0, h.sp + (c.value_q - {k_up})) > {threshold}
+              THEN 0 ELSE greatest(0, h.sp + (c.value_q - {k_up})) END,
+         CASE WHEN greatest(0, h.sn + ({k_dn} - c.value_q)) > {threshold}
+              THEN 0 ELSE greatest(0, h.sn + ({k_dn} - c.value_q)) END,
+         c.ts_us, c.value_q,
+         greatest(0, h.sp + (c.value_q - {k_up})) > {threshold},
+         greatest(0, h.sn + ({k_dn} - c.value_q)) > {threshold}
+  FROM chain h JOIN clean c ON c.key = h.key AND c.rn = h.rn + 1
+)
+SELECT key, ts_us, value_q, 'up' AS direction FROM chain WHERE alarm_up
+UNION ALL
+SELECT key, ts_us, value_q, 'down' FROM chain WHERE alarm_dn
+"""
