@@ -137,3 +137,16 @@ def test_events_scan_prunes_partitions_of_columns(spark):
     m = re.search(r"ReadSchema: struct<([^>]*)>", p)
     assert m is not None, p
     assert "payload" not in m.group(1), m.group(1)
+
+
+def test_tpch_q3_q5_broadcast_all_dimension_joins(spark):
+    """The multi-join entries must plan every dimension join as a
+    broadcast (no sort-merge anywhere) with filters pushed to the scans
+    — the 100 TB snowflake shape."""
+    import __spark_entry__ as entry_mod
+
+    for name, n_bcast in [("tpch_q3", 2), ("tpch_q5", 5)]:
+        df = entry_mod.queries()[name](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("BroadcastHashJoin") == n_bcast, name
+        assert "SortMergeJoin" not in plan, name

@@ -287,3 +287,55 @@ def test_mis_and_densest_on_skewed_graph(spark):
     best = max(r["density"] for r in rounds)
     first = next(r["density"] for r in rounds if r["round"] == 0)
     assert best >= first  # peeling found (at least) the whole-graph density
+
+
+def test_mst_and_coloring_on_skewed_graph(spark):
+    """Round-5 scale gate: Borůvka MSF on a 500k-edge skewed weighted
+    multigraph (forest size = V - components, verified via the CC
+    operator) and greedy coloring on a 50k-edge slice (proper, palette
+    <= maxdeg + 1 by MIS maximality)."""
+    import time
+
+    from polars_grouper_spark.operators.coloring import greedy_coloring
+    from polars_grouper_spark.operators.connected_components import components
+    from polars_grouper_spark.operators.mst import minimum_spanning_forest
+
+    edges = _power_law_edges(spark, 500_000, 100_000).select(
+        "from",
+        "to",
+        ((F.xxhash64("from", "to") % 1000 + 1000) / 400.0).alias("weight"),
+    )
+    t0 = time.time()
+    msf = minimum_spanning_forest(edges, "from", "to", "weight")
+    n_forest = msf.count()
+    mst_sec = time.time() - t0
+    nodes = (
+        edges.select(F.col("from").alias("n"))
+        .union(edges.select("to"))
+        .distinct()
+        .count()
+    )
+    n_comp = (
+        components(edges, "from", "to").select("component").distinct().count()
+    )
+    assert n_forest == nodes - n_comp, "forest edge count must be V - k"
+
+    small = _power_law_edges(spark, 50_000, 20_000)
+    t0 = time.time()
+    colors = greedy_coloring(small, "from", "to", max_colors=64)
+    cmap = dict((r["node"], r["color"]) for r in colors.collect())
+    color_sec = time.time() - t0
+    # properness on the full edge list
+    bad = (
+        small.select(F.col("from").alias("a"), F.col("to").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .join(colors.select(F.col("node").alias("a"), F.col("color").alias("ca")), "a")
+        .join(colors.select(F.col("node").alias("b"), F.col("color").alias("cb")), "b")
+        .where(F.col("ca") == F.col("cb"))
+        .count()
+    )
+    assert bad == 0, "monochromatic edges"
+    print(
+        f"mst: {n_forest} forest edges over {nodes} nodes in {mst_sec:.1f}s; "
+        f"coloring: {max(cmap.values())} colors in {color_sec:.1f}s"
+    )
