@@ -3594,6 +3594,34 @@ FROM src GROUP BY month, priority
 """
 
 
+def q_user_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user spend-trend OLS fit (``functions.regression``): slope
+    of event value (milli-units) over day offsets, computed from five
+    exact integer moments in ONE map-side-combinable aggregation — the
+    moments are themselves mergeable state (batches add), no iteration,
+    no collect.  Degenerate users get NULL slope, not a dropped row."""
+    from polars_grouper_spark.functions.regression import group_trend
+
+    ev = load_table(spark, "events", sf_dir)
+    src = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day"),
+        F.round(F.col("value") * 1000).cast("long").alias("milli"),
+    )
+    return group_trend(src, "user_id", "day", "milli")
+
+
+def _user_trends_sql() -> str:
+    from polars_grouper_spark.functions.regression import group_trend_sql
+
+    return group_trend_sql(
+        "SELECT user_id AS grp, "
+        "datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x, "
+        "CAST(round(value * 1000) AS BIGINT) AS y "
+        "FROM events WHERE value IS NOT NULL"
+    )
+
+
 def q_cusum_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM level-shift alarms (``operators.changepoint``): per-user
     two-sided cumulative sums over time-ordered event values in exact
@@ -5002,6 +5030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_cube_users": q_hll_cube_users,
         "debounce_events": q_debounce_events,
         "stream_debounce": q_stream_debounce,
+        "user_trends": q_user_trends,
         "cusum_users": q_cusum_users,
         "psi_drift_events": q_psi_drift_events,
         "term_drift_docs": q_term_drift_docs,
@@ -5186,6 +5215,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM events WHERE event_type IN ('view', 'purchase')",
             gap_seconds=14400,
         ),
+        "user_trends": _user_trends_sql(),
         "cusum_users": _cusum_users_sql(),
         "psi_drift_events": _psi_drift_events_sql(),
         "term_drift_docs": _term_drift_docs_sql(),
