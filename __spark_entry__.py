@@ -3594,6 +3594,41 @@ FROM src GROUP BY month, priority
 """
 
 
+def q_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected components
+    (``operators.connected_components.incremental_components``): base
+    labels from the even-orderkey half of the supplier-part edges, then
+    the odd half arrives as a batch and merges through a COMPONENT-level
+    graph (bounded by the batch, never V) — O(batch + labels) per load
+    vs O(history) for a recompute.  The oracle is a FULL min-label CC
+    over all edges: incremental == from-scratch is the correctness
+    claim itself."""
+    from polars_grouper_spark.operators.connected_components import (
+        incremental_components,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    edges = li.select(
+        F.concat(F.lit("S"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("P"), F.col("l_partkey")).alias("dst"),
+        (F.col("l_orderkey") % 2).alias("half"),
+    )
+    base = components(
+        edges.where("half = 0"), "src", "dst"
+    )
+    updated = incremental_components(
+        base, edges.where("half = 1"), "src", "dst"
+    )
+    grp = F.dense_rank().over(Window.orderBy("comp_label")).cast("long")
+    return updated.select(
+        "node", F.col("component").alias("comp_label")
+    ).withColumn("grp", grp)
+
+
+def _cc_incremental_sql() -> str:
+    return _cc_label_sql(_SP_EDGE_SQL)
+
+
 def q_user_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user spend-trend OLS fit (``functions.regression``): slope
     of event value (milli-units) over day offsets, computed from five
@@ -5030,6 +5065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_cube_users": q_hll_cube_users,
         "debounce_events": q_debounce_events,
         "stream_debounce": q_stream_debounce,
+        "cc_incremental": q_cc_incremental,
         "user_trends": q_user_trends,
         "cusum_users": q_cusum_users,
         "psi_drift_events": q_psi_drift_events,
@@ -5215,6 +5251,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM events WHERE event_type IN ('view', 'purchase')",
             gap_seconds=14400,
         ),
+        "cc_incremental": _cc_incremental_sql(),
         "user_trends": _user_trends_sql(),
         "cusum_users": _cusum_users_sql(),
         "psi_drift_events": _psi_drift_events_sql(),

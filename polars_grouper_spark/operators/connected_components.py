@@ -360,3 +360,68 @@ def super_merger_weighted(
     """
     filtered = df.where(F.col(weight_col) >= F.lit(weight_threshold))
     return super_merger(filtered, from_col, to_col, order_col)
+
+
+def incremental_components(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    from_col: str = "from",
+    to_col: str = "to",
+) -> DataFrame:
+    """Maintain a ``(node, component)`` labeling under a NEW edge batch
+    without recomputing from history -> updated ``(node, component)``.
+
+    The incremental-graph contract (daily identity-resolution loads,
+    growing dedup clusters): ``labels`` is any prior :func:`components`
+    output (component = min node name of the component — canonical, so
+    labels from different runs agree).  The batch only touches
+
+    1. its own edges joined against the O(V) label table (nodes unseen
+       before label themselves),
+    2. a COMPONENT-level graph — one node per touched component label,
+       bounded by the batch size, never V — contracted with the same
+       star-loop :func:`components`,
+    3. one relabel join back over the label table.
+
+    Because labels are min-names, the contracted component's new label
+    is the min over merged min-names == the global min name — exactly
+    what a full recompute over (old ∪ new) edges would produce, which
+    is what the oracle asserts.  Cost is O(batch + |labels|) per load
+    versus O(total history) for the recompute.
+    """
+    s = F.col(from_col).cast("string")
+    d = F.col(to_col).cast("string")
+    e = new_edges.where(s.isNotNull() & d.isNotNull()).select(
+        s.alias("u"), d.alias("v")
+    )
+    batch_nodes = (
+        e.select(F.col("u").alias("node")).union(e.select("v")).distinct()
+    )
+    known = labels.select("node", "component")
+    # nodes first seen in this batch are their own component
+    fresh = batch_nodes.join(known, "node", "left_anti").select(
+        "node", F.col("node").alias("component")
+    )
+    all_labels = truncate_lineage(known.unionAll(fresh))
+    lab = all_labels.select(
+        F.col("node").alias("u"), F.col("component").alias("cu")
+    )
+    lab2 = all_labels.select(
+        F.col("node").alias("v"), F.col("component").alias("cv")
+    )
+    comp_edges = (
+        e.join(lab, "u")
+        .join(lab2, "v")
+        .where(F.col("cu") != F.col("cv"))
+        .select(F.col("cu").alias("from"), F.col("cv").alias("to"))
+        .distinct()
+    )
+    cc = components(comp_edges)
+    merged = cc.select(
+        F.col("node").alias("_old"), F.col("component").alias("_new")
+    )
+    return all_labels.join(
+        merged, all_labels["component"] == merged["_old"], "left"
+    ).select(
+        "node", F.coalesce("_new", F.col("component")).alias("component")
+    )

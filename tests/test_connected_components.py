@@ -137,3 +137,50 @@ def test_skew_safe_paths_match_default(spark):
         for r in connected_components(df, skew_safe=True).collect()
     )
     assert num_base == num_safe
+
+
+def test_incremental_components_equals_full_recompute(spark):
+    """Adding edge batches through incremental_components must produce
+    the identical canonical labeling as recomputing from scratch —
+    including batches that MERGE previously separate components and
+    batches introducing brand-new nodes."""
+    from polars_grouper_spark.operators.connected_components import (
+        components,
+        incremental_components,
+    )
+
+    base_edges = [("a", "b"), ("c", "d"), ("e", "f"), ("x", "y")]
+    batch1 = [("b", "c"), ("n1", "n2")]          # merge {a,b}+{c,d}; new comp
+    batch2 = [("f", "x"), ("n2", "a"), ("z", "z")]  # chain merges; self-loop
+    df = lambda rows: spark.createDataFrame(rows, "`from` string, `to` string")  # noqa: E731
+
+    labels = components(df(base_edges))
+    labels = incremental_components(labels, df(batch1))
+    labels = incremental_components(labels, df(batch2))
+    got = sorted(map(tuple, labels.collect()))
+
+    full = components(df(base_edges + batch1 + batch2))
+    want = sorted(map(tuple, full.collect()))
+    assert got == want
+
+
+def test_incremental_components_touches_component_graph_not_v(spark):
+    """The contraction runs on component labels touched by the batch —
+    its node count is bounded by the batch, not the label table."""
+    from polars_grouper_spark.operators.connected_components import (
+        components,
+        incremental_components,
+    )
+
+    base = spark.createDataFrame(
+        [(f"n{i}", f"n{i + 1000}") for i in range(500)],
+        "`from` string, `to` string",
+    )
+    labels = components(base)
+    batch = spark.createDataFrame(
+        [("n1", "n2")], "`from` string, `to` string"
+    )
+    out = incremental_components(labels, batch)
+    # 500 two-node components; the batch merges exactly two of them
+    n_comps = out.select("component").distinct().count()
+    assert n_comps == 499
