@@ -4605,6 +4605,49 @@ FROM orders GROUP BY o_orderstatus
 # round-4 additions, batch 4: fuzzy matching, sweeps, symmetry breaking
 # ---------------------------------------------------------------------------
 
+def q_orc_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format coverage beyond parquet/CSV: the same orders slice written
+    through the ORC sink AND the JSON-lines sink, read back with
+    explicit schemas, joined, and aggregated — the result must agree
+    with the oracle computed straight from the source table, proving
+    both round-trips are lossless.  Decimal-free slice (longs/strings)
+    keeps the formats' type mappings exact."""
+    import os as _os
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderpriority", "o_custkey"
+    )
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    orc_path = _os.path.join("/tmp", f"spark_graft_orc_rt_{tag}")
+    jsn_path = _os.path.join("/tmp", f"spark_graft_jsonl_rt_{tag}")
+    o.write.mode("overwrite").orc(orc_path)
+    o.write.mode("overwrite").json(jsn_path)
+    schema = "o_orderkey long, o_orderpriority string, o_custkey long"
+    from_orc = spark.read.schema(schema).orc(orc_path)
+    from_jsn = spark.read.schema(schema).json(jsn_path)
+    both = from_orc.select(
+        "o_orderkey", "o_orderpriority", F.col("o_custkey").alias("ck_orc")
+    ).join(
+        from_jsn.select("o_orderkey", F.col("o_custkey").alias("ck_jsn")),
+        "o_orderkey",
+    )
+    return both.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("ck_orc").alias("custkey_sum"),
+        F.sum(
+            (F.col("ck_orc") != F.col("ck_jsn")).cast("long")
+        ).alias("format_disagreements"),
+    )
+
+
+_ORC_JSONL_ROUNDTRIP_SQL = """
+SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+       sum(o_custkey)::BIGINT AS custkey_sum,
+       0::BIGINT AS format_disagreements
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def q_fuzzy_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance-1 self-join (``functions.fuzzy.fuzzy_join_ed1``,
     SymSpell deletion neighborhoods): brand strings that differ by one
@@ -5065,6 +5108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_cube_users": q_hll_cube_users,
         "debounce_events": q_debounce_events,
         "stream_debounce": q_stream_debounce,
+        "orc_jsonl_roundtrip": q_orc_jsonl_roundtrip,
         "cc_incremental": q_cc_incremental,
         "user_trends": q_user_trends,
         "cusum_users": q_cusum_users,
@@ -5251,6 +5295,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM events WHERE event_type IN ('view', 'purchase')",
             gap_seconds=14400,
         ),
+        "orc_jsonl_roundtrip": _ORC_JSONL_ROUNDTRIP_SQL,
         "cc_incremental": _cc_incremental_sql(),
         "user_trends": _user_trends_sql(),
         "cusum_users": _cusum_users_sql(),
