@@ -3769,6 +3769,34 @@ def q_rank_normalize_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_normalize(o, "grp", "value", "id", n_bins=10)
 
 
+def q_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality probe
+    (``functions.features.nearest_centroid_confusion``): classify every
+    vector by nearest class-mean and cross-tabulate against the true
+    labels — the winner is decided by an exact integer argmin over
+    micro-quantized dot products, so the confusion matrix can never
+    flip on float summation order."""
+    from polars_grouper_spark.functions.features import (
+        nearest_centroid_confusion,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return nearest_centroid_confusion(emb, "label", "embedding", "vec_id")
+
+
+def _centroid_confusion_sql() -> str:
+    from polars_grouper_spark.functions.features import (
+        nearest_centroid_confusion_sql,
+    )
+
+    return nearest_centroid_confusion_sql(
+        "SELECT vec_id, label, embedding FROM embeddings",
+        "label",
+        "embedding",
+        "vec_id",
+    )
+
+
 def q_class_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean embedding (``functions.features.class_centroids``)
     — nearest-class-mean prototypes: one posexplode + map-side
@@ -5116,6 +5144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_drift_docs": q_term_drift_docs,
         "rank_normalize_orders": q_rank_normalize_orders,
         "class_centroids": q_class_centroids,
+        "centroid_confusion": q_centroid_confusion,
         "user_coverage": q_user_coverage,
         "jaccard_join_docs": q_jaccard_join_docs,
         "tpch_q3": q_tpch_q3,
@@ -5308,6 +5337,7 @@ def oracle_sql() -> dict[str, str]:
         "class_centroids": class_centroids_sql(
             "SELECT label, embedding FROM embeddings", "label", "embedding"
         ),
+        "centroid_confusion": _centroid_confusion_sql(),
         "user_coverage": _user_coverage_sql(),
         "jaccard_join_docs": _jaccard_join_docs_sql(),
         "tpch_q3": _TPCH_Q3_SQL,

@@ -114,3 +114,112 @@ ex AS (
 SELECT label, CAST(dim AS BIGINT) AS dim, round(avg(x), {decimals}) AS mean
 FROM ex GROUP BY label, dim
 """
+
+
+def nearest_centroid_confusion(
+    df: DataFrame,
+    label_col: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-class-mean classification evaluated against the true
+    labels -> confusion matrix rows ``(true_label, pred_label, n)``.
+
+    The classic embedding-quality probe: fit = per-label mean vectors
+    (:func:`class_centroids`), predict = argmin squared euclidean
+    distance, which reduces to ``argmin(||c||^2 - 2 v.c)`` — no per-pair
+    norms of v needed.  WHICH centroid wins is decided in EXACT integer
+    arithmetic: components and (display-rounded) centroid means are
+    quantized to micro-units, so dot products and centroid norms are
+    integer sums and the argmin (ties broken by label order) can never
+    flip on float summation order.
+
+    Shape: centroids are a labels x dim table (tiny, broadcast); scoring
+    is one equality join on ``dim`` + a map-side-combinable sum per
+    (vector, candidate label); the argmin is a min-struct aggregation.
+    One scan of the data beyond the centroid fit."""
+    cents = class_centroids(df, label_col, vec_col, decimals=6)
+    cq = cents.select(
+        F.col("label").alias("clabel"),
+        "dim",
+        F.round(F.col("mean") * 1e6).cast("long").alias("mq"),
+    )
+    cnorm = cq.groupBy("clabel").agg(
+        F.sum(F.col("mq") * F.col("mq")).alias("cn2")
+    )
+    ex = (
+        df.where(
+            F.col(label_col).isNotNull()
+            & F.col(vec_col).isNotNull()
+            & F.col(id_col).isNotNull()
+        )
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(label_col).cast("string").alias("true_label"),
+            F.posexplode(F.col(vec_col)).alias("dim", "x"),
+        )
+        .select(
+            "id",
+            "true_label",
+            "dim",
+            F.round(F.col("x").cast("double") * 1e6).cast("long").alias("xq"),
+        )
+    )
+    dots = (
+        ex.join(F.broadcast(cq), "dim")
+        .groupBy("id", "true_label", "clabel")
+        .agg(F.sum(F.col("xq") * F.col("mq")).alias("dot"))
+    )
+    scored = dots.join(F.broadcast(cnorm), "clabel").select(
+        "id",
+        "true_label",
+        F.struct(
+            (F.col("cn2") - 2 * F.col("dot")).alias("score"),
+            F.col("clabel").alias("clabel"),
+        ).alias("sc"),
+    )
+    pred = scored.groupBy("id", "true_label").agg(
+        F.min("sc").alias("best")
+    )
+    return (
+        pred.groupBy("true_label", F.col("best.clabel").alias("pred_label"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def nearest_centroid_confusion_sql(
+    table_sql: str, label_expr: str, vec_expr: str, id_expr: str
+) -> str:
+    """DuckDB oracle for :func:`nearest_centroid_confusion`."""
+    cents = class_centroids_sql(table_sql, label_expr, vec_expr, decimals=6)
+    return f"""
+WITH cents AS ({cents}),
+cq AS (
+  SELECT label AS clabel, dim, CAST(round(mean * 1e6) AS BIGINT) AS mq
+  FROM cents
+),
+cnorm AS (SELECT clabel, sum(mq * mq) AS cn2 FROM cq GROUP BY clabel),
+ex AS (
+  SELECT {id_expr} AS id, CAST({label_expr} AS VARCHAR) AS true_label,
+         generate_subscripts({vec_expr}, 1) - 1 AS dim,
+         CAST(round(unnest({vec_expr})::DOUBLE * 1e6) AS BIGINT) AS xq
+  FROM ({table_sql}) src
+  WHERE {label_expr} IS NOT NULL AND {vec_expr} IS NOT NULL
+    AND {id_expr} IS NOT NULL
+),
+dots AS (
+  SELECT e.id, e.true_label, c.clabel, sum(e.xq * c.mq) AS dot
+  FROM ex e JOIN cq c ON c.dim = e.dim
+  GROUP BY e.id, e.true_label, c.clabel
+),
+pred AS (
+  SELECT id, true_label, clabel AS pred_label FROM (
+    SELECT d.id, d.true_label, d.clabel,
+           row_number() OVER (PARTITION BY d.id
+                              ORDER BY n.cn2 - 2 * d.dot, d.clabel) AS rn
+    FROM dots d JOIN cnorm n ON n.clabel = d.clabel
+  ) WHERE rn = 1
+)
+SELECT true_label, pred_label, count(*)::BIGINT AS n
+FROM pred GROUP BY true_label, pred_label
+"""

@@ -80,3 +80,60 @@ def test_class_centroids_duckdb_parity(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_nearest_centroid_confusion_separable_clusters(spark):
+    """On well-separated clusters the classifier must be perfect: the
+    confusion matrix is diagonal."""
+    import numpy as np
+
+    from polars_grouper_spark.functions.features import (
+        nearest_centroid_confusion,
+    )
+
+    rng = np.random.RandomState(3)
+    anchors = {"a": [10.0, 0.0], "b": [0.0, 10.0], "c": [-10.0, -10.0]}
+    rows = []
+    for i in range(150):
+        lab = "abc"[i % 3]
+        ax, ay = anchors[lab]
+        rows.append(
+            (i, lab, [float(ax + rng.randn() * 0.2), float(ay + rng.randn() * 0.2)])
+        )
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    got = {(r["true_label"], r["pred_label"]): r["n"]
+           for r in nearest_centroid_confusion(df, "label").collect()}
+    assert got == {("a", "a"): 50, ("b", "b"): 50, ("c", "c"): 50}
+
+
+def test_nearest_centroid_confusion_matches_duckdb(spark):
+    import duckdb
+    import numpy as np
+
+    from polars_grouper_spark.functions.features import (
+        nearest_centroid_confusion,
+        nearest_centroid_confusion_sql,
+    )
+
+    rng = np.random.RandomState(5)
+    rows = [
+        (i, f"l{i % 3}", [float(x) for x in rng.randn(4)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    got = sorted(map(tuple, nearest_centroid_confusion(df, "label").collect()))
+    vals = ", ".join(
+        "({}, '{}', [{}])".format(i, l, ", ".join(map(str, v)))
+        for i, l, v in rows
+    )
+    want = sorted(
+        tuple(r)
+        for r in duckdb.sql(
+            nearest_centroid_confusion_sql(
+                f"SELECT * FROM (VALUES {vals}) t(vec_id, label, embedding)",
+                "label",
+                "embedding",
+                "vec_id",
+            )
+        ).fetchall()
+    )
+    assert got == want
