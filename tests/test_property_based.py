@@ -456,7 +456,8 @@ def test_densest_peeling_invariants(spark, edges):
         assert best >= true_best / (2 * 1.1) - 1e-9, (
             f"approximation guarantee broken: best={best}, true={true_best}"
         )
-        assert best <= true_best + 1e-9, "reported density can't beat optimum"
+        # best is display-ROUNDED to 6 decimals, so allow half a rounding ulp
+        assert best <= true_best + 5e-7, "reported density can't beat optimum"
 
 
 @given(
