@@ -3629,6 +3629,45 @@ def _cc_incremental_sql() -> str:
     return _cc_label_sql(_SP_EDGE_SQL)
 
 
+def q_user_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier retention curve (``functions.survival``): per-user
+    lifetime = distinct active days; users whose last
+    event falls within 7 days of the dataset edge are CENSORED (still
+    alive as far as we know) — the product-limit estimator handles
+    them exactly instead of biasing the curve.  The curve table is
+    bounded by distinct durations, not users."""
+    from polars_grouper_spark.functions.survival import kaplan_meier
+
+    ev = load_table(spark, "events", sf_dir)
+    span = ev.groupBy("user_id").agg(
+        F.count_distinct(F.to_date("ts")).alias("t"),
+        F.max(F.to_date("ts")).alias("last_d"),
+    )
+    edge = span.agg(F.max("last_d")).first()[0]
+    subjects = span.select(
+        "t",
+        (F.datediff(F.lit(edge), F.col("last_d")) >= 7).cast("int").alias("obs"),
+    )
+    return kaplan_meier(subjects, "t", "obs")
+
+
+def _user_survival_sql() -> str:
+    from polars_grouper_spark.functions.survival import kaplan_meier_sql
+
+    subjects = """
+  WITH span AS (
+    SELECT user_id, count(DISTINCT CAST(ts AS DATE)) AS t,
+           max(CAST(ts AS DATE)) AS last_d
+    FROM events GROUP BY user_id
+  ), edge AS (SELECT max(last_d) AS e FROM span)
+  SELECT t,
+         CASE WHEN datediff('day', last_d, (SELECT e FROM edge)) >= 7
+              THEN 1 ELSE 0 END AS obs
+  FROM span
+"""
+    return kaplan_meier_sql(subjects)
+
+
 def q_user_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user spend-trend OLS fit (``functions.regression``): slope
     of event value (milli-units) over day offsets, computed from five
@@ -5138,6 +5177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_debounce": q_stream_debounce,
         "orc_jsonl_roundtrip": q_orc_jsonl_roundtrip,
         "cc_incremental": q_cc_incremental,
+        "user_survival": q_user_survival,
         "user_trends": q_user_trends,
         "cusum_users": q_cusum_users,
         "psi_drift_events": q_psi_drift_events,
@@ -5326,6 +5366,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "orc_jsonl_roundtrip": _ORC_JSONL_ROUNDTRIP_SQL,
         "cc_incremental": _cc_incremental_sql(),
+        "user_survival": _user_survival_sql(),
         "user_trends": _user_trends_sql(),
         "cusum_users": _cusum_users_sql(),
         "psi_drift_events": _psi_drift_events_sql(),
