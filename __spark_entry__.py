@@ -3006,6 +3006,87 @@ SELECT id, n_hits, score, rank FROM ranked WHERE rank <= {_BM25_K}
 """
 
 
+_RRF_K = 60
+_RRF_SCALE = 1_000_000_000_000
+
+
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-20 and embedding cosine
+    top-20 fused by Reciprocal Rank Fusion (Cormack et al. 2009) —
+    the standard two-tower + keyword search stack.  The fusion score
+    ``sum(1/(60+rank))`` is computed as EXACT integer division
+    (``10^12 div (60+rank)``) so the fused ordering is bit-identical
+    across engines; docs found by only one leg keep that leg's term.
+    Both legs are existing operators; fusion is one full outer join on
+    the doc id."""
+    from polars_grouper_spark.functions import retrieval as rt
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    lex = rt.bm25_topk(docs, _BM25_QUERY, k=20).select(
+        F.col("id").alias("doc"), F.col("rank").alias("lex_rank")
+    )
+    sem = sim.cosine_topk(emb, emb.where(F.col("vec_id") == 0), k=20).select(
+        F.col("neighbor_id").alias("doc"),
+        F.col("rank").cast("long").alias("sem_rank"),
+    )
+    fused = lex.join(sem, "doc", "full")
+    term = lambda c: F.coalesce(  # noqa: E731
+        F.expr(f"{_RRF_SCALE} div ({_RRF_K} + {c})"), F.lit(0)
+    )
+    scored = fused.select(
+        "doc",
+        "lex_rank",
+        "sem_rank",
+        (term("lex_rank") + term("sem_rank")).alias("rrf_int"),
+    )
+    w = Window.orderBy(F.col("rrf_int").desc(), F.col("doc"))
+    return (
+        scored.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("fused_rank") <= 10)
+    )
+
+
+def _hybrid_search_sql() -> str:
+    bm25 = _bm25_sql()
+    return f"""
+WITH lex AS (
+  SELECT id AS doc, rank AS lex_rank FROM ({bm25}) b
+),
+ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+qx AS (SELECT * FROM ex WHERE vec_id = 0),
+dots AS (
+  SELECT c.vec_id AS neighbor_id, sum(q.x * c.x) AS dot
+  FROM qx q JOIN ex c ON c.i = q.i AND c.vec_id <> 0
+  GROUP BY c.vec_id
+),
+sem AS (
+  SELECT neighbor_id AS doc, rank AS sem_rank FROM (
+    SELECT d.neighbor_id,
+           row_number() OVER (ORDER BY d.dot / (nq.nrm * nc.nrm) DESC,
+                              d.neighbor_id ASC) AS rank
+    FROM dots d
+    JOIN norms nq ON nq.vec_id = 0
+    JOIN norms nc ON nc.vec_id = d.neighbor_id
+  ) WHERE rank <= 20
+),
+fused AS (
+  SELECT coalesce(l.doc, s.doc) AS doc, l.lex_rank, s.sem_rank,
+         coalesce({_RRF_SCALE} // ({_RRF_K} + l.lex_rank), 0)
+         + coalesce({_RRF_SCALE} // ({_RRF_K} + s.sem_rank), 0) AS rrf_int
+  FROM lex l FULL OUTER JOIN sem s ON l.doc = s.doc
+)
+SELECT doc, lex_rank, sem_rank, rrf_int,
+       row_number() OVER (ORDER BY rrf_int DESC, doc) AS fused_rank
+FROM fused QUALIFY fused_rank <= 10
+"""
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup end-to-end: file stream →
     ``dropDuplicatesWithinWatermark`` on (user_id, event_type) →
@@ -5177,6 +5258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_debounce": q_stream_debounce,
         "orc_jsonl_roundtrip": q_orc_jsonl_roundtrip,
         "cc_incremental": q_cc_incremental,
+        "hybrid_search": q_hybrid_search,
         "user_survival": q_user_survival,
         "user_trends": q_user_trends,
         "cusum_users": q_cusum_users,
@@ -5366,6 +5448,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "orc_jsonl_roundtrip": _ORC_JSONL_ROUNDTRIP_SQL,
         "cc_incremental": _cc_incremental_sql(),
+        "hybrid_search": _hybrid_search_sql(),
         "user_survival": _user_survival_sql(),
         "user_trends": _user_trends_sql(),
         "cusum_users": _cusum_users_sql(),
