@@ -573,3 +573,74 @@ def test_greedy_coloring_proper_and_bounded(spark, edges):
     for a, b in simple:
         assert got[a] != got[b], f"monochromatic edge {a}-{b}"
     assert max(got.values()) <= max(deg.values()) + 1
+
+
+@given(
+    base=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 99)), max_size=10
+    ),
+    changes=st.lists(
+        st.tuples(
+            st.integers(0, 12),
+            st.integers(0, 99),
+            st.sampled_from(["upsert", "delete"]),
+        ),
+        max_size=8,
+        unique_by=lambda t: t[0],  # valid batch: unique keys
+    ),
+)
+@_SETTINGS
+def test_merge_upsert_matches_dict_replay(spark, base, changes):
+    """MERGE semantics vs an in-memory dict replay on random
+    base/change sets (last-base-row-wins dedup of the base mirrors a
+    keyed table)."""
+    from polars_grouper_spark.operators.upsert import merge_upsert
+
+    table = {}
+    for k, v in base:
+        table[k] = v
+    for k, v, op in changes:
+        if op == "delete":
+            table.pop(k, None)
+        else:
+            table[k] = v
+    # base as a keyed table: one row per key (last value wins)
+    base_rows = list({k: v for k, v in base}.items())
+    if not base_rows:
+        base_rows = [(999999, 0)]  # schema anchor; key unlikely to collide
+        table.setdefault(999999, 0)
+        if any(k == 999999 and op == "delete" for k, _, op in changes):
+            table.pop(999999, None)
+    bdf = spark.createDataFrame(base_rows, "k long, v long")
+    if changes:
+        cdf = spark.createDataFrame(
+            [(k, v, op) for k, v, op in changes], "k long, v long, op string"
+        )
+        out = merge_upsert(bdf, cdf, ["k"])
+    else:
+        out = bdf
+    got = sorted((r["k"], r["v"]) for r in out.collect())
+    assert got == sorted(table.items())
+
+
+@given(
+    ivals=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 30)),
+        min_size=1,
+        max_size=12,
+    )
+)
+@_SETTINGS
+def test_interval_coverage_matches_bruteforce_union(spark, ivals):
+    """Union length vs brute-force point enumeration (closed intervals
+    contribute their half-open [s, e) measure; points add zero)."""
+    from polars_grouper_spark.operators.intervals import interval_coverage
+
+    rows = [("g", s, s + d) for s, d in ivals]
+    covered_points = set()
+    for _, s, e in rows:
+        covered_points.update(range(s, e))
+    df = spark.createDataFrame(rows, "grp string, s long, e long")
+    r = interval_coverage(df, "s", "e", "grp").collect()[0]
+    assert r["covered"] == len(covered_points)
+    assert r["n_intervals"] == len(rows)
