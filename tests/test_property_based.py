@@ -644,3 +644,43 @@ def test_interval_coverage_matches_bruteforce_union(spark, ivals):
     r = interval_coverage(df, "s", "e", "grp").collect()[0]
     assert r["covered"] == len(covered_points)
     assert r["n_intervals"] == len(rows)
+
+
+@given(
+    snaps=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 30), st.integers(0, 2)),
+        min_size=1,
+        max_size=16,
+        unique_by=lambda t: (t[0], t[1]),  # one row per (key, version)
+    )
+)
+@_SETTINGS
+def test_scd2_history_matches_run_scan(spark, snaps):
+    """Gaps-and-islands SCD2 vs an in-memory run scan over each key's
+    version-ordered attribute sequence."""
+    from polars_grouper_spark.operators.snapshot_diff import scd2_history
+
+    per_key = {}
+    for k, v, a in snaps:
+        per_key.setdefault(k, []).append((v, a))
+    want = []
+    for k, seq in per_key.items():
+        seq.sort()
+        run_start, run_attr, n = None, None, 0
+        prev_v = None
+        for v, a in seq:
+            if run_start is None or a != run_attr:
+                if run_start is not None:
+                    want.append((str(k), run_attr, run_start, prev_v, n))
+                run_start, run_attr, n = v, a, 0
+            n += 1
+            prev_v = v
+        want.append((str(k), run_attr, run_start, prev_v, n))
+    df = spark.createDataFrame(
+        [(str(k), v, a) for k, v, a in snaps], "key string, v long, attr long"
+    )
+    got = sorted(
+        (r["key"], r["attr"], r["valid_from"], r["valid_to"], r["n_versions"])
+        for r in scd2_history(df, ["key"], ["attr"], "v").collect()
+    )
+    assert got == sorted(want)
