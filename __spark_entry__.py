@@ -4845,6 +4845,65 @@ def _peak_sessions_sql() -> str:
     return f"SELECT grp AS day, peak, n_intervals FROM ({inner})"
 
 
+def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION artifact a pipeline actually consumes: exact
+    Jaccard >= 0.95 pairs (PPJoin, lossless) -> connected components ->
+    keep the min doc id per cluster -> one row PER INPUT DOC with
+    (keep, cluster).  Unmatched docs are their own cluster and always
+    kept; every stage is an equality join."""
+    from polars_grouper_spark.functions.dedup import jaccard_threshold_join
+
+    docs = load_table(spark, "documents", sf_dir).where("doc_id % 5 = 0")
+    pairs = jaccard_threshold_join(docs, "doc_id", "text", t_num=19, t_den=20)
+    cc = components(pairs, "id_a", "id_b").select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster"),
+    )
+    labeled = (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster", F.col("doc_id")).alias("cluster"),
+        )
+    )
+    keeper = labeled.groupBy("cluster").agg(F.min("doc_id").alias("_keep"))
+    return labeled.join(F.broadcast(keeper), "cluster").select(
+        "doc_id",
+        "cluster",
+        (F.col("doc_id") == F.col("_keep")).alias("keep"),
+    )
+
+
+def _dedup_keep_list_sql() -> str:
+    from polars_grouper_spark.functions.dedup import jaccard_threshold_join_sql
+
+    pairs = jaccard_threshold_join_sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0",
+        "doc_id",
+        "text",
+        t_num=19,
+        t_den=20,
+    )
+    cc = _cc_label_sql(
+        f"SELECT CAST(id_a AS VARCHAR) AS src, CAST(id_b AS VARCHAR) AS dst "
+        f"FROM ({pairs}) pz",
+        rounds=12,
+    )
+    return f"""
+WITH cc AS ({cc}),
+labeled AS (
+  SELECT d.doc_id,
+         coalesce(CAST(c.comp_label AS BIGINT), d.doc_id) AS cluster
+  FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+  LEFT JOIN cc c ON c.node = CAST(d.doc_id AS VARCHAR)
+),
+keeper AS (SELECT cluster, min(doc_id) AS k FROM labeled GROUP BY cluster)
+SELECT l.doc_id, l.cluster, l.doc_id = kp.k AS keep
+FROM labeled l JOIN keeper kp ON kp.cluster = l.cluster
+"""
+
+
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 (shipping-priority revenue): customer dim broadcast into
     orders, then lineitem joined on the order key — Catalyst picks
@@ -5258,6 +5317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_debounce": q_stream_debounce,
         "orc_jsonl_roundtrip": q_orc_jsonl_roundtrip,
         "cc_incremental": q_cc_incremental,
+        "dedup_keep_list": q_dedup_keep_list,
         "hybrid_search": q_hybrid_search,
         "user_survival": q_user_survival,
         "user_trends": q_user_trends,
@@ -5448,6 +5508,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "orc_jsonl_roundtrip": _ORC_JSONL_ROUNDTRIP_SQL,
         "cc_incremental": _cc_incremental_sql(),
+        "dedup_keep_list": _dedup_keep_list_sql(),
         "hybrid_search": _hybrid_search_sql(),
         "user_survival": _user_survival_sql(),
         "user_trends": _user_trends_sql(),
