@@ -4904,6 +4904,31 @@ FROM labeled l JOIN keeper kp ON kp.cluster = l.cluster
 """
 
 
+def q_containment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment join (``functions.dedup.containment_join``,
+    asymmetric PPJoin): docs whose token set is >= 95% inside another
+    doc — quote/near-subset detection that symmetric Jaccard misses for
+    small-in-large pairs.  A-side prefix tokens against B's full token
+    table; integer cross-product threshold; the oracle is brute-force
+    all ordered pairs so prefix recall loss breaks the compare."""
+    from polars_grouper_spark.functions.dedup import containment_join
+
+    docs = load_table(spark, "documents", sf_dir).where("doc_id % 10 = 0")
+    return containment_join(docs, "doc_id", "text", t_num=19, t_den=20)
+
+
+def _containment_docs_sql() -> str:
+    from polars_grouper_spark.functions.dedup import containment_join_sql
+
+    return containment_join_sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0",
+        "doc_id",
+        "text",
+        t_num=19,
+        t_den=20,
+    )
+
+
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 (shipping-priority revenue): customer dim broadcast into
     orders, then lineitem joined on the order key — Catalyst picks
@@ -5317,6 +5342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_debounce": q_stream_debounce,
         "orc_jsonl_roundtrip": q_orc_jsonl_roundtrip,
         "cc_incremental": q_cc_incremental,
+        "containment_docs": q_containment_docs,
         "dedup_keep_list": q_dedup_keep_list,
         "hybrid_search": q_hybrid_search,
         "user_survival": q_user_survival,
@@ -5508,6 +5534,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "orc_jsonl_roundtrip": _ORC_JSONL_ROUNDTRIP_SQL,
         "cc_incremental": _cc_incremental_sql(),
+        "containment_docs": _containment_docs_sql(),
         "dedup_keep_list": _dedup_keep_list_sql(),
         "hybrid_search": _hybrid_search_sql(),
         "user_survival": _user_survival_sql(),

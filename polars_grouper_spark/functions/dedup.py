@@ -766,3 +766,119 @@ JOIN sizes sa ON sa.doc = i.id_a
 JOIN sizes sb ON sb.doc = i.id_b
 WHERE ({t_den + t_num}) * i.inter >= {t_num} * (sa.n + sb.n)
 """
+
+
+def containment_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    t_num: int = 9,
+    t_den: int = 10,
+) -> DataFrame:
+    """EXACT token-set containment join (the asymmetric PPJoin variant)
+    -> ``(id_a, id_b, inter, containment)`` for every ORDERED pair with
+    ``|A ∩ B| / |A| >= t_num/t_den`` — "doc A is mostly contained in
+    doc B": quote detection, boilerplate-subset discovery, near-subset
+    dedup where Jaccard misses small-in-large pairs.
+
+    Prefix filtering adapts to the asymmetric threshold: a qualifying A
+    must share one of its first ``|A| - ceil(t·|A|) + 1`` rarest tokens
+    with B, but B is unbounded, so candidates come from A-PREFIX tokens
+    joined against B's FULL token table (still df-ordered, so frequent
+    tokens never drive candidates from the A side).  The threshold test
+    is the integer cross-product ``t_den·inter >= t_num·|A|``.  Output
+    excludes self-pairs; A == B duplicates appear in both directions by
+    construction (containment is directional)."""
+    if not (0 < t_num <= t_den):
+        raise ValueError(f"need 0 < t_num <= t_den, got {t_num}/{t_den}")
+    toks = (
+        df.where(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                F.array_distinct(
+                    F.split(F.lower(F.col(text_col)), r"\s+", -1)
+                )
+            ).alias("token"),
+        )
+        .where(F.col("token") != "")
+    )
+    sizes = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        toks.join(dfreq, "token")
+        .join(sizes, "doc")
+        .select(
+            "doc",
+            "token",
+            "n",
+            F.row_number()
+            .over(Window.partitionBy("doc").orderBy("df", "token"))
+            .alias("rn"),
+        )
+    )
+    prefix_len = F.col("n") - F.floor(
+        (F.lit(t_num) * F.col("n") + F.lit(t_den - 1)) / F.lit(t_den)
+    ) + 1
+    prefix = ranked.where(F.col("rn") <= prefix_len).select(
+        F.col("doc").alias("id_a"), "token", F.col("n").alias("na")
+    )
+    cand = (
+        prefix.join(
+            toks.select(F.col("doc").alias("id_b"), "token"), "token"
+        )
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", "na")
+        .distinct()
+    )
+    inter = (
+        cand.join(toks.select(F.col("doc").alias("id_a"), "token"), "id_a")
+        .join(
+            toks.select(F.col("doc").alias("id_b"), "token"),
+            ["id_b", "token"],
+        )
+        .groupBy("id_a", "id_b", "na")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.where(F.lit(t_den) * F.col("inter") >= F.lit(t_num) * F.col("na"))
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            F.round(F.col("inter") / F.col("na").cast("double"), 6).alias(
+                "containment"
+            ),
+        )
+    )
+
+
+def containment_join_sql(
+    table_sql: str,
+    id_expr: str,
+    text_expr: str,
+    *,
+    t_num: int = 9,
+    t_den: int = 10,
+) -> str:
+    """DuckDB oracle for :func:`containment_join` — brute-force all
+    ordered pairs, no prefix logic (losslessness is the claim)."""
+    return f"""
+WITH src AS ({table_sql}),
+toks AS (
+  SELECT DISTINCT {id_expr} AS doc, t.token
+  FROM src, unnest(list_distinct(string_split_regex(lower({text_expr}), '\\s+'))) AS t(token)
+  WHERE {id_expr} IS NOT NULL AND {text_expr} IS NOT NULL AND t.token <> ''
+),
+sizes AS (SELECT doc, count(*) AS n FROM toks GROUP BY doc),
+inter AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS inter
+  FROM toks a JOIN toks b ON a.token = b.token AND a.doc <> b.doc
+  GROUP BY a.doc, b.doc
+)
+SELECT i.id_a, i.id_b, i.inter,
+       round(i.inter / CAST(sa.n AS DOUBLE), 6) AS containment
+FROM inter i JOIN sizes sa ON sa.doc = i.id_a
+WHERE {t_den} * i.inter >= {t_num} * sa.n
+"""

@@ -286,3 +286,42 @@ def test_jaccard_threshold_join_validation(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="t_num"):
         jaccard_threshold_join(df, "doc_id", "text", t_num=11, t_den=10)
+
+
+def test_containment_join_lossless_and_directional(spark):
+    """Asymmetric containment: the subset doc qualifies toward its
+    superset but not vice versa; prefix filtering must be lossless vs
+    the brute-force ordered-pair oracle."""
+    import duckdb
+
+    from polars_grouper_spark.functions.dedup import (
+        containment_join,
+        containment_join_sql,
+    )
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (3, "completely unrelated words here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        map(tuple, containment_join(df, "doc_id", "text", t_num=9, t_den=10).collect())
+    )
+    pairs = {(a, b) for a, b, *_ in got}
+    assert (1, 2) in pairs      # 1's 5 tokens all inside 2 -> containment 1.0
+    assert (2, 1) not in pairs  # only 5/10 of 2's tokens in 1
+    vals = ", ".join(f"({i}, '{t}')" for i, t in docs)
+    want = sorted(
+        tuple(r)
+        for r in duckdb.sql(
+            containment_join_sql(
+                f"SELECT * FROM (VALUES {vals}) t(doc_id, text)",
+                "doc_id",
+                "text",
+                t_num=9,
+                t_den=10,
+            )
+        ).fetchall()
+    )
+    assert got == want
