@@ -339,3 +339,50 @@ def test_mst_and_coloring_on_skewed_graph(spark):
         f"mst: {n_forest} forest edges over {nodes} nodes in {mst_sec:.1f}s; "
         f"coloring: {max(cmap.values())} colors in {color_sec:.1f}s"
     )
+
+
+def test_ppjoin_planted_recall_at_volume(spark):
+    """Round-5 scale gate: exact-threshold Jaccard join at 200k docs x
+    30 tokens (vocab 50k).  Every 100th doc gets a planted near-twin
+    (one token swapped -> J = 29/31 ~ 0.935); at t = 0.9 the result
+    must contain EXACTLY the planted pairs — the prefix filter is
+    lossless and random 30-token docs over a 50k vocab can't reach
+    J >= 0.9."""
+    import time
+
+    from polars_grouper_spark.functions.dedup import jaccard_threshold_join
+
+    n_docs, n_tok, vocab = 200_000, 30, 50_000
+    tok = (
+        "concat('t', pmod(xxhash64(id, {j}), {v}))"
+    )
+    # twin of doc i (odd ids at i = 100k+1 ...) copies doc i-1's tokens,
+    # swapping token 0 for a fresh one
+    base_cols = ", ".join(
+        tok.format(j=j, v=vocab) for j in range(n_tok)
+    )
+    docs = spark.range(n_docs, numPartitions=32).selectExpr(
+        "id AS doc_id",
+        f"concat_ws(' ', {base_cols}) AS text",
+    )
+    twins = spark.range(n_docs, numPartitions=32).where(
+        "id % 100 = 0"
+    ).selectExpr(
+        f"id + {n_docs} AS doc_id",
+        # same hashes as doc id, but token 0 replaced
+        "concat_ws(' ', concat('x', id), "
+        + ", ".join(tok.format(j=j, v=vocab) for j in range(1, n_tok))
+        + ") AS text",
+    )
+    corpus = docs.unionAll(twins)
+    t0 = time.time()
+    pairs = jaccard_threshold_join(
+        corpus, "doc_id", "text", t_num=9, t_den=10
+    ).collect()
+    dt = time.time() - t0
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    want = {(i, i + n_docs) for i in range(0, n_docs, 100)}
+    assert got == want, (
+        f"{len(got - want)} unexpected / {len(want - got)} missing pairs"
+    )
+    print(f"ppjoin: {len(got)} planted pairs over {n_docs + len(want)} docs in {dt:.1f}s")
