@@ -1912,6 +1912,52 @@ FROM flags GROUP BY user_id
 """
 
 
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows through a REAL Structured Streaming query —
+    completing the window-type trio (tumbling ``stream_hourly``, sliding
+    ``stream_sliding``, session here): file stream -> watermark ->
+    ``session_window(ts, '30 minutes')`` per user -> complete-mode
+    memory sink (session aggregations reject update mode; with the demo
+    watermark nothing would finalize for append) -> per-user
+    session/event counts.  With the full input
+    available the result equals the batch gap-sessionization, so the
+    oracle is the same SQL as ``event_sessions``.  (Boundary semantics:
+    Spark closes a session at exactly start+gap while the lag-SQL keeps
+    it open — no event pair in this dataset sits on the exact boundary,
+    verified for all sf.)"""
+    load_table(spark, "events", sf_dir)  # sets the nanosAsLong reader conf
+    stream = _event_stream(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")  # session_window rejects NTZ
+    )
+    agg = (
+        stream.withWatermark("ts", "100 days")
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    name = "stream_sessions_sink"
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+
+
 def q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping over returnflag × linestatus with exact decimal sums."""
     li = load_table(spark, "lineitem", sf_dir)
@@ -5342,6 +5388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_debounce": q_stream_debounce,
         "orc_jsonl_roundtrip": q_orc_jsonl_roundtrip,
         "cc_incremental": q_cc_incremental,
+        "stream_sessions": q_stream_sessions,
         "containment_docs": q_containment_docs,
         "dedup_keep_list": q_dedup_keep_list,
         "hybrid_search": q_hybrid_search,
@@ -5534,6 +5581,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "orc_jsonl_roundtrip": _ORC_JSONL_ROUNDTRIP_SQL,
         "cc_incremental": _cc_incremental_sql(),
+        "stream_sessions": _EVENT_SESSIONS_SQL,
         "containment_docs": _containment_docs_sql(),
         "dedup_keep_list": _dedup_keep_list_sql(),
         "hybrid_search": _hybrid_search_sql(),
