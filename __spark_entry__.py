@@ -5323,6 +5323,89 @@ def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # contract surface
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# round-5 additions, batch 2: communities, activity windows, vectorizers
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 3
+
+
+def q_lpa_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection (``operators.communities.lpa_communities`` —
+    synchronous label propagation, Raghavan et al. 2007) on the part
+    co-purchase graph: unseeded partition discovery, one label-state
+    join + count + per-node window argmax per round, oracle-replayed
+    round for round.  Complements connected components (reachability)
+    and modularity/conductance (partition SCORING)."""
+    from polars_grouper_spark.operators.communities import lpa_communities
+
+    return lpa_communities(
+        _part_co_edges(spark, sf_dir), "src", "dst", rounds=_LPA_ROUNDS
+    )
+
+
+def q_active_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU per day (``operators.intervals.
+    rolling_active_count``) — the sweep-line formulation: per-user
+    activity runs merge into coverage intervals, each run emits ±1
+    deltas, one cumulative sum over per-day aggregates.  The ONLY
+    data-sized shuffle is the (user, day) distinct; the oracle runs the
+    naive plan (7-day range join + count distinct) as the cross-check."""
+    from polars_grouper_spark.operators.intervals import rolling_active_count
+
+    ev = load_table(spark, "events", sf_dir)
+    act = ev.select(
+        "user_id", F.floor(F.unix_timestamp("ts") / 86400).alias("day")
+    )
+    out = rolling_active_count(act, "user_id", "day", 7)
+    return out.select(
+        F.col("tick").alias("day"),
+        F.col("active_now").alias("dau"),
+        F.col("active_window").alias("wau7"),
+    )
+
+
+def _active_users_daily_sql() -> str:
+    from polars_grouper_spark.operators.intervals import rolling_active_count_sql
+
+    inner = rolling_active_count_sql(
+        "SELECT user_id AS key, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS tick"
+        " FROM events",
+        7,
+    )
+    return (
+        f"SELECT tick AS day, active_now AS dau, active_window AS wau7"
+        f" FROM ({inner})"
+    )
+
+
+_FEATHASH_BUCKETS = 512
+
+
+def q_hashed_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorization (``functions.features.feature_hashing``,
+    Weinberger et al. 2009) of the documents table into 512 signed
+    buckets — the vocabulary-free, single-scan, no-global-state
+    vectorizer (sklearn ``HashingVectorizer`` semantics): explode +
+    portable hash + map-side-combinable sum."""
+    from polars_grouper_spark.functions.features import feature_hashing
+
+    docs = load_table(spark, "documents", sf_dir)
+    return feature_hashing(
+        docs, "doc_id", "text", n_features=_FEATHASH_BUCKETS
+    ).select(F.col("id").alias("doc_id"), "bucket", "weight")
+
+
+def _hashed_features_docs_sql() -> str:
+    from polars_grouper_spark.functions.features import feature_hashing_sql
+
+    inner = feature_hashing_sql(
+        "SELECT doc_id AS id, text FROM documents",
+        n_features=_FEATHASH_BUCKETS,
+    )
+    return f"SELECT id AS doc_id, bucket, weight FROM ({inner})"
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -5404,6 +5487,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_join_docs": q_jaccard_join_docs,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
+        # --- round-5 batch 2 (after the 50-entry window; rotate in r06) ---
+        "lpa_parts": q_lpa_parts,
+        "active_users_daily": q_active_users_daily,
+        "hashed_features_docs": q_hashed_features_docs,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -5509,6 +5596,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from polars_grouper_spark.operators.communities import lpa_communities_sql
+
     cc_sql = _cc_label_sql(_SP_EDGE_SQL, rounds=16)
     return {
         "cc_components": cc_sql,
@@ -5602,6 +5691,9 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_join_docs": _jaccard_join_docs_sql(),
         "tpch_q3": _TPCH_Q3_SQL,
         "tpch_q5": _TPCH_Q5_SQL,
+        "lpa_parts": lpa_communities_sql(_PART_CO_EDGE_SQL, rounds=_LPA_ROUNDS),
+        "active_users_daily": _active_users_daily_sql(),
+        "hashed_features_docs": _hashed_features_docs_sql(),
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,

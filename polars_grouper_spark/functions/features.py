@@ -223,3 +223,74 @@ pred AS (
 SELECT true_label, pred_label, count(*)::BIGINT AS n
 FROM pred GROUP BY true_label, pred_label
 """
+
+def feature_hashing(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_features: int = 1024,
+    portable: bool = True,
+) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): map each token to one
+    of ``n_features`` buckets by hash, with a second hash bit choosing a
+    ±1 sign so bucket collisions cancel in expectation -> sparse rows
+    ``(id, bucket, weight)`` where ``weight`` is the signed token count.
+
+    This is how a 100 TB corpus becomes a fixed-width feature matrix
+    with NO vocabulary build, NO global pass, and NO driver state — each
+    row vectorizes independently (explode + hash + map-side-combinable
+    sum), which is why sklearn's ``HashingVectorizer`` and Vowpal Wabbit
+    use it for out-of-core learning.  Contrast TF-IDF (needs corpus
+    document frequencies) — feature hashing is the streaming-friendly,
+    embarrassingly-parallel vectorizer.
+
+    Tokenization is the shared whitespace rule (``text.tokens``),
+    lowercased.  Zero-weight buckets (exact ± cancellation) are kept —
+    dropping them would make the output depend on collision luck; they
+    carry information (the token pair hashed together).
+    """
+    if n_features < 2:
+        raise ValueError(f"n_features must be >= 2, got {n_features}")
+    from .hashing import hash_pair64
+    from .text import tokens
+
+    base = df.where(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    h1, h2 = hash_pair64("tok", portable=portable)
+    return (
+        base.select(
+            "id",
+            F.pmod(h1, F.lit(n_features)).cast("long").alias("bucket"),
+            (F.lit(1) - F.lit(2) * F.pmod(h2, F.lit(2))).alias("sign"),
+        )
+        .groupBy("id", "bucket")
+        .agg(F.sum("sign").cast("long").alias("weight"))
+    )
+
+
+def feature_hashing_sql(
+    src_sql: str, *, n_features: int = 1024
+) -> str:
+    """DuckDB oracle for :func:`feature_hashing` — ``src_sql`` yields
+    (id, text)."""
+    from .hashing import hash_pair64_sql
+
+    h1, h2 = hash_pair64_sql("tok")
+    return f"""
+WITH src AS ({src_sql}),
+toks AS (
+  SELECT id, unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                t -> t <> '')) AS tok
+  FROM src WHERE id IS NOT NULL AND text IS NOT NULL
+)
+SELECT id,
+       CAST({h1} % {n_features} AS BIGINT) AS bucket,
+       sum(1 - 2 * ({h2} % 2))::BIGINT AS weight
+FROM toks
+GROUP BY 1, 2
+"""

@@ -116,6 +116,112 @@ FROM peaks JOIN n {g_join}
 """
 
 
+def rolling_active_count(
+    df: DataFrame,
+    key_col: str,
+    tick_col: str,
+    window: int,
+) -> DataFrame:
+    """Trailing-window distinct-key count per tick — the DAU/WAU/MAU
+    aggregation — WITHOUT a range self-join or a windowed count-distinct
+    (Spark has neither at scale).
+
+    For every tick present in the input, returns
+    ``(tick, active_now, active_window)``: the number of distinct keys
+    seen AT that tick, and within the trailing ``window`` ticks
+    ``[tick - window + 1, tick]``.
+
+    Sweep-line formulation: a key active at tick t is counted at output
+    ticks ``[t, t + window - 1]``, so each key's activity becomes a set
+    of coverage intervals; per-key runs of activity whose gaps are
+    ≤ ``window`` merge into ONE interval (lag + conditional cumsum), each
+    merged run emits +1 at its start and −1 past its end, and one
+    cumulative sum over the tick axis yields the count.  The only
+    data-sized shuffle is the initial ``(key, tick)`` distinct; the
+    per-key window rides the same hash partitioning, and the final
+    cumsum runs over per-tick aggregates (days, not events).  The naive
+    plan — join every tick against a ``window``-wide range of events and
+    count-distinct — multiplies the data ``window``-fold before a giant
+    distinct; the oracle does exactly that, as the cross-check.
+
+    ``tick_col`` must be integer-valued (day number, hour number);
+    ``window`` is in ticks and must be >= 1.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    k, t = F.col(key_col), F.col(tick_col)
+    da = (
+        df.where(k.isNotNull() & t.isNotNull())
+        .select(k.alias("key"), t.cast("long").alias("tick"))
+        .distinct()
+    )
+    w_lag = Window.partitionBy("key").orderBy("tick")
+    runs = da.select(
+        "key",
+        "tick",
+        F.when(
+            F.col("tick") - F.lag("tick").over(w_lag) <= window, F.lit(0)
+        )
+        .otherwise(F.lit(1))
+        .alias("is_new"),
+    ).select(
+        "key",
+        "tick",
+        F.sum("is_new")
+        .over(w_lag.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("run"),
+    )
+    per_run = runs.groupBy("key", "run").agg(
+        F.min("tick").alias("s"),
+        (F.max("tick") + F.lit(window - 1)).alias("e"),
+    )
+    deltas = (
+        per_run.select(F.col("s").alias("tick"), F.lit(1).alias("d"))
+        .unionAll(per_run.select((F.col("e") + 1).alias("tick"), F.lit(-1).alias("d")))
+        .groupBy("tick")
+        .agg(F.sum("d").alias("delta"))
+    )
+    day_counts = da.groupBy("tick").agg(F.count(F.lit(1)).alias("active_now"))
+    w_cum = Window.orderBy("tick").rowsBetween(Window.unboundedPreceding, 0)
+    swept = (
+        deltas.join(day_counts, "tick", "full_outer")
+        .select(
+            "tick",
+            F.coalesce("delta", F.lit(0)).alias("delta"),
+            "active_now",
+        )
+        .select(
+            "tick",
+            "active_now",
+            F.sum("delta").over(w_cum).cast("long").alias("active_window"),
+        )
+    )
+    return swept.where(F.col("active_now").isNotNull()).select(
+        "tick", F.col("active_now").cast("long").alias("active_now"), "active_window"
+    )
+
+
+def rolling_active_count_sql(
+    activity_sql: str, window: int
+) -> str:
+    """DuckDB oracle for :func:`rolling_active_count` via the NAIVE plan
+    (range join + count distinct) — deliberately a different algorithm.
+    ``activity_sql`` yields ``(key, tick)`` (need not be distinct)."""
+    return f"""
+WITH da AS (
+  SELECT DISTINCT key, CAST(tick AS BIGINT) AS tick FROM ({activity_sql})
+  WHERE key IS NOT NULL AND tick IS NOT NULL
+),
+days AS (SELECT DISTINCT tick FROM da)
+SELECT d.tick AS tick,
+       count(DISTINCT CASE WHEN a.tick = d.tick THEN a.key END)::BIGINT
+         AS active_now,
+       count(DISTINCT a.key)::BIGINT AS active_window
+FROM days d JOIN da a ON a.tick BETWEEN d.tick - {window - 1} AND d.tick
+GROUP BY 1
+"""
+
+
 def interval_coverage(
     df: DataFrame,
     start_col: str,
