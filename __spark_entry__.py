@@ -5406,6 +5406,37 @@ def _hashed_features_docs_sql() -> str:
     return f"SELECT id AS doc_id, bucket, weight FROM ({inner})"
 
 
+_BALL_B = 6
+_FASTRP_DIM = 16
+
+
+def q_ball_sizes_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate 2-hop neighborhood sizes (``operators.neighborhood.
+    hll_ball_size`` — the HyperANF primitive, Boldi-Vigna WWW'11) on the
+    part co-purchase graph: per-node HLL registers merged along edges,
+    one join + one max-agg per hop, state 2^6 registers/node regardless
+    of ball size — the influence/effective-diameter estimator that
+    never materializes reachable-pair rows."""
+    from polars_grouper_spark.operators.neighborhood import hll_ball_size
+
+    return hll_ball_size(
+        _part_co_edges(spark, sf_dir), "src", "dst", radius=2, b=_BALL_B
+    )
+
+
+def q_fastrp_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastRP node embeddings (``operators.fastrp`` — Chen et al. 2019
+    very-sparse random projection, the billion-edge embedder) on the
+    part co-purchase graph: integer-exact two-level neighborhood
+    aggregation of hash-drawn ±1 signatures, two joins + two grouped
+    sums total, no sampling or SGD."""
+    from polars_grouper_spark.operators.fastrp import fastrp_embedding
+
+    return fastrp_embedding(
+        _part_co_edges(spark, sf_dir), "src", "dst", dim=_FASTRP_DIM
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -5491,6 +5522,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_parts": q_lpa_parts,
         "active_users_daily": q_active_users_daily,
         "hashed_features_docs": q_hashed_features_docs,
+        "ball_sizes_parts": q_ball_sizes_parts,
+        "fastrp_parts": q_fastrp_parts,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -5597,6 +5630,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from polars_grouper_spark.operators.communities import lpa_communities_sql
+    from polars_grouper_spark.operators.fastrp import fastrp_embedding_sql
+    from polars_grouper_spark.operators.neighborhood import hll_ball_size_sql
 
     cc_sql = _cc_label_sql(_SP_EDGE_SQL, rounds=16)
     return {
@@ -5694,6 +5729,10 @@ def oracle_sql() -> dict[str, str]:
         "lpa_parts": lpa_communities_sql(_PART_CO_EDGE_SQL, rounds=_LPA_ROUNDS),
         "active_users_daily": _active_users_daily_sql(),
         "hashed_features_docs": _hashed_features_docs_sql(),
+        "ball_sizes_parts": hll_ball_size_sql(
+            _PART_CO_EDGE_SQL, radius=2, b=_BALL_B
+        ),
+        "fastrp_parts": fastrp_embedding_sql(_PART_CO_EDGE_SQL, dim=_FASTRP_DIM),
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,

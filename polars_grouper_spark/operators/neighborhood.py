@@ -1,0 +1,177 @@
+"""Approximate r-hop neighborhood sizes (the HyperANF primitive).
+
+"How many distinct nodes are within r hops of each node?" is the
+neighborhood function N(v, r) — the basis of effective-diameter,
+closeness and influence estimation.  Exact computation materializes
+every (node, reachable-node) pair: |V|·avg-ball-size rows, quadratic on
+dense graphs and hopeless at 100 TB.  Boldi-Vigna's HyperANF (WWW'11)
+replaces each node's reachable SET with a HyperLogLog sketch and
+iterates ``sketch(v) ∪= sketch(u) for (v,u) ∈ E`` — per round ONE
+equality join and ONE max-aggregation over (node, bucket) register
+rows, state bounded by |V|·2^b registers regardless of ball size.
+
+Register rows reuse the engine-portable layout of ``functions.sketches``
+(md5-derived 60-bit hash, (bucket, max_rho) rows, max-mergeable), so the
+DuckDB oracle replays the recursion bit for bit and the estimates match
+to the displayed rounding.
+
+Plan shape per round: edges ⋈ registers (shuffle on node key, the same
+partitioning every round — a co-partitioned self-iteration), then a
+map-side-combinable per-(node, bucket) max.  Lineage is truncated per
+round.  Register fan-out bounds the join output at
+``E × min(2^b, ball)`` rows — the HyperANF trade: radius-r reach for a
+2^b-per-node state, independent of how large the balls get.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash64, portable_hash64_sql
+from ..functions.sketches import _alpha, _HASH_BITS
+from ..plans.iteration import truncate_lineage
+
+
+def hll_ball_size(
+    df: DataFrame,
+    src: str = "from",
+    dst: str = "to",
+    *,
+    radius: int = 2,
+    b: int = 8,
+    directed: bool = False,
+    portable: bool = True,
+) -> DataFrame:
+    """Per-node HLL estimate of ``|{u : dist(node, u) <= radius}|``
+    (including the node itself) -> ``(node, estimate double)``.
+
+    Nodes are coerced to string; null endpoints drop the edge;
+    self-loops are harmless (the node is already in its own ball).
+    ``b`` is the HLL precision (2^b registers per node — per-node state,
+    so the default is smaller than the corpus-wide sketches' b=12).
+    """
+    if radius < 0:
+        raise ValueError(f"radius must be >= 0, got {radius}")
+    if not 4 <= b <= 18:
+        raise ValueError(f"b must be in [4, 18], got {b}")
+    s = F.col(src).cast("string")
+    d = F.col(dst).cast("string")
+    edges = (
+        df.where(s.isNotNull() & d.isNotNull())
+        .select(s.alias("u"), d.alias("v"))
+        .distinct()
+    )
+    if not directed:
+        edges = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+    edges = truncate_lineage(edges)
+
+    rest_bits = _HASH_BITS - b
+    nodes = edges.select(F.col("u").alias("node")).union(
+        edges.select(F.col("v").alias("node"))
+    ).distinct()
+    h = portable_hash64(F.col("node"), portable=portable)
+    rest = F.pmod(h, F.lit(1 << rest_bits))
+    bitlen = F.length(F.conv(rest.cast("string"), 10, 2))
+    rho = F.when(rest == 0, F.lit(rest_bits + 1)).otherwise(
+        F.lit(rest_bits) - bitlen + 1
+    )
+    regs = truncate_lineage(
+        nodes.select(
+            "node",
+            F.shiftright(h, rest_bits).cast("int").alias("bucket"),
+            rho.cast("int").alias("max_rho"),
+        )
+    )
+
+    for _ in range(radius):
+        # sketch(u) ∪= sketch(v) along every edge u -> v (the OUT-ball:
+        # nodes reachable FROM u), plus keep own.
+        from_nbrs = (
+            edges.join(regs.select(F.col("node").alias("v"), "bucket", "max_rho"), "v")
+            .select(F.col("u").alias("node"), "bucket", "max_rho")
+        )
+        regs = truncate_lineage(
+            regs.unionAll(from_nbrs)
+            .groupBy("node", "bucket")
+            .agg(F.max("max_rho").alias("max_rho"))
+        )
+
+    m = 1 << b
+    agg = regs.groupBy("node").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("s"),
+        F.count(F.lit(1)).alias("nonempty"),
+    )
+    empty = F.lit(float(m)) - F.col("nonempty").cast("double")
+    raw = F.lit(_alpha(m) * m * m) / (F.col("s") + empty)
+    lc = -F.lit(float(m)) * F.log(empty / F.lit(float(m)))
+    est = F.when((raw <= F.lit(2.5 * m)) & (empty > 0), lc).otherwise(raw)
+    return agg.select("node", F.round(est, 4).alias("estimate"))
+
+
+def hll_ball_size_sql(
+    edge_sql: str,
+    *,
+    radius: int = 2,
+    b: int = 8,
+    directed: bool = False,
+) -> str:
+    """DuckDB oracle replaying :func:`hll_ball_size` register for
+    register — ``edge_sql`` yields ``(src, dst)``."""
+    m = 1 << b
+    rest_bits = _HASH_BITS - b
+    h = portable_hash64_sql("node")
+    mirror = (
+        ""
+        if directed
+        else " UNION SELECT CAST(dst AS VARCHAR), CAST(src AS VARCHAR) FROM raw "
+        "WHERE src IS NOT NULL AND dst IS NOT NULL"
+    )
+    parts = [
+        f"WITH raw AS ({edge_sql})",
+        f""", e AS (
+  SELECT DISTINCT CAST(src AS VARCHAR) AS u, CAST(dst AS VARCHAR) AS v
+  FROM raw WHERE src IS NOT NULL AND dst IS NOT NULL{mirror}
+)""",
+        f""", r0 AS (
+  SELECT node,
+         CAST(h // {1 << rest_bits} AS INT) AS bucket,
+         CASE WHEN h % {1 << rest_bits} = 0 THEN {rest_bits + 1}
+              ELSE {rest_bits} - length(bin(h % {1 << rest_bits})) + 1
+         END AS max_rho
+  FROM (
+    SELECT node, {h} AS h FROM (
+      SELECT u AS node FROM e UNION SELECT v FROM e
+    )
+  )
+)""",
+    ]
+    prev = "r0"
+    for i in range(1, radius + 1):
+        parts.append(
+            f""", r{i} AS (
+  SELECT node, bucket, max(max_rho) AS max_rho FROM (
+    SELECT node, bucket, max_rho FROM {prev}
+    UNION ALL
+    SELECT e.u AS node, r.bucket, r.max_rho
+    FROM e JOIN {prev} r ON r.node = e.v
+  ) GROUP BY 1, 2
+)"""
+        )
+        prev = f"r{i}"
+    parts.append(
+        f""", agg AS (
+  SELECT node, sum(power(2.0, -max_rho)) AS s, count(*) AS nonempty
+  FROM {prev} GROUP BY node
+)
+SELECT node, round(
+  CASE WHEN ({_alpha(m) * m * m!r} / (s + ({m} - nonempty))) <= {2.5 * m}
+        AND ({m} - nonempty) > 0
+       THEN -{float(m)!r} * ln(({m} - nonempty) / {float(m)!r})
+       ELSE {_alpha(m) * m * m!r} / (s + ({m} - nonempty)) END,
+  4) AS estimate
+FROM agg"""
+    )
+    return "\n".join(parts)
