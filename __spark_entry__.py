@@ -5437,6 +5437,106 @@ def q_fastrp_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (``streaming.enrich.enrich_stream``)
+    through a REAL streaming query: events file-stream joined per
+    microbatch against the static customer dimension (BROADCAST — zero
+    shuffle of the stream, no streaming state; the canonical
+    dimension-enrichment pattern), then a streaming aggregation of
+    revenue by market segment × event type."""
+    from polars_grouper_spark.streaming.enrich import enrich_stream
+
+    load_table(spark, "events", sf_dir)  # sets the nanosAsLong reader conf
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = enrich_stream(
+        stream, cust, "user_id", how="inner", dim_cols=["c_mktsegment"]
+    )
+    agg = enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+    name = "stream_enriched_sink"
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(name).select(
+        "c_mktsegment",
+        "event_type",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+_STREAM_ENRICHED_SQL = """
+SELECT c.c_mktsegment, e.event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(e.value), 4) AS sum_value
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1, 2
+"""
+
+_EWMA_ALPHA = 0.8
+_EWMA_LOOKBACK = 20
+
+
+def q_ewma_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values (``functions.timeseries.ewma``):
+    trailing-20-row exponentially-weighted mean via ONE window
+    collect_list + ONE JVM-side fold HOF — the constant-memory trend
+    feature, single shuffle on the user key, fold order pinned by the
+    (ts, event_id) total order so both engines reproduce the float
+    bit for bit."""
+    from polars_grouper_spark.functions.timeseries import ewma
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "value",
+    )
+    out = ewma(
+        ev,
+        "user_id",
+        ["ts_us", "event_id"],
+        "value",
+        alpha=_EWMA_ALPHA,
+        lookback=_EWMA_LOOKBACK,
+    )
+    return out.select("user_id", "event_id", "ewma")
+
+
+def _ewma_users_sql() -> str:
+    from polars_grouper_spark.functions.timeseries import ewma_sql
+
+    inner = ewma_sql(
+        "SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events",
+        "user_id",
+        ["ts_us", "event_id"],
+        "value",
+        alpha=_EWMA_ALPHA,
+        lookback=_EWMA_LOOKBACK,
+    )
+    return f"SELECT user_id, event_id, ewma FROM ({inner})"
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -5524,6 +5624,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_features_docs": q_hashed_features_docs,
         "ball_sizes_parts": q_ball_sizes_parts,
         "fastrp_parts": q_fastrp_parts,
+        "stream_enriched": q_stream_enriched,
+        "ewma_users": q_ewma_users,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -5733,6 +5835,8 @@ def oracle_sql() -> dict[str, str]:
             _PART_CO_EDGE_SQL, radius=2, b=_BALL_B
         ),
         "fastrp_parts": fastrp_embedding_sql(_PART_CO_EDGE_SQL, dim=_FASTRP_DIM),
+        "stream_enriched": _STREAM_ENRICHED_SQL,
+        "ewma_users": _ewma_users_sql(),
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,
