@@ -5537,6 +5537,43 @@ def _ewma_users_sql() -> str:
     return f"SELECT user_id, event_id, ewma FROM ({inner})"
 
 
+_DUPSPAN_WINDOW = 30
+_DUPSPAN_STRIDE = 7
+
+
+def q_dup_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span fractions (``functions.dedup.
+    dup_spans`` — the distributable approximation of Lee et al. 2021
+    suffix-array ExactSubstr dedup): strided fixed windows, cross-doc
+    sharing decided by min(doc) != max(doc) per window hash (never a
+    count-distinct), semi join on 60-bit hashes.  The per-document
+    boilerplate/memorization trim signal."""
+    from polars_grouper_spark.functions.dedup import dup_spans
+
+    docs = load_table(spark, "documents", sf_dir)
+    return dup_spans(
+        docs, "doc_id", "text", window=_DUPSPAN_WINDOW, stride=_DUPSPAN_STRIDE
+    ).select(
+        F.col("id").alias("doc_id"), "n_windows", "n_dup_windows", "dup_fraction"
+    )
+
+
+def _dup_spans_docs_sql() -> str:
+    from polars_grouper_spark.functions.dedup import dup_spans_sql
+
+    inner = dup_spans_sql(
+        "SELECT doc_id, text FROM documents",
+        "doc_id",
+        "text",
+        window=_DUPSPAN_WINDOW,
+        stride=_DUPSPAN_STRIDE,
+    )
+    return (
+        "SELECT id AS doc_id, n_windows, n_dup_windows, dup_fraction"
+        f" FROM ({inner})"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -5626,6 +5663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fastrp_parts": q_fastrp_parts,
         "stream_enriched": q_stream_enriched,
         "ewma_users": q_ewma_users,
+        "dup_spans_docs": q_dup_spans_docs,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -5837,6 +5875,7 @@ def oracle_sql() -> dict[str, str]:
         "fastrp_parts": fastrp_embedding_sql(_PART_CO_EDGE_SQL, dim=_FASTRP_DIM),
         "stream_enriched": _STREAM_ENRICHED_SQL,
         "ewma_users": _ewma_users_sql(),
+        "dup_spans_docs": _dup_spans_docs_sql(),
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,

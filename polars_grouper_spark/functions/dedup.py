@@ -29,6 +29,7 @@ from polars_grouper_spark.functions.hashing import (
     HASH_SPACE,
     hash_pair64,
     portable_hash64,
+    portable_hash64_sql,
 )
 from polars_grouper_spark.functions.text import tokens
 from polars_grouper_spark.plans.iteration import truncate_lineage
@@ -881,4 +882,117 @@ SELECT i.id_a, i.id_b, i.inter,
        round(i.inter / CAST(sa.n AS DOUBLE), 6) AS containment
 FROM inter i JOIN sizes sa ON sa.doc = i.id_a
 WHERE {t_den} * i.inter >= {t_num} * sa.n
+"""
+
+def dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    window: int = 40,
+    stride: int = 10,
+    portable: bool = True,
+) -> DataFrame:
+    """Cross-document duplicated-SPAN measurement — the distributable
+    approximation of suffix-array exact-substring dedup (Lee et al.
+    2021, "Deduplicating Training Data Makes Language Models Better"):
+    slide a ``window``-char window at ``stride`` over each document,
+    hash every window, and flag the positions whose window text occurs
+    in at least one OTHER document -> ``(id, n_windows, n_dup_windows,
+    dup_fraction)`` for every document long enough to hold one window.
+
+    Spans shared verbatim across documents (boilerplate, licenses,
+    templated headers) are exactly what inflates LM memorization; the
+    fraction is the per-document trim/keep signal.  A true suffix array
+    is a GLOBAL sequential structure that does not distribute; strided
+    fixed windows recover its cross-doc duplicate detection for spans
+    >= window + stride - 1 chars with two shuffles:
+
+    1. windows -> groupBy(hash): cross-doc sharing decided by
+       ``min(doc) != max(doc)`` — exact, map-side combinable, and never
+       a count-distinct;
+    2. windows ⋈ shared-hash set (semi join on the 60-bit hash — the
+       shuffle carries longs, never the window text), then one per-doc
+       count.
+
+    Within-document repeats do NOT count as duplication (that signal is
+    ``doc_repetition``); hash collisions can over-flag a span at ~2^-60
+    per pair — the standard fingerprinting trade.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    i, t = F.col(id_col), F.col(text_col)
+    base = df.where(
+        i.isNotNull() & t.isNotNull() & (F.length(t) >= window)
+    ).select(i.alias("id"), t.alias("_txt"))
+    wins = base.select(
+        "id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(_txt) - {window - 1}, {stride}),"
+                f" p -> substring(_txt, p, {window}))"
+            )
+        ).alias("_win"),
+    ).select("id", portable_hash64(F.col("_win"), portable=portable).alias("h"))
+    shared = (
+        wins.groupBy("h")
+        .agg(F.min("id").alias("_mn"), F.max("id").alias("_mx"))
+        .where(F.col("_mn") != F.col("_mx"))
+        .select("h")
+    )
+    n_win = wins.groupBy("id").agg(F.count(F.lit(1)).alias("n_windows"))
+    n_dup = (
+        wins.join(shared, "h", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    )
+    return (
+        n_win.join(n_dup, "id", "left")
+        .select(
+            "id",
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.round(
+                F.coalesce("n_dup_windows", F.lit(0)) / F.col("n_windows"), 6
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+def dup_spans_sql(
+    table_sql: str,
+    id_expr: str,
+    text_expr: str,
+    *,
+    window: int = 40,
+    stride: int = 10,
+) -> str:
+    """DuckDB oracle replaying :func:`dup_spans` hash for hash."""
+    h = portable_hash64_sql("win")
+    return f"""
+WITH src AS (
+  SELECT {id_expr} AS id, {text_expr} AS txt FROM ({table_sql})
+  WHERE {id_expr} IS NOT NULL AND {text_expr} IS NOT NULL
+    AND len({text_expr}) >= {window}
+),
+wins AS (
+  SELECT id, {h} AS h FROM (
+    SELECT id, substr(txt, CAST(p AS INT), {window}) AS win
+    FROM src, unnest(range(1, len(txt) - {window - 1} + 1, {stride})) AS t(p)
+  )
+),
+shared AS (
+  SELECT h FROM wins GROUP BY h HAVING min(id) <> max(id)
+),
+n_win AS (SELECT id, count(*)::BIGINT AS n_windows FROM wins GROUP BY id),
+n_dup AS (
+  SELECT id, count(*)::BIGINT AS n_dup_windows
+  FROM wins SEMI JOIN shared USING (h) GROUP BY id
+)
+SELECT w.id, w.n_windows,
+       coalesce(d.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+       round(coalesce(d.n_dup_windows, 0) / w.n_windows, 6) AS dup_fraction
+FROM n_win w LEFT JOIN n_dup d USING (id)
 """
