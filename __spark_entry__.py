@@ -5574,6 +5574,68 @@ def _dup_spans_docs_sql() -> str:
     )
 
 
+def q_pca_cov_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass PCA covariance (``functions.pca.covariance_matrix``):
+    the distributed half of exact PCA — d(d+1)/2 upper-triangle cells
+    from ONE scan, integer-quantized accumulators exact under any
+    aggregation order, shuffle carrying ≤ d² rows per partition
+    regardless of data size.  The driver-side eigensolve
+    (``top_principal_component``) runs on the collected d×d metadata
+    and is unit-tested against numpy."""
+    from polars_grouper_spark.functions.pca import covariance_matrix
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return covariance_matrix(emb, "embedding")
+
+
+def _pca_cov_embeddings_sql() -> str:
+    from polars_grouper_spark.functions.pca import covariance_matrix_sql
+
+    return covariance_matrix_sql("SELECT embedding FROM embeddings", "embedding")
+
+
+_ATTRIB_WINDOW_US = 2 * 86400 * 1_000_000  # 2 days in microseconds
+
+
+def q_multitouch_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution (``operators.attribution``):
+    every purchase's value split equally across the user's view/click
+    touches in the trailing 2-day window — the journey-fair correction
+    to last-touch (which ``stream_attrib`` computes).  User-key join
+    bounds pairs to within-user journeys; two shuffles total."""
+    from polars_grouper_spark.operators.attribution import linear_attribution
+
+    ev = load_table(spark, "events", sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
+    conv = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", us, "event_id", "value"
+    )
+    touch = ev.where(F.col("event_type").isin("view", "click")).select(
+        "user_id", us, "event_id"
+    )
+    return linear_attribution(
+        conv,
+        touch,
+        "user_id",
+        "ts_us",
+        "event_id",
+        "value",
+        window_seconds=_ATTRIB_WINDOW_US,
+    )
+
+
+def _multitouch_attrib_sql() -> str:
+    from polars_grouper_spark.operators.attribution import linear_attribution_sql
+
+    return linear_attribution_sql(
+        "SELECT user_id AS u, epoch_us(ts) AS ts, event_id AS conv_id,"
+        " value AS val FROM events WHERE event_type = 'purchase'",
+        "SELECT user_id AS u, epoch_us(ts) AS ts, event_id AS touch_id"
+        " FROM events WHERE event_type IN ('view', 'click')",
+        window_seconds=_ATTRIB_WINDOW_US,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -5664,6 +5726,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_enriched": q_stream_enriched,
         "ewma_users": q_ewma_users,
         "dup_spans_docs": q_dup_spans_docs,
+        "pca_cov_embeddings": q_pca_cov_embeddings,
+        "multitouch_attrib": q_multitouch_attrib,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -5876,6 +5940,8 @@ def oracle_sql() -> dict[str, str]:
         "stream_enriched": _STREAM_ENRICHED_SQL,
         "ewma_users": _ewma_users_sql(),
         "dup_spans_docs": _dup_spans_docs_sql(),
+        "pca_cov_embeddings": _pca_cov_embeddings_sql(),
+        "multitouch_attrib": _multitouch_attrib_sql(),
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,
