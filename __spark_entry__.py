@@ -5636,6 +5636,99 @@ def _multitouch_attrib_sql() -> str:
     )
 
 
+def q_fk_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit (``functions.validate.fk_audit``):
+    orders.o_custkey against a deliberately-holed customer dimension
+    (odd custkeys removed) — the broken-foreign-key report a pipeline
+    runs BEFORE trusting a left join's nulls.  Parent side reduces to
+    distinct keys; orphan sample is a bounded sorted slice, never a
+    driver collect."""
+    from polars_grouper_spark.functions.validate import fk_audit
+
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir).where(
+        F.col("c_custkey") % 2 == 0
+    )
+    out = fk_audit(orders, cust, "o_custkey", "c_custkey")
+    # The driver compare has no array-column support in every rotation;
+    # render the sample deterministically as a joined string.
+    return out.select(
+        "n_child",
+        "n_null_keys",
+        "n_orphans",
+        "orphan_share",
+        F.array_join("sample_orphan_keys", ",").alias("sample_keys"),
+    )
+
+
+def _fk_audit_orders_sql() -> str:
+    from polars_grouper_spark.functions.validate import fk_audit_sql
+
+    inner = fk_audit_sql(
+        "SELECT * FROM orders",
+        "SELECT * FROM customer WHERE c_custkey % 2 = 0",
+        "o_custkey",
+        "c_custkey",
+    )
+    return (
+        "SELECT n_child, n_null_keys, n_orphans, orphan_share,"
+        " list_aggregate(sample_orphan_keys, 'string_agg', ',') AS sample_keys"
+        f" FROM ({inner})"
+    )
+
+
+def q_skew_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic (``plans.skew.skew_report``): the
+    row-share of the heaviest l_orderkey values — the number that picks
+    between a plain shuffle, AQE skew splitting, and explicit salting
+    (``salted_agg``/``salted_join``, same module).  Two
+    map-side-combinable aggregations; per-key table stays distributed."""
+    from polars_grouper_spark.plans.skew import skew_report
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return skew_report(li, "l_orderkey")
+
+
+def _skew_report_lineitem_sql() -> str:
+    from polars_grouper_spark.plans.skew import skew_report_sql
+
+    return skew_report_sql("SELECT * FROM lineitem", "l_orderkey")
+
+
+def q_partitioned_prune_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned layout round-trip (``sources.io.write_parquet``
+    with ``partition_by``): events written hive-partitioned by
+    event_type, read back with a two-type filter that prunes to 2 of 5
+    directories at PLANNING time (asserted on the scan plan in
+    ``tests/test_partition_prune.py``) — the directory-layout half of
+    data-skipping, complementing z-order's file-statistics half."""
+    import os as _os
+
+    from polars_grouper_spark.sources.io import write_parquet
+
+    ev = load_table(spark, "events", sf_dir)
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    path = _os.path.join("/tmp", f"spark_graft_part_ev_{tag}")
+    write_parquet(ev, path, partition_by=["event_type"])
+    back = spark.read.parquet(path).where(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+_PARTITIONED_PRUNE_SQL = """
+SELECT event_type, count(*)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       round(sum(value), 4) AS sum_value
+FROM events WHERE event_type IN ('purchase', 'signup')
+GROUP BY 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -5728,6 +5821,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans_docs": q_dup_spans_docs,
         "pca_cov_embeddings": q_pca_cov_embeddings,
         "multitouch_attrib": q_multitouch_attrib,
+        "fk_audit_orders": q_fk_audit_orders,
+        "skew_report_lineitem": q_skew_report_lineitem,
+        "partitioned_prune_events": q_partitioned_prune_events,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -5942,6 +6038,9 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans_docs": _dup_spans_docs_sql(),
         "pca_cov_embeddings": _pca_cov_embeddings_sql(),
         "multitouch_attrib": _multitouch_attrib_sql(),
+        "fk_audit_orders": _fk_audit_orders_sql(),
+        "skew_report_lineitem": _skew_report_lineitem_sql(),
+        "partitioned_prune_events": _PARTITIONED_PRUNE_SQL,
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,

@@ -110,3 +110,92 @@ def validate(
     if out is None:
         raise ValueError("validate() called with no rules")
     return out
+
+def fk_audit(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+    *,
+    sample_orphans: int = 5,
+) -> DataFrame:
+    """Referential-integrity audit -> ONE row ``(n_child, n_null_keys,
+    n_orphans, orphan_share, sample_orphan_keys)``: how many child rows
+    reference a parent key that does not exist.
+
+    The cross-table complement of :func:`validate`'s row-local rules —
+    run before a join-dependent pipeline to learn whether a left join's
+    nulls mean "missing data" or "broken foreign keys".
+
+    Plan: parent side reduced to DISTINCT keys first (the shuffle
+    carries keys, never parent payloads), LEFT ANTI join for orphans,
+    map-side-combinable counts; the per-key sample is a bounded
+    ``collect_set``-style slice (``sort_array`` + ``slice`` for
+    determinism), never a driver collect of the orphan set.
+    """
+    if sample_orphans < 0:
+        raise ValueError(f"sample_orphans must be >= 0, got {sample_orphans}")
+    ck = F.col(child_key)
+    keys = child.select(ck.cast("string").alias("_k"))
+    n_child = keys.agg(
+        F.count(F.lit(1)).alias("n_child"),
+        F.sum(F.when(F.col("_k").isNull(), 1).otherwise(0)).alias("n_null_keys"),
+    )
+    parents = parent.select(
+        F.col(parent_key).cast("string").alias("_k")
+    ).where(F.col("_k").isNotNull()).distinct()
+    orphans = (
+        keys.where(F.col("_k").isNotNull())
+        .join(parents, "_k", "left_anti")
+        .agg(
+            F.count(F.lit(1)).alias("n_orphans"),
+            F.slice(
+                F.sort_array(F.collect_set("_k")), 1, sample_orphans
+            ).alias("sample_orphan_keys"),
+        )
+    )
+    return n_child.crossJoin(orphans).select(
+        "n_child",
+        "n_null_keys",
+        "n_orphans",
+        F.round(F.col("n_orphans") / F.greatest(F.col("n_child"), F.lit(1)), 6).alias(
+            "orphan_share"
+        ),
+        "sample_orphan_keys",
+    )
+
+
+def fk_audit_sql(
+    child_sql: str,
+    parent_sql: str,
+    child_key: str,
+    parent_key: str,
+    *,
+    sample_orphans: int = 5,
+) -> str:
+    """DuckDB oracle for :func:`fk_audit` (sample list rendered as a
+    sorted LIST to match Spark's sort_array + slice)."""
+    return f"""
+WITH ck AS (
+  SELECT CAST({child_key} AS VARCHAR) AS k FROM ({child_sql})
+),
+pk AS (
+  SELECT DISTINCT CAST({parent_key} AS VARCHAR) AS k FROM ({parent_sql})
+  WHERE {parent_key} IS NOT NULL
+),
+counts AS (
+  SELECT count(*)::BIGINT AS n_child,
+         sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_keys
+  FROM ck
+),
+orph AS (
+  SELECT count(*)::BIGINT AS n_orphans,
+         coalesce(list_sort(list(DISTINCT k))[1:{sample_orphans}], [])
+           AS sample_orphan_keys
+  FROM ck ANTI JOIN pk USING (k) WHERE ck.k IS NOT NULL
+)
+SELECT c.n_child, c.n_null_keys, o.n_orphans,
+       round(o.n_orphans / greatest(c.n_child, 1), 6) AS orphan_share,
+       o.sample_orphan_keys
+FROM counts c, orph o
+"""

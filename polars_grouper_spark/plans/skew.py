@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Callable, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 SALT_COL = "__salt"
@@ -80,3 +80,70 @@ def salted_join(
         SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return salted_large.join(salted_small, [*on, SALT_COL], how).drop(SALT_COL)
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    *,
+    top_k: int = 10,
+) -> DataFrame:
+    """Key-distribution diagnostic -> ONE row ``(n_rows, n_keys,
+    top1_share, topk_share, max_key)``: how skewed is this join/agg key,
+    BEFORE the shuffle that will suffer from it.
+
+    ``top1_share`` is the heaviest key's row fraction — the number that
+    decides between a plain shuffle, AQE skew splitting, and explicit
+    salting (``salted_agg``/``salted_join``); ``max_key`` names the
+    culprit.  Two map-side-combinable aggregations (per-key counts →
+    global ordered stats); the per-key table never leaves the cluster.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    per_key = (
+        df.where(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).cast("string").alias("_k"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    totals = per_key.agg(
+        F.sum("_n").alias("n_rows"), F.count(F.lit(1)).alias("n_keys")
+    )
+    # Top-k via orderBy().limit() — Spark's TakeOrdered does map-side
+    # partial top-k, so the per-key table is NEVER globally sorted or
+    # single-partitioned (a window over all keys would be).  The window
+    # below runs over the <= top_k surviving rows only.
+    topk = per_key.orderBy(F.col("_n").desc(), "_k").limit(top_k)
+    w = Window.orderBy(F.col("_n").desc(), F.col("_k"))
+    top_stats = topk.select(
+        "_k", "_n", F.row_number().over(w).alias("_rk")
+    ).agg(
+        F.sum("_n").alias("_topk_n"),
+        F.max(F.when(F.col("_rk") == 1, F.col("_n"))).alias("_top1_n"),
+        F.max(F.when(F.col("_rk") == 1, F.col("_k"))).alias("max_key"),
+    )
+    return totals.crossJoin(top_stats).select(
+        "n_rows",
+        "n_keys",
+        F.round(F.col("_top1_n") / F.col("n_rows"), 6).alias("top1_share"),
+        F.round(F.col("_topk_n") / F.col("n_rows"), 6).alias("topk_share"),
+        "max_key",
+    )
+
+
+def skew_report_sql(table_sql: str, key_expr: str, *, top_k: int = 10) -> str:
+    """DuckDB oracle for :func:`skew_report`."""
+    return f"""
+WITH per_key AS (
+  SELECT CAST({key_expr} AS VARCHAR) AS k, count(*)::BIGINT AS n
+  FROM ({table_sql}) WHERE {key_expr} IS NOT NULL GROUP BY 1
+),
+ranked AS (
+  SELECT k, n, row_number() OVER (ORDER BY n DESC, k) AS rk FROM per_key
+)
+SELECT sum(n)::BIGINT AS n_rows,
+       count(*)::BIGINT AS n_keys,
+       round(max(CASE WHEN rk = 1 THEN n END) / sum(n), 6) AS top1_share,
+       round(sum(CASE WHEN rk <= {top_k} THEN n ELSE 0 END) / sum(n), 6)
+         AS topk_share,
+       max(CASE WHEN rk = 1 THEN k END) AS max_key
+FROM ranked
+"""

@@ -70,7 +70,7 @@ def probe_lpa(spark, meter) -> dict:
     edges.count()
     (r0, w0) = meter.snapshot()
     t0 = time.time()
-    out = lpa_communities(edges, "src", "dst", rounds=3)
+    out = lpa_communities(edges, "from", "to", rounds=3)
     n_nodes = out.count()
     n_comms = out.select("community").distinct().count()
     dt = time.time() - t0
@@ -93,7 +93,7 @@ def probe_ball(spark, meter) -> dict:
     edges.count()
     (r0, w0) = meter.snapshot()
     t0 = time.time()
-    out = hll_ball_size(edges, "src", "dst", radius=2, b=6)
+    out = hll_ball_size(edges, "from", "to", radius=2, b=6)
     stats = out.agg(
         F.count(F.lit(1)).alias("n"),
         F.max("estimate").alias("max_est"),
@@ -118,7 +118,7 @@ def probe_fastrp(spark, meter) -> dict:
     edges.count()
     (r0, w0) = meter.snapshot()
     t0 = time.time()
-    out = fastrp_embedding(edges, "src", "dst", dim=32, portable=False)
+    out = fastrp_embedding(edges, "from", "to", dim=32, portable=False)
     n = out.count()
     dt = time.time() - t0
     (r1, w1) = meter.snapshot()
@@ -175,14 +175,16 @@ def main() -> None:
     spark = build_session()
     spark.sparkContext.setLogLevel("ERROR")
     meter = ShuffleMeter(spark)
-    for probe in (
-        probe_rolling_active,
-        probe_lpa,
-        probe_ball,
-        probe_fastrp,
-        probe_dup_spans,
-    ):
-        print(json.dumps(probe(spark, meter)), flush=True)
+    all_probes = {
+        "rolling": probe_rolling_active,
+        "lpa": probe_lpa,
+        "ball": probe_ball,
+        "fastrp": probe_fastrp,
+        "dup_spans": probe_dup_spans,
+    }
+    names = sys.argv[1:] or list(all_probes)
+    for name in names:
+        print(json.dumps(all_probes[name](spark, meter)), flush=True)
 
 
 if __name__ == "__main__":
