@@ -5729,6 +5729,26 @@ GROUP BY 1
 """
 
 
+def q_degree_dist_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram (``operators.degree_stats``) of the part
+    co-purchase graph — the first diagnostic of any production graph
+    (decides broadcast vs shuffle, hub caps, salting).  Two map-side
+    combinable aggregations; output bounded by max degree."""
+    from polars_grouper_spark.operators.degree_stats import degree_distribution
+
+    return degree_distribution(_part_co_edges(spark, sf_dir), "src", "dst")
+
+
+def q_powerlaw_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law tail exponent (Clauset-Shalizi-Newman MLE) of the part
+    co-purchase degree distribution — α summed over the HISTOGRAM
+    (hundreds of float terms, engine-stable at round-6) rather than per
+    node (10⁹ ln-terms would drift across aggregation orders)."""
+    from polars_grouper_spark.operators.degree_stats import powerlaw_alpha
+
+    return powerlaw_alpha(_part_co_edges(spark, sf_dir), "src", "dst", d_min=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -5824,6 +5844,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_audit_orders": q_fk_audit_orders,
         "skew_report_lineitem": q_skew_report_lineitem,
         "partitioned_prune_events": q_partitioned_prune_events,
+        "degree_dist_parts": q_degree_dist_parts,
+        "powerlaw_parts": q_powerlaw_parts,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -5930,6 +5952,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from polars_grouper_spark.operators.communities import lpa_communities_sql
+    from polars_grouper_spark.operators.degree_stats import (
+        degree_distribution_sql,
+        powerlaw_alpha_sql,
+    )
     from polars_grouper_spark.operators.fastrp import fastrp_embedding_sql
     from polars_grouper_spark.operators.neighborhood import hll_ball_size_sql
 
@@ -6041,6 +6067,8 @@ def oracle_sql() -> dict[str, str]:
         "fk_audit_orders": _fk_audit_orders_sql(),
         "skew_report_lineitem": _skew_report_lineitem_sql(),
         "partitioned_prune_events": _PARTITIONED_PRUNE_SQL,
+        "degree_dist_parts": degree_distribution_sql(_PART_CO_EDGE_SQL),
+        "powerlaw_parts": powerlaw_alpha_sql(_PART_CO_EDGE_SQL, d_min=3),
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,
