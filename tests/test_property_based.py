@@ -684,3 +684,98 @@ def test_scd2_history_matches_run_scan(spark, snaps):
         for r in scd2_history(df, ["key"], ["attr"], "v").collect()
     )
     assert got == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# round-5 batch 2: LPA, rolling actives, EWMA, FastRP
+# ---------------------------------------------------------------------------
+
+
+def _lpa_brute(edges, rounds):
+    """Synchronous LPA with (count desc, label asc) tie-break."""
+    adj = {}
+    for a, b in edges:
+        a, b = str(a), str(b)
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {n: n for n in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for n in adj:
+            votes = {}
+            for m in adj[n]:
+                votes[labels[m]] = votes.get(labels[m], 0) + 1
+            nxt[n] = min(votes, key=lambda l: (-votes[l], l))
+        labels = nxt
+    return labels
+
+
+@given(edges=EDGES, rounds=st.integers(min_value=0, max_value=3))
+@_SETTINGS
+def test_lpa_matches_brute_force(spark, edges, rounds):
+    from polars_grouper_spark.operators.communities import lpa_communities
+
+    df = _df(spark, edges)
+    got = {
+        r["node"]: r["community"]
+        for r in lpa_communities(df, "from", "to", rounds=rounds).collect()
+    }
+    assert got == _lpa_brute(edges, rounds)
+
+
+@given(
+    acts=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 20)), min_size=1, max_size=25
+    ),
+    window=st.integers(min_value=1, max_value=8),
+)
+@_SETTINGS
+def test_rolling_active_matches_brute_force(spark, acts, window):
+    from polars_grouper_spark.operators.intervals import rolling_active_count
+
+    df = spark.createDataFrame(acts, "key int, tick int").coalesce(1)
+    got = {
+        r["tick"]: (r["active_now"], r["active_window"])
+        for r in rolling_active_count(df, "key", "tick", window).collect()
+    }
+    da = set(acts)
+    ticks = sorted({t for _, t in da})
+    want = {}
+    for d in ticks:
+        now = {k for k, t in da if t == d}
+        win = {k for k, t in da if d - window + 1 <= t <= d}
+        want[d] = (len(now), len(win))
+    assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False), min_size=1,
+        max_size=15,
+    ),
+    alpha=st.floats(min_value=0.1, max_value=0.9),
+    lookback=st.integers(min_value=1, max_value=6),
+)
+@_SETTINGS
+def test_ewma_matches_brute_force(spark, vals, alpha, lookback):
+    import pytest as _pytest
+
+    from polars_grouper_spark.functions.timeseries import ewma
+
+    rows = [("k", i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "key string, t int, v double").coalesce(1)
+    got = {
+        r["t"]: r["ewma"]
+        for r in ewma(
+            df, "key", ["t"], "v", alpha=alpha, lookback=lookback, round_to=9
+        ).collect()
+    }
+    for i in range(len(vals)):
+        frame = vals[max(0, i - lookback + 1) : i + 1]
+        num = 0.0
+        for x in frame:
+            num = num * alpha + x
+        den = (1.0 - alpha ** len(frame)) / (1.0 - alpha)
+        assert got[i] == _pytest.approx(num / den, abs=1e-6), i
