@@ -5749,6 +5749,53 @@ def q_powerlaw_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return powerlaw_alpha(_part_co_edges(spark, sf_dir), "src", "dst", d_min=3)
 
 
+_COVERAGE_K = 5
+
+
+def q_coverage_picks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage corpus selection
+    (``functions.selection.greedy_coverage`` — the (1−1/e)-optimal
+    submodular data-selection primitive): pick 5 documents jointly
+    covering the most distinct word bigrams.  Per round: one anti join
+    on the element key + one TakeOrdered argmax; covered-set state only.
+    The oracle replays the greedy rounds as unrolled CTEs."""
+    from polars_grouper_spark.functions.selection import greedy_coverage
+    from polars_grouper_spark.functions.text import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = docs.select(
+        F.col("doc_id").alias("id"),
+        tokens(F.lower(F.col("text"))).alias("_toks"),
+    ).select(
+        "id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(_toks) - 2),"
+                " i -> concat(_toks[i], ' ', _toks[i+1]))"
+            )
+        ).alias("el"),
+    )
+    picks = greedy_coverage(pairs, "id", "el", _COVERAGE_K)
+    return spark.createDataFrame(
+        [(r, i, g) for r, i, g in picks], "rank long, doc_id string, gain long"
+    )
+
+
+def _coverage_picks_sql() -> str:
+    from polars_grouper_spark.functions.selection import greedy_coverage_sql
+
+    pairs = (
+        "SELECT doc_id AS id, bg AS el FROM ("
+        "  SELECT doc_id, list_transform(range(1, len(toks)),"
+        "         i -> toks[i] || ' ' || toks[i+1]) AS bgs FROM ("
+        "    SELECT doc_id, list_filter(string_split_regex(trim(lower(text)),"
+        "           '\\s+'), t -> t <> '') AS toks FROM documents)"
+        "), unnest(bgs) AS u(bg)"
+    )
+    inner = greedy_coverage_sql(pairs, _COVERAGE_K)
+    return f"SELECT rank, id AS doc_id, gain FROM ({inner})"
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -5846,6 +5893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partitioned_prune_events": q_partitioned_prune_events,
         "degree_dist_parts": q_degree_dist_parts,
         "powerlaw_parts": q_powerlaw_parts,
+        "coverage_picks": q_coverage_picks,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -6069,6 +6117,7 @@ def oracle_sql() -> dict[str, str]:
         "partitioned_prune_events": _PARTITIONED_PRUNE_SQL,
         "degree_dist_parts": degree_distribution_sql(_PART_CO_EDGE_SQL),
         "powerlaw_parts": powerlaw_alpha_sql(_PART_CO_EDGE_SQL, d_min=3),
+        "coverage_picks": _coverage_picks_sql(),
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,
