@@ -69,7 +69,10 @@ from polars_grouper_spark.operators.modularity import (
     conductance_sql,
     modularity_sql,
 )
-from polars_grouper_spark.operators.scc import strongly_connected_components_sql
+from polars_grouper_spark.operators.scc import (
+    condensation_sql,
+    strongly_connected_components_sql,
+)
 from polars_grouper_spark.operators.temporal import temporal_reachability_sql
 from polars_grouper_spark.functions.chunking import (
     chunk_documents_sql,
@@ -5796,6 +5799,17 @@ def _coverage_picks_sql() -> str:
     return f"SELECT rank, id AS doc_id, gain FROM ({inner})"
 
 
+def q_condensation_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condensation DAG (``operators.scc.condensation``): the user
+    interaction graph with every strongly connected component contracted
+    to one node — the acyclic skeleton that topological scheduling and
+    reachability indexing run on.  SCC labels (FW-BW) join the edge list
+    twice; output bounded by inter-component edges."""
+    from polars_grouper_spark.operators.scc import condensation
+
+    return condensation(_scc_edges(spark, sf_dir), "src", "dst")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -5894,6 +5908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_dist_parts": q_degree_dist_parts,
         "powerlaw_parts": q_powerlaw_parts,
         "coverage_picks": q_coverage_picks,
+        "condensation_users": q_condensation_users,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -6118,6 +6133,7 @@ def oracle_sql() -> dict[str, str]:
         "degree_dist_parts": degree_distribution_sql(_PART_CO_EDGE_SQL),
         "powerlaw_parts": powerlaw_alpha_sql(_PART_CO_EDGE_SQL, d_min=3),
         "coverage_picks": _coverage_picks_sql(),
+        "condensation_users": condensation_sql(_SCC_EDGE_SQL),
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,

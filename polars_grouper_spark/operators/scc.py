@@ -277,3 +277,68 @@ SELECT n.node, least(n.node, coalesce(min(m.w), n.node)) AS scc
 FROM nodes n LEFT JOIN mutual m ON m.v = n.node
 GROUP BY n.node
 """
+
+def condensation(
+    df: DataFrame,
+    src: str = "from",
+    dst: str = "to",
+    *,
+    max_rounds: int = 100,
+) -> DataFrame:
+    """Condensation DAG -> distinct ``(src_scc, dst_scc)`` edges between
+    DIFFERENT strongly connected components (each labelled by its min
+    member name).  Contracting every cycle leaves the acyclic skeleton —
+    the structure topological processing, dependency scheduling, and
+    reachability indexing actually run on.
+
+    Plan: the SCC label table (O(V), the FW-BW loop's output) joins the
+    edge list twice on the node key, then one distinct on the contracted
+    pairs — output is bounded by inter-component edges, typically a tiny
+    fraction of E.
+
+    >>> edges = spark.createDataFrame(
+    ...     [("a", "b"), ("b", "a"), ("b", "c"), ("c", "d"), ("d", "c")],
+    ...     ["from", "to"])
+    >>> condensation(edges).show()
+    +-------+-------+
+    |src_scc|dst_scc|
+    +-------+-------+
+    |      a|      c|
+    +-------+-------+
+    <BLANKLINE>
+    """
+    labels = strongly_connected_components(df, src, dst, max_rounds=max_rounds)
+    s = F.col(src).cast("string")
+    d = F.col(dst).cast("string")
+    edges = (
+        df.where(s.isNotNull() & d.isNotNull() & (s != d))
+        .select(s.alias("u"), d.alias("v"))
+        .distinct()
+    )
+    return (
+        edges.join(labels.select(F.col("node").alias("u"), F.col("scc").alias("src_scc")), "u")
+        .join(labels.select(F.col("node").alias("v"), F.col("scc").alias("dst_scc")), "v")
+        .where(F.col("src_scc") != F.col("dst_scc"))
+        .select("src_scc", "dst_scc")
+        .distinct()
+    )
+
+
+def condensation_sql(edge_sql: str) -> str:
+    """DuckDB oracle for :func:`condensation` — SCC labels via the
+    recursive-closure oracle, contracted through two joins."""
+    scc = strongly_connected_components_sql(edge_sql)
+    return f"""
+WITH lab AS ({scc}),
+e2 AS (
+  SELECT DISTINCT CAST(src AS VARCHAR) AS a, CAST(dst AS VARCHAR) AS b
+  FROM ({edge_sql})
+  WHERE src IS NOT NULL AND dst IS NOT NULL
+    AND CAST(src AS VARCHAR) <> CAST(dst AS VARCHAR)
+)
+SELECT DISTINCT lu.scc AS src_scc, lv.scc AS dst_scc
+FROM e2
+JOIN lab lu ON lu.node = e2.a
+JOIN lab lv ON lv.node = e2.b
+WHERE lu.scc <> lv.scc
+"""

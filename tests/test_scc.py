@@ -99,3 +99,40 @@ def test_max_rounds_guard(spark):
     )
     with pytest.raises(RuntimeError, match="max_rounds"):
         strongly_connected_components(edges, max_rounds=2)
+
+
+def test_condensation_contracts_cycles(spark):
+    from polars_grouper_spark.operators.scc import condensation
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "d"), ("d", "c"), ("d", "e")],
+        ["from", "to"],
+    )
+    out = {(r["src_scc"], r["dst_scc"]) for r in condensation(edges).collect()}
+    # {a,b} -> {c,d} -> {e}; intra-SCC edges vanish.
+    assert out == {("a", "c"), ("c", "e")}
+
+
+def test_condensation_is_acyclic_on_random_graph(spark):
+    from polars_grouper_spark.operators.scc import condensation
+
+    edges = spark.createDataFrame(
+        [(f"n{i % 9}", f"n{(i * 4 + 1) % 9}") for i in range(30)], ["from", "to"]
+    )
+    dag = [(r["src_scc"], r["dst_scc"]) for r in condensation(edges).collect()]
+    # Kahn's algorithm completes iff acyclic.
+    nodes = {n for e in dag for n in e}
+    indeg = {n: 0 for n in nodes}
+    for _, b in dag:
+        indeg[b] += 1
+    queue = [n for n in nodes if indeg[n] == 0]
+    seen = 0
+    while queue:
+        n = queue.pop()
+        seen += 1
+        for a, b in dag:
+            if a == n:
+                indeg[b] -= 1
+                if indeg[b] == 0:
+                    queue.append(b)
+    assert seen == len(nodes), "condensation produced a cycle"
