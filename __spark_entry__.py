@@ -5810,6 +5810,57 @@ def q_condensation_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return condensation(_scc_edges(spark, sf_dir), "src", "dst")
 
 
+_STREAM_HLL_B = 12
+
+
+def q_stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-count sketch maintenance
+    (``streaming.sketch_sink.StreamingHll``): events replayed in 3
+    time-ordered microbatches; each batch reduces to its own HLL
+    register table (distributed) and folds into the running state by
+    per-bucket max — ≤ 2^12 rows of state regardless of stream volume.
+    Registers are max-combinable, so the final estimate equals the
+    one-shot batch sketch BIT FOR BIT — the oracle is the plain
+    ``hll_distinct`` SQL over the whole table."""
+    import shutil
+    import tempfile
+
+    from polars_grouper_spark.streaming.replay import write_time_ordered_chunks
+    from polars_grouper_spark.streaming.sketch_sink import StreamingHll
+
+    ev = load_table(spark, "events", sf_dir).select("user_id", "ts")
+    out_dir = tempfile.mkdtemp(prefix="pgs_shll_")
+    try:
+        n = write_time_ordered_chunks(ev, "ts", out_dir, 3)
+        if n == 0:
+            return spark.createDataFrame([], "estimate double")
+        schema = spark.read.parquet(f"{out_dir}/c0000").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(f"{out_dir}/c*")
+        )
+        sk = StreamingHll("user_id", b=_STREAM_HLL_B)
+        q = (
+            stream.writeStream.foreachBatch(sk.update)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sk.estimate(spark)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def _stream_hll_users_sql() -> str:
+    from polars_grouper_spark.functions.sketches import hll_distinct_sql
+
+    return hll_distinct_sql(
+        "SELECT user_id FROM events", "user_id", b=_STREAM_HLL_B
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -5909,6 +5960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "powerlaw_parts": q_powerlaw_parts,
         "coverage_picks": q_coverage_picks,
         "condensation_users": q_condensation_users,
+        "stream_hll_users": q_stream_hll_users,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -6134,6 +6186,7 @@ def oracle_sql() -> dict[str, str]:
         "powerlaw_parts": powerlaw_alpha_sql(_PART_CO_EDGE_SQL, d_min=3),
         "coverage_picks": _coverage_picks_sql(),
         "condensation_users": condensation_sql(_SCC_EDGE_SQL),
+        "stream_hll_users": _stream_hll_users_sql(),
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,

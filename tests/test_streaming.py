@@ -480,3 +480,52 @@ def test_streaming_debounce_equals_batch_on_ordered_replay(spark):
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
     assert got == want
+
+
+def test_streaming_hll_equals_batch_sketch(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from polars_grouper_spark.functions.sketches import hll_distinct, hll_registers
+    from polars_grouper_spark.streaming.sketch_sink import StreamingHll
+
+    src = str(tmp_path / "hll_src")
+    df = spark.range(3000).select((F.col("id") % 700).cast("string").alias("k"))
+    # three uneven chunks with overlapping keys
+    df.where("id % 3 = 0").coalesce(1).write.parquet(f"{src}/c0")
+    df.where("id % 3 = 1").coalesce(1).write.parquet(f"{src}/c1")
+    df.where("id % 3 = 2").coalesce(1).write.parquet(f"{src}/c2")
+
+    stream = (
+        spark.readStream.schema("k string")
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(f"{src}/c*")
+    )
+    sk = StreamingHll("k", b=10)
+    q = stream.writeStream.foreachBatch(sk.update).trigger(availableNow=True).start()
+    q.awaitTermination()
+    assert sk.batches >= 3  # one microbatch per file
+    # register table identical to the one-shot batch sketch
+    batch_regs = {
+        (r["bucket"], r["max_rho"])
+        for r in hll_registers(df, "k", 10).collect()
+    }
+    stream_regs = {
+        (r["bucket"], r["max_rho"]) for r in sk.register_df(spark).collect()
+    }
+    assert stream_regs == batch_regs
+    got = sk.estimate(spark).first()["estimate"]
+    want = hll_distinct(df, "k", 10).first()["estimate"]
+    assert got == _pytest.approx(want)
+
+
+def test_streaming_hll_validation_and_empty(spark):
+    import pytest as _pytest
+
+    from polars_grouper_spark.streaming.sketch_sink import StreamingHll
+
+    with _pytest.raises(ValueError):
+        StreamingHll("k", b=3)
+    sk = StreamingHll("k", b=8)
+    assert sk.estimate(spark).first()["estimate"] == 0.0
