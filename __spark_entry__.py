@@ -5861,6 +5861,42 @@ def _stream_hll_users_sql() -> str:
     )
 
 
+def _dag_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A ~15-level dependency DAG derived from orders: edges go from a
+    stage id to a strictly larger one, so acyclicity is structural."""
+    o = load_table(spark, "orders", sf_dir)
+    base = o.select((F.col("o_orderkey") % 120).alias("a"),
+                    (F.col("o_custkey") % 17).alias("j"))
+    return base.select(
+        F.concat(F.lit("T"), F.col("a")).alias("src"),
+        F.concat(F.lit("T"), F.col("a") + 8 + F.col("j")).alias("dst"),
+    )
+
+
+_DAG_EDGE_SQL = (
+    "SELECT 'T' || (o_orderkey % 120) AS src,"
+    " 'T' || ((o_orderkey % 120) + 8 + (o_custkey % 17)) AS dst FROM orders"
+)
+
+
+def q_topo_levels_tasks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topological level assignment (``operators.toposort`` — Kahn
+    source peeling): longest-path depth over a ~15-level dependency DAG
+    — each level is a parallel execution wave.  One aggregation + two
+    anti joins per round over a SHRINKING edge set (the k-core posture);
+    cycles raise rather than returning a partial layering.  The oracle
+    is a deduplicating recursive longest-path CTE."""
+    from polars_grouper_spark.operators.toposort import topological_levels
+
+    return topological_levels(_dag_edges(spark, sf_dir), "src", "dst")
+
+
+def _topo_levels_tasks_sql() -> str:
+    from polars_grouper_spark.operators.toposort import topological_levels_sql
+
+    return topological_levels_sql(_DAG_EDGE_SQL)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -5961,6 +5997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coverage_picks": q_coverage_picks,
         "condensation_users": q_condensation_users,
         "stream_hll_users": q_stream_hll_users,
+        "topo_levels_tasks": q_topo_levels_tasks,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -6187,6 +6224,7 @@ def oracle_sql() -> dict[str, str]:
         "coverage_picks": _coverage_picks_sql(),
         "condensation_users": condensation_sql(_SCC_EDGE_SQL),
         "stream_hll_users": _stream_hll_users_sql(),
+        "topo_levels_tasks": _topo_levels_tasks_sql(),
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,
