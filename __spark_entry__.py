@@ -5897,6 +5897,28 @@ def _topo_levels_tasks_sql() -> str:
     return topological_levels_sql(_DAG_EDGE_SQL)
 
 
+def q_winsorize_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority winsorization of order totals
+    (``functions.features.winsorize``): values clamped to the group's
+    exact [5th, 95th] percentile band, thresholds picked by RATIONAL
+    rank arithmetic (``ceil(p·n)`` as integer fraction math) so the cut
+    never depends on float rounding or engine percentile semantics.
+    One rank window + a broadcast threshold join-back."""
+    from polars_grouper_spark.functions.features import winsorize
+
+    o = load_table(spark, "orders", sf_dir)
+    return winsorize(o, "o_orderpriority", "o_totalprice", "o_orderkey")
+
+
+def _winsorize_orders_sql() -> str:
+    from polars_grouper_spark.functions.features import winsorize_sql
+
+    return winsorize_sql(
+        "SELECT o_orderkey AS id, o_orderpriority AS grp,"
+        " o_totalprice AS value FROM orders"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -5998,6 +6020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "condensation_users": q_condensation_users,
         "stream_hll_users": q_stream_hll_users,
         "topo_levels_tasks": q_topo_levels_tasks,
+        "winsorize_orders": q_winsorize_orders,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -6225,6 +6248,7 @@ def oracle_sql() -> dict[str, str]:
         "condensation_users": condensation_sql(_SCC_EDGE_SQL),
         "stream_hll_users": _stream_hll_users_sql(),
         "topo_levels_tasks": _topo_levels_tasks_sql(),
+        "winsorize_orders": _winsorize_orders_sql(),
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,

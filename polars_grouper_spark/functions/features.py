@@ -294,3 +294,111 @@ SELECT id,
 FROM toks
 GROUP BY 1, 2
 """
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    *,
+    lo: "tuple[int, int]" = (5, 100),
+    hi: "tuple[int, int]" = (95, 100),
+) -> DataFrame:
+    """Per-group winsorization -> ``(id, grp, value, clipped)``: values
+    outside the group's [lo, hi] percentile band are clamped to the band
+    edges — the standard heavy-tail tamer for features and metrics
+    (keeps the row, unlike outlier DROPPING; see ``functions.outliers``
+    for the flag-and-drop variant).
+
+    Percentiles are EXACT rank statistics over the total order
+    (value, id): the p-quantile is the value at rank ``ceil(p·n)``,
+    computed with RATIONAL arithmetic — ``p`` is passed as an integer
+    fraction (num, den) and the rank is ``(n·num + den − 1) // den`` —
+    so the cut never depends on float rounding and both engines pick
+    the identical row (the reason this isn't ``percentile_approx`` or
+    engine-native ``percentile_disc``, whose tie/interpolation rules
+    differ across engines).
+
+    Plan: one rank window per group + one aggregate picking the two
+    threshold rows + one broadcast-sized join back (thresholds are one
+    row per group).  Null value/group/id rows drop.
+    """
+    for name, (num, den) in (("lo", lo), ("hi", hi)):
+        if den < 1 or num < 0 or num > den:
+            raise ValueError(f"{name} must be a fraction in [0, 1], got {num}/{den}")
+    src = df.where(
+        F.col(group_col).isNotNull()
+        & F.col(value_col).isNotNull()
+        & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).cast("string").alias("grp"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    w = Window.partitionBy("grp").orderBy("value", "id")
+    ranked = src.select(
+        "id",
+        "grp",
+        "value",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("_n"),
+    )
+    def _int_div(x, den):
+        # exact integer floor-division on a non-negative column (x div den)
+        return ((x - F.pmod(x, F.lit(den))) / F.lit(den)).cast("long")
+
+    lo_rank = _int_div(F.col("_n") * lo[0] + (lo[1] - 1), lo[1])
+    hi_rank = _int_div(F.col("_n") * hi[0] + (hi[1] - 1), hi[1])
+    cuts = ranked.groupBy("grp").agg(
+        F.max(
+            F.when(F.col("_rn") == F.greatest(lo_rank, F.lit(1)), F.col("value"))
+        ).alias("_lo"),
+        F.max(
+            F.when(F.col("_rn") == F.greatest(hi_rank, F.lit(1)), F.col("value"))
+        ).alias("_hi"),
+    )
+    return (
+        ranked.join(F.broadcast(cuts), "grp")
+        .select(
+            "id",
+            "grp",
+            "value",
+            F.least(F.greatest(F.col("value"), F.col("_lo")), F.col("_hi")).alias(
+                "clipped"
+            ),
+        )
+    )
+
+
+def winsorize_sql(
+    src_sql: str,
+    *,
+    lo: "tuple[int, int]" = (5, 100),
+    hi: "tuple[int, int]" = (95, 100),
+) -> str:
+    """DuckDB oracle for :func:`winsorize` — ``src_sql`` yields
+    (id, grp, value)."""
+    return f"""
+WITH src AS (
+  SELECT id, CAST(grp AS VARCHAR) AS grp, CAST(value AS DOUBLE) AS value
+  FROM ({src_sql})
+  WHERE id IS NOT NULL AND grp IS NOT NULL AND value IS NOT NULL
+),
+ranked AS (
+  SELECT id, grp, value,
+         row_number() OVER (PARTITION BY grp ORDER BY value, id) AS rn,
+         count(*) OVER (PARTITION BY grp) AS n
+  FROM src
+),
+cuts AS (
+  SELECT grp,
+         max(CASE WHEN rn = greatest((n * {lo[0]} + {lo[1] - 1}) // {lo[1]}, 1)
+                  THEN value END) AS lo,
+         max(CASE WHEN rn = greatest((n * {hi[0]} + {hi[1] - 1}) // {hi[1]}, 1)
+                  THEN value END) AS hi
+  FROM ranked GROUP BY grp
+)
+SELECT r.id, r.grp, r.value,
+       least(greatest(r.value, c.lo), c.hi) AS clipped
+FROM ranked r JOIN cuts c USING (grp)
+"""

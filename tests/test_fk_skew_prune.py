@@ -71,3 +71,46 @@ def test_partition_pruning_plan(spark, tmp_path):
     # the scan's PartitionFilters, not as a post-scan Filter.
     assert "PartitionFilters" in plan
     assert "part#" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_winsorize_hand_computed(spark):
+    from polars_grouper_spark.functions.features import winsorize
+
+    rows = [("g", i, float(i)) for i in range(1, 11)]  # values 1..10
+    df = spark.createDataFrame(rows, ["grp", "id", "v"])
+    out = {
+        r["id"]: r["clipped"]
+        for r in winsorize(
+            df, "grp", "v", "id", lo=(2, 10), hi=(9, 10)
+        ).collect()
+    }
+    # lo rank = ceil(10*2/10) = 2 -> 2.0; hi rank = ceil(10*9/10) = 9 -> 9.0
+    assert out[1] == 2.0 and out[2] == 2.0
+    assert out[9] == 9.0 and out[10] == 9.0
+    assert out[5] == 5.0
+
+
+def test_winsorize_groups_independent(spark):
+    from polars_grouper_spark.functions.features import winsorize
+
+    rows = [("a", 1, 1.0), ("a", 2, 100.0), ("b", 3, 7.0)]
+    df = spark.createDataFrame(rows, ["grp", "id", "v"])
+    out = {
+        r["id"]: r["clipped"]
+        for r in winsorize(df, "grp", "v", "id", lo=(1, 2), hi=(1, 1)).collect()
+    }
+    # group a: lo rank = ceil(2/2) = 1 -> 1.0; group b single row.
+    assert out[3] == 7.0
+    assert out[1] == 1.0
+
+
+def test_winsorize_validation(spark):
+    import pytest as _pytest
+
+    from polars_grouper_spark.functions.features import winsorize
+
+    df = spark.createDataFrame([("g", 1, 1.0)], ["grp", "id", "v"])
+    with _pytest.raises(ValueError):
+        winsorize(df, "grp", "v", "id", lo=(3, 2))
+    with _pytest.raises(ValueError):
+        winsorize(df, "grp", "v", "id", hi=(1, 0))
