@@ -5919,6 +5919,62 @@ def _winsorize_orders_sql() -> str:
     )
 
 
+def q_markov_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (``operators.sequences.markov_transitions``): one
+    lag-window per user, one map-side-combinable pair count, per-source
+    normalizer window bounded by the state alphabet — the next-action /
+    journey-simulation model."""
+    from polars_grouper_spark.operators.sequences import markov_transitions
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    return markov_transitions(
+        ev, "user_id", ["ts_us", "event_id"], "event_type"
+    )
+
+
+def _markov_events_sql() -> str:
+    from polars_grouper_spark.operators.sequences import markov_transitions_sql
+
+    return markov_transitions_sql(
+        "SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type"
+        " FROM events",
+        "user_id",
+        ["ts_us", "event_id"],
+        "event_type",
+    )
+
+
+_KNN_LABEL_K = 7
+
+
+def q_knn_label_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label-consistency audit (``functions.similarity.
+    knn_label_check`` — the Confident-Learning-style mislabel
+    shortlist): each labelled embedding voted on by its 7 nearest
+    labelled neighbors, flagged when its own label loses.  Exact-cosine
+    candidates here (oracle parity); the audit consumes IVF/LSH pairs
+    unchanged at corpus scale."""
+    from polars_grouper_spark.functions.similarity import knn_label_check
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return knn_label_check(emb, k=_KNN_LABEL_K)
+
+
+def _knn_label_check_sql() -> str:
+    from polars_grouper_spark.functions.similarity import knn_label_check_sql
+
+    return knn_label_check_sql(
+        "SELECT * FROM embeddings", "vec_id", "embedding", "label",
+        k=_KNN_LABEL_K,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -6021,6 +6077,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hll_users": q_stream_hll_users,
         "topo_levels_tasks": q_topo_levels_tasks,
         "winsorize_orders": q_winsorize_orders,
+        "markov_events": q_markov_events,
+        "knn_label_check": q_knn_label_check,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -6249,6 +6307,8 @@ def oracle_sql() -> dict[str, str]:
         "stream_hll_users": _stream_hll_users_sql(),
         "topo_levels_tasks": _topo_levels_tasks_sql(),
         "winsorize_orders": _winsorize_orders_sql(),
+        "markov_events": _markov_events_sql(),
+        "knn_label_check": _knn_label_check_sql(),
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,

@@ -485,3 +485,132 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+def knn_label_check(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    *,
+    k: int = 10,
+    neighbors: "DataFrame | None" = None,
+) -> DataFrame:
+    """k-NN label-consistency audit (the Confident-Learning-style
+    mislabel detector) -> ``(id, true_label, knn_label, n_votes,
+    n_agree, flagged)``: each labelled vector is voted on by its k
+    nearest labelled neighbors; ``flagged`` marks rows whose own label
+    LOSES the neighbor vote — the shortlist a labeling-QA pass reviews.
+
+    ``neighbors`` defaults to exact ``cosine_topk`` over the frame
+    itself (the oracle-parity path, quadratic — fine for bounded
+    corpora); at scale pass the IVF/LSH candidate pairs
+    (``ivf_topk``/``lsh_topk`` output: query_id, neighbor_id, rank) and
+    the audit itself stays two joins + one vote aggregation + one
+    argmax window (partition bounded by the label alphabet).
+
+    Vote tie-break: (count desc, label asc) — total order, engine-portable.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    labels = df.where(
+        F.col(id_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("id"), F.col(label_col).cast("string").alias("lab")
+    )
+    if neighbors is None:
+        labelled = df.where(F.col(label_col).isNotNull())
+        neighbors = cosine_topk(labelled, labelled, id_col, vec_col, k=k)
+    pairs = (
+        neighbors.select(
+            F.col("query_id").alias("id"), F.col("neighbor_id").alias("nb")
+        )
+        .join(labels.select(F.col("id").alias("nb"), F.col("lab").alias("nb_lab")), "nb")
+    )
+    votes = pairs.groupBy("id", "nb_lab").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("id").orderBy(F.col("n").desc(), F.col("nb_lab"))
+    winner = (
+        votes.select(
+            "id",
+            "nb_lab",
+            "n",
+            F.row_number().over(w).alias("rk"),
+            F.sum("n").over(Window.partitionBy("id")).alias("n_votes"),
+        )
+        .where(F.col("rk") == 1)
+        .select("id", F.col("nb_lab").alias("knn_label"), "n_votes")
+    )
+    agree = votes.select("id", "nb_lab", F.col("n").alias("n_agree"))
+    return (
+        labels.join(winner, "id")
+        .join(
+            agree,
+            (labels["id"] == agree["id"]) & (F.col("lab") == F.col("nb_lab")),
+            "left",
+        )
+        .select(
+            labels["id"].alias("id"),
+            F.col("lab").alias("true_label"),
+            "knn_label",
+            "n_votes",
+            F.coalesce("n_agree", F.lit(0)).alias("n_agree"),
+            (F.col("knn_label") != F.col("lab")).alias("flagged"),
+        )
+    )
+
+
+def knn_label_check_sql(
+    table_sql: str,
+    id_expr: str,
+    vec_expr: str,
+    label_expr: str,
+    *,
+    k: int = 10,
+) -> str:
+    """DuckDB oracle for :func:`knn_label_check` over the exact-cosine
+    default path."""
+    return f"""
+WITH src AS (
+  SELECT {id_expr} AS vid, {vec_expr} AS v, CAST({label_expr} AS VARCHAR) AS lab
+  FROM ({table_sql})
+  WHERE {id_expr} IS NOT NULL AND {label_expr} IS NOT NULL
+),
+ex AS (
+  SELECT vid, lab, generate_subscripts(v, 1) AS i, unnest(v)::DOUBLE AS x
+  FROM src
+),
+norms AS (SELECT vid, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vid),
+dots AS (
+  SELECT a.vid AS qid, b.vid AS nid, sum(a.x * b.x) AS dot
+  FROM ex a JOIN ex b ON a.i = b.i AND a.vid <> b.vid
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT d.qid, d.nid,
+         row_number() OVER (PARTITION BY d.qid
+           ORDER BY d.dot / (na.nrm * nb.nrm) DESC, d.nid ASC) AS rank
+  FROM dots d
+  JOIN norms na ON na.vid = d.qid
+  JOIN norms nb ON nb.vid = d.nid
+),
+pairs AS (
+  SELECT r.qid AS id, s.lab AS nb_lab
+  FROM ranked r JOIN src s ON s.vid = r.nid
+  WHERE r.rank <= {k}
+),
+votes AS (SELECT id, nb_lab, count(*)::BIGINT AS n FROM pairs GROUP BY 1, 2),
+winner AS (
+  SELECT id, nb_lab AS knn_label, n_votes FROM (
+    SELECT id, nb_lab, n,
+           row_number() OVER (PARTITION BY id ORDER BY n DESC, nb_lab) AS rk,
+           sum(n) OVER (PARTITION BY id) AS n_votes
+    FROM votes
+  ) WHERE rk = 1
+)
+SELECT s.vid AS id, s.lab AS true_label, w.knn_label,
+       w.n_votes::BIGINT AS n_votes,
+       coalesce(a.n, 0)::BIGINT AS n_agree,
+       w.knn_label <> s.lab AS flagged
+FROM src s
+JOIN winner w ON w.id = s.vid
+LEFT JOIN votes a ON a.id = s.vid AND a.nb_lab = s.lab
+"""

@@ -22,7 +22,7 @@ extension list).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..plans.iteration import truncate_lineage
@@ -94,4 +94,78 @@ SELECT a.t AS etype_a, b.t AS etype_b,
 FROM s a JOIN s b ON a.u = b.u AND a.t <> b.t AND a.mn < b.mx
 CROSS JOIN tot
 GROUP BY a.t, b.t, tot.n
+"""
+
+def markov_transitions(
+    df: DataFrame,
+    key_col: str,
+    order_cols: "list[str]",
+    state_col: str,
+    *,
+    decimals: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences -> ``(src_state, dst_state, n, p)``: for each observed
+    state pair, the transition count and the row-normalized probability
+    ``p = n / Σ_dst n`` — the behavioral model behind next-action
+    prediction, journey simulation, and anomaly scoring (improbable
+    transitions).
+
+    Adjacency is ORDER-based (the immediate next event within the key,
+    by the ``order_cols`` total order), not time-windowed — see
+    ``precedence_pairs`` for the unordered co-occurrence variant.
+    Plan: one lag/lead window per key (single shuffle), one
+    map-side-combinable pair count, one per-source window sum for the
+    normalizer (partition = distinct destination states of one source,
+    bounded by the state alphabet).  Null keys/states drop.
+    """
+    k = F.col(key_col)
+    s = F.col(state_col)
+    base = df.where(k.isNotNull() & s.isNotNull())
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    pairs = base.select(
+        s.cast("string").alias("src_state"),
+        F.lead(s.cast("string")).over(w).alias("dst_state"),
+    ).where(F.col("dst_state").isNotNull())
+    counts = pairs.groupBy("src_state", "dst_state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_src = Window.partitionBy("src_state")
+    return counts.select(
+        "src_state",
+        "dst_state",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_src), decimals).alias("p"),
+    )
+
+
+def markov_transitions_sql(
+    events_sql: str,
+    key_expr: str,
+    order_exprs: "list[str]",
+    state_expr: str,
+    *,
+    decimals: int = 6,
+) -> str:
+    """DuckDB oracle for :func:`markov_transitions` — ``events_sql``
+    yields the raw rows."""
+    order = ", ".join(order_exprs)
+    return f"""
+WITH base AS (
+  SELECT * FROM ({events_sql})
+  WHERE {key_expr} IS NOT NULL AND {state_expr} IS NOT NULL
+),
+pairs AS (
+  SELECT CAST({state_expr} AS VARCHAR) AS src_state,
+         lead(CAST({state_expr} AS VARCHAR)) OVER (
+           PARTITION BY {key_expr} ORDER BY {order}) AS dst_state
+  FROM base
+),
+counts AS (
+  SELECT src_state, dst_state, count(*)::BIGINT AS n
+  FROM pairs WHERE dst_state IS NOT NULL GROUP BY 1, 2
+)
+SELECT src_state, dst_state, n,
+       round(n / sum(n) OVER (PARTITION BY src_state), {decimals}) AS p
+FROM counts
 """
