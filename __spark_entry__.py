@@ -5975,6 +5975,50 @@ def _knn_label_check_sql() -> str:
     )
 
 
+def q_attrib_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER interval attribution (``streaming.joins.interval_join``
+    with ``how="left_outer"``): every click, with the purchases that
+    followed it within 2 hours OR nulls if none — the unconverted rows
+    an inner attribution silently drops.  Batch-degenerate path here
+    (full data ⇒ equals the batch left join, the oracle); the streaming
+    watermark-gated null emission is asserted in
+    ``tests/test_streaming.py``."""
+    from polars_grouper_spark.streaming.joins import interval_join
+
+    ev = load_table(spark, "events", sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    out = interval_join(
+        clicks,
+        purchases,
+        within="2 hours",
+        how="left_outer",
+    )
+    return out.select(
+        "user_id",
+        F.col("l_event_id").alias("click_id"),
+        F.col("r_event_id").alias("purchase_id"),
+        F.col("r_event_id").isNotNull().alias("converted"),
+    )
+
+
+_ATTRIB_OUTER_SQL = """
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       p.event_id IS NOT NULL AS converted
+FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT user_id, ts, event_id FROM events
+           WHERE event_type = 'purchase') p
+  ON p.user_id = c.user_id
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -6079,6 +6123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_orders": q_winsorize_orders,
         "markov_events": q_markov_events,
         "knn_label_check": q_knn_label_check,
+        "attrib_outer": q_attrib_outer,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -6309,6 +6354,7 @@ def oracle_sql() -> dict[str, str]:
         "winsorize_orders": _winsorize_orders_sql(),
         "markov_events": _markov_events_sql(),
         "knn_label_check": _knn_label_check_sql(),
+        "attrib_outer": _ATTRIB_OUTER_SQL,
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,

@@ -28,6 +28,9 @@ from pyspark.sql import functions as F
 from .windows import _watermarked
 
 
+_JOIN_HOWS = {"inner", "left_outer"}
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,
@@ -37,8 +40,9 @@ def interval_join(
     within: str = "1 hour",
     watermark: str = "2 hours",
     prefix: "tuple[str, str]" = ("l_", "r_"),
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join ``right`` rows to ``left`` rows with the same ``key``
+    """Join ``right`` rows to ``left`` rows with the same ``key``
     and ``right_ts`` in ``(left_ts, left_ts + within]`` — "right event
     followed the left event within the horizon".  Column names are
     disambiguated with ``prefix``; the key keeps its name.
@@ -46,7 +50,18 @@ def interval_join(
     On streaming inputs both sides are watermarked (required for state
     expiry); on batch inputs watermarks are skipped and the join is a
     plain equi-join + range filter.
+
+    ``how="left_outer"`` additionally emits left rows with NO matching
+    right event (unconverted clicks, abandoned carts) with nulls on the
+    right side.  Streaming caveat (Spark semantics, asserted in tests):
+    an unmatched left row's null emission happens only once the
+    watermark PASSES its interval bound — rows still inside the
+    watermark horizon when an ``availableNow`` stream ends are withheld
+    (they might yet match), so the streaming tail differs from the
+    batch left join until more data advances the watermark.
     """
+    if how not in _JOIN_HOWS:
+        raise ValueError(f"how must be one of {sorted(_JOIN_HOWS)}, got {how!r}")
     lp, rp = prefix
     if left.isStreaming:
         left = _watermarked(left, left_ts, watermark)
@@ -67,4 +82,4 @@ def interval_join(
         & (rt > lt)
         & (rt <= lt + F.expr(f"INTERVAL {within}"))
     )
-    return l.join(r, cond).drop(f"{rp}{key}")
+    return l.join(r, cond, how).drop(f"{rp}{key}")

@@ -529,3 +529,64 @@ def test_streaming_hll_validation_and_empty(spark):
         StreamingHll("k", b=3)
     sk = StreamingHll("k", b=8)
     assert sk.estimate(spark).first()["estimate"] == 0.0
+
+
+def test_interval_join_left_outer_batch_and_stream(spark, tmp_path):
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from polars_grouper_spark.streaming.joins import interval_join
+
+    # Batch-degenerate: unmatched left rows carry nulls.
+    clicks = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 100), (1, "2024-01-01 18:00:00", 101)],
+        ["user_id", "ts", "event_id"],
+    ).withColumn("ts", F.to_timestamp("ts"))
+    buys = spark.createDataFrame(
+        [(1, "2024-01-01 10:30:00", 900)], ["user_id", "ts", "event_id"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = interval_join(clicks, buys, within="1 hour", how="left_outer")
+    rows = {r["l_event_id"]: r["r_event_id"] for r in out.collect()}
+    assert rows == {100: 900, 101: None}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        interval_join(clicks, buys, how="full_outer")
+
+    # Real stream: null emission is WATERMARK-GATED — an unmatched left
+    # row emits only after later data advances the watermark past its
+    # interval bound; the final row (no later data) is withheld.
+    src_l, src_r = str(tmp_path / "l"), str(tmp_path / "r")
+    clicks_data = [
+        (1, "2024-01-01 10:00:00", 100),   # unmatched, watermark passes it
+        (1, "2024-01-02 10:00:00", 101),   # late row advancing the watermark
+    ]
+    spark.createDataFrame(clicks_data, ["user_id", "ts", "event_id"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    ).write.parquet(src_l)
+    spark.createDataFrame(
+        [(1, "2024-01-02 10:00:00", 901)], ["user_id", "ts", "event_id"]
+    ).withColumn("ts", F.to_timestamp("ts")).write.parquet(src_r)
+    schema = "user_id bigint, ts timestamp, event_id bigint"
+    sl = spark.readStream.schema(schema).parquet(src_l)
+    sr = spark.readStream.schema(schema).parquet(src_r)
+    joined = interval_join(
+        sl, sr, within="1 hour", watermark="1 hour", how="left_outer"
+    )
+    name = f"ioj_sink_{int(_time.time() * 1000)}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["l_event_id"]: r["r_event_id"] for r in spark.table(name).collect()}
+    # Row 100: watermark (day-2 max ts - 1h) passed its bound -> null emitted.
+    assert got.get(100, "absent") is None
+    # Row 101 sits AT the watermark frontier: withheld or matched-only —
+    # never a premature null-and-match duplicate.
+    assert got.get(101, None) in (None, 901)
