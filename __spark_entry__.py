@@ -6042,9 +6042,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ~50 entries of this dict, so queries that do not yet have a green
     # driver-recorded CORRECTNESS row are listed FIRST (rotated each round
     # until every query has one on record).  Round 5: the 18 round-4 tail
-    # queries with no CORRECTNESS_r01..r04 row lead, then this round's new
-    # queries, then everything already driver-verified (union of r01-r04 =
-    # 100/118 green rows).
+    # queries with no CORRECTNESS_r01..r04 row lead, then round-5 batch-1
+    # queries (together exactly filling the 50-slot window), then the
+    # round-5 batch-2 additions (lpa_parts .. attrib_outer — rotate these
+    # INTO the window in round 6 once CORRECTNESS_r05 lands green rows for
+    # the current first 50), then everything already driver-verified
+    # (union of r01-r04 = 100/118 green rows).
     return {
         # --- no driver CORRECTNESS row yet (all pass scripts/check_oracle.py) ---
         "hits_sp": q_hits_sp,
