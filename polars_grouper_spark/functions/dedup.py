@@ -927,15 +927,21 @@ def dup_spans(
     base = df.where(
         i.isNotNull() & t.isNotNull() & (F.length(t) >= window)
     ).select(i.alias("id"), t.alias("_txt"))
-    wins = base.select(
-        "id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, length(_txt) - {window - 1}, {stride}),"
-                f" p -> substring(_txt, p, {window}))"
-            )
-        ).alias("_win"),
-    ).select("id", portable_hash64(F.col("_win"), portable=portable).alias("h"))
+    # The (id, hash) window table feeds THREE consumers (sharing test,
+    # per-doc totals, flag-back); materialize it once — ~16 B/window of
+    # executor-local storage vs three full re-scans + re-hashes of the
+    # corpus (plan-asserted: zero source re-reads).
+    wins = truncate_lineage(
+        base.select(
+            "id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(_txt) - {window - 1}, {stride}),"
+                    f" p -> substring(_txt, p, {window}))"
+                )
+            ).alias("_win"),
+        ).select("id", portable_hash64(F.col("_win"), portable=portable).alias("h"))
+    )
     shared = (
         wins.groupBy("h")
         .agg(F.min("id").alias("_mn"), F.max("id").alias("_mx"))

@@ -512,13 +512,20 @@ def knn_label_check(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    labels = df.where(
-        F.col(id_col).isNotNull() & F.col(label_col).isNotNull()
-    ).select(
+    from polars_grouper_spark.plans.iteration import truncate_lineage
+
+    # The labelled slice is consumed up to four times (corpus side,
+    # query side, neighbor labels, final join-back); materialize it
+    # once so the source is scanned a single time.
+    labelled = truncate_lineage(
+        df.where(
+            F.col(id_col).isNotNull() & F.col(label_col).isNotNull()
+        ).select(id_col, vec_col, label_col)
+    )
+    labels = labelled.select(
         F.col(id_col).alias("id"), F.col(label_col).cast("string").alias("lab")
     )
     if neighbors is None:
-        labelled = df.where(F.col(label_col).isNotNull())
         neighbors = cosine_topk(labelled, labelled, id_col, vec_col, k=k)
     pairs = (
         neighbors.select(

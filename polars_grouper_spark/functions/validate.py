@@ -135,8 +135,13 @@ def fk_audit(
     """
     if sample_orphans < 0:
         raise ValueError(f"sample_orphans must be >= 0, got {sample_orphans}")
+    from polars_grouper_spark.plans.iteration import truncate_lineage
+
     ck = F.col(child_key)
-    keys = child.select(ck.cast("string").alias("_k"))
+    # One string column, consumed by both the total/null counts and the
+    # orphan anti join — materialize once instead of re-scanning the
+    # child table per consumer.
+    keys = truncate_lineage(child.select(ck.cast("string").alias("_k")))
     n_child = keys.agg(
         F.count(F.lit(1)).alias("n_child"),
         F.sum(F.when(F.col("_k").isNull(), 1).otherwise(0)).alias("n_null_keys"),

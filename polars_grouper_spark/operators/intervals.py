@@ -149,8 +149,14 @@ def rolling_active_count(
     """
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
+    from ..plans.iteration import truncate_lineage
+
     k, t = F.col(key_col), F.col(tick_col)
-    da = (
+    # The (key, tick) distinct feeds THREE consumers (run detection,
+    # per-tick counts, output-tick filter); materialize it once so the
+    # plan reads the source a single time instead of recomputing the
+    # distinct per branch (plan-asserted in tests/test_plans.py).
+    da = truncate_lineage(
         df.where(k.isNotNull() & t.isNotNull())
         .select(k.alias("key"), t.cast("long").alias("tick"))
         .distinct()

@@ -150,3 +150,85 @@ def test_tpch_q3_q5_broadcast_all_dimension_joins(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("BroadcastHashJoin") == n_bcast, name
         assert "SortMergeJoin" not in plan, name
+
+
+def test_feature_hashing_no_join_single_agg(spark):
+    """Vocabulary-free vectorizer: explode + hash + ONE aggregation —
+    no join anywhere (that's the whole point vs TF-IDF)."""
+    from polars_grouper_spark.functions.features import feature_hashing
+
+    docs = load_table(spark, "documents", SF_DIR)
+    p = plan_str(feature_hashing(docs, "doc_id", "text", n_features=64))
+    assert "Join" not in p, p
+    assert "PythonUDF" not in p and "BatchEvalPython" not in p, p
+
+
+def test_rolling_active_single_data_sized_shuffle(spark):
+    """The DAU/WAU sweep's claim: ONE shuffle touches event-sized data
+    (the (key, tick) distinct); everything after runs on per-key runs
+    and per-tick aggregates.  Pinned as: no Python, no cartesian, and
+    the event scan feeds exactly one Exchange before the run-detection
+    window."""
+    from polars_grouper_spark.operators.intervals import rolling_active_count
+
+    ev = load_table(spark, "events", SF_DIR)
+    act = ev.select("user_id", F.floor(F.unix_timestamp("ts") / 86400).alias("day"))
+    p = plan_str(rolling_active_count(act, "user_id", "day", 7))
+    assert "CartesianProduct" not in p and "PythonUDF" not in p, p
+    # the (key, tick) distinct is materialized once: NO parquet re-scan
+    # per consumer branch (the source is read zero times in this plan —
+    # it hangs off the checkpointed distinct).
+    assert p.count("Location: InMemoryFileIndex") == 0, p
+
+
+def test_winsorize_threshold_join_broadcasts(spark):
+    from polars_grouper_spark.functions.features import winsorize
+
+    o = load_table(spark, "orders", SF_DIR)
+    p = plan_str(winsorize(o, "o_orderpriority", "o_totalprice", "o_orderkey"))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_dup_spans_semi_join_on_hashes(spark):
+    """The flag-back join must be a LeftSemi on the hash column — the
+    shuffle carries 60-bit longs, never window text."""
+    from polars_grouper_spark.functions.dedup import dup_spans
+
+    docs = load_table(spark, "documents", SF_DIR)
+    p = plan_str(dup_spans(docs, window=30, stride=7))
+    assert "LeftSemi" in p, p
+    assert "PythonUDF" not in p, p
+    assert p.count("Location: InMemoryFileIndex") == 0, p  # window table materialized once
+
+
+def test_markov_single_window_no_join(spark):
+    from polars_grouper_spark.operators.sequences import markov_transitions
+
+    ev = load_table(spark, "events", SF_DIR).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    p = plan_str(markov_transitions(ev, "user_id", ["ts_us", "event_id"], "event_type"))
+    assert "Join" not in p, p
+    assert p.count("Location: InMemoryFileIndex") == 1, p
+
+
+def test_fk_audit_and_knn_labels_scan_once(spark):
+    """Multi-consumer operators materialize their shared slice once —
+    consumers must NOT each re-scan the source (caught live: dup_spans,
+    fk_audit and knn_label_check were re-reading the parquet 3-7x
+    before the checkpoint landed)."""
+    from polars_grouper_spark.functions.similarity import knn_label_check
+    from polars_grouper_spark.functions.validate import fk_audit
+
+    orders = load_table(spark, "orders", SF_DIR)
+    cust = load_table(spark, "customer", SF_DIR)
+    p = plan_str(fk_audit(orders, cust, "o_custkey", "c_custkey"))
+    assert p.count("Location: InMemoryFileIndex") == 1, p  # parent only
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    p = plan_str(knn_label_check(emb, k=5))
+    assert p.count("Location: InMemoryFileIndex") == 0, p
