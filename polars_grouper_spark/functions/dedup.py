@@ -655,7 +655,10 @@ def jaccard_threshold_join(
     tokens never explode."""
     if not (0 < t_num <= t_den):
         raise ValueError(f"need 0 < t_num <= t_den, got {t_num}/{t_den}")
-    toks = (
+    # The (doc, token) table feeds several consumers (sizes, ranking,
+    # verification probe sides) — materialize once so the corpus scan +
+    # explode doesn't recompute per reference.
+    toks = truncate_lineage(
         df.where(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
         .select(
             F.col(id_col).alias("doc"),
@@ -685,7 +688,9 @@ def jaccard_threshold_join(
     prefix_len = F.col("n") - F.floor(
         (F.lit(t_num) * F.col("n") + F.lit(t_den - 1)) / F.lit(t_den)
     ) + 1
-    prefix = ranked.where(F.col("rn") <= prefix_len).select("doc", "token", "n")
+    prefix = truncate_lineage(
+        ranked.where(F.col("rn") <= prefix_len).select("doc", "token", "n")
+    )
     cand = (
         prefix.select(F.col("doc").alias("id_a"), "token", F.col("n").alias("na"))
         .join(
@@ -793,7 +798,10 @@ def containment_join(
     construction (containment is directional)."""
     if not (0 < t_num <= t_den):
         raise ValueError(f"need 0 < t_num <= t_den, got {t_num}/{t_den}")
-    toks = (
+    # The (doc, token) table feeds several consumers (sizes, ranking,
+    # verification probe sides) — materialize once so the corpus scan +
+    # explode doesn't recompute per reference.
+    toks = truncate_lineage(
         df.where(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
         .select(
             F.col(id_col).alias("doc"),

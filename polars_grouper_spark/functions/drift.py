@@ -77,11 +77,17 @@ def psi_drift(
     nb = F.sum("cnt_b").over(Window.partitionBy())
     pa = (F.col("cnt_a") + F.lit(0.5)) / (na + F.lit(0.5 * bins))
     pb = (F.col("cnt_b") + F.lit(0.5)) / (nb + F.lit(0.5 * bins))
-    per = tot.select(
-        F.col("bucket").cast("long").alias("bucket"),
-        "cnt_a",
-        "cnt_b",
-        F.round((pa - pb) * F.log(pa / pb), 6).alias("contrib"),
+    from polars_grouper_spark.plans.iteration import truncate_lineage
+
+    # per feeds both the output rows and the grand-total aggregate —
+    # materialize once (it is bins-sized: metadata).
+    per = truncate_lineage(
+        tot.select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "cnt_a",
+            "cnt_b",
+            F.round((pa - pb) * F.log(pa / pb), 6).alias("contrib"),
+        )
     )
     total = per.groupBy().agg(
         F.lit(-1).cast("long").alias("bucket"),

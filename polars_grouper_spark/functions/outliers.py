@@ -63,6 +63,11 @@ def robust_outliers(
         F.col(group_col).cast("string").alias("grp"),
         v.cast("long").alias("vq"),
     )
+    from polars_grouper_spark.plans.iteration import truncate_lineage
+
+    # src feeds the median agg AND the deviation join; dx (below) feeds
+    # the MAD agg AND the flag join — materialize each once.
+    src = truncate_lineage(src)
     med = src.groupBy("grp").agg(F.median("vq").alias("med"))
     # med is k or k+0.5 -> med*2 is an exact integer; dx2 = |2x - 2med|
     dx = src.join(F.broadcast(med), "grp").select(
@@ -72,6 +77,7 @@ def robust_outliers(
         "med",
         F.abs(F.col("vq") * 2 - (F.col("med") * 2).cast("long")).alias("dx2"),
     )
+    dx = truncate_lineage(dx)
     mad = dx.groupBy("grp").agg(F.median("dx2").alias("mad2"))
     # mad2 is j or j+0.5 -> mad2*2 = mad4 exact; real MAD = mad2/2
     flagged = (

@@ -35,7 +35,12 @@ def term_table(
         F.transform(tokens(F.col(text_col)), F.lower).alias("_toks"),
     )
     staged = staged.select("id", F.size("_toks").cast("long").alias("doc_len"), "_toks")
-    return (
+    from polars_grouper_spark.plans.iteration import truncate_lineage
+
+    # The postings table is consumed by document-frequency aggregation
+    # AND the scoring join in every caller — materialize once so the
+    # corpus scan + explode never replays per consumer.
+    return truncate_lineage(
         staged.select("id", "doc_len", F.explode("_toks").alias("term"))
         .groupBy("id", "doc_len", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))

@@ -527,12 +527,17 @@ def pmi_pairs(
     """
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
-    staged = df.select(tokens(F.col(text_col)).alias("_toks"))
+    # staged feeds unigram AND bigram extraction; uni feeds the total,
+    # and both sides of the PMI join — materialize the token arrays once.
+    from polars_grouper_spark.plans.iteration import truncate_lineage
+
+    staged = truncate_lineage(df.select(tokens(F.col(text_col)).alias("_toks")))
     uni = (
         staged.select(F.explode("_toks").alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    uni = truncate_lineage(uni)
     n_uni = uni.agg(F.sum("n")).first()[0] or 0
     bi = staged.select(
         F.explode(

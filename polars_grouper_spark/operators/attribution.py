@@ -61,9 +61,16 @@ def linear_attribution(
         F.col(ts_col).alias("_tts"),
         F.col(id_col).alias("touch_id"),
     )
-    pairs = c.join(t, "_u").where(
-        (F.col("_tts") < F.col("_cts"))
-        & (F.col("_tts") >= F.col("_cts") - F.lit(window_seconds))
+    from ..plans.iteration import truncate_lineage
+
+    # The joined pair set feeds both the per-conversion count and the
+    # credit rows — materialize once instead of running the user join
+    # twice (and re-scanning both inputs).
+    pairs = truncate_lineage(
+        c.join(t, "_u").where(
+            (F.col("_tts") < F.col("_cts"))
+            & (F.col("_tts") >= F.col("_cts") - F.lit(window_seconds))
+        )
     )
     counts = pairs.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_touches"))
     return (

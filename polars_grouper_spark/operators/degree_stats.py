@@ -27,9 +27,13 @@ from pyspark.sql import functions as F
 
 
 def _degrees(df: DataFrame, src: str, dst: str, directed: bool) -> DataFrame:
+    from ..plans.iteration import truncate_lineage
+
     s = F.col(src).cast("string")
     d = F.col(dst).cast("string")
-    edges = (
+    # Referenced once or twice (both endpoints in undirected mode) —
+    # checkpoint so the dedup isn't recomputed per endpoint branch.
+    edges = truncate_lineage(
         df.where(s.isNotNull() & d.isNotNull() & (s != d))
         .select(s.alias("u"), d.alias("v"))
         .distinct()

@@ -39,8 +39,11 @@ def peak_concurrency(
     is ``cum_starts(≤ t) − cum_ends(< t)``; both cumulative sums are
     windows over the per-tick aggregate table (two rows per interval at
     most), never the raw data twice."""
+    from ..plans.iteration import truncate_lineage
+
     s, e = F.col(start_col), F.col(end_col)
-    base = df.where(s.isNotNull() & e.isNotNull() & (e >= s))
+    # base feeds both tick unions and the interval count — materialize.
+    base = truncate_lineage(df.where(s.isNotNull() & e.isNotNull() & (e >= s)))
     gcols = [group_col] if group_col else []
     ticks = (
         base.select(*gcols, s.alias("t"), F.lit(1).alias("st"), F.lit(0).alias("en"))

@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.iteration import truncate_lineage
 from .triangles import _interned_edges
 
 
@@ -194,7 +195,9 @@ def project_bipartite(
     """
     a = F.col(anchor).cast("string")
     it = F.col(item).cast("string")
-    pairs = (
+    # The distinct pair table feeds the degree cap and BOTH self-join
+    # sides — materialize once.
+    pairs = truncate_lineage(
         df.where(a.isNotNull() & it.isNotNull())
         .select(a.alias("anchor"), it.alias("item"))
         .distinct()

@@ -54,7 +54,11 @@ def modularity(
 
     ca = asg.select(F.col("n").alias("a"), F.col("c").alias("ca"))
     cb = asg.select(F.col("n").alias("b"), F.col("c").alias("cb"))
-    tagged = edges.join(ca, "a").join(cb, "b")
+    from ..plans.iteration import truncate_lineage
+
+    # tagged feeds the count, the intra filter and both degree branches
+    # — materialize once (the count doubles as the materializing action).
+    tagged = truncate_lineage(edges.join(ca, "a").join(cb, "b"))
 
     m = tagged.count()
     if m == 0:
@@ -176,7 +180,10 @@ def conductance(
     ).distinct()
     ca = asg.select(F.col("n").alias("a"), F.col("c").alias("ca"))
     cb = asg.select(F.col("n").alias("b"), F.col("c").alias("cb"))
-    tagged = edges.join(ca, "a").join(cb, "b")
+    from ..plans.iteration import truncate_lineage
+
+    # tagged feeds cut and both volume branches — materialize once.
+    tagged = truncate_lineage(edges.join(ca, "a").join(cb, "b"))
 
     cut = (
         tagged.where(F.col("ca") != F.col("cb"))
@@ -190,6 +197,7 @@ def conductance(
         .groupBy("c")
         .agg(F.count(F.lit(1)).alias("volume"))
     )
+    vol = truncate_lineage(vol)
     total = vol.agg(F.sum("volume").alias("tv"))
     other = F.col("tv") - F.col("volume")
     mn = F.least(F.col("volume"), other)

@@ -58,8 +58,14 @@ def negative_samples(
     e = edges.where(s.isNotNull() & d.isNotNull()).select(
         s.alias("u"), d.alias("v")
     )
-    und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
-    nodes = und.select(F.col("u").alias("n")).distinct()
+    from ..plans.iteration import truncate_lineage
+
+    # und feeds the rejection anti join AND the node extraction; nodes
+    # feeds three branches (count, buckets, draws) — materialize both.
+    und = truncate_lineage(
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    )
+    nodes = truncate_lineage(und.select(F.col("u").alias("n")).distinct())
     n_nodes = nodes.count()
     B = max(n_nodes // bucket_factor, 1)
 

@@ -59,11 +59,16 @@ def _clean_edges(df: DataFrame, src: str, dst: str) -> "tuple[DataFrame, DataFra
     cleaned = df.where(s.isNotNull() & d.isNotNull() & (s != d)).select(
         s.alias("s"), d.alias("d")
     )
-    hashed = cleaned.select(
-        F.xxhash64("s").alias("u"), F.xxhash64("d").alias("v"), "s", "d"
+    # hashed feeds both outputs, and edges/names are re-referenced by
+    # the FW-BW loop and the final label join — checkpoint each once so
+    # the source is scanned a single time (not per downstream branch).
+    hashed = truncate_lineage(
+        cleaned.select(
+            F.xxhash64("s").alias("u"), F.xxhash64("d").alias("v"), "s", "d"
+        )
     )
-    edges = hashed.select("u", "v").distinct()
-    names = (
+    edges = truncate_lineage(hashed.select("u", "v").distinct())
+    names = truncate_lineage(
         hashed.select(F.col("u").alias("id"), F.col("s").alias("node"))
         .unionAll(hashed.select(F.col("v").alias("id"), F.col("d").alias("node")))
         .distinct()

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.iteration import truncate_lineage
+
 
 def _canonical_edges(df: DataFrame, src: str, dst: str) -> DataFrame:
     """Distinct undirected edges (a < b, string order), nulls and
@@ -53,19 +55,28 @@ def _interned_edges(
     cleaned = df.where(s.isNotNull() & d.isNotNull() & (s != d)).select(
         s.alias("s"), d.alias("d")
     )
-    hashed = cleaned.select(
-        F.xxhash64("s").alias("hs"),
-        F.xxhash64("d").alias("hd"),
-        F.col("s"),
-        F.col("d"),
+    # hashed feeds both outputs below; checkpoint it so the source is
+    # scanned once total (not once per output's own checkpoint).
+    hashed = truncate_lineage(
+        cleaned.select(
+            F.xxhash64("s").alias("hs"),
+            F.xxhash64("d").alias("hd"),
+            F.col("s"),
+            F.col("d"),
+        )
     )
-    edges = (
+    # Both outputs are referenced MANY times downstream (degrees,
+    # orientation, wedge close, name join-back; k-core/k-truss rounds) —
+    # materialize once, or Spark recomputes the whole derivation per
+    # reference (measured live: the part co-purchase triangle plan
+    # scanned the source parquet 70x before this checkpoint).
+    edges = truncate_lineage(
         hashed.select(
             F.least("hs", "hd").alias("a"), F.greatest("hs", "hd").alias("b")
         )
         .distinct()
     )
-    names = (
+    names = truncate_lineage(
         hashed.select(F.col("hs").alias("id"), F.col("s").alias("node"))
         .unionAll(hashed.select(F.col("hd").alias("id"), F.col("d").alias("node")))
         .distinct()

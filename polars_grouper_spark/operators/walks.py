@@ -557,6 +557,12 @@ def skipgram_pairs(
     """
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
+    from ..plans.iteration import truncate_lineage
+
+    # The walk table is self-joined (two references) and is usually the
+    # product of an iterative generator — materialize it once so the
+    # generation pipeline doesn't replay per join side.
+    walks = truncate_lineage(walks.select("walk_id", "step", "node"))
     a, b = walks.alias("a"), walks.alias("b")
     d = F.col("b.step") - F.col("a.step")
     pairs = a.join(
@@ -566,7 +572,8 @@ def skipgram_pairs(
         & (d <= window),
     ).select(F.col("a.node").alias("x"), F.col("b.node").alias("y"))
     # emit both directions so the pair table is symmetric, like word2vec's
-    # center/context windows
+    # center/context windows (pairs is referenced twice — materialized)
+    pairs = truncate_lineage(pairs)
     sym = pairs.unionAll(pairs.select(F.col("y").alias("x"), F.col("x").alias("y")))
     return (
         sym.groupBy(F.col("x").alias("center"), F.col("y").alias("context"))
