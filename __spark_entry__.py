@@ -5951,6 +5951,7 @@ def _markov_events_sql() -> str:
 
 
 _KNN_LABEL_K = 7
+_KNN_LABEL_CAP = 500
 
 
 def q_knn_label_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5958,11 +5959,15 @@ def q_knn_label_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     knn_label_check`` — the Confident-Learning-style mislabel
     shortlist): each labelled embedding voted on by its 7 nearest
     labelled neighbors, flagged when its own label loses.  Exact-cosine
-    candidates here (oracle parity); the audit consumes IVF/LSH pairs
-    unchanged at corpus scale."""
+    candidates over a BOUNDED audit slice (vec_id < 500 — exactness is
+    quadratic by design, so the demo caps the corpus; the oracle caps
+    identically); at corpus scale the audit consumes IVF/LSH candidate
+    pairs unchanged."""
     from polars_grouper_spark.functions.similarity import knn_label_check
 
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir).where(
+        F.col("vec_id") < _KNN_LABEL_CAP
+    )
     return knn_label_check(emb, k=_KNN_LABEL_K)
 
 
@@ -5970,7 +5975,8 @@ def _knn_label_check_sql() -> str:
     from polars_grouper_spark.functions.similarity import knn_label_check_sql
 
     return knn_label_check_sql(
-        "SELECT * FROM embeddings", "vec_id", "embedding", "label",
+        f"SELECT * FROM embeddings WHERE vec_id < {_KNN_LABEL_CAP}",
+        "vec_id", "embedding", "label",
         k=_KNN_LABEL_K,
     )
 
