@@ -254,3 +254,91 @@ def weighted_sample_topk_sql(
         f"CAST({h} AS DOUBLE) / CAST({weight_expr} AS DOUBLE), "
         f"CAST({id_expr} AS VARCHAR))"
     )
+
+
+def balanced_sample(
+    df: DataFrame,
+    class_col: str,
+    id_col: str = "doc_id",
+    salt: str = "balance",
+    *,
+    per_class: "int | None" = None,
+    portable: bool = True,
+) -> DataFrame:
+    """Deterministic class-balanced downsample -> the input rows with
+    every class cut to the SAME size: ``per_class`` rows per class, or
+    (default) the minority-class count.
+
+    The class-imbalance fix for training sets, with no RNG and no
+    collect: rows rank within their class by (salted portable hash, id)
+    — a uniform deterministic order — and keep ``rank <= cap``.  The cap
+    is the global ``min`` of per-class counts, computed by a window over
+    the already-grouped counts (metadata-sized, one row per class), so
+    the whole operator is ONE shuffle on the class key plus the
+    window's rank pass — no driver round-trip, and re-running with the
+    same salt reproduces the exact sample on any engine.
+
+    Skew posture: the rank window partitions on the class column, so a
+    dominant class concentrates on one reducer — unavoidable for exact
+    per-class ranking; at 100 TB pre-filter with
+    :func:`stratified_sample` to an approximate target first, then
+    exact-trim here (two-stage sampling), keeping the ranked volume
+    near the final size."""
+    h = portable_hash64(
+        F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")),
+        portable=portable,
+    )
+    base = df.where(F.col(class_col).isNotNull())
+    w_rank = Window.partitionBy(class_col).orderBy(h, F.col(id_col))
+    ranked = base.select("*", F.row_number().over(w_rank).alias("_rn"))
+    if per_class is None:
+        # The cap is the minority-class count — ONE row of metadata.
+        # Computed as agg-of-agg (map-side-combinable counts, then a
+        # 1-row min) and broadcast, never a global window: a
+        # partitionBy()-less window would funnel every row through one
+        # reducer just to learn a single integer.
+        cap = (
+            base.groupBy(class_col)
+            .agg(F.count(F.lit(1)).alias("_csize"))
+            .agg(F.min("_csize").alias("_cap"))
+        )
+        capped = ranked.crossJoin(F.broadcast(cap))
+    else:
+        if per_class < 1:
+            raise ValueError(f"per_class must be >= 1, got {per_class}")
+        capped = ranked.select("*", F.lit(per_class).alias("_cap"))
+    return capped.where(F.col("_rn") <= F.col("_cap")).drop("_rn", "_cap")
+
+
+def balanced_sample_sql(
+    src_sql: str,
+    class_expr: str,
+    id_expr: str,
+    salt: str = "balance",
+    per_class: "int | None" = None,
+) -> str:
+    """DuckDB oracle for :func:`balanced_sample` (same hash order, same
+    min-count cap)."""
+    h = portable_hash64_sql(f"'{salt}' || '|' || CAST({id_expr} AS VARCHAR)")
+    if per_class is None:
+        sized = (
+            "SELECT *, min(csize) OVER () AS cap FROM ("
+            f"SELECT *, max(rn) OVER (PARTITION BY {class_expr}) AS csize"
+            " FROM ranked)"
+        )
+        exclude = "rn, csize, cap"
+    else:
+        if per_class < 1:
+            raise ValueError(f"per_class must be >= 1, got {per_class}")
+        sized = f"SELECT *, {per_class} AS cap FROM ranked"
+        exclude = "rn, cap"
+    return f"""
+WITH src AS ({src_sql}),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY {class_expr} ORDER BY {h}, {id_expr}) AS rn
+  FROM src WHERE {class_expr} IS NOT NULL
+),
+sized AS ({sized})
+SELECT * EXCLUDE ({exclude}) FROM sized WHERE rn <= cap
+"""

@@ -74,6 +74,113 @@ def ewma(
     )
 
 
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    step_s: int = 3600,
+    round_to: int = 6,
+) -> DataFrame:
+    """Resample an irregular per-key series onto a regular ``step_s``
+    grid with forward-fill -> ``(key, bucket_epoch, val)`` — one row per
+    key per grid step from the key's first to last observation, carrying
+    the latest observation at or before that step.
+
+    The gap-filling shape every monitoring / feature-store pipeline
+    needs, with no sequential scan: (1) observations crush to one row
+    per (key, bucket) via a lexicographic struct-max — latest ``ts``
+    wins, value tie-breaks, so the reduction is deterministic under ANY
+    aggregation order and map-side combinable; (2) the grid is generated
+    per key with ``sequence(min_bucket, max_bucket)`` — output-sized,
+    never data-sized; (3) the fill is one ``last(ignoreNulls)`` running
+    window per key.  Two shuffles total (bucket agg, window), both on
+    the key.
+
+    Scale note: grid rows = span/step per key — the caller's ``step_s``
+    is the knob; a key observed over a year at 1 h steps emits 8 760
+    rows regardless of how many billion raw observations it had.
+    Dense-output explosion (tiny step × long span) is the caller's
+    contract, as with any resample."""
+    if step_s < 1:
+        raise ValueError(f"step_s must be >= 1, got {step_s}")
+    v = F.col(value_col).cast("double")
+    base = df.where(
+        F.col(key_col).isNotNull() & F.col(ts_col).isNotNull() & v.isNotNull()
+    ).select(
+        F.col(key_col).alias("key"),
+        F.floor(F.unix_timestamp(F.col(ts_col)) / step_s)
+        .cast("long")
+        .alias("bucket"),
+        F.unix_timestamp(F.col(ts_col)).alias("_ep"),
+        v.alias("_v"),
+    )
+    obs = base.groupBy("key", "bucket").agg(
+        F.max(F.struct(F.col("_ep").alias("t"), F.col("_v").alias("v")))["v"].alias(
+            "_val"
+        )
+    )
+    span = obs.groupBy("key").agg(
+        F.min("bucket").alias("_b0"), F.max("bucket").alias("_b1")
+    )
+    grid = span.select(
+        "key", F.explode(F.sequence("_b0", "_b1")).alias("bucket")
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = grid.join(obs, ["key", "bucket"], "left").select(
+        "key",
+        (F.col("bucket") * step_s).alias("bucket_epoch"),
+        F.round(F.last("_val", ignorenulls=True).over(w), round_to).alias("val"),
+    )
+    return filled
+
+
+def resample_ffill_sql(
+    src_sql: str,
+    key_expr: str,
+    ts_expr: str,
+    value_expr: str,
+    *,
+    step_s: int = 3600,
+    round_to: int = 6,
+) -> str:
+    """DuckDB oracle for :func:`resample_ffill`: identical bucket
+    reduction (struct max), identical per-key ``generate_series`` grid,
+    identical ``last_value IGNORE NULLS`` running fill."""
+    return f"""
+WITH src AS ({src_sql}),
+base AS (
+  SELECT {key_expr} AS key,
+         CAST(floor(epoch({ts_expr}) / {step_s}) AS BIGINT) AS bucket,
+         CAST(floor(epoch({ts_expr})) AS BIGINT) AS ep,
+         CAST({value_expr} AS DOUBLE) AS v
+  FROM src
+  WHERE {key_expr} IS NOT NULL AND {ts_expr} IS NOT NULL
+        AND {value_expr} IS NOT NULL
+),
+obs AS (
+  SELECT key, bucket, (max({{'t': ep, 'v': v}})).v AS val
+  FROM base GROUP BY key, bucket
+),
+span AS (
+  SELECT key, min(bucket) AS b0, max(bucket) AS b1 FROM obs GROUP BY key
+),
+grid AS (
+  SELECT key, unnest(generate_series(b0, b1)) AS bucket FROM span
+)
+SELECT g.key, g.bucket * {step_s} AS bucket_epoch,
+       round(last_value(o.val IGNORE NULLS) OVER (
+         PARTITION BY g.key ORDER BY g.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), {round_to}) AS val
+FROM grid g LEFT JOIN obs o ON o.key = g.key AND o.bucket = g.bucket
+"""
+
+
 def ewma_sql(
     src_sql: str,
     key_expr: str,
