@@ -6197,6 +6197,116 @@ JOIN customer c ON c.c_custkey = o.o_custkey
 """
 
 
+def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from sketches alone
+    (``functions.sketches.cms_inner_product``): |orders ⋈ customer| on
+    custkey estimated from the two CMS cell sets — the cost-based-
+    optimizer primitive that answers "how big is this join?" without
+    running it.  Each side reduces once to a fixed depth×2^width cell
+    set; the estimate joins metadata.  Deterministic overestimate; the
+    oracle replays the identical sketches in SQL."""
+    from polars_grouper_spark.functions.sketches import cms_counts, cms_inner_product
+
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    sk_o = cms_counts(orders, "o_custkey", width_bits=12, depth=4)
+    sk_c = cms_counts(cust, "c_custkey", width_bits=12, depth=4)
+    return cms_inner_product(sk_o, sk_c)
+
+
+def _cms_join_size_sql() -> str:
+    from polars_grouper_spark.functions.sketches import cms_inner_product_sql
+
+    return cms_inner_product_sql(
+        "SELECT o_custkey FROM orders",
+        "o_custkey",
+        "SELECT c_custkey FROM customer",
+        "c_custkey",
+        width_bits=12,
+        depth=4,
+    )
+
+
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k per window: state-store windowed counts through a
+    REAL streaming query (file source → availableNow → memory sink),
+    then the deterministic rank over the tiny sink table — the
+    continuous-aggregate cascade (``streaming.windows.windowed_counts``
+    + ``topk_per_window``).  Rank-over-window is not expressible inside
+    a streaming aggregation, so the split IS the scalable design: the
+    stream does the data-sized counting, the rank runs on
+    windows×keys metadata."""
+    from polars_grouper_spark.streaming.windows import (
+        topk_per_window,
+        windowed_counts,
+    )
+
+    load_table(spark, "events", sf_dir)  # sets the nanosAsLong reader conf
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    counts = windowed_counts(stream, window_duration="6 hours", watermark=None)
+    name = "stream_topk_sink"
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return topk_per_window(spark.table(name), k=3).select(
+        F.unix_timestamp("window_start").alias("win_epoch"),
+        F.col("key").alias("event_type"),
+        "n",
+        "rank",
+    )
+
+
+_STREAM_TOPK_SQL = """
+WITH counts AS (
+  SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS win_epoch,
+         event_type, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT win_epoch, event_type, n, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY win_epoch ORDER BY n DESC, event_type) AS rank
+  FROM counts
+) WHERE rank <= 3
+"""
+
+
+def q_fd_audit_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit (``functions.validate.fd_audit``):
+    does ``l_partkey → l_suppkey`` hold in lineitem?  (It doesn't —
+    parts ship from multiple suppliers; the audit reports how many
+    part keys violate and samples them.)  One grouped aggregation plus
+    metadata rollups; the violation sample is TakeOrdered-bounded."""
+    from polars_grouper_spark.functions.validate import fd_audit
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return fd_audit(li, ["l_partkey"], "l_suppkey")
+
+
+def _fd_audit_lineitem_sql() -> str:
+    from polars_grouper_spark.functions.validate import fd_audit_sql
+
+    return fd_audit_sql(
+        "SELECT l_partkey, l_suppkey FROM lineitem", ["l_partkey"], "l_suppkey"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -6312,6 +6422,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balanced_docs": q_balanced_docs,
         "bloom_join_lineitem": q_bloom_join_lineitem,
         "tpch_q18": q_tpch_q18,
+        "cms_join_size": q_cms_join_size,
+        "stream_topk": q_stream_topk,
+        "fd_audit_lineitem": q_fd_audit_lineitem,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -6549,6 +6662,9 @@ def oracle_sql() -> dict[str, str]:
         "balanced_docs": _balanced_docs_sql(),
         "bloom_join_lineitem": _BLOOM_JOIN_LINEITEM_SQL,
         "tpch_q18": _TPCH_Q18_SQL,
+        "cms_join_size": _cms_join_size_sql(),
+        "stream_topk": _STREAM_TOPK_SQL,
+        "fd_audit_lineitem": _fd_audit_lineitem_sql(),
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,

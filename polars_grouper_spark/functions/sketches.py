@@ -315,6 +315,114 @@ GROUP BY pb.item
 """
 
 
+def cms_inner_product(
+    left_sketch: DataFrame,
+    right_sketch: DataFrame,
+) -> DataFrame:
+    """Estimate the INNER-JOIN OUTPUT SIZE of two keyed datasets from
+    their count-min sketches alone -> one row ``(est_join_size long)``.
+
+    The second classic CMS identity (Cormode & Muthukrishnan 2005 §4.2):
+    for each depth row, ``Σ_buckets cnt_L·cnt_R`` overestimates the true
+    inner product ``Σ_k f_L(k)·f_R(k)`` — which IS ``|L ⋈ R|`` on the
+    sketched key — and the min over depth rows is the estimate.  This is
+    what a cost-based optimizer needs to choose join order/strategy
+    WITHOUT running the join: both inputs reduce to fixed
+    ``depth × 2^width_bits`` cell sets (one map-side-combinable pass
+    each, reusable across many planning questions), and the estimate
+    itself joins sketch cells — metadata, not data.
+
+    Both sketches must come from :func:`cms_counts` with the SAME
+    ``width_bits``/``depth``/``portable``; a depth mismatch is detected
+    from the state (per-side ``max(row)`` falls out of the same
+    aggregation) and raises at collection time — same lazy zero-extra-
+    scan guard contract as :func:`cms_estimate`.  Guaranteed
+    overestimate, never under; error shrinks with width as
+    ``n_L·n_R/2^width_bits``."""
+    joined = left_sketch.select(
+        "row", "bucket", F.col("cnt").alias("cnt_l")
+    ).join(
+        right_sketch.select("row", "bucket", F.col("cnt").alias("cnt_r")),
+        ["row", "bucket"],
+        "full",
+    )
+    per_row = joined.groupBy("row").agg(
+        F.sum(
+            F.coalesce("cnt_l", F.lit(0)) * F.coalesce("cnt_r", F.lit(0))
+        ).alias("dot"),
+        F.max(F.when(F.col("cnt_l").isNotNull(), F.col("row"))).alias("_lrow"),
+        F.max(F.when(F.col("cnt_r").isNotNull(), F.col("row"))).alias("_rrow"),
+    )
+    agg = per_row.agg(
+        F.min("dot").alias("est_join_size"),
+        F.max("_lrow").alias("_lmax"),
+        F.max("_rrow").alias("_rmax"),
+    )
+    # An empty side (no sketch cells at all) is a legitimate 0-estimate,
+    # not a params mismatch.
+    params_ok = (
+        F.col("_lmax").isNull()
+        | F.col("_rmax").isNull()
+        | (F.col("_lmax") == F.col("_rmax"))
+    )
+    err = F.concat(
+        F.lit("depth mismatch: left sketch max row "),
+        F.col("_lmax").cast("string"),
+        F.lit(" != right "),
+        F.col("_rmax").cast("string"),
+        F.lit(" -- build both with the same cms_counts params"),
+    )
+    return agg.select(
+        F.when(params_ok, F.col("est_join_size"))
+        .otherwise(F.raise_error(err).cast("long"))
+        .alias("est_join_size")
+    )
+
+
+def cms_inner_product_sql(
+    left_sql: str,
+    left_expr: str,
+    right_sql: str,
+    right_expr: str,
+    *,
+    width_bits: int = 12,
+    depth: int = 4,
+) -> str:
+    """DuckDB oracle for :func:`cms_inner_product`: build both identical
+    sketches and take the min-over-rows of the bucket-wise dot."""
+    from .hashing import portable_hash64_sql
+
+    w = 1 << width_bits
+    h_l = portable_hash64_sql(
+        f"CAST(r.row AS VARCHAR) || '|' || CAST({left_expr} AS VARCHAR)"
+    )
+    h_r = portable_hash64_sql(
+        f"CAST(r.row AS VARCHAR) || '|' || CAST({right_expr} AS VARCHAR)"
+    )
+    return f"""
+WITH rows_t AS (SELECT unnest(range({depth})) AS row),
+lcells AS (
+  SELECT r.row AS row, {h_l} % {w} AS bucket, count(*)::BIGINT AS cnt
+  FROM ({left_sql}) l, rows_t r
+  WHERE {left_expr} IS NOT NULL GROUP BY 1, 2
+),
+rcells AS (
+  SELECT r.row AS row, {h_r} % {w} AS bucket, count(*)::BIGINT AS cnt
+  FROM ({right_sql}) rt, rows_t r
+  WHERE {right_expr} IS NOT NULL GROUP BY 1, 2
+),
+dots AS (
+  SELECT l.row, sum(l.cnt * rc.cnt)::BIGINT AS dot
+  FROM lcells l JOIN rcells rc ON rc.row = l.row AND rc.bucket = l.bucket
+  GROUP BY 1
+)
+-- a depth row with ZERO overlapping buckets has true dot 0 and must
+-- participate in the min (the Spark plan's full-outer join keeps it)
+SELECT min(coalesce(d.dot, 0))::BIGINT AS est_join_size
+FROM rows_t r LEFT JOIN dots d ON d.row = r.row
+"""
+
+
 def hist_registers(
     df: DataFrame,
     col: Column | str,

@@ -204,3 +204,90 @@ SELECT c.n_child, c.n_null_keys, o.n_orphans,
        o.sample_orphan_keys
 FROM counts c, orph o
 """
+
+
+def fd_audit(
+    df,
+    determinant_cols: "list[str]",
+    dependent_col: str,
+    *,
+    sample_violations: int = 5,
+):
+    """Functional-dependency audit: does ``determinant_cols → dependent_col``
+    hold?  -> one row ``(n_groups, n_violating_groups, fd_holds,
+    sample_keys)``.
+
+    The schema-discovery / data-contract primitive ("is product_id →
+    product_name actually a function?") run BEFORE trusting a dimension
+    join or a dedup-by-key.  One aggregation: group by the determinant,
+    ``count(distinct dependent)`` per group (map-side partial on the
+    grouped shuffle), then a metadata-sized rollup; the violation sample
+    is a bounded sorted slice of group keys, never a data collect.
+
+    Nulls: rows with a NULL determinant component are excluded (SQL
+    grouping would conflate them); a NULL dependent counts as a distinct
+    value (a key mapping to both NULL and 'x' violates the FD).
+    """
+    from pyspark.sql import functions as F
+
+    notnull = F.lit(True)
+    for c in determinant_cols:
+        notnull = notnull & F.col(c).isNotNull()
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in determinant_cols])
+    per_group = (
+        df.where(notnull)
+        .groupBy(key.alias("_key"))
+        .agg(
+            F.count_distinct(
+                F.coalesce(F.col(dependent_col).cast("string"), F.lit("\x00null"))
+            ).alias("_nvals")
+        )
+    )
+    viol = per_group.where(F.col("_nvals") > 1)
+    # TakeOrdered (orderBy+limit) bounds the sample BEFORE any collect —
+    # a wildly-violating FD still only moves sample_violations keys.
+    sample = (
+        viol.orderBy("_key")
+        .limit(sample_violations)
+        .agg(F.sort_array(F.collect_list("_key")).alias("sample"))
+    )
+    counts = per_group.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum((F.col("_nvals") > 1).cast("long")).alias("n_violating_groups"),
+    )
+    return counts.crossJoin(sample).select(
+        "n_groups",
+        "n_violating_groups",
+        (F.col("n_violating_groups") == 0).alias("fd_holds"),
+        F.array_join("sample", ",").alias("sample_keys"),
+    )
+
+
+def fd_audit_sql(
+    src_sql: str,
+    determinant_exprs: "list[str]",
+    dependent_expr: str,
+    *,
+    sample_violations: int = 5,
+) -> str:
+    """DuckDB oracle for :func:`fd_audit`."""
+    notnull = " AND ".join(f"{e} IS NOT NULL" for e in determinant_exprs)
+    key = " || '|' || ".join(f"CAST({e} AS VARCHAR)" for e in determinant_exprs)
+    return f"""
+WITH src AS ({src_sql}),
+per_group AS (
+  SELECT {key} AS k,
+         count(DISTINCT coalesce(CAST({dependent_expr} AS VARCHAR), chr(1))) AS nvals
+  FROM src WHERE {notnull} GROUP BY 1
+),
+viol AS (SELECT k FROM per_group WHERE nvals > 1),
+samp AS (
+  SELECT coalesce(string_agg(k, ','), '') AS sample_keys
+  FROM (SELECT k FROM viol ORDER BY k LIMIT {sample_violations})
+)
+SELECT (SELECT count(*) FROM per_group)::BIGINT AS n_groups,
+       (SELECT count(*) FROM viol)::BIGINT AS n_violating_groups,
+       (SELECT count(*) FROM viol) = 0 AS fd_holds,
+       sample_keys
+FROM samp
+"""

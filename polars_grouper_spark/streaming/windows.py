@@ -101,3 +101,47 @@ def streaming_dedup(
     if df.isStreaming:
         return _watermarked(df, ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
     return df.dropDuplicates(key_cols)
+
+
+def windowed_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_duration: str = "1 hour",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Per-(window, key) counts — the state-store-shaped half of a
+    streaming top-k (state: one counter per live (window, key), bounded
+    by the watermark horizon).  Ranking is NOT expressible inside a
+    streaming aggregation (no rank-over-window on update streams), so
+    top-k composes as this aggregation -> sink -> :func:`topk_per_window`
+    over the (tiny) sink table — the continuous-aggregate cascade, where
+    the expensive data-sized work happens in the stream and the rank
+    runs over rows(windows)·rows(keys) metadata."""
+    if df.isStreaming and watermark:
+        df = _watermarked(df, ts_col, watermark)
+    win = F.window(F.col(ts_col), window_duration)
+    return (
+        df.groupBy(win.alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col(key_col).alias("key"),
+            "n",
+        )
+    )
+
+
+def topk_per_window(counts: DataFrame, k: int = 3) -> DataFrame:
+    """Deterministic top-k per window over a (window_start, key, n)
+    counts table: rank by (n desc, key asc) — total order, so ties break
+    identically on any engine."""
+    from pyspark.sql import Window as W
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = W.partitionBy("window_start").orderBy(F.col("n").desc(), F.col("key"))
+    return (
+        counts.select("*", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= k)
+    )
