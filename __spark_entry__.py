@@ -6307,6 +6307,54 @@ def _fd_audit_lineitem_sql() -> str:
     )
 
 
+def q_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level source similarity (``functions.dedup.
+    group_minhash_similarity``): estimated shingle-set Jaccard between
+    every pair of document SOURCES, without comparing any two documents
+    — MinHash signatures are union-homomorphic, so a whole source's
+    signature falls out of the same one-pass map-side-combinable
+    aggregation as a per-doc signature.  The "which crawls mirror each
+    other" question at one-scan cost."""
+    from polars_grouper_spark.functions.dedup import group_minhash_similarity
+
+    docs = load_table(spark, "documents", sf_dir)
+    return group_minhash_similarity(docs, "source", "text", num_hashes=32)
+
+
+def _source_similarity_sql() -> str:
+    from polars_grouper_spark.functions.dedup import group_minhash_similarity_sql
+
+    return group_minhash_similarity_sql(
+        "SELECT source, text FROM documents", "source", "text", num_hashes=32
+    )
+
+
+def q_ab_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B analysis (``functions.experiment.ab_test``):
+    users hash-assigned 50/50 (stable across runs/engines — the
+    unit-of-randomization contract), conversion = any purchase event,
+    compared with the pooled two-proportion z-test.  One scan + one
+    user-keyed shuffle; the statistic is closed-form over exact counts,
+    reproduced bit-for-bit by the oracle.  (The variants see the same
+    traffic, so z ≈ 0 — an A/A test, which is itself the standard
+    validity check.)"""
+    from polars_grouper_spark.functions.experiment import ab_test
+
+    ev = load_table(spark, "events", sf_dir)
+    return ab_test(ev, "user_id", F.col("event_type") == "purchase", salt="exp1")
+
+
+def _ab_test_events_sql() -> str:
+    from polars_grouper_spark.functions.experiment import ab_test_sql
+
+    return ab_test_sql(
+        "SELECT user_id, event_type FROM events",
+        "user_id",
+        "event_type = 'purchase'",
+        salt="exp1",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -6425,6 +6473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_join_size": q_cms_join_size,
         "stream_topk": q_stream_topk,
         "fd_audit_lineitem": q_fd_audit_lineitem,
+        "source_similarity": q_source_similarity,
+        "ab_test_events": q_ab_test_events,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -6665,6 +6715,8 @@ def oracle_sql() -> dict[str, str]:
         "cms_join_size": _cms_join_size_sql(),
         "stream_topk": _STREAM_TOPK_SQL,
         "fd_audit_lineitem": _fd_audit_lineitem_sql(),
+        "source_similarity": _source_similarity_sql(),
+        "ab_test_events": _ab_test_events_sql(),
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from polars_grouper_spark.functions.hashing import (
     HASH_SPACE,
     hash_pair64,
+    hash_pair64_sql,
     portable_hash64,
     portable_hash64_sql,
 )
@@ -1009,4 +1010,109 @@ SELECT w.id, w.n_windows,
        coalesce(d.n_dup_windows, 0)::BIGINT AS n_dup_windows,
        round(coalesce(d.n_dup_windows, 0) / w.n_windows, 6) AS dup_fraction
 FROM n_win w LEFT JOIN n_dup d USING (id)
+"""
+
+
+def group_minhash_similarity(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    portable: bool = True,
+) -> DataFrame:
+    """Corpus-level similarity between GROUPS of documents (sources,
+    domains, snapshots, languages) -> ``(group_a, group_b,
+    est_jaccard)`` for every group pair — WITHOUT comparing any two
+    documents.
+
+    MinHash is a union-homomorphism: the signature of a union of sets is
+    the element-wise min of signatures, so a whole group's shingle-set
+    signature comes out of the SAME one-pass aggregation as a per-doc
+    signature, just grouped by the group key (map-side combinable; the
+    corpus reduces to groups × num_hashes rows of state).  Pairwise
+    estimated Jaccard between group vocabularies is then the agreeing-
+    permutation fraction over metadata — the data is scanned ONCE no
+    matter how many groups or pairs.
+
+    This answers "how much does crawl-B overlap crawl-A?" /
+    "which sources are near-mirrors?" at 100 TB for the cost of one
+    shingle scan.  The pair join is all-pairs over GROUPS (g²·H rows);
+    for g beyond ~10³, band the group signatures through
+    :func:`minhash_lsh_pairs`'s LSH instead of enumerating pairs."""
+    assert num_hashes <= 64, "num_hashes > 64 risks 64-bit overflow in the hash mix"
+    sh = _shingle_table(df, group_col, text_col, shingle_n)
+    h1, h2 = hash_pair64(F.col("shingle"), portable=portable)
+    hashed = (
+        sh.select("id", h1.alias("h1"), h2.alias("h2"))
+        .select(
+            "id",
+            "h1",
+            "h2",
+            F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("perm"),
+        )
+        .select(
+            "id",
+            "perm",
+            F.pmod(F.col("h1") + F.col("perm") * F.col("h2"), F.lit(HASH_SPACE)).alias(
+                "h"
+            ),
+        )
+    )
+    sig = hashed.groupBy("id", "perm").agg(F.min("h").alias("minhash"))
+    a = sig.select(
+        F.col("id").alias("group_a"), "perm", F.col("minhash").alias("mh_a")
+    )
+    b = sig.select(
+        F.col("id").alias("group_b"), "perm", F.col("minhash").alias("mh_b")
+    )
+    return (
+        a.join(b, "perm")
+        .where(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(
+            F.round(
+                F.sum((F.col("mh_a") == F.col("mh_b")).cast("int"))
+                / F.lit(num_hashes),
+                6,
+            ).alias("est_jaccard")
+        )
+    )
+
+
+def group_minhash_similarity_sql(
+    src_sql: str,
+    group_expr: str,
+    text_expr: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> str:
+    """DuckDB oracle for :func:`group_minhash_similarity` — identical
+    tokenization, shingling, hash mix, and agreement fraction."""
+    h1, h2 = hash_pair64_sql("shingle")
+    return f"""
+WITH sh AS (
+  SELECT id, unnest(list_distinct(
+    CASE WHEN len(toks) >= {shingle_n}
+         THEN list_transform(range(1, len(toks) - {shingle_n} + 2),
+                             i -> array_to_string(toks[i : i + {shingle_n} - 1], ' '))
+         WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+         ELSE [] END)) AS shingle
+  FROM (
+    SELECT {group_expr} AS id,
+           list_filter(string_split_regex(trim({text_expr}), '\\s+'), x -> x <> '') AS toks
+    FROM ({src_sql})
+  )
+),
+hp AS (SELECT id, {h1} AS h1, {h2} AS h2 FROM sh),
+sig AS (
+  SELECT id, perm, min((h1 + perm * h2) % {1 << 60}) AS minhash
+  FROM hp, range({num_hashes}) r(perm)
+  GROUP BY id, perm
+)
+SELECT a.id AS group_a, b.id AS group_b,
+       round(sum(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END)
+             / {num_hashes}.0, 6) AS est_jaccard
+FROM sig a JOIN sig b ON b.perm = a.perm AND a.id < b.id
+GROUP BY 1, 2
 """
