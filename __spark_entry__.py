@@ -6355,6 +6355,28 @@ def _ab_test_events_sql() -> str:
     )
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (``functions.bpe.bpe_train``,
+    Sennrich 2016): the first 8 learned merges over the document corpus.
+    One corpus scan reduces to the VOCABULARY (distinct words + counts —
+    metadata next to the corpus); every merge round is then a
+    vocab-local pair count + 1-row TakeOrdered + one anchored string
+    ``replace`` (greedy left-to-right merge semantics come free from
+    ``replace``'s contract, identically on both engines).  Ties break
+    by (count desc, pair asc) so the learned tokenizer is bit-identical
+    under any partitioning."""
+    from polars_grouper_spark.functions.bpe import bpe_train
+
+    docs = load_table(spark, "documents", sf_dir)
+    return bpe_train(docs, "text", n_merges=8)
+
+
+def _bpe_merges_sql() -> str:
+    from polars_grouper_spark.functions.bpe import bpe_train_sql
+
+    return bpe_train_sql("SELECT text FROM documents", "text", n_merges=8)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -6475,6 +6497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_audit_lineitem": q_fd_audit_lineitem,
         "source_similarity": q_source_similarity,
         "ab_test_events": q_ab_test_events,
+        "bpe_merges": q_bpe_merges,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -6717,6 +6740,7 @@ def oracle_sql() -> dict[str, str]:
         "fd_audit_lineitem": _fd_audit_lineitem_sql(),
         "source_similarity": _source_similarity_sql(),
         "ab_test_events": _ab_test_events_sql(),
+        "bpe_merges": _bpe_merges_sql(),
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,

@@ -1,0 +1,219 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016).
+
+The tokenizer-training half of an LLM data pipeline: learn the
+most-frequent-symbol-pair merges from the corpus itself.  The classic
+algorithm is a sequential loop over a Python dict; the Spark-first
+reshape exploits that after ONE corpus scan, everything operates on the
+VOCABULARY (distinct words + counts) — metadata next to the corpus —
+so each merge round is a vocab-local aggregation, not a corpus pass:
+
+1. One scan: tokenize, group words, count — the only data-sized step.
+   Each word becomes a symbol string ``"·h ·e ·l ·l ·o "`` (every
+   symbol sentinel-prefixed with ``·`` and space-terminated).
+2. Per round: adjacent-pair counts weighted by word frequency
+   (map-side-combinable sum over the vocab), top-1 by
+   ``(count desc, pair asc)`` — a 1-row TakeOrdered collect, the same
+   bounded-metadata driver loop as Lloyd's centroids — then ONE
+   ``replace`` over the vocab's symbol strings.
+
+Greedy left-to-right non-overlapping merge semantics come FOR FREE
+from string ``replace``: the search pattern ``"<left> <right> "`` is
+anchored at symbol starts by the sentinel and consumed left-to-right,
+which is exactly BPE's merge rule (``"·a ·a ·a "`` merging (·a,·a)
+yields ``"·aa ·a "``).  Both engines' ``replace`` share this contract,
+which is what makes the SQL oracle possible.
+
+At 100 TB: the corpus scan dominates; vocab rounds are free by
+comparison.  (Production BPE trainers count pairs on a corpus sample
+for the same reason — pass a sampled ``df`` if even one scan is too
+much.)  Words containing the sentinel character are dropped (they
+would break symbol-boundary anchoring); real corpora don't contain
+U+00B7 in words.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+SENTINEL = "·"  # ·
+
+
+def _word_symbols(df: DataFrame, text_col: str) -> DataFrame:
+    """One corpus scan -> vocabulary ``(s string, n long)`` where ``s``
+    is the sentinel-prefixed space-terminated symbol string."""
+    words = df.select(
+        F.explode(tokens(F.col(text_col))).alias("w")
+    ).where(~F.col("w").contains(SENTINEL))
+    sym = F.concat(
+        F.array_join(
+            F.transform(
+                F.expr("regexp_extract_all(w, '.', 0)"),
+                lambda ch: F.concat(F.lit(SENTINEL), ch),
+            ),
+            " ",
+        ),
+        F.lit(" "),
+    )
+    return words.groupBy(sym.alias("s")).agg(F.count(F.lit(1)).alias("n"))
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges -> ``(merge_idx, left, right,
+    merged, pair_count)`` rows in merge order (symbols carry the ``·``
+    sentinel on their first character).
+
+    Deterministic: ties break by ``(left, right)`` ascending, so the
+    learned tokenizer is bit-identical on any engine or partitioning.
+    Stops early if no adjacent pair remains."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    vocab = _word_symbols(df, text_col)
+    # The vocab feeds every round; materialize it once (vocab-sized).
+    vocab = vocab.localCheckpoint(eager=True)
+    spark = df.sparkSession
+    merges = []
+    for i in range(n_merges):
+        arr = F.filter(F.split("s", " "), lambda t: t != F.lit(""))
+        sz = F.size(arr)
+        pairs = vocab.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(arr, 1, sz - 1).alias("l"),
+                    F.slice(arr, 2, sz - 1).alias("r"),
+                )
+            ).alias("p"),
+            "n",
+        ).select(F.col("p.l").alias("l"), F.col("p.r").alias("r"), "n")
+        top = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("n").alias("c"))
+            .orderBy(F.col("c").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        lhs, rhs, cnt = top[0]["l"], top[0]["r"], top[0]["c"]
+        merged = lhs + rhs[1:]  # strip the right symbol's sentinel
+        merges.append((i + 1, lhs, rhs, merged, cnt))
+        vocab = vocab.select(
+            F.replace(
+                F.col("s"),
+                F.lit(f"{lhs} {rhs} "),
+                F.lit(f"{merged} "),
+            ).alias("s"),
+            "n",
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges,
+        "merge_idx int, lhs string, rhs string, merged string, pair_count long",
+    )
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: "list[tuple]",
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Encode text with a learned merge list (rows of
+    :func:`bpe_train` as ``(merge_idx, lhs, rhs, merged, _)`` in merge
+    order) -> input rows plus ``out_col array<string>`` of BPE tokens.
+    Every CHARACTER carries the ``·`` sentinel (it anchors symbol
+    boundaries for the merge ``replace``), so a token's text is
+    recovered by stripping sentinels; tokens never span words (words
+    encode independently and concatenate).
+
+    The merge chain compiles to ONE projection of chained ``replace``
+    calls inside a per-word lambda — row-local, scan-speed, no shuffle,
+    no UDF."""
+
+    def encode_word(w):
+        sym = F.concat(
+            F.array_join(
+                F.transform(_chars(w), lambda ch: F.concat(F.lit(SENTINEL), ch)),
+                " ",
+            ),
+            F.lit(" "),
+        )
+        enc = sym
+        for row in merges:
+            lhs, rhs, merged = row[1], row[2], row[3]
+            enc = F.replace(enc, F.lit(f"{lhs} {rhs} "), F.lit(f"{merged} "))
+        return F.filter(F.split(enc, " "), lambda t: t != F.lit(""))
+
+    return df.select(
+        "*",
+        F.flatten(
+            F.transform(
+                F.filter(
+                    tokens(F.col(text_col)), lambda w: ~w.contains(SENTINEL)
+                ),
+                encode_word,
+            )
+        ).alias(out_col),
+    )
+
+
+def _chars(col):
+    return F.regexp_extract_all(col, F.lit("."), F.lit(0))
+
+
+def bpe_train_sql(
+    src_sql: str,
+    text_expr: str = "text",
+    n_merges: int = 8,
+) -> str:
+    """DuckDB oracle for :func:`bpe_train`: the same vocabulary CTE and
+    ``n_merges`` mechanically-nested rounds — each round's top pair is a
+    1-row CTE, each next vocabulary applies the same anchored
+    ``replace``."""
+    s = SENTINEL
+    parts = [
+        f"""
+WITH corpus AS ({src_sql}),
+w0 AS (
+  SELECT list_aggregate(list_transform(regexp_extract_all(w, '.'),
+                                       c -> '{s}' || c),
+                        'string_agg', ' ') || ' ' AS s,
+         count(*)::BIGINT AS n
+  FROM (
+    SELECT unnest(list_filter(string_split_regex(trim({text_expr}), '\\s+'),
+                              x -> x <> '')) AS w
+    FROM corpus
+  )
+  WHERE NOT contains(w, '{s}')
+  GROUP BY 1
+)"""
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f""",
+p{i} AS (
+  SELECT l, r, sum(n)::BIGINT AS c FROM (
+    SELECT syms[i] AS l, syms[i + 1] AS r, n FROM (
+      SELECT syms, n, unnest(range(1, len(syms))) AS i
+      FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS syms, n
+            FROM w{i})
+    )
+  ) GROUP BY l, r ORDER BY c DESC, l, r LIMIT 1
+),
+w{i + 1} AS (
+  SELECT replace(w.s, p.l || ' ' || p.r || ' ',
+                 p.l || substr(p.r, 2) || ' ') AS s, w.n
+  FROM w{i} w, p{i} p
+)"""
+        )
+    selects = [
+        f"SELECT {i + 1} AS merge_idx, l AS lhs, r AS rhs,"
+        f" l || substr(r, 2) AS merged, c AS pair_count FROM p{i}"
+        for i in range(n_merges)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
