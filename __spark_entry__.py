@@ -6377,6 +6377,49 @@ def _bpe_merges_sql() -> str:
     return bpe_train_sql("SELECT text FROM documents", "text", n_merges=8)
 
 
+def q_prefix_route_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-prefix join (``operators.prefix_join``): every document's
+    ``lang/source`` path matched to the MOST SPECIFIC rule of a routing
+    dim (language-level rules ``en/`` … plus source-specific rules
+    ``en/src0`` … ``en/src4``) — the URL-classification / taxonomy
+    lookup as an EQUALITY join: dim's distinct prefix LENGTHS (metadata)
+    drive a constant fan-out substr explode, broadcast-joined, longest
+    wins via ``max_by``.  No LIKE theta-join anywhere."""
+    from polars_grouper_spark.operators.prefix_join import prefix_join
+
+    docs = load_table(spark, "documents", sf_dir)
+    fact = docs.select(
+        "doc_id", F.concat_ws("/", "lang", "source").alias("path")
+    )
+    lang_rules = docs.select(
+        F.concat(F.col("lang"), F.lit("/")).alias("rule")
+    ).distinct()
+    src_rules = (
+        docs.where(F.col("source").isin("src0", "src1", "src2", "src3", "src4"))
+        .select(F.concat_ws("/", "lang", "source").alias("rule"))
+        .distinct()
+    )
+    dim = lang_rules.unionByName(src_rules)
+    return prefix_join(fact, dim, "doc_id", "path", "rule").select(
+        F.col("id").alias("doc_id"), "value", "matched_prefix"
+    )
+
+
+def _prefix_route_docs_sql() -> str:
+    from polars_grouper_spark.operators.prefix_join import prefix_join_sql
+
+    inner = prefix_join_sql(
+        "SELECT doc_id, lang || '/' || source AS path FROM documents",
+        "SELECT DISTINCT lang || '/' AS rule FROM documents"
+        " UNION SELECT DISTINCT lang || '/' || source FROM documents"
+        " WHERE source IN ('src0','src1','src2','src3','src4')",
+        "doc_id",
+        "path",
+        "rule",
+    )
+    return f"SELECT id AS doc_id, value, matched_prefix FROM ({inner})"
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -6498,6 +6541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_similarity": q_source_similarity,
         "ab_test_events": q_ab_test_events,
         "bpe_merges": q_bpe_merges,
+        "prefix_route_docs": q_prefix_route_docs,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -6741,6 +6785,7 @@ def oracle_sql() -> dict[str, str]:
         "source_similarity": _source_similarity_sql(),
         "ab_test_events": _ab_test_events_sql(),
         "bpe_merges": _bpe_merges_sql(),
+        "prefix_route_docs": _prefix_route_docs_sql(),
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,
