@@ -6420,6 +6420,45 @@ def _prefix_route_docs_sql() -> str:
     return f"SELECT id AS doc_id, value, matched_prefix FROM ({inner})"
 
 
+def q_delta_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental join-view maintenance
+    (``functions.incremental.delta_join``): the rows an orders⋈customer
+    materialized view GAINS when both sides receive an append-only
+    delta — three delta-sized joins (ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB), never the
+    full recompute.  The delta identity
+    (A∪ΔA)⋈(B∪ΔB) = A⋈B ∪ Δ is pinned by ``tests/test_delta_join.py``;
+    the oracle replays the same three terms."""
+    from polars_grouper_spark.functions.incremental import delta_join
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("custkey"), "c_name"
+    )
+    base_o = orders.where(F.col("o_orderkey") % 10 != 0)
+    delta_o = orders.where(F.col("o_orderkey") % 10 == 0)
+    base_c = cust.where(F.col("custkey") % 7 != 0)
+    delta_c = cust.where(F.col("custkey") % 7 == 0)
+    return delta_join(base_o, delta_o, base_c, delta_c, ["custkey"])
+
+
+def _delta_join_orders_sql() -> str:
+    from polars_grouper_spark.functions.incremental import delta_join_sql
+
+    o = "SELECT o_orderkey, o_custkey AS custkey, o_totalprice FROM orders"
+    c = "SELECT c_custkey AS custkey, c_name FROM customer"
+    return delta_join_sql(
+        f"{o} WHERE o_orderkey % 10 <> 0",
+        f"{o} WHERE o_orderkey % 10 = 0",
+        f"{c} WHERE c_custkey % 7 <> 0",
+        f"{c} WHERE c_custkey % 7 = 0",
+        ["custkey"],
+        ["custkey", "o_orderkey", "o_totalprice"],
+        ["c_name"],
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -6542,6 +6581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test_events": q_ab_test_events,
         "bpe_merges": q_bpe_merges,
         "prefix_route_docs": q_prefix_route_docs,
+        "delta_join_orders": q_delta_join_orders,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -6786,6 +6826,7 @@ def oracle_sql() -> dict[str, str]:
         "ab_test_events": _ab_test_events_sql(),
         "bpe_merges": _bpe_merges_sql(),
         "prefix_route_docs": _prefix_route_docs_sql(),
+        "delta_join_orders": _delta_join_orders_sql(),
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,

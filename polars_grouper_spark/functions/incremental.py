@@ -83,3 +83,66 @@ def finalize_state(
             F.col("sum_q") / (F.lit(scale) * F.col("n")), mean_decimals
         ).alias("mean_v"),
     )
+
+
+def delta_join(
+    base_a: DataFrame,
+    delta_a: DataFrame,
+    base_b: DataFrame,
+    delta_b: DataFrame,
+    on: "Sequence[str]",
+) -> DataFrame:
+    """Incremental JOIN-view maintenance: the NEW rows a materialized
+    inner-join view gains when append-only deltas arrive on both sides.
+
+        Δ(A ⋈ B) = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    The 100 TB point: refreshing ``view = A ⋈ B`` after a daily append
+    costs delta-sized joins (each term has a delta on at least one
+    side, which broadcasts when small), never the full A ⋈ B recompute
+    — the join analogue of :func:`merge_agg_state`'s no-rescan rollup.
+    Appending the result to the stored view reproduces the full join of
+    the updated tables exactly (pinned by ``tests``/the oracle):
+
+        (A∪ΔA) ⋈ (B∪ΔB) = (A ⋈ B) ∪ Δ(A ⋈ B)
+
+    Inner-join, append-only semantics (no retractions); for updates,
+    route through :mod:`..operators.upsert` first and feed the
+    net-new rows here.  Column layout: A's columns then B's non-key
+    columns, as with a plain ``join(on)``."""
+    keys = list(on)
+    return (
+        delta_a.join(base_b, keys)
+        .unionByName(base_a.join(delta_b, keys))
+        .unionByName(delta_a.join(delta_b, keys))
+    )
+
+
+def delta_join_sql(
+    base_a_sql: str,
+    delta_a_sql: str,
+    base_b_sql: str,
+    delta_b_sql: str,
+    on: "Sequence[str]",
+    a_cols: "Sequence[str]",
+    b_cols: "Sequence[str]",
+) -> str:
+    """DuckDB oracle for :func:`delta_join` (same three delta terms).
+    ``a_cols``/``b_cols``: output columns taken from each side
+    (``b_cols`` excluding the join keys)."""
+    keys = list(on)
+    cond = " AND ".join(f"a.{k} = b.{k}" for k in keys)
+    cols = ", ".join(
+        [f"a.{c}" for c in a_cols] + [f"b.{c}" for c in b_cols]
+    )
+    term = (
+        "SELECT {cols} FROM ({left}) a JOIN ({right}) b ON {cond}"
+    )
+    return "\nUNION ALL\n".join(
+        term.format(cols=cols, left=l, right=r, cond=cond)
+        for l, r in (
+            (delta_a_sql, base_b_sql),
+            (base_a_sql, delta_b_sql),
+            (delta_a_sql, delta_b_sql),
+        )
+    )
