@@ -6459,6 +6459,190 @@ def _delta_join_orders_sql() -> str:
     )
 
 
+def q_roc_auc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ROC-AUC (``functions.evaluation.roc_auc``): does
+    order value predict fulfillment, per priority class?  Mann-Whitney
+    on distinct-score cumulative counts — exact integer pair counts,
+    one double division, never a P x N pair join."""
+    from polars_grouper_spark.functions.evaluation import roc_auc
+
+    o = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").alias("score"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+    )
+    return roc_auc(o, "score", "label", by=["priority"])
+
+
+def _roc_auc_orders_sql() -> str:
+    from polars_grouper_spark.functions.evaluation import roc_auc_sql
+
+    rel = (
+        "SELECT o_orderpriority AS priority, o_totalprice AS score, "
+        "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label "
+        "FROM orders"
+    )
+    return roc_auc_sql(rel, "score", "label", by=["priority"])
+
+
+def q_avg_precision_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (``functions.evaluation.average_precision``):
+    treating retail price as a ranker for "large part" (size >= 25)
+    within each brand — ranked by the TOTAL order (score desc, partkey
+    asc) so ties never depend on partitioning."""
+    from polars_grouper_spark.functions.evaluation import average_precision
+
+    p = load_table(spark, "part", sf_dir).select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("id"),
+        F.col("p_retailprice").alias("score"),
+        (F.col("p_size") >= 25).cast("int").alias("label"),
+    )
+    return average_precision(p, "score", "label", "id", by=["brand"])
+
+
+def _avg_precision_parts_sql() -> str:
+    from polars_grouper_spark.functions.evaluation import (
+        average_precision_sql,
+    )
+
+    rel = (
+        "SELECT p_brand AS brand, p_partkey AS id, p_retailprice AS score, "
+        "CASE WHEN p_size >= 25 THEN 1 ELSE 0 END AS label FROM part"
+    )
+    return average_precision_sql(rel, "score", "label", "id", by=["brand"])
+
+
+def q_ndcg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 (``functions.evaluation.ndcg_at_k``): each order is a
+    "query", its line items ranked by extended price, graded by
+    quantity — linear gain, per-rank terms rounded before the sum, two
+    window sorts on one shuffle of the query key."""
+    from polars_grouper_spark.functions.evaluation import ndcg_at_k
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        F.col("l_quantity").cast("int").alias("rel"),
+    )
+    return ndcg_at_k(
+        li, "l_orderkey", "l_linenumber", "l_extendedprice", "rel", k=5
+    )
+
+
+def _ndcg_lineitem_sql() -> str:
+    from polars_grouper_spark.functions.evaluation import ndcg_at_k_sql
+
+    rel = (
+        "SELECT l_orderkey, l_linenumber, l_extendedprice, "
+        "CAST(l_quantity AS INT) AS rel FROM lineitem"
+    )
+    return ndcg_at_k_sql(
+        rel, "l_orderkey", "l_linenumber", "l_extendedprice", "rel", k=5
+    )
+
+
+def q_calibration_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability bins (``functions.evaluation.calibration_bins``):
+    discount x 10 as a [0, 1] pseudo-probability of a return — the
+    reliability diagram a quality-filter classifier is judged by before
+    its threshold decides what enters training.  One map-side
+    combinable groupBy; bin membership is an integer floor."""
+    from polars_grouper_spark.functions.evaluation import calibration_bins
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        (F.col("l_discount") * 10).alias("score"),
+        (F.col("l_returnflag") == "R").cast("int").alias("label"),
+    )
+    return calibration_bins(li, "score", "label", n_bins=10)
+
+
+def _calibration_lineitem_sql() -> str:
+    from polars_grouper_spark.functions.evaluation import (
+        calibration_bins_sql,
+    )
+
+    rel = (
+        "SELECT l_discount * 10 AS score, "
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label "
+        "FROM lineitem"
+    )
+    return calibration_bins_sql(rel, "score", "label", n_bins=10)
+
+
+def q_gini_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration (``functions.evaluation.gini_coefficient``)
+    of order value per priority class — the "is one source dominating
+    the corpus?" check, on exact integer cents so every moment is
+    bit-stable."""
+    from polars_grouper_spark.functions.evaluation import gini_coefficient
+
+    o = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).alias("cents"),
+    )
+    return gini_coefficient(o, "cents", by=["priority"])
+
+
+def _gini_orders_sql() -> str:
+    from polars_grouper_spark.functions.evaluation import (
+        gini_coefficient_sql,
+    )
+
+    rel = (
+        "SELECT o_orderpriority AS priority, "
+        "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents "
+        "FROM orders"
+    )
+    return gini_coefficient_sql(rel, "cents", by=["priority"])
+
+
+def q_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (``functions.evaluation.cohens_kappa``) between
+    each document's declared language and the pipeline's own
+    ``language_id`` prediction — chance-corrected agreement from exact
+    integer marginals, the honest version of "our lang-ID is 90%
+    accurate" when the label mix is skewed."""
+    from polars_grouper_spark.functions.evaluation import cohens_kappa
+
+    docs = load_table(spark, "documents", sf_dir)
+    pred = tx.language_id(docs).select("doc_id", "lang_pred")
+    joined = docs.select("doc_id", "lang").join(pred, "doc_id")
+    return cohens_kappa(joined, "lang", "lang_pred")
+
+
+def _kappa_langid_sql() -> str:
+    from polars_grouper_spark.functions.evaluation import cohens_kappa_sql
+
+    rel = (
+        f"SELECT d.lang, p.lang_pred FROM documents d "
+        f"JOIN ({_lang_id_sql()}) p ON p.id = d.doc_id"
+    )
+    return cohens_kappa_sql(rel, "lang", "lang_pred")
+
+
+def q_entropy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity (``functions.evaluation.dist_entropy``):
+    Shannon entropy of each user's event-type mix — low entropy flags
+    bots and single-source floods.  Two-level aggregation; the term sum
+    follows the repo's round-before-sum float discipline."""
+    from polars_grouper_spark.functions.evaluation import dist_entropy
+
+    ev = load_table(spark, "events", sf_dir)
+    return dist_entropy(ev, "event_type", by=["user_id"])
+
+
+def _entropy_events_sql() -> str:
+    from polars_grouper_spark.functions.evaluation import dist_entropy_sql
+
+    return dist_entropy_sql(
+        "SELECT user_id, event_type FROM events",
+        "event_type",
+        by=["user_id"],
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -6582,6 +6766,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "prefix_route_docs": q_prefix_route_docs,
         "delta_join_orders": q_delta_join_orders,
+        "roc_auc_orders": q_roc_auc_orders,
+        "avg_precision_parts": q_avg_precision_parts,
+        "ndcg_lineitem": q_ndcg_lineitem,
+        "calibration_lineitem": q_calibration_lineitem,
+        "gini_orders": q_gini_orders,
+        "kappa_langid": q_kappa_langid,
+        "entropy_events": q_entropy_events,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -6827,6 +7018,13 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_merges_sql(),
         "prefix_route_docs": _prefix_route_docs_sql(),
         "delta_join_orders": _delta_join_orders_sql(),
+        "roc_auc_orders": _roc_auc_orders_sql(),
+        "avg_precision_parts": _avg_precision_parts_sql(),
+        "ndcg_lineitem": _ndcg_lineitem_sql(),
+        "calibration_lineitem": _calibration_lineitem_sql(),
+        "gini_orders": _gini_orders_sql(),
+        "kappa_langid": _kappa_langid_sql(),
+        "entropy_events": _entropy_events_sql(),
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,

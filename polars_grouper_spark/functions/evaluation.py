@@ -1,0 +1,539 @@
+"""Model-evaluation metrics, distributed: ROC-AUC, average precision,
+NDCG@k, calibration bins, Gini concentration, Cohen's kappa, and
+distribution entropy.
+
+A 100 TB training-data pipeline is steered by classifiers and rankers
+(quality filters, language ID, retrieval scorers); evaluating them IS
+a data-scale problem — the predictions live next to the corpus, so the
+metrics must run where the data is instead of sampling down to a
+driver-side sklearn call.
+
+Determinism contract (what makes the DuckDB oracle exact):
+
+* ROC-AUC uses the Mann-Whitney identity on DISTINCT-score counts —
+  concordant/tied pair counts are exact integers, so the metric is one
+  integer-over-integer double division, bit-stable under any
+  aggregation order.
+* Ranked metrics (AP, NDCG) rank by a TOTAL order (score desc, id asc)
+  so ties never depend on partitioning; per-rank float terms are
+  micro-quantized to integers (``round(term * 1e8) AS BIGINT``) and
+  summed EXACTLY, with one final double division and NO engine-side
+  rounding of the result.  Rounding a float sum engine-side is a trap
+  this module deliberately avoids: a sum of 1e-8 multiples lands on a
+  half boundary of the rounding digit ~1% of the time per value, and
+  Spark (BigDecimal HALF_UP on the shortest decimal form) and DuckDB
+  (numeric rounding) then disagree by 1e-6.  Exact integer sums + one
+  shared division produce bit-identical doubles on both engines.
+* Kappa and Gini reduce to integer moments (pair counts / rank-weighted
+  sums) with a single final division.
+
+Scale: every metric is one groupBy + at most one window sort per group
+— the same shuffle shape as a sort-based aggregation; nothing collects
+to the driver and no metric materializes pairs (AUC over P x N pairs is
+computed from distinct-score cumulative counts, never the pair join).
+
+Reference surface: none (beyond-reference operators, SURVEY.md §2
+extension list).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _grp(by: "list[str] | None") -> "list[str]":
+    return list(by) if by else []
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    by: "list[str] | None" = None,
+) -> DataFrame:
+    """Area under the ROC curve per group ->
+    ``(*by, n_pos, n_neg, auc)``.
+
+    Mann-Whitney form: reduce to one row per (group, distinct score)
+    with positive/negative counts, then a cumulative window gives the
+    number of negatives strictly below each score.  ``auc = (2 *
+    concordant + tied) / (2 * n_pos * n_neg)`` — every term an exact
+    integer, so the value cannot drift with partitioning.  Groups with
+    no positives or no negatives return NULL (undefined, not 0.5).
+
+    Scale: the groupBy collapses to distinct scores BEFORE the window,
+    so the sort handles |distinct scores| rows per group, not |rows|;
+    the pair counts are never materialized as pairs.
+    """
+    keys = _grp(by)
+    lab = F.col(label_col).cast("int")
+    per_score = df.groupBy(*keys, F.col(score_col).alias("_s")).agg(
+        F.sum(lab).alias("_p"),
+        F.sum(1 - lab).alias("_n"),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = per_score.withColumn(
+        "_neg_below", F.coalesce(F.sum("_n").over(w), F.lit(0))
+    )
+    agg = scored.groupBy(*keys).agg(
+        F.sum("_p").alias("n_pos"),
+        F.sum("_n").alias("n_neg"),
+        F.sum(F.col("_p") * F.col("_neg_below")).alias("_conc"),
+        F.sum(F.col("_p") * F.col("_n")).alias("_tied"),
+    )
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        (2 * F.col("_conc") + F.col("_tied"))
+        / (2.0 * F.col("n_pos") * F.col("n_neg")),
+    )
+    return agg.select(*keys, "n_pos", "n_neg", auc.alias("auc"))
+
+
+def roc_auc_sql(
+    rel_sql: str,
+    score_expr: str,
+    label_expr: str,
+    by: "list[str] | None" = None,
+) -> str:
+    """DuckDB oracle for :func:`roc_auc` (same distinct-score form)."""
+    keys = _grp(by)
+    kcsv = ", ".join(keys)
+    kpfx = f"{kcsv}, " if keys else ""
+    part = f"PARTITION BY {kcsv} " if keys else ""
+    grp = f"GROUP BY {kcsv}" if keys else ""
+    return f"""
+WITH per_score AS (
+  SELECT {kpfx}{score_expr} AS s,
+         SUM(CAST({label_expr} AS INT)) AS p,
+         SUM(1 - CAST({label_expr} AS INT)) AS n
+  FROM ({rel_sql}) GROUP BY {kpfx}s
+), cum AS (
+  SELECT {kpfx}p, n,
+         COALESCE(SUM(n) OVER ({part}ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS neg_below
+  FROM per_score
+)
+SELECT {kpfx}SUM(p) AS n_pos, SUM(n) AS n_neg,
+       CASE WHEN SUM(p) > 0 AND SUM(n) > 0 THEN
+         (2 * SUM(p * neg_below) + SUM(p * n))
+         / (2.0 * SUM(p) * SUM(n))
+       END AS auc
+FROM cum {grp}
+"""
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    by: "list[str] | None" = None,
+) -> DataFrame:
+    """Average precision per group -> ``(*by, n_pos, n, avg_prec)``:
+    mean over positives of precision@(rank of that positive), ranked by
+    the total order (score desc, id asc).  Each precision term is
+    micro-quantized (``round(cp/k * 1e8)`` as a long) and summed
+    exactly; groups without positives return NULL.
+    """
+    keys = _grp(by)
+    lab = F.col(label_col).cast("int")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = df.select(
+        *keys,
+        lab.alias("_l"),
+        F.count(F.lit(1)).over(w).alias("_k"),
+        F.sum(lab).over(w).alias("_cp"),
+    )
+    term = F.when(
+        F.col("_l") == 1,
+        F.round(F.col("_cp") / F.col("_k") * 1e8).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    agg = ranked.groupBy(*keys).agg(
+        F.sum("_l").alias("n_pos"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(term).alias("_tsum"),
+    )
+    ap = F.when(
+        F.col("n_pos") > 0,
+        F.col("_tsum") / 1e8 / F.col("n_pos"),
+    )
+    return agg.select(*keys, "n_pos", "n", ap.alias("avg_prec"))
+
+
+def average_precision_sql(
+    rel_sql: str,
+    score_expr: str,
+    label_expr: str,
+    id_expr: str,
+    by: "list[str] | None" = None,
+) -> str:
+    """DuckDB oracle for :func:`average_precision`."""
+    keys = _grp(by)
+    kcsv = ", ".join(keys)
+    kpfx = f"{kcsv}, " if keys else ""
+    part = f"PARTITION BY {kcsv} " if keys else ""
+    grp = f"GROUP BY {kcsv}" if keys else ""
+    frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    order = f"ORDER BY {score_expr} DESC, {id_expr} ASC"
+    return f"""
+WITH ranked AS (
+  SELECT {kpfx}CAST({label_expr} AS INT) AS l,
+         COUNT(*) OVER ({part}{order} {frame}) AS k,
+         SUM(CAST({label_expr} AS INT)) OVER ({part}{order} {frame}) AS cp
+  FROM ({rel_sql})
+)
+SELECT {kpfx}SUM(l) AS n_pos, COUNT(*) AS n,
+       CASE WHEN SUM(l) > 0 THEN
+         SUM(CASE WHEN l = 1 THEN
+               CAST(ROUND(cp / CAST(k AS DOUBLE) * 1e8) AS BIGINT)
+             ELSE 0 END) / 1e8 / SUM(l)
+       END AS avg_prec
+FROM ranked {grp}
+"""
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    query_col: str,
+    id_col: str,
+    score_col: str,
+    rel_col: str,
+    k: int,
+) -> DataFrame:
+    """NDCG@k per query -> ``(query, dcg, idcg, ndcg)`` with linear
+    gain ``rel / log2(rank + 1)`` (linear, not exponential, so integer
+    relevance grades cannot overflow the gain).  Predicted ranking
+    orders by (score desc, id asc); the ideal ranking by (rel desc,
+    id asc).  Per-rank gains are micro-quantized to longs (1e8 scale)
+    and summed exactly — DCG is ``micro_sum / 1e8``, one shared
+    division, bit-identical across engines.
+
+    Scale: two window sorts over the same query partition (predicted +
+    ideal order) — Catalyst plans one shuffle on the query key and two
+    in-partition sorts; no joins, no pair blowup.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    wq = Window.partitionBy(query_col)
+    w_pred = wq.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    w_ideal = wq.orderBy(F.col(rel_col).desc(), F.col(id_col).asc())
+    ranked = df.select(
+        F.col(query_col).alias("query"),
+        F.col(rel_col).cast("double").alias("_r"),
+        F.row_number().over(w_pred).alias("_kp"),
+        F.row_number().over(w_ideal).alias("_ki"),
+    )
+    zero = F.lit(0).cast("long")
+    gain_pred = F.when(
+        F.col("_kp") <= k,
+        F.round(F.col("_r") / F.log2(F.col("_kp") + 1.0) * 1e8).cast("long"),
+    ).otherwise(zero)
+    gain_ideal = F.when(
+        F.col("_ki") <= k,
+        F.round(F.col("_r") / F.log2(F.col("_ki") + 1.0) * 1e8).cast("long"),
+    ).otherwise(zero)
+    agg = ranked.groupBy("query").agg(
+        (F.sum(gain_pred) / 1e8).alias("dcg"),
+        (F.sum(gain_ideal) / 1e8).alias("idcg"),
+    )
+    ndcg = F.when(
+        F.col("idcg") > 0, F.col("dcg") / F.col("idcg")
+    ).otherwise(F.lit(None).cast("double"))
+    return agg.select("query", "dcg", "idcg", ndcg.alias("ndcg"))
+
+
+def ndcg_at_k_sql(
+    rel_sql: str,
+    query_expr: str,
+    id_expr: str,
+    score_expr: str,
+    rel_expr: str,
+    k: int,
+) -> str:
+    """DuckDB oracle for :func:`ndcg_at_k` (same total orders)."""
+    return f"""
+WITH ranked AS (
+  SELECT {query_expr} AS query, CAST({rel_expr} AS DOUBLE) AS r,
+         ROW_NUMBER() OVER (PARTITION BY {query_expr}
+           ORDER BY {score_expr} DESC, {id_expr} ASC) AS kp,
+         ROW_NUMBER() OVER (PARTITION BY {query_expr}
+           ORDER BY {rel_expr} DESC, {id_expr} ASC) AS ki
+  FROM ({rel_sql})
+), agg AS (
+  SELECT query,
+         SUM(CASE WHEN kp <= {k}
+           THEN CAST(ROUND(r / LOG2(kp + 1.0) * 1e8) AS BIGINT)
+           ELSE 0 END) / 1e8 AS dcg,
+         SUM(CASE WHEN ki <= {k}
+           THEN CAST(ROUND(r / LOG2(ki + 1.0) * 1e8) AS BIGINT)
+           ELSE 0 END) / 1e8 AS idcg
+  FROM ranked GROUP BY query
+)
+SELECT query, dcg, idcg,
+       CASE WHEN idcg > 0 THEN dcg / idcg END AS ndcg
+FROM agg
+"""
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for a probability-like score in [0, 1]
+    -> ``(bin, n, n_pos, mean_score, pos_rate)``.  Bin membership is an
+    integer floor decision (score exactly 1.0 clamps into the last
+    bin); means divide a rounded-sum by an exact count.
+
+    The calibration curve is THE diagnostic for a quality-filter
+    classifier before its threshold picks what survives into training.
+    One groupBy, map-side combinable — a single scan at any scale.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    s = F.col(score_col).cast("double")
+    b = F.least(F.floor(s * n_bins).cast("long"), F.lit(n_bins - 1))
+    lab = F.col(label_col).cast("int")
+    return (
+        df.select(b.alias("bin"), s.alias("_s"), lab.alias("_l"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_l").alias("n_pos"),
+            F.sum(F.round(F.col("_s") * 1e8).cast("long")).alias("_ssum"),
+        )
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            (F.col("_ssum") / 1e8 / F.col("n")).alias("mean_score"),
+            (F.col("n_pos") / F.col("n").cast("double")).alias("pos_rate"),
+        )
+    )
+
+
+def calibration_bins_sql(
+    rel_sql: str,
+    score_expr: str,
+    label_expr: str,
+    n_bins: int = 10,
+) -> str:
+    """DuckDB oracle for :func:`calibration_bins`."""
+    return f"""
+WITH binned AS (
+  SELECT LEAST(CAST(FLOOR(CAST({score_expr} AS DOUBLE) * {n_bins})
+               AS BIGINT), {n_bins - 1}) AS bin,
+         CAST({score_expr} AS DOUBLE) AS s,
+         CAST({label_expr} AS INT) AS l
+  FROM ({rel_sql})
+)
+SELECT bin, COUNT(*) AS n, SUM(l) AS n_pos,
+       SUM(CAST(ROUND(s * 1e8) AS BIGINT)) / 1e8 / COUNT(*) AS mean_score,
+       SUM(l) / CAST(COUNT(*) AS DOUBLE) AS pos_rate
+FROM binned GROUP BY bin
+"""
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col: str,
+    by: "list[str] | None" = None,
+) -> DataFrame:
+    """Gini concentration per group -> ``(*by, n, total, gini)`` from
+    the rank-weighted identity ``G = (2 * sum(i * x_i) - (n + 1) *
+    sum(x)) / (n * sum(x))`` over values sorted ascending.
+
+    ``value_col`` must be integral (pass cents, token counts, byte
+    sizes) so every moment is an exact integer; ties need no
+    tie-breaker because equal values contribute the same sum under any
+    permutation of their ranks.  Groups with non-positive totals return
+    NULL.  Gini over document-length / domain-share distributions is
+    the standard "is one source dominating the corpus?" check.
+    """
+    keys = _grp(by)
+    w = Window.partitionBy(*keys).orderBy(F.col(value_col).asc())
+    ranked = df.select(
+        *keys,
+        F.col(value_col).cast("long").alias("_x"),
+        F.row_number().over(w).alias("_i"),
+    )
+    agg = ranked.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("total"),
+        F.sum(F.col("_i") * F.col("_x")).alias("_ix"),
+    )
+    gini = F.when(
+        F.col("total") > 0,
+        (2 * F.col("_ix") - (F.col("n") + 1) * F.col("total"))
+        / (F.col("n") * F.col("total")).cast("double"),
+    )
+    return agg.select(*keys, "n", "total", gini.alias("gini"))
+
+
+def gini_coefficient_sql(
+    rel_sql: str,
+    value_expr: str,
+    by: "list[str] | None" = None,
+) -> str:
+    """DuckDB oracle for :func:`gini_coefficient`."""
+    keys = _grp(by)
+    kcsv = ", ".join(keys)
+    kpfx = f"{kcsv}, " if keys else ""
+    part = f"PARTITION BY {kcsv} " if keys else ""
+    grp = f"GROUP BY {kcsv}" if keys else ""
+    return f"""
+WITH ranked AS (
+  SELECT {kpfx}CAST({value_expr} AS BIGINT) AS x,
+         ROW_NUMBER() OVER ({part}ORDER BY CAST({value_expr} AS BIGINT)
+           ASC) AS i
+  FROM ({rel_sql})
+)
+SELECT {kpfx}COUNT(*) AS n, SUM(x) AS total,
+       CASE WHEN SUM(x) > 0 THEN
+         (2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x))
+         / CAST(COUNT(*) * SUM(x) AS DOUBLE)
+       END AS gini
+FROM ranked {grp}
+"""
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+) -> DataFrame:
+    """Cohen's kappa between two categorical labelings -> one row
+    ``(n, n_agree, kappa)``.
+
+    Chance-corrected agreement via the all-integer identity
+    ``kappa = (n * agree - sum_c rowmarg_c * colmarg_c) /
+    (n^2 - sum_c rowmarg_c * colmarg_c)`` — the marginal product is a
+    broadcast-sized join on category (|categories| rows), so the metric
+    is three aggregations and one tiny join at any corpus size.  The
+    canonical use here: declared document language vs the pipeline's
+    language-ID prediction.  NULL labels on either side are dropped
+    (agreement over co-labeled rows).
+    """
+    pairs = df.select(
+        F.col(rater_a_col).cast("string").alias("_a"),
+        F.col(rater_b_col).cast("string").alias("_b"),
+    ).where(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+    base = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("_a") == F.col("_b")).cast("long")).alias("n_agree"),
+    )
+    ma = pairs.groupBy(F.col("_a").alias("_c")).agg(
+        F.count(F.lit(1)).alias("_ra")
+    )
+    mb = pairs.groupBy(F.col("_b").alias("_c")).agg(
+        F.count(F.lit(1)).alias("_cb")
+    )
+    pe = (
+        ma.join(mb, "_c")
+        .agg(F.sum(F.col("_ra") * F.col("_cb")).alias("_pe"))
+        .select(F.coalesce("_pe", F.lit(0)).alias("_pe"))
+    )
+    joined = base.crossJoin(F.broadcast(pe))
+    kappa = F.when(
+        F.col("n") * F.col("n") != F.col("_pe"),
+        (F.col("n") * F.col("n_agree") - F.col("_pe"))
+        / (F.col("n") * F.col("n") - F.col("_pe")).cast("double"),
+    )
+    return joined.select("n", "n_agree", kappa.alias("kappa"))
+
+
+def cohens_kappa_sql(rel_sql: str, a_expr: str, b_expr: str) -> str:
+    """DuckDB oracle for :func:`cohens_kappa`."""
+    return f"""
+WITH pairs AS (
+  SELECT CAST({a_expr} AS VARCHAR) AS a, CAST({b_expr} AS VARCHAR) AS b
+  FROM ({rel_sql})
+  WHERE {a_expr} IS NOT NULL AND {b_expr} IS NOT NULL
+), base AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS n_agree
+  FROM pairs
+), pe AS (
+  SELECT COALESCE(SUM(ra * cb), 0) AS pe FROM
+    (SELECT a AS c, COUNT(*) AS ra FROM pairs GROUP BY a) ma
+    JOIN (SELECT b AS c, COUNT(*) AS cb FROM pairs GROUP BY b) mb
+    USING (c)
+)
+SELECT n, n_agree,
+       CASE WHEN n * n <> pe THEN
+         (n * n_agree - pe) / CAST(n * n - pe AS DOUBLE)
+       END AS kappa
+FROM base, pe
+"""
+
+
+def dist_entropy(
+    df: DataFrame,
+    value_col: str,
+    by: "list[str] | None" = None,
+) -> DataFrame:
+    """Shannon entropy (nats) of a categorical distribution per group
+    -> ``(*by, n, n_distinct, entropy)``.
+
+    Two-level aggregation: groupBy (group, value) to counts, then a
+    per-group EXACT integer sum of micro-quantized ``-(c/n) * ln(c/n)``
+    terms (1e8 scale), emitted as ``micro_sum / 1e8``.  Entropy of a
+    user's event-type mix or a corpus
+    slice's domain mix is a one-number diversity feature — low entropy
+    flags bots / single-source floods.
+    """
+    keys = _grp(by)
+    counts = df.groupBy(*keys, F.col(value_col).alias("_v")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    n = F.sum("_c").over(Window.partitionBy(*keys))
+    p = F.col("_c") / n.cast("double")
+    termed = counts.select(
+        *keys,
+        F.col("_c"),
+        F.round(-p * F.log(p) * 1e8).cast("long").alias("_t"),
+    )
+    return termed.groupBy(*keys).agg(
+        F.sum("_c").alias("n"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (F.sum("_t") / 1e8).alias("entropy"),
+    )
+
+
+def dist_entropy_sql(
+    rel_sql: str,
+    value_expr: str,
+    by: "list[str] | None" = None,
+) -> str:
+    """DuckDB oracle for :func:`dist_entropy`."""
+    keys = _grp(by)
+    kcsv = ", ".join(keys)
+    kpfx = f"{kcsv}, " if keys else ""
+    part = f"PARTITION BY {kcsv}" if keys else ""
+    grp = f"GROUP BY {kcsv}" if keys else ""
+    return f"""
+WITH counts AS (
+  SELECT {kpfx}{value_expr} AS v, COUNT(*) AS c
+  FROM ({rel_sql}) GROUP BY {kpfx}v
+), termed AS (
+  SELECT {kpfx}c,
+         CAST(ROUND(-(c / CAST(SUM(c) OVER ({part}) AS DOUBLE))
+              * LN(c / CAST(SUM(c) OVER ({part}) AS DOUBLE)) * 1e8)
+              AS BIGINT) AS t
+  FROM counts
+)
+SELECT {kpfx}SUM(c) AS n, COUNT(*) AS n_distinct,
+       SUM(t) / 1e8 AS entropy
+FROM termed {grp}
+"""

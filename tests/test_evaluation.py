@@ -1,0 +1,166 @@
+"""Evaluation metrics vs brute-force Python replays on tiny inputs.
+
+The module's determinism contract: per-rank float terms micro-quantize
+to longs (1e8 scale) and sum exactly; final values are single double
+divisions with no engine-side rounding — so the expected values here
+replay the SAME quantization in Python.
+"""
+
+import math
+
+from pyspark.sql import functions as F
+
+from polars_grouper_spark.functions.evaluation import (
+    average_precision,
+    calibration_bins,
+    cohens_kappa,
+    dist_entropy,
+    gini_coefficient,
+    ndcg_at_k,
+    roc_auc,
+)
+
+
+def _micro(x: float) -> int:
+    return int(math.floor(x * 1e8 + 0.5))  # HALF_UP, as both engines
+
+
+def _brute_auc(pairs):
+    pos = [s for s, l in pairs if l == 1]
+    neg = [s for s, l in pairs if l == 0]
+    wins = sum(
+        1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg
+    )
+    return wins / (len(pos) * len(neg))
+
+
+def test_roc_auc_matches_pairwise(spark):
+    pairs = [
+        (0.9, 1), (0.8, 1), (0.8, 0), (0.7, 0), (0.6, 1),
+        (0.5, 0), (0.5, 0), (0.4, 1), (0.3, 0), (0.2, 0),
+    ]
+    df = spark.createDataFrame(pairs, "score double, label int")
+    got = roc_auc(df, "score", "label").first()
+    assert got["n_pos"] == 4 and got["n_neg"] == 6
+    assert got["auc"] == _brute_auc(pairs)
+
+
+def test_roc_auc_degenerate_group_is_null(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0, 1), ("a", 2.0, 1), ("b", 1.0, 1), ("b", 2.0, 0)],
+        "g string, score double, label int",
+    )
+    rows = {r["g"]: r for r in roc_auc(df, "score", "label", by=["g"]).collect()}
+    assert rows["a"]["auc"] is None
+    assert rows["b"]["auc"] == 0.0  # the single positive scores LOWER
+
+
+def test_average_precision_known_value(spark):
+    # ranking (by score desc): labels 1,0,1,0,1 -> AP = mean(1/1, 2/3, 3/5)
+    rows = [(5, 0.9, 1), (4, 0.8, 0), (3, 0.7, 1), (2, 0.6, 0), (1, 0.5, 1)]
+    df = spark.createDataFrame(rows, "id int, score double, label int")
+    got = average_precision(df, "score", "label", "id").first()
+    want = (_micro(1.0) + _micro(2 / 3) + _micro(3 / 5)) / 1e8 / 3
+    assert got["avg_prec"] == want and got["n_pos"] == 3 and got["n"] == 5
+
+
+def test_ndcg_perfect_ranking_is_one(spark):
+    rows = [(1, 5.0, 5), (2, 4.0, 4), (3, 3.0, 3), (4, 2.0, 2)]
+    df = spark.createDataFrame(
+        [("q",) + r for r in rows], "q string, id int, score double, rel int"
+    )
+    got = ndcg_at_k(df, "q", "id", "score", "rel", k=3).first()
+    assert got["ndcg"] == 1.0 and got["dcg"] == got["idcg"]
+
+
+def test_ndcg_known_value(spark):
+    # predicted order by score: rel 0, 3, 1 ; ideal: 3, 1, 0
+    df = spark.createDataFrame(
+        [("q", 1, 9.0, 0), ("q", 2, 8.0, 3), ("q", 3, 7.0, 1)],
+        "q string, id int, score double, rel int",
+    )
+    got = ndcg_at_k(df, "q", "id", "score", "rel", k=3).first()
+    dcg = (
+        _micro(0.0) + _micro(3 / math.log2(3)) + _micro(1 / math.log2(4))
+    ) / 1e8
+    idcg = (_micro(3 / math.log2(2)) + _micro(1 / math.log2(3))) / 1e8
+    assert got["dcg"] == dcg
+    assert got["idcg"] == idcg
+    assert got["ndcg"] == dcg / idcg
+
+
+def test_calibration_bins(spark):
+    rows = [(0.05, 0), (0.08, 0), (0.95, 1), (0.92, 1), (1.0, 1), (0.55, 0)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    got = {r["bin"]: r for r in calibration_bins(df, "score", "label").collect()}
+    assert set(got) == {0, 5, 9}
+    assert got[9]["n"] == 3 and got[9]["pos_rate"] == 1.0  # 1.0 clamps in
+    assert got[0]["n"] == 2 and got[0]["pos_rate"] == 0.0
+    assert got[0]["mean_score"] == (_micro(0.05) + _micro(0.08)) / 1e8 / 2
+
+
+def test_gini_extremes(spark):
+    equal = spark.createDataFrame([(10,)] * 5, "v long")
+    assert gini_coefficient(equal, "v").first()["gini"] == 0.0
+    # all mass on one holder of n: G -> (n-1)/n
+    conc = spark.createDataFrame([(0,), (0,), (0,), (100,)], "v long")
+    assert gini_coefficient(conc, "v").first()["gini"] == 3 / 4
+
+
+def test_gini_brute(spark):
+    vals = [3, 1, 4, 1, 5, 9, 2, 6]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    s = sorted(vals)
+    n, tot = len(s), sum(s)
+    want = (2 * sum((i + 1) * x for i, x in enumerate(s)) - (n + 1) * tot) / (
+        n * tot
+    )
+    assert gini_coefficient(df, "v").first()["gini"] == want
+
+
+def test_cohens_kappa_known(spark):
+    # classic 2x2: a=yes/no rater agreement
+    rows = [("y", "y")] * 20 + [("n", "n")] * 15 + [("y", "n")] * 5 + [
+        ("n", "y")
+    ] * 10
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = cohens_kappa(df, "a", "b").first()
+    n = 50
+    agree = 35
+    pe = (25 * 30 + 25 * 20)  # row marginals x col marginals
+    assert got["n"] == n and got["n_agree"] == agree
+    assert got["kappa"] == (n * agree - pe) / (n * n - pe)
+
+
+def test_cohens_kappa_perfect_agreement(spark):
+    df = spark.createDataFrame(
+        [("x", "x"), ("y", "y"), ("z", "z")], "a string, b string"
+    )
+    assert cohens_kappa(df, "a", "b").first()["kappa"] == 1.0
+
+
+def test_entropy_uniform_and_point(spark):
+    df = spark.createDataFrame(
+        [("u", "a"), ("u", "b"), ("u", "c"), ("u", "d"), ("v", "a"), ("v", "a")],
+        "g string, e string",
+    )
+    got = {r["g"]: r for r in dist_entropy(df, "e", by=["g"]).collect()}
+    assert got["u"]["entropy"] == 4 * _micro(0.25 * math.log(4)) / 1e8
+    assert got["v"]["entropy"] == 0.0
+    assert got["u"]["n_distinct"] == 4 and got["v"]["n"] == 2
+
+
+def test_roc_auc_group_shuffle_invariance(spark):
+    # repartitioning must not change any metric value
+    rows = [(i % 3, float((i * 37) % 101), (i * 7) % 2) for i in range(300)]
+    df = spark.createDataFrame(rows, "g int, score double, label int")
+    a = sorted(map(tuple, roc_auc(df, "score", "label", by=["g"]).collect()))
+    b = sorted(
+        map(
+            tuple,
+            roc_auc(
+                df.repartition(17, F.col("score")), "score", "label", by=["g"]
+            ).collect(),
+        )
+    )
+    assert a == b
