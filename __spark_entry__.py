@@ -6643,6 +6643,150 @@ def _entropy_events_sql() -> str:
     )
 
 
+def q_seasonal_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly/daily seasonal decomposition
+    (``functions.timeseries.seasonal_profile``): event values reduce to
+    at most 168 (weekday, hour) cells in ONE map-side-combinable
+    aggregation; main effects derive from exact integer micro-sums over
+    that metadata-sized table."""
+    from polars_grouper_spark.functions.timeseries import seasonal_profile
+
+    ev = load_table(spark, "events", sf_dir)
+    return seasonal_profile(ev, "ts", "value")
+
+
+def _seasonal_events_sql() -> str:
+    from polars_grouper_spark.functions.timeseries import (
+        seasonal_profile_sql,
+    )
+
+    return seasonal_profile_sql("SELECT ts, value FROM events", "ts", "value")
+
+
+_CLUSTER_ROWS_PER_FILE = 500
+
+
+def q_clustering_layout_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map effectiveness A/B (``plans.layout.clustering_report``):
+    simulate writing orders in natural (orderkey) order vs Morton
+    (custkey, totalprice) order and report each file's custkey min/max
+    overlap count — the expected scan amplification a custkey probe
+    pays under each layout, measured BEFORE rewriting anything."""
+    from polars_grouper_spark.plans.layout import clustering_report, zorder_key
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    nat = clustering_report(
+        o, ["o_orderkey"], "o_custkey", _CLUSTER_ROWS_PER_FILE
+    ).withColumn("layout", F.lit("natural"))
+    zo = o.withColumn("_zkey", zorder_key(_ZDIMS, _ZBITS))
+    z = clustering_report(
+        zo, ["_zkey", "o_orderkey"], "o_custkey", _CLUSTER_ROWS_PER_FILE
+    ).withColumn("layout", F.lit("zorder"))
+    return nat.unionByName(z)
+
+
+def _clustering_layout_orders_sql() -> str:
+    from polars_grouper_spark.plans.layout import (
+        clustering_report_sql,
+        zorder_key_sql,
+    )
+
+    rel = "SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
+    nat = clustering_report_sql(
+        rel, ["o_orderkey"], "o_custkey", _CLUSTER_ROWS_PER_FILE
+    )
+    zk = zorder_key_sql(_ZDIMS, _ZBITS)
+    z = clustering_report_sql(
+        rel,
+        [zk, "o_orderkey"],
+        "o_custkey",
+        _CLUSTER_ROWS_PER_FILE,
+    )
+    return (
+        f"SELECT *, 'natural' AS layout FROM ({nat})"
+        f" UNION ALL SELECT *, 'zorder' AS layout FROM ({z})"
+    )
+
+
+_DOC_BUDGET_CHARS = 60_000
+
+
+def q_budget_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection
+    (``functions.selection.budget_select``): fill a character budget
+    with the highest-quality documents — greedy knapsack in (quality
+    desc, id asc) order.  The coarse-bucket prune reduces the exact
+    cumsum sort to roughly budget-sized input; the oracle runs the
+    plain global cumsum the pruned plan is provably equal to."""
+    from polars_grouper_spark.functions.selection import budget_select
+
+    docs = load_table(spark, "documents", sf_dir)
+    scored = tx.quality_score(docs).join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    return budget_select(
+        scored, "doc_id", "quality_score", "n_chars", _DOC_BUDGET_CHARS
+    )
+
+
+def _budget_select_docs_sql() -> str:
+    from polars_grouper_spark.functions.selection import budget_select_sql
+
+    rel = (
+        f"SELECT q.id AS doc_id, q.quality_score, d.n_chars "
+        f"FROM ({_doc_quality_sql(rounded=False)}) q "
+        f"JOIN documents d ON d.doc_id = q.id"
+    )
+    return budget_select_sql(
+        rel, "doc_id", "quality_score", "n_chars", _DOC_BUDGET_CHARS
+    )
+
+
+def q_chi2_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit
+    (``functions.evaluation.chi_square``): is return flag independent of
+    line status?  Observed/expected over the marginal CROSS (absent
+    cells contribute their expectation); micro-quantized exact term
+    sum."""
+    from polars_grouper_spark.functions.evaluation import chi_square
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return chi_square(li, "l_returnflag", "l_linestatus")
+
+
+def _chi2_lineitem_sql() -> str:
+    from polars_grouper_spark.functions.evaluation import chi_square_sql
+
+    return chi_square_sql(
+        "SELECT l_returnflag, l_linestatus FROM lineitem",
+        "l_returnflag",
+        "l_linestatus",
+    )
+
+
+def q_mi_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (``functions.evaluation.mutual_information``)
+    between a document's language and its source domain — the
+    feature-selection dependence check in nats, from one pair groupBy
+    plus two broadcast marginals."""
+    from polars_grouper_spark.functions.evaluation import mutual_information
+
+    docs = load_table(spark, "documents", sf_dir)
+    return mutual_information(docs, "lang", "source")
+
+
+def _mi_docs_sql() -> str:
+    from polars_grouper_spark.functions.evaluation import (
+        mutual_information_sql,
+    )
+
+    return mutual_information_sql(
+        "SELECT lang, source FROM documents", "lang", "source"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -6773,6 +6917,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_orders": q_gini_orders,
         "kappa_langid": q_kappa_langid,
         "entropy_events": q_entropy_events,
+        "seasonal_events": q_seasonal_events,
+        "clustering_layout_orders": q_clustering_layout_orders,
+        "budget_select_docs": q_budget_select_docs,
+        "chi2_lineitem": q_chi2_lineitem,
+        "mi_docs": q_mi_docs,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -7025,6 +7174,11 @@ def oracle_sql() -> dict[str, str]:
         "gini_orders": _gini_orders_sql(),
         "kappa_langid": _kappa_langid_sql(),
         "entropy_events": _entropy_events_sql(),
+        "seasonal_events": _seasonal_events_sql(),
+        "clustering_layout_orders": _clustering_layout_orders_sql(),
+        "budget_select_docs": _budget_select_docs_sql(),
+        "chi2_lineitem": _chi2_lineitem_sql(),
+        "mi_docs": _mi_docs_sql(),
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,

@@ -537,3 +537,131 @@ SELECT {kpfx}SUM(c) AS n, COUNT(*) AS n_distinct,
        SUM(t) / 1e8 AS entropy
 FROM termed {grp}
 """
+
+
+def chi_square(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Chi-square test of independence between two categorical columns
+    -> one row ``(n, dof, chi2)``.
+
+    The feature-audit staple: is the quality label independent of the
+    source domain?  Observed counts come from one groupBy; expected
+    counts ``row_marg * col_marg / n`` from two marginal aggregations
+    joined back (all broadcast-sized).  Each cell's
+    ``(obs - exp)^2 / exp`` term micro-quantizes to a long (1e6 scale —
+    chi2 grows with n, so the scale trades 2 decimals for headroom) and
+    sums exactly; ``dof = (|A| - 1) * (|B| - 1)``.  Cells with an
+    absent (a, b) combination contribute ``exp`` (obs = 0), accounted
+    by summing over the marginal CROSS of categories, not just
+    observed pairs.
+    """
+    pairs = df.select(
+        F.col(a_col).cast("string").alias("_a"),
+        F.col(b_col).cast("string").alias("_b"),
+    ).where(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+    obs = pairs.groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_o"))
+    ma = pairs.groupBy("_a").agg(F.count(F.lit(1)).alias("_ra"))
+    mb = pairs.groupBy("_b").agg(F.count(F.lit(1)).alias("_cb"))
+    n = pairs.count()
+    if n == 0:
+        raise ValueError("chi_square needs at least one co-labeled row")
+    grid = ma.crossJoin(F.broadcast(mb)).join(
+        F.broadcast(obs), ["_a", "_b"], "left"
+    )
+    exp = F.col("_ra") * F.col("_cb") / F.lit(float(n))
+    o = F.coalesce(F.col("_o"), F.lit(0)).cast("double")
+    term = F.round((o - exp) * (o - exp) / exp * 1e6).cast("long")
+    return grid.agg(
+        F.lit(n).cast("long").alias("n"),
+        (
+            (F.count_distinct(F.col("_a")) - 1)
+            * (F.count_distinct(F.col("_b")) - 1)
+        ).alias("dof"),
+        (F.sum(term) / 1e6).alias("chi2"),
+    )
+
+
+def chi_square_sql(rel_sql: str, a_expr: str, b_expr: str) -> str:
+    """DuckDB oracle for :func:`chi_square` (same grid and micro-sum)."""
+    return f"""
+WITH pairs AS (
+  SELECT CAST({a_expr} AS VARCHAR) AS a, CAST({b_expr} AS VARCHAR) AS b
+  FROM ({rel_sql})
+  WHERE {a_expr} IS NOT NULL AND {b_expr} IS NOT NULL
+), obs AS (
+  SELECT a, b, COUNT(*) AS o FROM pairs GROUP BY a, b
+), ma AS (SELECT a, COUNT(*) AS ra FROM pairs GROUP BY a),
+mb AS (SELECT b, COUNT(*) AS cb FROM pairs GROUP BY b),
+tot AS (SELECT COUNT(*) AS n FROM pairs),
+grid AS (
+  SELECT ma.a, mb.b, ma.ra, mb.cb, COALESCE(obs.o, 0) AS o, tot.n
+  FROM ma CROSS JOIN mb CROSS JOIN tot
+  LEFT JOIN obs ON obs.a = ma.a AND obs.b = mb.b
+)
+SELECT MAX(n) AS n,
+       (COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS dof,
+       SUM(CAST(ROUND(
+         (CAST(o AS DOUBLE) - ra * cb / CAST(n AS DOUBLE))
+         * (CAST(o AS DOUBLE) - ra * cb / CAST(n AS DOUBLE))
+         / (ra * cb / CAST(n AS DOUBLE)) * 1e6) AS BIGINT)) / 1e6 AS chi2
+FROM grid
+"""
+
+
+def mutual_information(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Mutual information (nats) between two categorical columns -> one
+    row ``(n, mi)``: ``MI = sum_xy p_xy * ln(p_xy / (p_x * p_y))`` over
+    OBSERVED pairs (absent pairs contribute 0 by the x*ln(x) limit).
+
+    The feature-selection companion to :func:`chi_square` — scale-free
+    dependence in nats.  Same plan shape: one pair groupBy + two
+    broadcast marginals; terms micro-quantize to longs (1e8) and sum
+    exactly.
+    """
+    pairs = df.select(
+        F.col(a_col).cast("string").alias("_a"),
+        F.col(b_col).cast("string").alias("_b"),
+    ).where(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+    obs = pairs.groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_o"))
+    ma = pairs.groupBy("_a").agg(F.count(F.lit(1)).alias("_ra"))
+    mb = pairs.groupBy("_b").agg(F.count(F.lit(1)).alias("_cb"))
+    n = pairs.count()
+    if n == 0:
+        raise ValueError("mutual_information needs at least one row")
+    nd = F.lit(float(n))
+    joined = obs.join(F.broadcast(ma), "_a").join(F.broadcast(mb), "_b")
+    p_xy = F.col("_o") / nd
+    ratio = F.col("_o") * nd / (F.col("_ra") * F.col("_cb"))
+    term = F.round(p_xy * F.log(ratio) * 1e8).cast("long")
+    return joined.agg(
+        F.lit(n).cast("long").alias("n"),
+        (F.sum(term) / 1e8).alias("mi"),
+    )
+
+
+def mutual_information_sql(rel_sql: str, a_expr: str, b_expr: str) -> str:
+    """DuckDB oracle for :func:`mutual_information`."""
+    return f"""
+WITH pairs AS (
+  SELECT CAST({a_expr} AS VARCHAR) AS a, CAST({b_expr} AS VARCHAR) AS b
+  FROM ({rel_sql})
+  WHERE {a_expr} IS NOT NULL AND {b_expr} IS NOT NULL
+), obs AS (
+  SELECT a, b, COUNT(*) AS o FROM pairs GROUP BY a, b
+), ma AS (SELECT a, COUNT(*) AS ra FROM pairs GROUP BY a),
+mb AS (SELECT b, COUNT(*) AS cb FROM pairs GROUP BY b),
+tot AS (SELECT COUNT(*) AS n FROM pairs)
+SELECT MAX(tot.n) AS n,
+       SUM(CAST(ROUND(
+         (o / CAST(tot.n AS DOUBLE))
+         * LN(o * CAST(tot.n AS DOUBLE) / (CAST(ra AS DOUBLE) * cb))
+         * 1e8) AS BIGINT)) / 1e8 AS mi
+FROM obs JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot
+"""

@@ -23,7 +23,7 @@ fraction of the universe — the same posture as incremental dedup.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..plans.iteration import truncate_lineage
@@ -110,3 +110,108 @@ def greedy_coverage_sql(
         prev_cov = f"c{i}"
     parts.append(" " + " UNION ALL ".join(pick_tables))
     return "\n".join(parts)
+
+
+def budget_select(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    cost_col: str,
+    budget: int,
+    *,
+    coarse_buckets: int | None = 1000,
+) -> DataFrame:
+    """Best-first selection under a budget -> the kept rows
+    ``(id, score, cost, cum_cost)``: take rows in (score desc, id asc)
+    order while the running ``cost`` total stays <= ``budget``.
+
+    The LLM-data move this encodes: "fill a 50B-token budget with the
+    highest-quality documents" — the greedy solution to the knapsack
+    with uniform value density, and the standard way quality scores
+    become a corpus.
+
+    Scale: the naive plan is a GLOBAL cumsum window (single-partition
+    sort over everything).  With ``coarse_buckets`` set (score must be
+    in [0, 1]), a first map-side-combinable aggregation reduces the
+    data to per-bucket cost totals (metadata-sized), a running total
+    over that tiny table finds the boundary bucket, and only rows at or
+    above it — roughly budget-sized, not corpus-sized — reach the exact
+    sort.  Output is provably identical: a row below the boundary
+    bucket has every higher-ordered row's cost already summing past the
+    budget, so it can never be kept.  ``cost_col`` must be integral and
+    non-negative (token counts, bytes).
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(score_col).cast("double").alias("score"),
+        F.col(cost_col).cast("long").alias("cost"),
+    )
+    pool = base
+    if coarse_buckets is not None:
+        if coarse_buckets < 2:
+            raise ValueError(
+                f"coarse_buckets must be >= 2, got {coarse_buckets}"
+            )
+        b = F.least(
+            F.floor(F.col("score") * coarse_buckets).cast("long"),
+            F.lit(coarse_buckets - 1),
+        )
+        buckets = (
+            base.groupBy(b.alias("_b"))
+            .agg(F.sum("cost").alias("_bc"))
+            .select(
+                "_b",
+                (
+                    F.sum("_bc").over(
+                        Window.orderBy(F.col("_b").desc()).rowsBetween(
+                            Window.unboundedPreceding, -1
+                        )
+                    )
+                ).alias("_above"),
+            )
+            # bucket participates iff strictly-higher buckets alone do not
+            # already exceed the budget (<=, not <: a zero-cost row can
+            # still land exactly on the budget)
+            .where(F.coalesce(F.col("_above"), F.lit(0)) <= budget)
+            .select("_b")
+        )
+        pool = base.join(
+            F.broadcast(buckets),
+            F.least(
+                F.floor(F.col("score") * coarse_buckets).cast("long"),
+                F.lit(coarse_buckets - 1),
+            )
+            == F.col("_b"),
+            "left_semi",
+        )
+    w = Window.orderBy(F.col("score").desc(), F.col("id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        pool.select("id", "score", "cost", F.sum("cost").over(w).alias("cum_cost"))
+        .where(F.col("cum_cost") <= budget)
+    )
+
+
+def budget_select_sql(
+    rel_sql: str,
+    id_expr: str,
+    score_expr: str,
+    cost_expr: str,
+    budget: int,
+) -> str:
+    """DuckDB oracle for :func:`budget_select` — the plain global
+    cumsum-filter the bucket-pruned plan is provably equal to."""
+    return f"""
+WITH ranked AS (
+  SELECT {id_expr} AS id, CAST({score_expr} AS DOUBLE) AS score,
+         CAST({cost_expr} AS BIGINT) AS cost,
+         SUM(CAST({cost_expr} AS BIGINT)) OVER (
+           ORDER BY CAST({score_expr} AS DOUBLE) DESC, {id_expr} ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cost
+  FROM ({rel_sql})
+)
+SELECT id, score, cost, cum_cost FROM ranked WHERE cum_cost <= {budget}
+"""

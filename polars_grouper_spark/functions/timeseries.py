@@ -213,3 +213,82 @@ SELECT * EXCLUDE (_vals),
          {round_to}) AS {out_col}
 FROM framed
 """
+
+
+def seasonal_profile(df: DataFrame, ts_col: str, value_col: str) -> DataFrame:
+    """Additive weekly/daily seasonal decomposition -> one row per
+    (weekday, hour) cell: ``(dow, hour, n, cell_mean, dow_effect,
+    hour_effect, residual)`` with ``dow`` 0=Monday..6=Sunday.
+
+    ``cell_mean = overall + dow_effect + hour_effect + residual`` — the
+    two-way main-effects model behind "is Tuesday 3am traffic actually
+    anomalous, or just Tuesday 3am?".  Detrending by this profile is the
+    standard pre-step before change-point/outlier detection on metrics
+    with strong weekly shape (cf. the CUSUM operator).
+
+    Scale + determinism: values micro-quantize once (``round(v * 1e8)``
+    as long) and ONE groupBy reduces the data to at most 168 cells; the
+    marginal (weekday / hour / grand) sums derive from those cell sums
+    by exact integer window sums over the 168-row table — so a 100 TB
+    input costs one map-side-combinable aggregation, and every mean is
+    the same ``micro_sum / 1e8 / n`` double division on both engines.
+    """
+    vi = F.round(F.col(value_col).cast("double") * 1e8).cast("long")
+    cell = (
+        df.select(
+            F.weekday(F.col(ts_col)).cast("long").alias("dow"),
+            F.hour(F.col(ts_col)).cast("long").alias("hour"),
+            vi.alias("_vi"),
+        )
+        .groupBy("dow", "hour")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_vi").alias("_s"))
+    )
+    w_all = Window.partitionBy()
+    w_dow = Window.partitionBy("dow")
+    w_hr = Window.partitionBy("hour")
+    overall = F.sum("_s").over(w_all) / 1e8 / F.sum("n").over(w_all)
+    dow_mean = F.sum("_s").over(w_dow) / 1e8 / F.sum("n").over(w_dow)
+    hr_mean = F.sum("_s").over(w_hr) / 1e8 / F.sum("n").over(w_hr)
+    cell_mean = F.col("_s") / 1e8 / F.col("n")
+    return cell.select(
+        "dow",
+        "hour",
+        "n",
+        cell_mean.alias("cell_mean"),
+        (dow_mean - overall).alias("dow_effect"),
+        (hr_mean - overall).alias("hour_effect"),
+        (cell_mean - overall - (dow_mean - overall) - (hr_mean - overall)).alias(
+            "residual"
+        ),
+    )
+
+
+def seasonal_profile_sql(rel_sql: str, ts_expr: str, value_expr: str) -> str:
+    """DuckDB oracle for :func:`seasonal_profile` (same micro-sums and
+    division order; ``isodow - 1`` matches Spark's ``weekday``)."""
+    return f"""
+WITH cell AS (
+  SELECT CAST(date_part('isodow', {ts_expr}) - 1 AS BIGINT) AS dow,
+         CAST(date_part('hour', {ts_expr}) AS BIGINT) AS hour,
+         COUNT(*) AS n,
+         SUM(CAST(ROUND(CAST({value_expr} AS DOUBLE) * 1e8) AS BIGINT)) AS s
+  FROM ({rel_sql}) GROUP BY 1, 2
+)
+SELECT dow, hour, n,
+       s / 1e8 / n AS cell_mean,
+       (SUM(s) OVER (PARTITION BY dow) / 1e8
+          / SUM(n) OVER (PARTITION BY dow))
+         - (SUM(s) OVER () / 1e8 / SUM(n) OVER ()) AS dow_effect,
+       (SUM(s) OVER (PARTITION BY hour) / 1e8
+          / SUM(n) OVER (PARTITION BY hour))
+         - (SUM(s) OVER () / 1e8 / SUM(n) OVER ()) AS hour_effect,
+       (s / 1e8 / n)
+         - (SUM(s) OVER () / 1e8 / SUM(n) OVER ())
+         - ((SUM(s) OVER (PARTITION BY dow) / 1e8
+               / SUM(n) OVER (PARTITION BY dow))
+            - (SUM(s) OVER () / 1e8 / SUM(n) OVER ()))
+         - ((SUM(s) OVER (PARTITION BY hour) / 1e8
+               / SUM(n) OVER (PARTITION BY hour))
+            - (SUM(s) OVER () / 1e8 / SUM(n) OVER ())) AS residual
+FROM cell
+"""

@@ -15,7 +15,7 @@ bit for bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -95,3 +95,92 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def clustering_report(
+    df: DataFrame,
+    order_by: "list",
+    stat_col: str,
+    rows_per_file: int,
+) -> DataFrame:
+    """Zone-map effectiveness of a file layout -> one row per simulated
+    file: ``(file, n, lo, hi, n_overlap)``.
+
+    Simulates writing ``df`` sorted by ``order_by`` into files of
+    ``rows_per_file`` rows and reports each file's min/max zone map on
+    ``stat_col`` plus ``n_overlap``: how many files' ``[lo, hi]`` ranges
+    a point/range probe landing in THIS file's range must also scan.
+    ``sum(n_overlap)/n_files`` is the expected scan amplification — the
+    number the z-order writer (:func:`write_zordered`) exists to drive
+    toward 1, and the honest way to compare layouts BEFORE rewriting
+    100 TB: run this on the natural order and on the candidate
+    ``zorder_key``, diff the amplification.
+
+    ``order_by`` must be a TOTAL order (add a unique id tiebreak) or
+    file boundaries would depend on partitioning.  The ranking window
+    is a global sort — exactly the cost the real writer pays, so the
+    simulation is never more expensive than the write it predicts.  The
+    overlap join is files x files, metadata-sized (|files| =
+    ``n / rows_per_file``), and broadcast.
+    """
+    if rows_per_file < 1:
+        raise ValueError(f"rows_per_file must be >= 1, got {rows_per_file}")
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    rn = F.row_number().over(Window.orderBy(*cols))
+    files = (
+        df.select(F.col(stat_col).alias("_v"), rn.alias("_rn"))
+        .select(
+            F.floor((F.col("_rn") - 1) / rows_per_file)
+            .cast("long")
+            .alias("file"),
+            "_v",
+        )
+        .groupBy("file")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("_v").alias("lo"),
+            F.max("_v").alias("hi"),
+        )
+    )
+    other = files.select(
+        F.col("file").alias("_f2"), F.col("lo").alias("_lo2"),
+        F.col("hi").alias("_hi2"),
+    )
+    return (
+        files.join(
+            F.broadcast(other),
+            (F.col("lo") <= F.col("_hi2")) & (F.col("_lo2") <= F.col("hi")),
+        )
+        .groupBy("file")
+        .agg(
+            F.first("n").alias("n"),
+            F.first("lo").alias("lo"),
+            F.first("hi").alias("hi"),
+            F.count(F.lit(1)).alias("n_overlap"),
+        )
+    )
+
+
+def clustering_report_sql(
+    rel_sql: str,
+    order_by_exprs: "list[str]",
+    stat_expr: str,
+    rows_per_file: int,
+) -> str:
+    """DuckDB oracle for :func:`clustering_report` (same simulated
+    file assignment and overlap join)."""
+    order = ", ".join(order_by_exprs)
+    return f"""
+WITH ranked AS (
+  SELECT {stat_expr} AS v,
+         ROW_NUMBER() OVER (ORDER BY {order}) AS rn
+  FROM ({rel_sql})
+), files AS (
+  SELECT CAST(FLOOR((rn - 1) / {rows_per_file}) AS BIGINT) AS file,
+         COUNT(*) AS n, MIN(v) AS lo, MAX(v) AS hi
+  FROM ranked GROUP BY 1
+)
+SELECT a.file, a.n, a.lo, a.hi, COUNT(*) AS n_overlap
+FROM files a JOIN files b ON a.lo <= b.hi AND b.lo <= a.hi
+GROUP BY a.file, a.n, a.lo, a.hi
+"""

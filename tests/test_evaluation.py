@@ -164,3 +164,53 @@ def test_roc_auc_group_shuffle_invariance(spark):
         )
     )
     assert a == b
+
+
+def test_chi_square_independent_is_zero(spark):
+    from polars_grouper_spark.functions.evaluation import chi_square
+
+    # perfectly proportional table -> chi2 == 0
+    rows = []
+    for a, na in (("x", 2), ("y", 3)):
+        for b, nb in (("p", 4), ("q", 1)):
+            rows += [(a, b)] * (na * nb)
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = chi_square(df, "a", "b").first()
+    assert got["n"] == 25 and got["dof"] == 1
+    assert got["chi2"] == 0.0
+
+
+def test_chi_square_known_2x2(spark):
+    from polars_grouper_spark.functions.evaluation import chi_square
+
+    # 2x2: [[10, 20], [30, 40]]
+    rows = (
+        [("a", "p")] * 10 + [("a", "q")] * 20
+        + [("b", "p")] * 30 + [("b", "q")] * 40
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = chi_square(df, "a", "b").first()
+    n = 100
+    micro_sum = 0
+    for o, ra, cb in ((10, 30, 40), (20, 30, 60), (30, 70, 40), (40, 70, 60)):
+        e = ra * cb / n
+        micro_sum += int(math.floor((o - e) ** 2 / e * 1e6 + 0.5))
+    assert got["dof"] == 1 and got["chi2"] == micro_sum / 1e6
+    # sanity vs the closed form n(ad-bc)^2 / (marginal product)
+    assert abs(got["chi2"] - 100 * (10 * 40 - 20 * 30) ** 2 / (30 * 70 * 40 * 60)) < 1e-5
+
+
+def test_mutual_information_bounds(spark):
+    from polars_grouper_spark.functions.evaluation import mutual_information
+
+    # independent -> 0; identical -> ln(K)
+    indep = spark.createDataFrame(
+        [(a, b) for a in "xy" for b in "pq" for _ in range(5)],
+        "a string, b string",
+    )
+    assert mutual_information(indep, "a", "b").first()["mi"] == 0.0
+    ident = spark.createDataFrame(
+        [(c, c) for c in "xyz" for _ in range(4)], "a string, b string"
+    )
+    got = mutual_information(ident, "a", "b").first()["mi"]
+    assert abs(got - math.log(3)) < 1e-6
