@@ -6787,6 +6787,77 @@ def _mi_docs_sql() -> str:
     )
 
 
+def q_golden_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship (``operators.golden_record``): each
+    customer's orders act as conflicting source records; every output
+    column is one ``max(struct(has, ts, id, value))`` aggregate —
+    latest-non-null-wins as a map-side-combinable max, one shuffle
+    total.  Status is nulled on every 7th order to exercise the
+    non-null preference."""
+    from polars_grouper_spark.operators.golden_record import golden_record
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 != 0, F.col("o_orderstatus")).alias(
+            "status"
+        ),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+    return golden_record(
+        o,
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        ["status", "priority", "totalprice"],
+    )
+
+
+def _golden_customer_sql() -> str:
+    from polars_grouper_spark.operators.golden_record import (
+        golden_record_sql,
+    )
+
+    return golden_record_sql(
+        "SELECT * FROM orders",
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        {
+            "status": "CASE WHEN o_orderkey % 7 <> 0 THEN o_orderstatus END",
+            "priority": "o_orderpriority",
+            "totalprice": "o_totalprice",
+        },
+    )
+
+
+def q_ks_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov (``functions.drift.ks_drift``)
+    between returned and non-returned line-item prices — the binning-free
+    drift test; the CDF gap is an exact cross-multiplied integer at
+    every observed value, one final division."""
+    from polars_grouper_spark.functions.drift import ks_drift
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return ks_drift(
+        li.where(F.col("l_returnflag") == "R"),
+        li.where(F.col("l_returnflag") == "N"),
+        "l_extendedprice",
+    )
+
+
+def _ks_price_drift_sql() -> str:
+    from polars_grouper_spark.functions.drift import ks_drift_sql
+
+    return ks_drift_sql(
+        "SELECT l_extendedprice FROM lineitem WHERE l_returnflag = 'R'",
+        "SELECT l_extendedprice FROM lineitem WHERE l_returnflag = 'N'",
+        "l_extendedprice",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -6922,6 +6993,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_select_docs": q_budget_select_docs,
         "chi2_lineitem": q_chi2_lineitem,
         "mi_docs": q_mi_docs,
+        "golden_customer": q_golden_customer,
+        "ks_price_drift": q_ks_price_drift,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -7179,6 +7252,8 @@ def oracle_sql() -> dict[str, str]:
         "budget_select_docs": _budget_select_docs_sql(),
         "chi2_lineitem": _chi2_lineitem_sql(),
         "mi_docs": _mi_docs_sql(),
+        "golden_customer": _golden_customer_sql(),
+        "ks_price_drift": _ks_price_drift_sql(),
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,

@@ -249,3 +249,83 @@ WHERE greatest(df_a, df_b) >= {min_docs}
     OR (df_a + 1) * ((SELECT n FROM nb) + 1) * {ratio_den}
          > (df_b + 1) * ((SELECT n FROM na) + 1) * {ratio_num})
 """
+
+
+def ks_drift(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic -> one row
+    ``(n_a, n_b, ks)`` with ``ks = max_v |F_a(v) - F_b(v)|``.
+
+    The nonparametric companion to :func:`psi_drift`: no binning, no
+    range assumption — the supremum CDF gap over the OBSERVED value
+    set, which is where the supremum of an empirical-CDF difference
+    always lands.  Exactness: the gap at each value is the integer
+    ``|cum_a * n_b - cum_b * n_a|`` (cross-multiplied counts, no float
+    CDFs), the max is an integer max, and the single final division by
+    ``n_a * n_b`` is the only float op — bit-identical on both engines.
+    Valid while ``n_a * n_b < 2^63`` (~3e9 rows per side); past that,
+    pre-aggregate or sample a side.
+
+    Scale: each side reduces to distinct values map-side; one full
+    outer join on value; one ordered window over distinct values (the
+    same sort any exact CDF needs); one max.
+    """
+    a = df_a.groupBy(F.col(col).alias("v")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    b = df_b.groupBy(F.col(col).alias("v")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    merged = (
+        a.join(b, "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    cum = merged.select(
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        F.sum("ca").over(wt).alias("n_a"),
+        F.sum("cb").over(wt).alias("n_b"),
+    )
+    return cum.groupBy().agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        (
+            F.max(
+                F.abs(
+                    F.col("cum_a") * F.col("n_b")
+                    - F.col("cum_b") * F.col("n_a")
+                )
+            )
+            / (F.max("n_a") * F.max("n_b")).cast("double")
+        ).alias("ks"),
+    )
+
+
+def ks_drift_sql(a_sql: str, b_sql: str, expr: str) -> str:
+    """DuckDB oracle for :func:`ks_drift` (same cross-multiplied
+    integer gaps)."""
+    return f"""
+WITH a AS (SELECT {expr} AS v, COUNT(*) AS ca FROM ({a_sql}) GROUP BY 1),
+b AS (SELECT {expr} AS v, COUNT(*) AS cb FROM ({b_sql}) GROUP BY 1),
+merged AS (
+  SELECT COALESCE(a.v, b.v) AS v,
+         COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+  FROM a FULL OUTER JOIN b ON a.v = b.v
+), cum AS (
+  SELECT SUM(ca) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+         SUM(cb) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+         SUM(ca) OVER () AS n_a, SUM(cb) OVER () AS n_b
+  FROM merged
+)
+SELECT MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+       MAX(ABS(cum_a * n_b - cum_b * n_a))
+         / CAST(MAX(n_a) * MAX(n_b) AS DOUBLE) AS ks
+FROM cum
+"""
