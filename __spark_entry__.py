@@ -6858,6 +6858,58 @@ def _ks_price_drift_sql() -> str:
     )
 
 
+def q_benford_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit (``functions.validate.benford_audit``)
+    over order totals in cents — the forensic screen for fabricated or
+    truncated amount feeds.  First digit from the long's STRING form
+    (never floor(log10), whose 1-ulp wobble misbuckets powers of ten);
+    expected shares are compile-time literals shared with the oracle."""
+    from polars_grouper_spark.functions.validate import benford_audit
+
+    o = load_table(spark, "orders", sf_dir).select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents")
+    )
+    return benford_audit(o, "cents")
+
+
+def _benford_orders_sql() -> str:
+    from polars_grouper_spark.functions.validate import benford_audit_sql
+
+    return benford_audit_sql(
+        "SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents "
+        "FROM orders",
+        "cents",
+    )
+
+
+def q_triples_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori 3-itemsets (``operators.itemsets.frequent_triples``):
+    brand triples co-purchased within an order.  Downward-closure
+    pruning bounds candidate fan-out by frequent-pair degree — the
+    C(t,3) per-transaction blowup never materializes; the oracle runs
+    the direct three-way join the pruned plan provably equals."""
+    from polars_grouper_spark.operators.itemsets import frequent_triples
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey"
+    )
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    baskets = li.join(part, li["l_partkey"] == part["p_partkey"]).select(
+        "l_orderkey", "p_brand"
+    )
+    return frequent_triples(baskets, "l_orderkey", "p_brand", min_support=25)
+
+
+def _triples_brands_sql() -> str:
+    from polars_grouper_spark.operators.itemsets import frequent_triples_sql
+
+    rel = (
+        "SELECT l_orderkey, p_brand FROM lineitem "
+        "JOIN part ON l_partkey = p_partkey"
+    )
+    return frequent_triples_sql(rel, "l_orderkey", "p_brand", min_support=25)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -6995,6 +7047,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mi_docs": q_mi_docs,
         "golden_customer": q_golden_customer,
         "ks_price_drift": q_ks_price_drift,
+        "benford_orders": q_benford_orders,
+        "triples_brands": q_triples_brands,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -7254,6 +7308,8 @@ def oracle_sql() -> dict[str, str]:
         "mi_docs": _mi_docs_sql(),
         "golden_customer": _golden_customer_sql(),
         "ks_price_drift": _ks_price_drift_sql(),
+        "benford_orders": _benford_orders_sql(),
+        "triples_brands": _triples_brands_sql(),
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,

@@ -24,9 +24,10 @@ extension list).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -290,4 +291,73 @@ SELECT (SELECT count(*) FROM per_group)::BIGINT AS n_groups,
        (SELECT count(*) FROM viol) = 0 AS fd_holds,
        sample_keys
 FROM samp
+"""
+
+
+_BENFORD_P = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
+
+
+def benford_audit(df: DataFrame, col: str) -> DataFrame:
+    """Benford's-law first-digit audit -> 9 rows ``(digit, cnt,
+    obs_share, exp_share, contrib)``.
+
+    The forensic data-quality screen for "naturally grown" magnitude
+    columns (amounts, populations, file sizes): genuine multiplicative
+    data puts digit d first with probability ``log10(1 + 1/d)``;
+    fabricated or truncated feeds don't.  ``contrib`` is the per-digit
+    ``(obs - exp)^2 / exp`` chi-square term over shares — large
+    contributions point at WHICH digit is distorted.
+
+    ``col`` must be a positive integral column (quantize floats to
+    cents first): the first digit comes from the long's string form —
+    never from ``floor(log10(x))``, whose 1-ulp libm wobble at exact
+    powers of ten would misbucket boundary values per engine.  One
+    map-side-combinable groupBy on a 9-value key; the expected shares
+    are compile-time Python literals, identical in both plans.
+    """
+    d = F.substring(F.col(col).cast("long").cast("string"), 1, 1).cast("int")
+    counts = (
+        df.where(F.col(col) > 0)
+        .groupBy(d.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n = F.sum("cnt").over(Window.partitionBy())
+    obs = F.col("cnt") / n.cast("double")
+    exp_ = F.element_at(
+        F.create_map(
+            *[x for dd in range(1, 10) for x in (F.lit(dd), F.lit(_BENFORD_P[dd]))]
+        ),
+        F.col("digit"),
+    )
+    return counts.select(
+        "digit",
+        "cnt",
+        obs.alias("obs_share"),
+        exp_.alias("exp_share"),
+        ((obs - exp_) * (obs - exp_) / exp_).alias("contrib"),
+    )
+
+
+def benford_audit_sql(rel_sql: str, expr: str) -> str:
+    """DuckDB oracle for :func:`benford_audit` (same string-form digit
+    and the same Python-literal expected shares)."""
+    # CAST: a bare high-precision literal parses as DECIMAL in DuckDB
+    cases = " ".join(
+        f"WHEN {d} THEN CAST({_BENFORD_P[d]!r} AS DOUBLE)"
+        for d in range(1, 10)
+    )
+    return f"""
+WITH counts AS (
+  SELECT CAST(substr(CAST(CAST({expr} AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+           AS digit,
+         COUNT(*) AS cnt
+  FROM ({rel_sql}) WHERE {expr} > 0 GROUP BY 1
+)
+SELECT digit, cnt,
+       cnt / CAST(SUM(cnt) OVER () AS DOUBLE) AS obs_share,
+       CASE digit {cases} END AS exp_share,
+       (cnt / CAST(SUM(cnt) OVER () AS DOUBLE) - CASE digit {cases} END)
+         * (cnt / CAST(SUM(cnt) OVER () AS DOUBLE) - CASE digit {cases} END)
+         / (CASE digit {cases} END) AS contrib
+FROM counts
 """
