@@ -6910,6 +6910,64 @@ def _triples_brands_sql() -> str:
     return frequent_triples_sql(rel, "l_orderkey", "p_brand", min_support=25)
 
 
+def q_theilsen_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust spend trend per user
+    (``functions.regression.theil_sen``): events pre-aggregate to daily
+    means (exact micro-sums — the documented way to keep the O(n²)
+    pair set in its regime), then the median pairwise slope per user.
+    A wild single-day outlier cannot move it; OLS would bend."""
+    from polars_grouper_spark.functions.regression import theil_sen
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = (
+        ev.groupBy(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 1e8).cast("long")).alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            "user_id",
+            "day",
+            (F.col("_s") / 1e8 / F.col("_n")).alias("day_mean"),
+        )
+    )
+    return theil_sen(daily, "user_id", "day", "day_mean")
+
+
+def _theilsen_users_sql() -> str:
+    from polars_grouper_spark.functions.regression import theil_sen_sql
+
+    daily = """
+SELECT user_id,
+       date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+       SUM(CAST(ROUND(value * 1e8) AS BIGINT)) / 1e8 / COUNT(*) AS day_mean
+FROM events GROUP BY 1, 2
+"""
+    return theil_sen_sql(daily, "user_id", "day", "day_mean")
+
+
+def q_wmedian_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass-weighted median document length per language
+    (``functions.outliers.weighted_median``): every decision is an
+    exact integer comparison (2*cumw >= total), and the cumulative
+    window sorts distinct lengths, not documents."""
+    from polars_grouper_spark.functions.outliers import weighted_median
+
+    docs = load_table(spark, "documents", sf_dir)
+    return weighted_median(docs, "lang", "n_chars", "n_chars")
+
+
+def _wmedian_docs_sql() -> str:
+    from polars_grouper_spark.functions.outliers import weighted_median_sql
+
+    return weighted_median_sql(
+        "SELECT lang, n_chars FROM documents", "lang", "n_chars", "n_chars"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -7049,6 +7107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_price_drift": q_ks_price_drift,
         "benford_orders": q_benford_orders,
         "triples_brands": q_triples_brands,
+        "theilsen_users": q_theilsen_users,
+        "wmedian_docs": q_wmedian_docs,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -7310,6 +7370,8 @@ def oracle_sql() -> dict[str, str]:
         "ks_price_drift": _ks_price_drift_sql(),
         "benford_orders": _benford_orders_sql(),
         "triples_brands": _triples_brands_sql(),
+        "theilsen_users": _theilsen_users_sql(),
+        "wmedian_docs": _wmedian_docs_sql(),
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,

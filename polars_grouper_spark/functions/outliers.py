@@ -34,7 +34,7 @@ extension list).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -126,4 +126,80 @@ SELECT d.id, d.grp, d.vq AS value_q,
 FROM dx d JOIN mad a ON d.grp = a.grp
 WHERE CAST(a.mad2 * 2 AS BIGINT) > 0
   AND 6745 * d.dx2 * 2 > {10 * threshold_milli} * CAST(a.mad2 * 2 AS BIGINT)
+"""
+
+
+def weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Lower weighted median per group -> ``(grp, total_w, wmedian)``:
+    the smallest value whose cumulative weight reaches half the group's
+    total.  Weights must be non-negative integers (token counts, bytes,
+    repetition multiplicities) so every decision is an exact integer
+    comparison (``2 * cumw >= total_w`` — no halving of floats).
+
+    The estimator behind "median document length weighted by tokens"
+    and duplicate-aware robust centers (weight = occurrence count
+    instead of exploding rows).  Plan: weights collapse per distinct
+    value map-side (groupBy), then one cumulative window over distinct
+    values per group — the sort sees |distinct values|, not |rows|.
+    Groups with zero total weight return NULL.
+    """
+    per_val = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(value_col).alias("v")
+    ).agg(F.sum(F.col(weight_col).cast("long")).alias("w"))
+    wg = Window.partitionBy("grp")
+    wc = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per_val.select(
+        "grp",
+        "v",
+        F.sum("w").over(wg).alias("total_w"),
+        F.sum("w").over(wc).alias("cumw"),
+    )
+    hit = (
+        cum.where(
+            (F.col("total_w") > 0) & (2 * F.col("cumw") >= F.col("total_w"))
+        )
+        .groupBy("grp")
+        .agg(F.max("total_w").alias("total_w"), F.min("v").alias("wmedian"))
+    )
+    totals = per_val.groupBy("grp").agg(F.sum("w").alias("total_w"))
+    return (
+        totals.join(hit.select("grp", "wmedian"), "grp", "left")
+        .select("grp", "total_w", "wmedian")
+    )
+
+
+def weighted_median_sql(
+    rel_sql: str,
+    group_expr: str,
+    value_expr: str,
+    weight_expr: str,
+) -> str:
+    """DuckDB oracle for :func:`weighted_median`."""
+    return f"""
+WITH per_val AS (
+  SELECT {group_expr} AS grp, {value_expr} AS v,
+         SUM(CAST({weight_expr} AS BIGINT)) AS w
+  FROM ({rel_sql}) GROUP BY 1, 2
+), cum AS (
+  SELECT grp, v,
+         SUM(w) OVER (PARTITION BY grp) AS total_w,
+         SUM(w) OVER (PARTITION BY grp ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw
+  FROM per_val
+), hit AS (
+  SELECT grp, MIN(v) AS wmedian
+  FROM cum WHERE total_w > 0 AND 2 * cumw >= total_w GROUP BY grp
+)
+SELECT t.grp, t.total_w, hit.wmedian
+FROM (SELECT grp, SUM(w) AS total_w FROM per_val GROUP BY grp) t
+LEFT JOIN hit USING (grp)
 """

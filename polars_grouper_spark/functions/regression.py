@@ -25,7 +25,7 @@ extension list).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -91,4 +91,121 @@ SELECT grp, n,
                   THEN (sy - ((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / CAST(n AS DOUBLE)
              END, {decimals}) AS intercept
 FROM m
+"""
+
+
+def theil_sen(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    max_group_rows: int = 2000,
+) -> DataFrame:
+    """Theil-Sen robust trend per group -> ``(grp, n_points, n_pairs,
+    slope)``: the median over all pairwise slopes ``(y_j - y_i) /
+    (x_j - x_i)`` with distinct x — the 29%-breakdown estimator that a
+    single wild outlier cannot move, where OLS (:func:`group_trend`)
+    bends to it.
+
+    The pair set is O(n²) per group BY DEFINITION, so this operator is
+    honest about its regime: groups larger than ``max_group_rows``
+    raise (lazily, inside the plan — no extra scan) instead of quietly
+    joining billions of pairs; for bigger groups, pre-aggregate x (e.g.
+    daily means) or use :func:`group_trend`.  Median-by-value makes
+    slope ties harmless (equal values yield the same median under any
+    order); an even pair count averages the two middle slopes — one
+    add + one halving of identical doubles on both engines.
+    """
+    if max_group_rows < 2:
+        raise ValueError(f"max_group_rows must be >= 2, got {max_group_rows}")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    )
+    counts = base.groupBy("grp").agg(F.count(F.lit(1)).alias("_gc"))
+    guard = F.when(
+        F.col("_gc") > max_group_rows,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "theil_sen: group exceeds max_group_rows="
+                    f"{max_group_rows}: "
+                ),
+                F.col("grp").cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    checked = base.join(F.broadcast(counts), "grp").where(guard == 0)
+    a = checked.alias("a")
+    b = checked.alias("b")
+    slopes = (
+        a.join(b, "grp")
+        .where(F.col("a.x") < F.col("b.x"))
+        .select(
+            "grp",
+            (
+                (F.col("b.y") - F.col("a.y"))
+                / (F.col("b.x") - F.col("a.x"))
+            ).alias("s"),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy("s")
+    ranked = slopes.select(
+        "grp",
+        "s",
+        F.row_number().over(w).alias("_r"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("_np"),
+    )
+    lo = (F.col("_np") + 1) / 2
+    hi = (F.col("_np") + 2) / 2
+    med = (
+        ranked.where(
+            (F.col("_r") == F.floor(lo)) | (F.col("_r") == F.floor(hi))
+        )
+        .groupBy("grp")
+        .agg(
+            F.max("_np").alias("n_pairs"),
+            (F.sum("s") / F.count(F.lit(1))).alias("slope"),
+        )
+    )
+    return (
+        counts.select("grp", F.col("_gc").alias("n_points"))
+        .join(med, "grp", "left")
+        .select("grp", "n_points", "n_pairs", "slope")
+    )
+
+
+def theil_sen_sql(
+    rel_sql: str,
+    group_expr: str,
+    x_expr: str,
+    y_expr: str,
+) -> str:
+    """DuckDB oracle for :func:`theil_sen` (same pair set and median
+    positions; the size guard is Spark-side only)."""
+    return f"""
+WITH base AS (
+  SELECT {group_expr} AS grp, CAST({x_expr} AS DOUBLE) AS x,
+         CAST({y_expr} AS DOUBLE) AS y
+  FROM ({rel_sql})
+), slopes AS (
+  SELECT a.grp, (b.y - a.y) / (b.x - a.x) AS s
+  FROM base a JOIN base b ON a.grp = b.grp AND a.x < b.x
+), ranked AS (
+  SELECT grp, s,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY s) AS r,
+         COUNT(*) OVER (PARTITION BY grp) AS np
+  FROM slopes
+), med AS (
+  SELECT grp, MAX(np) AS n_pairs, SUM(s) / COUNT(*) AS slope
+  FROM ranked
+  WHERE r = CAST(FLOOR((np + 1) / 2.0) AS BIGINT)
+     OR r = CAST(FLOOR((np + 2) / 2.0) AS BIGINT)
+  GROUP BY grp
+)
+SELECT c.grp, c.n_points, med.n_pairs, med.slope
+FROM (SELECT grp, COUNT(*) AS n_points FROM base GROUP BY grp) c
+LEFT JOIN med USING (grp)
 """
