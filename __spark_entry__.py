@@ -6968,6 +6968,80 @@ def _wmedian_docs_sql() -> str:
     )
 
 
+def q_stream_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming anomaly detection against a batch seasonal baseline:
+    the (dow, hour) cell means from ``timeseries.seasonal_profile``
+    broadcast-enrich a REAL event file-stream per microbatch
+    (stream-static join, zero stream shuffle), and events above 2x
+    their cell's mean count as anomalies — the detrend-then-flag
+    pattern for metrics with weekly shape.  Output per cell:
+    ``(dow, hour, n_events, n_anomalies)``."""
+    from polars_grouper_spark.functions.timeseries import seasonal_profile
+    from polars_grouper_spark.streaming.enrich import enrich_stream
+
+    ev = load_table(spark, "events", sf_dir)
+    baseline = seasonal_profile(ev, "ts", "value").select(
+        "dow", "hour", "cell_mean"
+    )
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select(
+            F.weekday(F.col("ts")).cast("long").alias("dow"),
+            F.hour(F.col("ts")).cast("long").alias("hour"),
+            "value",
+        )
+    )
+    flagged = enrich_stream(
+        stream, baseline, ["dow", "hour"], how="inner"
+    ).select(
+        "dow",
+        "hour",
+        (F.col("value") > 2 * F.col("cell_mean")).cast("long").alias("_a"),
+    )
+    agg = flagged.groupBy("dow", "hour").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("_a").alias("n_anomalies"),
+    )
+    name = "stream_seasonal_sink"
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(name).select("dow", "hour", "n_events", "n_anomalies")
+
+
+def _stream_seasonal_sql() -> str:
+    return """
+WITH cell AS (
+  SELECT CAST(date_part('isodow', ts) - 1 AS BIGINT) AS dow,
+         CAST(date_part('hour', ts) AS BIGINT) AS hour,
+         SUM(CAST(ROUND(CAST(value AS DOUBLE) * 1e8) AS BIGINT))
+           / 1e8 / COUNT(*) AS cell_mean
+  FROM events GROUP BY 1, 2
+)
+SELECT e.dow, e.hour, COUNT(*) AS n_events,
+       SUM(CASE WHEN e.value > 2 * c.cell_mean THEN 1 ELSE 0 END)
+         AS n_anomalies
+FROM (SELECT CAST(date_part('isodow', ts) - 1 AS BIGINT) AS dow,
+             CAST(date_part('hour', ts) AS BIGINT) AS hour, value
+      FROM events) e
+JOIN cell c ON c.dow = e.dow AND c.hour = e.hour
+GROUP BY 1, 2
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -7109,6 +7183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triples_brands": q_triples_brands,
         "theilsen_users": q_theilsen_users,
         "wmedian_docs": q_wmedian_docs,
+        "stream_seasonal": q_stream_seasonal,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -7372,6 +7447,7 @@ def oracle_sql() -> dict[str, str]:
         "triples_brands": _triples_brands_sql(),
         "theilsen_users": _theilsen_users_sql(),
         "wmedian_docs": _wmedian_docs_sql(),
+        "stream_seasonal": _stream_seasonal_sql(),
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,
