@@ -7042,6 +7042,84 @@ GROUP BY 1, 2
 """
 
 
+def q_twap_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (``functions.timeseries.time_weighted_avg``)
+    of each user's event value — holding-duration weights via one lead
+    window per key, exact integer second x micro-value products, one
+    shared division.  The correct mean for irregularly-sampled state."""
+    from polars_grouper_spark.functions.timeseries import time_weighted_avg
+
+    ev = load_table(spark, "events", sf_dir)
+    return time_weighted_avg(ev, "user_id", "ts", "value")
+
+
+def _twap_users_sql() -> str:
+    from polars_grouper_spark.functions.timeseries import (
+        time_weighted_avg_sql,
+    )
+
+    return time_weighted_avg_sql(
+        "SELECT user_id, ts, value FROM events", "user_id", "ts", "value"
+    )
+
+
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP revenue summary: exact integer cents summed at (priority,
+    status), (priority), and grand-total levels in ONE pass — Catalyst
+    expands the grouping sets without rescanning; NULL marks the
+    rolled-up levels (no data nulls exist in these columns)."""
+    o = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("_c"),
+    )
+    return o.rollup("priority", "status").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("_c").alias("revenue_cents"),
+    )
+
+
+_ROLLUP_ORDERS_SQL = """
+SELECT o_orderpriority AS priority, o_orderstatus AS status,
+       COUNT(*) AS n_orders,
+       SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS revenue_cents
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-user behavior vector via pivot: one count column per
+    event type from an EXPLICIT category list (an unpinned pivot would
+    scan once just to learn the columns and make the schema
+    data-dependent — the anti-pattern this entry exists to show
+    avoided)."""
+    ev = load_table(spark, "events", sf_dir)
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    )
+
+
+def _pivot_user_events_sql() -> str:
+    cols = ", ".join(
+        f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}"
+        for t in _EVENT_TYPES
+    )
+    return f"SELECT user_id, {cols} FROM events GROUP BY user_id"
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -7184,6 +7262,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theilsen_users": q_theilsen_users,
         "wmedian_docs": q_wmedian_docs,
         "stream_seasonal": q_stream_seasonal,
+        "twap_users": q_twap_users,
+        "rollup_orders": q_rollup_orders,
+        "pivot_user_events": q_pivot_user_events,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -7448,6 +7529,9 @@ def oracle_sql() -> dict[str, str]:
         "theilsen_users": _theilsen_users_sql(),
         "wmedian_docs": _wmedian_docs_sql(),
         "stream_seasonal": _stream_seasonal_sql(),
+        "twap_users": _twap_users_sql(),
+        "rollup_orders": _ROLLUP_ORDERS_SQL,
+        "pivot_user_events": _pivot_user_events_sql(),
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,

@@ -292,3 +292,83 @@ SELECT dow, hour, n,
             - (SUM(s) OVER () / 1e8 / SUM(n) OVER ())) AS residual
 FROM cell
 """
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Time-weighted average per key -> ``(key, n_obs, total_secs,
+    twap)``: each observation holds its value until the NEXT
+    observation, so the mean weighs values by holding duration — the
+    correct average for irregularly-sampled state (price books, gauge
+    metrics, feature stores), where the plain mean over-counts busy
+    periods.  The final observation has no successor and carries zero
+    weight (the standard right-open convention).
+
+    Determinism/scale: one ``lead`` window per key (the single
+    key-partitioned sort); duration is exact integer seconds, values
+    micro-quantize to longs, and ``twap = micro_sum / 1e8 /
+    total_secs`` is one shared division.  Keys with a single
+    observation return NULL (zero holding time).
+
+    Overflow: ``value_micro * dur_secs`` per row must fit a long —
+    |value| < ~9e3 held for a year, or any value held for < ~3 years;
+    rescale the quantization for wider regimes.
+    """
+    w = Window.partitionBy("_k").orderBy(F.col("_ts"), F.col("_vi"))
+    base = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(ts_col).cast("timestamp").alias("_ts"),
+        F.round(F.col(value_col).cast("double") * 1e8)
+        .cast("long")
+        .alias("_vi"),
+    )
+    timed = base.select(
+        "_k",
+        "_vi",
+        (
+            F.lead(F.unix_timestamp("_ts")).over(w)
+            - F.unix_timestamp("_ts")
+        ).alias("_dur"),
+    )
+    agg = timed.groupBy(F.col("_k").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(F.coalesce("_dur", F.lit(0))).alias("total_secs"),
+        F.sum(F.col("_vi") * F.coalesce("_dur", F.lit(0))).alias("_ws"),
+    )
+    twap = F.when(
+        F.col("total_secs") > 0,
+        F.col("_ws") / 1e8 / F.col("total_secs"),
+    )
+    return agg.select("key", "n_obs", "total_secs", twap.alias("twap"))
+
+
+def time_weighted_avg_sql(
+    rel_sql: str,
+    key_expr: str,
+    ts_expr: str,
+    value_expr: str,
+) -> str:
+    """DuckDB oracle for :func:`time_weighted_avg` (same lead window
+    and micro-sums)."""
+    return f"""
+WITH base AS (
+  SELECT {key_expr} AS k, CAST({ts_expr} AS TIMESTAMP) AS ts,
+         CAST(ROUND(CAST({value_expr} AS DOUBLE) * 1e8) AS BIGINT) AS vi
+  FROM ({rel_sql})
+), timed AS (
+  SELECT k, vi,
+         COALESCE(
+           CAST(FLOOR(epoch(LEAD(ts) OVER (PARTITION BY k ORDER BY ts, vi)))
+                AS BIGINT)
+             - CAST(FLOOR(epoch(ts)) AS BIGINT), 0) AS dur
+  FROM base
+)
+SELECT k AS key, COUNT(*) AS n_obs, SUM(dur) AS total_secs,
+       CASE WHEN SUM(dur) > 0
+            THEN SUM(vi * dur) / 1e8 / SUM(dur) END AS twap
+FROM timed GROUP BY k
+"""

@@ -88,3 +88,20 @@ def test_seasonal_profile_weekday_convention(spark):
     )
     r = seasonal_profile(df, "ts", "value").first()
     assert r["dow"] == 0 and r["hour"] == 5
+
+
+def test_time_weighted_avg_known(spark):
+    from polars_grouper_spark.functions.timeseries import time_weighted_avg
+
+    # value 10 held 30s, value 20 held 10s, last obs zero-weight
+    rows = [
+        ("u", dt.datetime(2024, 1, 1, 0, 0, 0), 10.0),
+        ("u", dt.datetime(2024, 1, 1, 0, 0, 30), 20.0),
+        ("u", dt.datetime(2024, 1, 1, 0, 0, 40), 99.0),
+        ("solo", dt.datetime(2024, 1, 1), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    got = {r["key"]: r for r in time_weighted_avg(df, "k", "ts", "v").collect()}
+    assert got["u"]["total_secs"] == 40
+    assert got["u"]["twap"] == (10.0 * 30 + 20.0 * 10) / 40
+    assert got["solo"]["twap"] is None and got["solo"]["n_obs"] == 1
