@@ -7120,6 +7120,48 @@ def _pivot_user_events_sql() -> str:
     return f"SELECT user_id, {cols} FROM events GROUP BY user_id"
 
 
+_PHRASE = "the table"
+
+
+def q_phrase_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-boundary phrase search
+    (``functions.retrieval.phrase_match``): positional postings built
+    once, the rarest-first token filter plays the posting-list seek,
+    and each further phrase token is an equality join on
+    ``(doc, position + i)`` — never a regex scan, never a LIKE
+    substring false positive."""
+    from polars_grouper_spark.functions.retrieval import phrase_match
+
+    docs = load_table(spark, "documents", sf_dir)
+    return phrase_match(docs, _PHRASE)
+
+
+def _phrase_docs_sql() -> str:
+    from polars_grouper_spark.functions.retrieval import phrase_match_sql
+
+    return phrase_match_sql("SELECT doc_id, text FROM documents", _PHRASE)
+
+
+def q_gaps_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-liveness audit (``functions.timeseries.gaps_report``):
+    missing hourly buckets per user between their first and last event
+    — all integer arithmetic, the expected grid is a subtraction, never
+    generated rows (resample_ffill papers over holes; this counts
+    them)."""
+    from polars_grouper_spark.functions.timeseries import gaps_report
+
+    ev = load_table(spark, "events", sf_dir)
+    return gaps_report(ev, "user_id", "ts", 3600)
+
+
+def _gaps_events_sql() -> str:
+    from polars_grouper_spark.functions.timeseries import gaps_report_sql
+
+    return gaps_report_sql(
+        "SELECT user_id, ts FROM events", "user_id", "ts", 3600
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -7265,6 +7307,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twap_users": q_twap_users,
         "rollup_orders": q_rollup_orders,
         "pivot_user_events": q_pivot_user_events,
+        "phrase_docs": q_phrase_docs,
+        "gaps_events": q_gaps_events,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -7532,6 +7576,8 @@ def oracle_sql() -> dict[str, str]:
         "twap_users": _twap_users_sql(),
         "rollup_orders": _ROLLUP_ORDERS_SQL,
         "pivot_user_events": _pivot_user_events_sql(),
+        "phrase_docs": _phrase_docs_sql(),
+        "gaps_events": _gaps_events_sql(),
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,

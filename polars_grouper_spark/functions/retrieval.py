@@ -179,3 +179,79 @@ def bm25_topk(
         scored.select("*", F.row_number().over(w).alias("rank"))
         .where(F.col("rank") <= k)
     )
+
+
+def phrase_match(
+    df: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    case_insensitive: bool = True,
+) -> DataFrame:
+    """Exact token-boundary phrase search -> ``(id, n_matches)`` for
+    documents containing the phrase's tokens CONSECUTIVELY (what
+    ``LIKE '%...%'`` cannot promise: no substring false positives like
+    'art' in 'artifact', no cross-token matches).
+
+    Plan: one tokenize + posexplode of the corpus produces the
+    positional postings ONCE; the phrase's first token filters the
+    postings (predicate on the token value — at 100 TB this is the
+    posting-list seek, a tiny fraction of the corpus), and each further
+    phrase token is an equality semi-join on ``(doc, position + i)``
+    against the same postings — k-1 broadcast-able joins for a k-token
+    phrase, never a regex scan of full texts.  Match positions are
+    counted per document.
+    """
+    toks = [t.lower() if case_insensitive else t for t in phrase.split()]
+    if not toks:
+        raise ValueError("phrase must contain at least one token")
+    tok_col = tokens(F.col(text_col))
+    if case_insensitive:
+        tok_col = F.transform(tok_col, F.lower)
+    postings = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tok_col).alias("pos", "tok"),
+    )
+    starts = postings.where(F.col("tok") == toks[0]).select("id", "pos")
+    for i, t in enumerate(toks[1:], start=1):
+        nxt = postings.where(F.col("tok") == t).select(
+            "id", (F.col("pos") - i).alias("pos")
+        )
+        starts = starts.join(nxt, ["id", "pos"], "left_semi")
+    return starts.groupBy("id").agg(F.count(F.lit(1)).alias("n_matches"))
+
+
+def phrase_match_sql(
+    rel_sql: str,
+    phrase: str,
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    *,
+    case_insensitive: bool = True,
+) -> str:
+    """DuckDB oracle for :func:`phrase_match` (same postings join)."""
+    toks = [t.lower() if case_insensitive else t for t in phrase.split()]
+    tok = "lower(tok)" if case_insensitive else "tok"
+    joins = []
+    for i, t in enumerate(toks[1:], start=1):
+        joins.append(
+            f"JOIN postings p{i} ON p{i}.id = p0.id "
+            f"AND p{i}.pos = p0.pos + {i} AND p{i}.tok = '{t}'"
+        )
+    return f"""
+WITH raw AS (
+  SELECT {id_expr} AS id,
+         list_filter(string_split_regex(trim({text_expr}), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM ({rel_sql})
+), postings AS (
+  SELECT id, generate_subscripts(toks, 1) - 1 AS pos,
+         {tok.replace('tok', 'unnest(toks)')} AS tok
+  FROM raw
+)
+SELECT p0.id, COUNT(*) AS n_matches
+FROM postings p0 {' '.join(joins)}
+WHERE p0.tok = '{toks[0]}'
+GROUP BY p0.id
+"""

@@ -372,3 +372,73 @@ SELECT k AS key, COUNT(*) AS n_obs, SUM(dur) AS total_secs,
             THEN SUM(vi * dur) / 1e8 / SUM(dur) END AS twap
 FROM timed GROUP BY k
 """
+
+
+def gaps_report(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    step_s: int,
+) -> DataFrame:
+    """Missing-bucket report per key -> ``(key, first_bucket,
+    last_bucket, expected, observed, missing)`` on a regular
+    ``step_s``-second grid between each key's first and last
+    observation.
+
+    The liveness check a metrics/ingest pipeline runs before trusting a
+    feed: :func:`resample_ffill` silently papers over holes; this
+    operator counts them.  ``missing = (span / step + 1) - distinct
+    observed buckets`` — two map-side-combinable aggregations, all
+    integer, never materializing the expected grid (a year of hourly
+    buckets is a subtraction here, not 8 760 generated rows).
+    """
+    if step_s < 1:
+        raise ValueError(f"step_s must be >= 1, got {step_s}")
+    b = F.floor(F.unix_timestamp(F.col(ts_col).cast("timestamp")) / step_s)
+    per_bucket = df.select(
+        F.col(key_col).alias("key"), b.alias("_b")
+    ).distinct()
+    return (
+        per_bucket.groupBy("key")
+        .agg(
+            F.min("_b").alias("first_bucket"),
+            F.max("_b").alias("last_bucket"),
+            F.count(F.lit(1)).alias("observed"),
+        )
+        .select(
+            "key",
+            "first_bucket",
+            "last_bucket",
+            (F.col("last_bucket") - F.col("first_bucket") + 1).alias(
+                "expected"
+            ),
+            "observed",
+            (
+                F.col("last_bucket") - F.col("first_bucket") + 1
+                - F.col("observed")
+            ).alias("missing"),
+        )
+    )
+
+
+def gaps_report_sql(
+    rel_sql: str,
+    key_expr: str,
+    ts_expr: str,
+    step_s: int,
+) -> str:
+    """DuckDB oracle for :func:`gaps_report` (same integer buckets;
+    FLOOR(epoch(..)) matches Spark's truncating unix_timestamp)."""
+    return f"""
+WITH per_bucket AS (
+  SELECT DISTINCT {key_expr} AS key,
+         CAST(FLOOR(CAST(FLOOR(epoch(CAST({ts_expr} AS TIMESTAMP)))
+              AS BIGINT) / CAST({step_s} AS DOUBLE)) AS BIGINT) AS b
+  FROM ({rel_sql})
+)
+SELECT key, MIN(b) AS first_bucket, MAX(b) AS last_bucket,
+       MAX(b) - MIN(b) + 1 AS expected,
+       COUNT(*) AS observed,
+       MAX(b) - MIN(b) + 1 - COUNT(*) AS missing
+FROM per_bucket GROUP BY key
+"""

@@ -70,3 +70,43 @@ def test_ks_matches_brute_force(spark):
     # exact integer cross-multiplication -> exact rational; brute uses
     # floats, so compare within an ulp margin
     assert abs(got["ks"] - _brute_ks(xs, ys)) < 1e-12
+
+
+def test_phrase_match_counts_consecutive_occurrences(spark):
+    from polars_grouper_spark.functions.retrieval import phrase_match
+
+    docs = [
+        (1, "the cat sat on the cat mat"),
+        (2, "cat the cat the cat"),       # "the cat" twice
+        (3, "concatenate the category"),   # substring traps, no token match
+        (4, "THE CAT sleeps"),             # case-insensitive
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["id"]: r["n_matches"] for r in phrase_match(df, "the cat").collect()}
+    assert got == {1: 2, 2: 2, 4: 1}
+
+
+def test_phrase_match_overlapping(spark):
+    from polars_grouper_spark.functions.retrieval import phrase_match
+
+    df = spark.createDataFrame(
+        [(1, "a a a a")], "doc_id long, text string"
+    )
+    got = phrase_match(df, "a a").collect()
+    assert got[0]["n_matches"] == 3
+
+
+def test_gaps_report_counts_missing_buckets(spark):
+    from polars_grouper_spark.functions.timeseries import gaps_report
+
+    rows = [
+        ("k", dt.datetime(2024, 1, 1, 0, 10)),
+        ("k", dt.datetime(2024, 1, 1, 0, 50)),  # same hour bucket
+        ("k", dt.datetime(2024, 1, 1, 3, 5)),   # hours 1, 2 missing
+        ("full", dt.datetime(2024, 1, 1, 7)),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    got = {r["key"]: r for r in gaps_report(df, "k", "ts", 3600).collect()}
+    assert got["k"]["expected"] == 4 and got["k"]["observed"] == 2
+    assert got["k"]["missing"] == 2
+    assert got["full"]["missing"] == 0 and got["full"]["expected"] == 1
