@@ -7162,6 +7162,86 @@ def _gaps_events_sql() -> str:
     )
 
 
+def q_ttest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t-test (``functions.experiment.welch_ttest``): purchase
+    vs view event values — the continuous-metric A/B companion to the
+    z-test, from exact integer moments with the variance products in
+    one shared IEEE double sequence."""
+    from polars_grouper_spark.functions.experiment import welch_ttest
+
+    ev = load_table(spark, "events", sf_dir)
+    return welch_ttest(
+        ev.where(F.col("event_type") == "purchase"),
+        ev.where(F.col("event_type") == "view"),
+        "value",
+    )
+
+
+def _ttest_events_sql() -> str:
+    from polars_grouper_spark.functions.experiment import welch_ttest_sql
+
+    return welch_ttest_sql(
+        "SELECT value FROM events WHERE event_type = 'purchase'",
+        "SELECT value FROM events WHERE event_type = 'view'",
+        "value",
+    )
+
+
+_RBO_SPLIT = "1998-06-01"
+
+
+def q_rbo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranker drift via rank-biased overlap
+    (``functions.evaluation.rank_biased_overlap``): supplier revenue
+    rankings from the first vs second half of the shipping history —
+    top-weighted agreement at depth 25, with the geometric weights as
+    Python literals so no engine ever evaluates pow()."""
+    from polars_grouper_spark.functions.evaluation import (
+        rank_biased_overlap,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_suppkey",
+        "l_shipdate",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("_c"),
+    )
+
+    def revenue(pred):
+        return li.where(pred).groupBy("l_suppkey").agg(
+            F.sum("_c").alias("rev")
+        )
+
+    split = F.lit(_RBO_SPLIT).cast("timestamp")
+    return rank_biased_overlap(
+        revenue(F.col("l_shipdate") < split),
+        revenue(F.col("l_shipdate") >= split),
+        "l_suppkey",
+        "rev",
+        p=0.9,
+        depth=25,
+    )
+
+
+def _rbo_suppliers_sql() -> str:
+    from polars_grouper_spark.functions.evaluation import (
+        rank_biased_overlap_sql,
+    )
+
+    def revenue(cmp_: str) -> str:
+        return (
+            "SELECT l_suppkey, "
+            "SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS rev "
+            f"FROM lineitem WHERE l_shipdate {cmp_} TIMESTAMP '{_RBO_SPLIT}' "
+            "GROUP BY l_suppkey"
+        )
+
+    return rank_biased_overlap_sql(
+        revenue("<"), revenue(">="), "l_suppkey", "rev", p=0.9, depth=25
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -7309,6 +7389,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_user_events": q_pivot_user_events,
         "phrase_docs": q_phrase_docs,
         "gaps_events": q_gaps_events,
+        "ttest_events": q_ttest_events,
+        "rbo_suppliers": q_rbo_suppliers,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -7578,6 +7660,8 @@ def oracle_sql() -> dict[str, str]:
         "pivot_user_events": _pivot_user_events_sql(),
         "phrase_docs": _phrase_docs_sql(),
         "gaps_events": _gaps_events_sql(),
+        "ttest_events": _ttest_events_sql(),
+        "rbo_suppliers": _rbo_suppliers_sql(),
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,

@@ -665,3 +665,111 @@ SELECT MAX(tot.n) AS n,
          * 1e8) AS BIGINT)) / 1e8 AS mi
 FROM obs JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot
 """
+
+
+def rank_biased_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    id_col: str,
+    score_col: str,
+    *,
+    p: float = 0.9,
+    depth: int = 50,
+) -> DataFrame:
+    """Truncated rank-biased overlap (Webber et al. 2010) between two
+    rankings -> one row ``(depth, n_common, rbo)`` with
+    ``rbo = (1-p) * sum_{d<=depth} p^(d-1) * |A_d ∩ B_d| / d``.
+
+    THE metric for "did the new ranker/quality-scorer reorder what
+    users actually see?": top-weighted (a swap at rank 2 matters more
+    than at rank 40), defined for non-conjoint lists, truncation-aware.
+
+    Plan: each side ranks once by (score desc, id asc) and keeps its
+    top ``depth`` (TakeOrdered-sized); an item's first co-appearance
+    depth is ``max(rank_a, rank_b)`` from one inner join; overlap@d
+    for all d comes from a depth×common theta-join (``depth²`` rows at
+    most — metadata).  The geometric weights ``p^(d-1)`` are
+    PYTHON-computed literals shared verbatim with the oracle —
+    ``pow()`` is not correctly-rounded-guaranteed across libms, so no
+    engine ever evaluates it.  Terms micro-quantize to longs and sum
+    exactly.
+    """
+    if not 0.0 < p < 1.0:
+        raise ValueError(f"p must be in (0, 1), got {p}")
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+
+    def top(df: DataFrame, tag: str) -> DataFrame:
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        return (
+            df.select(
+                F.col(id_col).alias("id"),
+                F.row_number().over(w).alias(f"r_{tag}"),
+            )
+            .where(F.col(f"r_{tag}") <= depth)
+        )
+
+    common = top(df_a, "a").join(top(df_b, "b"), "id").select(
+        F.greatest("r_a", "r_b").alias("m")
+    )
+    spark = df_a.sparkSession
+    weights = [(d, p ** (d - 1)) for d in range(1, depth + 1)]
+    depths = spark.createDataFrame(weights, "d int, w double")
+    terms = (
+        depths.join(common, F.col("m") <= F.col("d"), "left")
+        .groupBy("d", "w")
+        .agg(F.sum(F.col("m").isNotNull().cast("long")).alias("ov"))
+        .select(
+            F.round(F.col("w") * F.col("ov") / F.col("d") * 1e8)
+            .cast("long")
+            .alias("_t"),
+        )
+    )
+    n_common = common.count()
+    return terms.agg(
+        F.lit(depth).alias("depth"),
+        F.lit(n_common).cast("long").alias("n_common"),
+        (F.sum("_t") / 1e8 * F.lit(1.0 - p)).alias("rbo"),
+    )
+
+
+def rank_biased_overlap_sql(
+    a_sql: str,
+    b_sql: str,
+    id_expr: str,
+    score_expr: str,
+    *,
+    p: float = 0.9,
+    depth: int = 50,
+) -> str:
+    """DuckDB oracle for :func:`rank_biased_overlap` (same literal
+    weights, same micro-sum)."""
+    values = ", ".join(
+        f"({d}, CAST({p ** (d - 1)!r} AS DOUBLE))"
+        for d in range(1, depth + 1)
+    )
+
+    def top(src: str, tag: str) -> str:
+        return (
+            f"SELECT id, r_{tag} FROM (SELECT {id_expr} AS id, "
+            f"ROW_NUMBER() OVER (ORDER BY {score_expr} DESC, {id_expr} ASC)"
+            f" AS r_{tag} FROM ({src})) WHERE r_{tag} <= {depth}"
+        )
+
+    return f"""
+WITH ta AS ({top(a_sql, 'a')}), tb AS ({top(b_sql, 'b')}),
+common AS (
+  SELECT GREATEST(r_a, r_b) AS m FROM ta JOIN tb USING (id)
+),
+depths(d, w) AS (VALUES {values}),
+terms AS (
+  SELECT CAST(ROUND(depths.w * COUNT(common.m) / depths.d * 1e8)
+              AS BIGINT) AS t
+  FROM depths LEFT JOIN common ON common.m <= depths.d
+  GROUP BY depths.d, depths.w
+)
+SELECT {depth} AS depth,
+       (SELECT COUNT(*) FROM common) AS n_common,
+       SUM(t) / 1e8 * CAST({1.0 - p!r} AS DOUBLE) AS rbo
+FROM terms
+"""

@@ -147,3 +147,131 @@ SELECT n_a, conv_a, round(conv_a::DOUBLE / n_a, {decimals}) AS rate_a,
              END) > {_Z_CRIT!r}, FALSE) AS significant
 FROM j
 """
+
+
+def welch_ttest(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    *,
+    quant: int = 1000,
+) -> DataFrame:
+    """Welch's unequal-variance t-test between two samples -> one row
+    ``(n_a, mean_a, n_b, mean_b, t, dof)`` — the continuous-metric
+    companion to the two-proportion z-test above (revenue per user,
+    latency, session length).
+
+    Exactness: values quantize to ``round(v * quant)`` longs; each side
+    reduces to the exact integer moments (n, Σx, Σx²) in ONE map-side
+    combinable aggregation, and every downstream mean/variance/t/dof is
+    the same double expression over those integers on both engines.
+    Overflow bound: ``n * (max|v| * quant)²`` must fit a long —
+    |v| ≤ ~100 at quant=1000 supports ~9e8 rows per side; lower
+    ``quant`` for wider value ranges.  Sides with fewer than 2 rows
+    return NULL t/dof.
+    """
+    if quant < 1:
+        raise ValueError(f"quant must be >= 1, got {quant}")
+
+    def moments(df: DataFrame, tag: str) -> DataFrame:
+        vi = F.round(F.col(value_col).cast("double") * quant).cast("long")
+        return df.select(vi.alias("_vi")).agg(
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+            F.sum("_vi").alias(f"_s1_{tag}"),
+            F.sum(F.col("_vi") * F.col("_vi")).alias(f"_s2_{tag}"),
+        )
+
+    joined = moments(df_a, "a").crossJoin(moments(df_b, "b"))
+    q = float(quant)
+
+    def stats(tag: str):
+        n = F.col(f"n_{tag}")
+        s1 = F.col(f"_s1_{tag}")
+        s2 = F.col(f"_s2_{tag}")
+        mean = s1 / q / n
+        # sample variance in value units: (n*Σx² - (Σx)²) / (n*(n-1)*q²).
+        # The products run in DOUBLE (s1² overflows long under ANSI);
+        # both engines evaluate the identical IEEE sequence, so the
+        # (deterministic) cancellation error matches bit for bit.
+        var = (
+            (
+                n.cast("double") * s2.cast("double")
+                - s1.cast("double") * s1.cast("double")
+            )
+            / (n * (n - 1)).cast("double")
+            / F.lit(q * q)
+        )
+        return mean, var
+
+    mean_a, var_a = stats("a")
+    mean_b, var_b = stats("b")
+    se_a = var_a / F.col("n_a")
+    se_b = var_b / F.col("n_b")
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
+    t = F.when(ok, (mean_a - mean_b) / F.sqrt(se_a + se_b))
+    dof = F.when(
+        ok,
+        (se_a + se_b)
+        * (se_a + se_b)
+        / (
+            se_a * se_a / (F.col("n_a") - 1)
+            + se_b * se_b / (F.col("n_b") - 1)
+        ),
+    )
+    return joined.select(
+        "n_a",
+        mean_a.alias("mean_a"),
+        "n_b",
+        mean_b.alias("mean_b"),
+        t.alias("t"),
+        dof.alias("dof"),
+    )
+
+
+def welch_ttest_sql(
+    a_sql: str,
+    b_sql: str,
+    value_expr: str,
+    *,
+    quant: int = 1000,
+) -> str:
+    """DuckDB oracle for :func:`welch_ttest` (same integer moments and
+    double expression order)."""
+    q = float(quant)
+
+    def mom(src: str, tag: str) -> str:
+        return (
+            f"SELECT COUNT(*) AS n_{tag}, "
+            f"SUM(CAST(ROUND(CAST({value_expr} AS DOUBLE) * {quant}) "
+            f"AS BIGINT)) AS s1_{tag}, "
+            f"SUM(CAST(ROUND(CAST({value_expr} AS DOUBLE) * {quant}) "
+            f"AS BIGINT) * CAST(ROUND(CAST({value_expr} AS DOUBLE) "
+            f"* {quant}) AS BIGINT)) AS s2_{tag} "
+            f"FROM ({src})"
+        )
+
+    mean_a = f"s1_a / {q!r} / n_a"
+    mean_b = f"s1_b / {q!r} / n_b"
+    var_a = (
+        "(CAST(n_a AS DOUBLE) * CAST(s2_a AS DOUBLE)"
+        " - CAST(s1_a AS DOUBLE) * CAST(s1_a AS DOUBLE))"
+        f" / CAST(n_a * (n_a - 1) AS DOUBLE) / {q * q!r}"
+    )
+    var_b = (
+        "(CAST(n_b AS DOUBLE) * CAST(s2_b AS DOUBLE)"
+        " - CAST(s1_b AS DOUBLE) * CAST(s1_b AS DOUBLE))"
+        f" / CAST(n_b * (n_b - 1) AS DOUBLE) / {q * q!r}"
+    )
+    se_a = f"({var_a}) / n_a"
+    se_b = f"({var_b}) / n_b"
+    ok = "n_a >= 2 AND n_b >= 2"
+    return f"""
+SELECT n_a, {mean_a} AS mean_a, n_b, {mean_b} AS mean_b,
+       CASE WHEN {ok} THEN
+         ({mean_a} - {mean_b}) / SQRT({se_a} + {se_b}) END AS t,
+       CASE WHEN {ok} THEN
+         ({se_a} + {se_b}) * ({se_a} + {se_b})
+         / (({se_a}) * ({se_a}) / (n_a - 1)
+            + ({se_b}) * ({se_b}) / (n_b - 1)) END AS dof
+FROM ({mom(a_sql, 'a')}) a CROSS JOIN ({mom(b_sql, 'b')}) b
+"""

@@ -214,3 +214,60 @@ def test_mutual_information_bounds(spark):
     )
     got = mutual_information(ident, "a", "b").first()["mi"]
     assert abs(got - math.log(3)) < 1e-6
+
+
+def test_rbo_identical_rankings_close_to_one(spark):
+    from polars_grouper_spark.functions.evaluation import rank_biased_overlap
+
+    df = spark.createDataFrame(
+        [(i, 100.0 - i) for i in range(30)], "id long, score double"
+    )
+    got = rank_biased_overlap(df, df, "id", "score", p=0.9, depth=30).first()
+    # truncated RBO of identical lists = (1-p) * sum p^(d-1) = 1 - p^depth
+    want = sum(
+        int(math.floor(0.9 ** (d - 1) * 1e8 + 0.5)) for d in range(1, 31)
+    ) / 1e8 * (1.0 - 0.9)  # (1.0 - 0.9) != 0.1 in floats; the module
+    # embeds exactly this Python value in both engines
+    assert got["rbo"] == want and got["n_common"] == 30
+    assert abs(got["rbo"] - (1 - 0.9**30)) < 1e-5
+
+
+def test_rbo_disjoint_rankings_is_zero(spark):
+    from polars_grouper_spark.functions.evaluation import rank_biased_overlap
+
+    a = spark.createDataFrame([(i, float(i)) for i in range(10)], "id long, score double")
+    b = spark.createDataFrame(
+        [(i + 100, float(i)) for i in range(10)], "id long, score double"
+    )
+    got = rank_biased_overlap(a, b, "id", "score", p=0.9, depth=10).first()
+    assert got["rbo"] == 0.0 and got["n_common"] == 0
+
+
+def test_welch_ttest_known(spark):
+    from polars_grouper_spark.functions.experiment import welch_ttest
+
+    xs = [1.0, 2.0, 3.0, 4.0, 5.0]
+    ys = [2.0, 4.0, 6.0, 8.0]
+    a = spark.createDataFrame([(v,) for v in xs], "value double")
+    b = spark.createDataFrame([(v,) for v in ys], "value double")
+    got = welch_ttest(a, b, "value").first()
+    import statistics
+
+    ma, mb = statistics.mean(xs), statistics.mean(ys)
+    va, vb = statistics.variance(xs), statistics.variance(ys)
+    se = va / len(xs) + vb / len(ys)
+    t = (ma - mb) / math.sqrt(se)
+    dof = se * se / (
+        (va / len(xs)) ** 2 / (len(xs) - 1) + (vb / len(ys)) ** 2 / (len(ys) - 1)
+    )
+    assert got["mean_a"] == ma and got["mean_b"] == mb
+    assert abs(got["t"] - t) < 1e-9 and abs(got["dof"] - dof) < 1e-9
+
+
+def test_welch_ttest_tiny_side_is_null(spark):
+    from polars_grouper_spark.functions.experiment import welch_ttest
+
+    a = spark.createDataFrame([(1.0,)], "value double")
+    b = spark.createDataFrame([(1.0,), (2.0,)], "value double")
+    got = welch_ttest(a, b, "value").first()
+    assert got["t"] is None and got["dof"] is None
