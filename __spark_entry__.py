@@ -7126,7 +7126,7 @@ _PHRASE = "the table"
 def q_phrase_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-boundary phrase search
     (``functions.retrieval.phrase_match``): positional postings built
-    once, the rarest-first token filter plays the posting-list seek,
+    once, the first token's filter plays the posting-list seek,
     and each further phrase token is an equality join on
     ``(doc, position + i)`` — never a regex scan, never a LIKE
     substring false positive."""
