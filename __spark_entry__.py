@@ -7242,6 +7242,68 @@ def _rbo_suppliers_sql() -> str:
     )
 
 
+def q_stream_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming last-writer-wins publish
+    (``streaming.publish.StreamingUpsertPublisher``): events replay as
+    4 time-ordered microbatches through ``foreachBatch``; each batch
+    reduces per key (map-side-combinable LWW max over (ts, id)) and
+    folds into the running serving table.  Idempotent + order-free by
+    construction, so the final table provably equals the one-shot
+    batch arg-max the oracle runs."""
+    import shutil
+    import tempfile
+
+    from polars_grouper_spark.streaming.publish import (
+        StreamingUpsertPublisher,
+    )
+    from polars_grouper_spark.streaming.replay import (
+        write_time_ordered_chunks,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    out = tempfile.mkdtemp(prefix="pgs_publish_")
+    try:
+        n = write_time_ordered_chunks(ev, "ts", out, 4)
+        assert n > 0
+        schema = spark.read.parquet(f"{out}/c0000").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(f"{out}/c*")
+        )
+        pub = StreamingUpsertPublisher(
+            "user_id", "ts", "event_id", ["event_type", "value"]
+        )
+        q = (
+            stream.writeStream.foreachBatch(pub.update)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # materialize before the chunk dir disappears
+        rows = pub.table().collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "key long, ts timestamp, event_id long, event_type string, value double"
+    )
+
+
+def _stream_publish_sql() -> str:
+    from polars_grouper_spark.streaming.publish import lww_table_sql
+
+    return lww_table_sql(
+        "SELECT user_id, ts, event_id, event_type, value FROM events",
+        "user_id",
+        "ts",
+        "event_id",
+        ["event_type", "value"],
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -7391,6 +7453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gaps_events": q_gaps_events,
         "ttest_events": q_ttest_events,
         "rbo_suppliers": q_rbo_suppliers,
+        "stream_publish": q_stream_publish,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -7662,6 +7725,7 @@ def oracle_sql() -> dict[str, str]:
         "gaps_events": _gaps_events_sql(),
         "ttest_events": _ttest_events_sql(),
         "rbo_suppliers": _rbo_suppliers_sql(),
+        "stream_publish": _stream_publish_sql(),
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,
