@@ -7304,6 +7304,31 @@ def _stream_publish_sql() -> str:
     )
 
 
+def q_silhouette_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid silhouette
+    (``functions.features.centroid_silhouette``): are the embedding
+    labels actually separated?  Squared distances are exact integers
+    (micro-quantized components and centroid means); only the final
+    sqrt/ratio are identical double ops, micro-summed per label."""
+    from polars_grouper_spark.functions.features import centroid_silhouette
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return centroid_silhouette(emb, "label", "embedding", "vec_id")
+
+
+def _silhouette_embeddings_sql() -> str:
+    from polars_grouper_spark.functions.features import (
+        centroid_silhouette_sql,
+    )
+
+    return centroid_silhouette_sql(
+        "SELECT vec_id, label, embedding FROM embeddings",
+        "label",
+        "embedding",
+        "vec_id",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -7454,6 +7479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ttest_events": q_ttest_events,
         "rbo_suppliers": q_rbo_suppliers,
         "stream_publish": q_stream_publish,
+        "silhouette_embeddings": q_silhouette_embeddings,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -7726,6 +7752,7 @@ def oracle_sql() -> dict[str, str]:
         "ttest_events": _ttest_events_sql(),
         "rbo_suppliers": _rbo_suppliers_sql(),
         "stream_publish": _stream_publish_sql(),
+        "silhouette_embeddings": _silhouette_embeddings_sql(),
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,

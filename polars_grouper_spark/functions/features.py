@@ -402,3 +402,154 @@ SELECT r.id, r.grp, r.value,
        least(greatest(r.value, c.lo), c.hi) AS clipped
 FROM ranked r JOIN cuts c USING (grp)
 """
+
+
+def centroid_silhouette(
+    df: DataFrame,
+    label_col: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Centroid-based silhouette per label -> ``(label, n,
+    mean_silhouette)`` with ``s_i = (b - a) / max(a, b)`` where ``a`` is
+    the distance to the OWN class centroid and ``b`` the distance to the
+    nearest OTHER centroid (the simplified silhouette — centroid
+    distances instead of the O(n²) mean pairwise form, the standard
+    scalable variant).
+
+    "Are these labels/clusters actually separated in embedding space?"
+    — the clustering-quality companion to
+    :func:`nearest_centroid_confusion`, same exact-arithmetic contract:
+    components and centroid means quantize to micro-units, so every
+    squared distance ``||x||² - 2x·c + ||c||²`` is an exact integer;
+    only the final sqrt/ratio are (identical) double ops, and the
+    per-label mean micro-sums those ratios exactly.
+
+    Shape: centroids are labels x dim (broadcast); one scan computes
+    per-vector norms and per-(vector, candidate) dots; everything after
+    is metadata-sized.  Requires >= 2 labels (``b`` is undefined
+    otherwise — such input raises)."""
+    cents = class_centroids(df, label_col, vec_col, decimals=6)
+    cq = cents.select(
+        F.col("label").alias("clabel"),
+        "dim",
+        F.round(F.col("mean") * 1e6).cast("long").alias("mq"),
+    )
+    cnorm = cq.groupBy("clabel").agg(
+        F.sum(F.col("mq") * F.col("mq")).alias("cn2")
+    )
+    ex = (
+        df.where(
+            F.col(label_col).isNotNull()
+            & F.col(vec_col).isNotNull()
+            & F.col(id_col).isNotNull()
+        )
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(label_col).cast("string").alias("tlabel"),
+            F.posexplode(F.col(vec_col)).alias("dim", "x"),
+        )
+        .select(
+            "id",
+            "tlabel",
+            "dim",
+            F.round(F.col("x").cast("double") * 1e6).cast("long").alias("xq"),
+        )
+    )
+    xnorm = ex.groupBy("id").agg(F.sum(F.col("xq") * F.col("xq")).alias("xn2"))
+    dots = (
+        ex.join(F.broadcast(cq), "dim")
+        .groupBy("id", "tlabel", "clabel")
+        .agg(F.sum(F.col("xq") * F.col("mq")).alias("dot"))
+    )
+    d2 = (
+        dots.join(F.broadcast(cnorm), "clabel")
+        .join(xnorm, "id")
+        .select(
+            "id",
+            "tlabel",
+            "clabel",
+            (F.col("xn2") - 2 * F.col("dot") + F.col("cn2")).alias("d2"),
+        )
+    )
+    per_vec = d2.groupBy("id", "tlabel").agg(
+        F.min(F.when(F.col("clabel") == F.col("tlabel"), F.col("d2"))).alias(
+            "_a2"
+        ),
+        F.min(F.when(F.col("clabel") != F.col("tlabel"), F.col("d2"))).alias(
+            "_b2"
+        ),
+    )
+    a = F.sqrt(F.col("_a2").cast("double"))
+    b = F.sqrt(F.col("_b2").cast("double"))
+    s = F.when(
+        F.greatest(a, b) > 0, (b - a) / F.greatest(a, b)
+    ).otherwise(F.lit(0.0))
+    guarded = per_vec.select(
+        "tlabel",
+        F.when(
+            F.col("_b2").isNull(),
+            F.raise_error(
+                F.lit("centroid_silhouette needs >= 2 labels")
+            ).cast("long"),
+        )
+        .otherwise(F.round(s * 1e8).cast("long"))
+        .alias("_si"),
+    )
+    return guarded.groupBy(F.col("tlabel").alias("label")).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("_si") / 1e8 / F.count(F.lit(1))).alias("mean_silhouette"),
+    )
+
+
+def centroid_silhouette_sql(
+    table_sql: str, label_expr: str, vec_expr: str, id_expr: str
+) -> str:
+    """DuckDB oracle for :func:`centroid_silhouette`."""
+    cents = class_centroids_sql(table_sql, label_expr, vec_expr, decimals=6)
+    return f"""
+WITH cents AS ({cents}),
+cq AS (
+  SELECT label AS clabel, dim, CAST(round(mean * 1e6) AS BIGINT) AS mq
+  FROM cents
+),
+cnorm AS (SELECT clabel, sum(mq * mq) AS cn2 FROM cq GROUP BY clabel),
+ex AS (
+  SELECT {id_expr} AS id, CAST({label_expr} AS VARCHAR) AS tlabel,
+         generate_subscripts({vec_expr}, 1) - 1 AS dim,
+         CAST(round(unnest({vec_expr})::DOUBLE * 1e6) AS BIGINT) AS xq
+  FROM ({table_sql}) src
+  WHERE {label_expr} IS NOT NULL AND {vec_expr} IS NOT NULL
+    AND {id_expr} IS NOT NULL
+),
+xnorm AS (SELECT id, sum(xq * xq) AS xn2 FROM ex GROUP BY id),
+dots AS (
+  SELECT e.id, e.tlabel, c.clabel, sum(e.xq * c.mq) AS dot
+  FROM ex e JOIN cq c ON c.dim = e.dim
+  GROUP BY e.id, e.tlabel, c.clabel
+),
+d2 AS (
+  SELECT d.id, d.tlabel, d.clabel, x.xn2 - 2 * d.dot + n.cn2 AS d2
+  FROM dots d JOIN cnorm n ON n.clabel = d.clabel
+              JOIN xnorm x ON x.id = d.id
+),
+per_vec AS (
+  SELECT id, tlabel,
+         MIN(CASE WHEN clabel = tlabel THEN d2 END) AS a2,
+         MIN(CASE WHEN clabel <> tlabel THEN d2 END) AS b2
+  FROM d2 GROUP BY id, tlabel
+),
+si AS (
+  SELECT tlabel,
+         CAST(ROUND(CASE WHEN GREATEST(SQRT(CAST(a2 AS DOUBLE)),
+                                       SQRT(CAST(b2 AS DOUBLE))) > 0
+           THEN (SQRT(CAST(b2 AS DOUBLE)) - SQRT(CAST(a2 AS DOUBLE)))
+                / GREATEST(SQRT(CAST(a2 AS DOUBLE)),
+                           SQRT(CAST(b2 AS DOUBLE)))
+           ELSE 0.0 END * 1e8) AS BIGINT) AS si
+  FROM per_vec
+)
+SELECT tlabel AS label, COUNT(*) AS n,
+       SUM(si) / 1e8 / COUNT(*) AS mean_silhouette
+FROM si GROUP BY tlabel
+"""

@@ -137,3 +137,37 @@ def test_nearest_centroid_confusion_matches_duckdb(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_centroid_silhouette_separated_vs_mixed(spark):
+    from polars_grouper_spark.functions.features import centroid_silhouette
+
+    # two tight, well-separated clusters -> silhouette near 1
+    sep = []
+    for i in range(10):
+        sep.append((i, 0, [0.0 + i * 0.001, 0.0]))
+        sep.append((100 + i, 1, [1.0 + i * 0.001, 1.0]))
+    df = spark.createDataFrame(sep, "vec_id long, label int, embedding array<float>")
+    got = {r["label"]: r for r in centroid_silhouette(df, "label").collect()}
+    assert got["0"]["n"] == 10 and got["1"]["n"] == 10
+    assert got["0"]["mean_silhouette"] > 0.9
+    # identical clusters -> silhouette ~ 0 (a == b)
+    mixed = [(i, i % 2, [float(i % 5), 0.0]) for i in range(20)]
+    dfm = spark.createDataFrame(
+        mixed, "vec_id long, label int, embedding array<float>"
+    )
+    gm = {r["label"]: r for r in centroid_silhouette(dfm, "label").collect()}
+    assert abs(gm["0"]["mean_silhouette"]) < 0.2
+
+
+def test_centroid_silhouette_single_label_raises(spark):
+    import pytest
+
+    from polars_grouper_spark.functions.features import centroid_silhouette
+
+    df = spark.createDataFrame(
+        [(1, 0, [1.0]), (2, 0, [2.0])],
+        "vec_id long, label int, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="2 labels"):
+        centroid_silhouette(df, "label").collect()
