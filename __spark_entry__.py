@@ -7329,6 +7329,119 @@ def _silhouette_embeddings_sql() -> str:
     )
 
 
+_ASOF_VERSION = 30_000
+
+
+def q_scd2_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel (``operators.snapshot_diff.scd2_asof``): each
+    customer's (status, priority) state as of version 30000,
+    reconstructed from the SCD2 history with ONE argmax window over
+    the runs table — never a rescan of the raw snapshots."""
+    from polars_grouper_spark.operators.snapshot_diff import (
+        scd2_asof,
+        scd2_history,
+    )
+
+    o = load_table(spark, "orders", sf_dir).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("version"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    hist = scd2_history(o, ["custkey"], ["status", "priority"], "version")
+    return scd2_asof(hist, ["custkey"], _ASOF_VERSION)
+
+
+def _scd2_asof_orders_sql() -> str:
+    from polars_grouper_spark.operators.snapshot_diff import (
+        scd2_asof_sql,
+        scd2_history_sql,
+    )
+
+    hist = scd2_history_sql(
+        "SELECT o_custkey AS custkey, o_orderkey AS version, "
+        "o_orderstatus AS status, o_orderpriority AS priority FROM orders",
+        ["custkey"],
+        ["status", "priority"],
+        "version",
+    )
+    return scd2_asof_sql(hist, ["custkey"], _ASOF_VERSION)
+
+
+def q_column_churn_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column churn drill-down
+    (``operators.snapshot_diff.column_change_stats``): the same
+    synthetic yesterday/today pair as ``snapshot_diff``, answering
+    WHICH field is doing the churning — one join, one aggregation,
+    unpivoted to a row per column."""
+    from polars_grouper_spark.operators.snapshot_diff import (
+        column_change_stats,
+    )
+
+    c = load_table(spark, "customer", sf_dir)
+    old = c.select("c_custkey", "c_mktsegment", "c_nationkey")
+    new = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 13 == 0, F.lit("MODIFIED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        F.when(F.col("c_custkey") % 31 == 0, F.col("c_nationkey") + 1)
+        .otherwise(F.col("c_nationkey"))
+        .alias("c_nationkey"),
+    )
+    return column_change_stats(
+        old, new, ["c_custkey"], ["c_mktsegment", "c_nationkey"]
+    )
+
+
+def _column_churn_customers_sql() -> str:
+    from polars_grouper_spark.operators.snapshot_diff import (
+        column_change_stats_sql,
+    )
+
+    new = """
+SELECT c_custkey,
+       CASE WHEN c_custkey % 13 = 0 THEN 'MODIFIED' ELSE c_mktsegment END
+         AS c_mktsegment,
+       CASE WHEN c_custkey % 31 = 0 THEN c_nationkey + 1 ELSE c_nationkey END
+         AS c_nationkey
+FROM customer
+"""
+    return column_change_stats_sql(
+        "SELECT c_custkey, c_mktsegment, c_nationkey FROM customer",
+        new,
+        ["c_custkey"],
+        ["c_mktsegment", "c_nationkey"],
+    )
+
+
+def q_sorted_blocks_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking
+    (``operators.blocking.sorted_neighborhood_pairs``): entity-
+    resolution candidates from a window-3 slide over the name sort —
+    exactly w-1 pairs per record (a fixed linear budget where a hot
+    key block goes quadratic), built from rank-equality joins."""
+    from polars_grouper_spark.operators.blocking import (
+        sorted_neighborhood_pairs,
+    )
+
+    s = load_table(spark, "supplier", sf_dir)
+    return sorted_neighborhood_pairs(s, "s_suppkey", "s_name", window=3)
+
+
+def _sorted_blocks_suppliers_sql() -> str:
+    from polars_grouper_spark.operators.blocking import (
+        sorted_neighborhood_pairs_sql,
+    )
+
+    return sorted_neighborhood_pairs_sql(
+        "SELECT s_suppkey, s_name FROM supplier",
+        "s_suppkey",
+        "s_name",
+        window=3,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -7480,6 +7593,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rbo_suppliers": q_rbo_suppliers,
         "stream_publish": q_stream_publish,
         "silhouette_embeddings": q_silhouette_embeddings,
+        "scd2_asof_orders": q_scd2_asof_orders,
+        "column_churn_customers": q_column_churn_customers,
+        "sorted_blocks_suppliers": q_sorted_blocks_suppliers,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -7753,6 +7869,9 @@ def oracle_sql() -> dict[str, str]:
         "rbo_suppliers": _rbo_suppliers_sql(),
         "stream_publish": _stream_publish_sql(),
         "silhouette_embeddings": _silhouette_embeddings_sql(),
+        "scd2_asof_orders": _scd2_asof_orders_sql(),
+        "column_churn_customers": _column_churn_customers_sql(),
+        "sorted_blocks_suppliers": _sorted_blocks_suppliers_sql(),
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,

@@ -199,3 +199,121 @@ SELECT {keys}, {attrs},
        count(*)::BIGINT AS n_versions
 FROM runs GROUP BY {keys}, _run, {attrs}
 """
+
+
+def scd2_asof(
+    history: DataFrame,
+    key_cols: "list[str]",
+    version: int,
+) -> DataFrame:
+    """Time travel over an SCD2 history: the state as of ``version`` ->
+    one row per key that existed by then (its run with the greatest
+    ``valid_from <= version``).  Runs are disjoint per key and a value
+    persists until the next change, so the as-of row is a single
+    argmax — one window over the HISTORY table (runs-sized, already a
+    fraction of the raw snapshots), never a rescan of the snapshots.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.col("valid_from").desc())
+    return (
+        history.where(F.col("valid_from") <= version)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def scd2_asof_sql(
+    history_sql: str,
+    key_cols: "list[str]",
+    version: int,
+) -> str:
+    """DuckDB oracle for :func:`scd2_asof`."""
+    keys = ", ".join(key_cols)
+    return f"""
+SELECT * EXCLUDE (_rn) FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY {keys}
+    ORDER BY valid_from DESC) AS _rn
+  FROM ({history_sql}) WHERE valid_from <= {version}
+) WHERE _rn = 1
+"""
+
+
+def column_change_stats(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: "list[str]",
+    cols: "list[str]",
+) -> DataFrame:
+    """WHICH columns are churning between two snapshots -> one row per
+    column ``(column, n_compared, n_changed, change_rate)``.
+
+    :func:`snapshot_diff` says WHAT rows changed; this says what
+    UPSTREAM FIELD is doing the churning — the drill-down that turns
+    "2% of rows changed" into "someone re-encoded the segment column".
+    One inner join on the key + ONE aggregation with a null-safe
+    inequality sum per column, unpivoted to rows (adding a column adds
+    an expression, not a pass).
+    """
+    if not cols:
+        raise ValueError("column_change_stats needs at least one column")
+    o = old.select(
+        *key_cols, *[F.col(c).alias(f"_o_{c}") for c in cols]
+    )
+    n = new.select(
+        *key_cols, *[F.col(c).alias(f"_n_{c}") for c in cols]
+    )
+    joined = o.join(n, key_cols)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(
+            F.sum(
+                (~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))).cast("long")
+            ).alias(f"_ch_{c}")
+        )
+    wide = joined.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"_ch_{c}").alias("n_changed"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(
+        F.col("_n").alias("n_compared"), F.explode(pairs).alias("p")
+    ).select(
+        F.col("p.column").alias("column"),
+        "n_compared",
+        F.col("p.n_changed").alias("n_changed"),
+        (F.col("p.n_changed") / F.col("n_compared").cast("double")).alias(
+            "change_rate"
+        ),
+    )
+
+
+def column_change_stats_sql(
+    old_sql: str,
+    new_sql: str,
+    key_cols: "list[str]",
+    cols: "list[str]",
+) -> str:
+    """DuckDB oracle for :func:`column_change_stats`."""
+    cond = " AND ".join(f"o.{k} = n.{k}" for k in key_cols)
+    sums = ", ".join(
+        f"SUM(CASE WHEN o.{c} IS DISTINCT FROM n.{c} THEN 1 ELSE 0 END)"
+        f" AS ch_{c}"
+        for c in cols
+    )
+    arms = " UNION ALL ".join(
+        f"SELECT '{c}' AS column, n_compared, ch_{c} AS n_changed, "
+        f"ch_{c} / CAST(n_compared AS DOUBLE) AS change_rate FROM wide"
+        for c in cols
+    )
+    return f"""
+WITH wide AS (
+  SELECT COUNT(*) AS n_compared, {sums}
+  FROM ({old_sql}) o JOIN ({new_sql}) n ON {cond}
+)
+{arms}
+"""
