@@ -7442,6 +7442,95 @@ def _sorted_blocks_suppliers_sql() -> str:
     )
 
 
+def q_reciprocity_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-graph reciprocity
+    (``operators.degree_stats.reciprocity``) over the SCC entry's user
+    interaction graph — the mutual-vs-broadcast one-number shape check;
+    one distinct + one reversed-key equality semi-join."""
+    from polars_grouper_spark.operators.degree_stats import reciprocity
+
+    return reciprocity(_scc_edges(spark, sf_dir), "src", "dst")
+
+
+def _reciprocity_users_sql() -> str:
+    from polars_grouper_spark.operators.degree_stats import reciprocity_sql
+
+    rel = (
+        "SELECT 'U' || (o_custkey % 400) AS src, "
+        "'U' || (o_orderkey % 400) AS dst "
+        "FROM orders WHERE o_orderkey % 5 = 0"
+    )
+    return reciprocity_sql(rel, "src", "dst")
+
+
+def q_item_cosine_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-based CF scores
+    (``operators.link_prediction.item_cosine_pairs``): co-purchase
+    counts normalized to cosine so blockbuster parts stop dominating
+    every neighbor list; top-100 by (cosine desc, pair) — the cosine
+    doubles are bit-identical across engines (integer counts, one
+    sqrt + division) and the pair columns make the order total."""
+    from polars_grouper_spark.operators.link_prediction import (
+        item_cosine_pairs,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    pairs = item_cosine_pairs(
+        li.select(
+            F.col("l_orderkey").alias("anchor"),
+            F.concat(F.lit("P"), F.col("l_partkey")).alias("item"),
+        ),
+        "anchor",
+        "item",
+        max_anchor_degree=6,
+        min_cooccur=2,
+    )
+    return pairs.orderBy(
+        F.col("cosine").desc(), F.col("item_a"), F.col("item_b")
+    ).limit(100)
+
+
+def _item_cosine_parts_sql() -> str:
+    from polars_grouper_spark.operators.link_prediction import (
+        item_cosine_pairs_sql,
+    )
+
+    inner = item_cosine_pairs_sql(
+        "SELECT l_orderkey AS anchor, 'P' || l_partkey AS item FROM lineitem",
+        "anchor",
+        "item",
+        max_anchor_degree=6,
+        min_cooccur=2,
+    )
+    return (
+        f"SELECT * FROM ({inner}) "
+        "ORDER BY cosine DESC, item_a, item_b LIMIT 100"
+    )
+
+
+def q_burst_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection (``operators.changepoint.burst_runs``): maximal
+    runs of hours where an event type fires above 2x its median hourly
+    rate — spikes and their duration, the rate companion to CUSUM's
+    mean-shift detection.  Exact median rank pick + gaps-and-islands."""
+    from polars_grouper_spark.operators.changepoint import burst_runs
+
+    ev = load_table(spark, "events", sf_dir)
+    return burst_runs(ev, "event_type", "ts", step_s=3600, factor=2.0)
+
+
+def _burst_events_sql() -> str:
+    from polars_grouper_spark.operators.changepoint import burst_runs_sql
+
+    return burst_runs_sql(
+        "SELECT event_type, ts FROM events",
+        "event_type",
+        "ts",
+        step_s=3600,
+        factor=2.0,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -7596,6 +7685,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_asof_orders": q_scd2_asof_orders,
         "column_churn_customers": q_column_churn_customers,
         "sorted_blocks_suppliers": q_sorted_blocks_suppliers,
+        "reciprocity_users": q_reciprocity_users,
+        "item_cosine_parts": q_item_cosine_parts,
+        "burst_events": q_burst_events,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -7872,6 +7964,9 @@ def oracle_sql() -> dict[str, str]:
         "scd2_asof_orders": _scd2_asof_orders_sql(),
         "column_churn_customers": _column_churn_customers_sql(),
         "sorted_blocks_suppliers": _sorted_blocks_suppliers_sql(),
+        "reciprocity_users": _reciprocity_users_sql(),
+        "item_cosine_parts": _item_cosine_parts_sql(),
+        "burst_events": _burst_events_sql(),
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,

@@ -26,7 +26,7 @@ extension list).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -119,4 +119,114 @@ chain(key, rn, sp, sn, ts_us, value_q, alarm_up, alarm_dn) AS (
 SELECT key, ts_us, value_q, 'up' AS direction FROM chain WHERE alarm_up
 UNION ALL
 SELECT key, ts_us, value_q, 'down' FROM chain WHERE alarm_dn
+"""
+
+
+def burst_runs(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    *,
+    step_s: int = 3600,
+    factor: float = 2.0,
+) -> DataFrame:
+    """Burst detection per key -> one row per maximal run of consecutive
+    hot buckets: ``(key, start_bucket, end_bucket, n_buckets, peak,
+    total)``.  A bucket is hot when its event count exceeds ``factor``
+    x the key's (lower) median bucket count — the rate-anomaly
+    companion to the CUSUM mean-shift detector above: CUSUM finds level
+    changes, this finds spikes and how long they lasted.
+
+    Exactness: bucket counts are integers, the lower median is an exact
+    rank pick (``2 * rank >= n``), and the run grouping is the
+    gaps-and-islands constant ``bucket - row_number`` over hot buckets
+    only.  The median is over OBSERVED buckets (a key silent for a year
+    doesn't drag its own median to zero — absence is
+    :func:`..functions.timeseries.gaps_report`'s job).
+
+    Scale: one groupBy to buckets (map-side combinable), windows over
+    the bucket table (already |keys| x |buckets|, not |rows|).
+    """
+    if step_s < 1:
+        raise ValueError(f"step_s must be >= 1, got {step_s}")
+    buckets = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.floor(
+                F.unix_timestamp(F.col(ts_col).cast("timestamp")) / step_s
+            ).alias("b"),
+        )
+        .groupBy("key", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wk = Window.partitionBy("key")
+    w_rank = Window.partitionBy("key").orderBy("c")
+    ranked = buckets.select(
+        "key",
+        "b",
+        "c",
+        F.row_number().over(w_rank).alias("_r"),
+        F.count(F.lit(1)).over(wk).alias("_n"),
+    )
+    med = (
+        ranked.where(2 * F.col("_r") >= F.col("_n"))
+        .groupBy("key")
+        .agg(F.min("c").alias("_med"))
+    )
+    hot = (
+        buckets.join(med, "key")
+        .where(F.col("c") > F.lit(float(factor)) * F.col("_med"))
+    )
+    w_run = Window.partitionBy("key").orderBy("b")
+    runs = hot.select(
+        "key",
+        "b",
+        "c",
+        (F.col("b") - F.row_number().over(w_run)).alias("_run"),
+    )
+    return runs.groupBy("key", "_run").agg(
+        F.min("b").alias("start_bucket"),
+        F.max("b").alias("end_bucket"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("c").alias("peak"),
+        F.sum("c").alias("total"),
+    ).drop("_run")
+
+
+def burst_runs_sql(
+    rel_sql: str,
+    key_expr: str,
+    ts_expr: str,
+    *,
+    step_s: int = 3600,
+    factor: float = 2.0,
+) -> str:
+    """DuckDB oracle for :func:`burst_runs` (same median pick and
+    islands constant)."""
+    return f"""
+WITH buckets AS (
+  SELECT {key_expr} AS key,
+         CAST(FLOOR(CAST(FLOOR(epoch(CAST({ts_expr} AS TIMESTAMP)))
+              AS BIGINT) / CAST({step_s} AS DOUBLE)) AS BIGINT) AS b,
+         COUNT(*) AS c
+  FROM ({rel_sql}) GROUP BY 1, 2
+), ranked AS (
+  SELECT key, b, c,
+         ROW_NUMBER() OVER (PARTITION BY key ORDER BY c) AS r,
+         COUNT(*) OVER (PARTITION BY key) AS n
+  FROM buckets
+), med AS (
+  SELECT key, MIN(c) AS med FROM ranked WHERE 2 * r >= n GROUP BY key
+), hot AS (
+  SELECT bu.key, bu.b, bu.c
+  FROM buckets bu JOIN med ON med.key = bu.key
+  WHERE bu.c > {float(factor)!r} * med.med
+), runs AS (
+  SELECT key, b, c,
+         b - ROW_NUMBER() OVER (PARTITION BY key ORDER BY b) AS run
+  FROM hot
+)
+SELECT key, MIN(b) AS start_bucket, MAX(b) AS end_bucket,
+       COUNT(*) AS n_buckets, MAX(c) AS peak, SUM(c) AS total
+FROM runs GROUP BY key, run
 """

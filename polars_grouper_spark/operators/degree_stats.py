@@ -131,3 +131,55 @@ def powerlaw_alpha_exact(degrees: "list[int]", d_min: int = 1) -> float:
     Python list."""
     tail = [d for d in degrees if d >= d_min]
     return 1.0 + len(tail) / sum(math.log(d / (d_min - 0.5)) for d in tail)
+
+
+def reciprocity(df: DataFrame, src: str, dst: str) -> DataFrame:
+    """Directed-graph reciprocity -> one row ``(n_edges, n_reciprocal,
+    reciprocity)``: the fraction of distinct directed edges whose
+    reverse also exists (self-loops excluded) — the one-number "is this
+    interaction graph mutual or broadcast-shaped?" diagnostic that
+    separates follower graphs (~0.2) from messenger graphs (~0.7).
+
+    One distinct + one self-equality-join on the reversed key — the
+    reverse lookup is an equality join, never a cartesian; both sides
+    reduce to distinct edges map-side first.
+    """
+    edges = (
+        df.select(
+            F.col(src).cast("string").alias("s"),
+            F.col(dst).cast("string").alias("d"),
+        )
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    rev = edges.select(
+        F.col("d").alias("s"), F.col("s").alias("d")
+    )
+    recip = edges.join(rev, ["s", "d"], "left_semi")
+    return edges.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        recip.agg(F.count(F.lit(1)).alias("n_reciprocal"))
+    ).select(
+        "n_edges",
+        "n_reciprocal",
+        (F.col("n_reciprocal") / F.col("n_edges").cast("double")).alias(
+            "reciprocity"
+        ),
+    )
+
+
+def reciprocity_sql(rel_sql: str, src_expr: str, dst_expr: str) -> str:
+    """DuckDB oracle for :func:`reciprocity`."""
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT CAST({src_expr} AS VARCHAR) AS s,
+         CAST({dst_expr} AS VARCHAR) AS d
+  FROM ({rel_sql})
+  WHERE CAST({src_expr} AS VARCHAR) <> CAST({dst_expr} AS VARCHAR)
+)
+SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
+       COUNT(*) AS n_reciprocal,
+       COUNT(*) / CAST((SELECT COUNT(*) FROM edges) AS DOUBLE)
+         AS reciprocity
+FROM edges e WHERE EXISTS (
+  SELECT 1 FROM edges r WHERE r.s = e.d AND r.d = e.s)
+"""

@@ -247,3 +247,92 @@ SELECT x.item AS item_a, y.item AS item_b, count(*)::BIGINT AS weight
 FROM {src} x JOIN {src} y ON x.anchor = y.anchor AND x.item < y.item
 GROUP BY 1, 2
 """
+
+
+def item_cosine_pairs(
+    df: DataFrame,
+    anchor_col: str,
+    item_col: str,
+    *,
+    max_anchor_degree: int | None = None,
+    min_cooccur: int = 1,
+) -> DataFrame:
+    """Item-item cosine similarity over co-occurrence counts ->
+    ``(item_a, item_b, n_co, n_a, n_b, cosine)`` with ``cosine =
+    n_co / sqrt(n_a * n_b)`` — the classic item-based collaborative-
+    filtering score (binary interaction vectors), normalizing
+    :func:`project_bipartite`'s raw co-counts so blockbuster items
+    stop dominating every neighbor list.
+
+    Exactness: counts are integers; ``sqrt`` of the exact product and
+    one division are the only float ops (identical IEEE both engines).
+    Scale posture inherits the projection: distinct (anchor, item)
+    first, anchors capped by ``max_anchor_degree`` (a power-law anchor
+    generates degree² pairs), item totals joined back as broadcast
+    metadata.
+    """
+    pairs = project_bipartite(
+        df, anchor_col, item_col, max_anchor_degree=max_anchor_degree
+    ).where(F.col("weight") >= min_cooccur)
+    totals = (
+        df.select(
+            F.col(anchor_col).cast("string").alias("_a"),
+            F.col(item_col).cast("string").alias("item"),
+        )
+        .distinct()
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    na = totals.select(
+        F.col("item").alias("item_a"), F.col("_n").alias("n_a")
+    )
+    nb = totals.select(
+        F.col("item").alias("item_b"), F.col("_n").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(na), "item_a")
+        .join(F.broadcast(nb), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            F.col("weight").alias("n_co"),
+            "n_a",
+            "n_b",
+            (
+                F.col("weight")
+                / F.sqrt((F.col("n_a") * F.col("n_b")).cast("double"))
+            ).alias("cosine"),
+        )
+    )
+
+
+def item_cosine_pairs_sql(
+    rel_sql: str,
+    anchor_expr: str,
+    item_expr: str,
+    *,
+    max_anchor_degree: int | None = None,
+    min_cooccur: int = 1,
+) -> str:
+    """DuckDB oracle for :func:`item_cosine_pairs` (same projection +
+    broadcast totals)."""
+    pair_sql = (
+        f"SELECT {anchor_expr} AS anchor, {item_expr} AS item "
+        f"FROM ({rel_sql})"
+    )
+    proj = project_bipartite_sql(pair_sql, max_anchor_degree)
+    return f"""
+WITH pairs AS ({proj}),
+totals AS (
+  SELECT item, COUNT(*) AS n FROM (
+    SELECT DISTINCT CAST({anchor_expr} AS VARCHAR) AS a,
+           CAST({item_expr} AS VARCHAR) AS item
+    FROM ({rel_sql})
+  ) GROUP BY item
+)
+SELECT p.item_a, p.item_b, p.weight AS n_co, ta.n AS n_a, tb.n AS n_b,
+       p.weight / SQRT(CAST(ta.n * tb.n AS DOUBLE)) AS cosine
+FROM pairs p JOIN totals ta ON ta.item = p.item_a
+             JOIN totals tb ON tb.item = p.item_b
+WHERE p.weight >= {min_cooccur}
+"""

@@ -71,3 +71,55 @@ def test_sorted_neighborhood_catches_prefix_typo(spark):
         for r in sorted_neighborhood_pairs(df, "id", "name", window=2).collect()
     }
     assert (1, 2) in pairs and (4, 3) in pairs
+
+
+def test_reciprocity_known(spark):
+    from polars_grouper_spark.operators.degree_stats import reciprocity
+
+    # a<->b mutual, a->c one-way, self-loop d->d ignored, dup edges collapse
+    edges = [("a", "b"), ("b", "a"), ("a", "c"), ("d", "d"), ("a", "b")]
+    df = spark.createDataFrame(edges, "s string, d string")
+    got = reciprocity(df, "s", "d").first()
+    assert got["n_edges"] == 3 and got["n_reciprocal"] == 2
+    assert got["reciprocity"] == 2 / 3
+
+
+def test_item_cosine_known(spark):
+    from polars_grouper_spark.operators.link_prediction import (
+        item_cosine_pairs,
+    )
+    import math
+
+    # i appears in anchors {1,2,3}; j in {2,3}; co = 2
+    rows = [(1, "i"), (2, "i"), (3, "i"), (2, "j"), (3, "j")]
+    df = spark.createDataFrame(rows, "anchor long, item string")
+    got = item_cosine_pairs(df, "anchor", "item").first()
+    assert (got["item_a"], got["item_b"]) == ("i", "j")
+    assert got["n_co"] == 2 and got["n_a"] == 3 and got["n_b"] == 2
+    assert got["cosine"] == 2 / math.sqrt(6)
+
+
+def test_burst_runs_finds_spike_spans(spark):
+    import datetime as dt
+
+    from polars_grouper_spark.operators.changepoint import burst_runs
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    # baseline: 2 events/hour for hours 0..9; spike: 10/hour in hours 3-4,
+    # and an isolated spike at hour 8
+    for h in range(10):
+        n = 2
+        if h in (3, 4):
+            n = 10
+        if h == 8:
+            n = 9
+        for i in range(n):
+            rows.append(("k", base + dt.timedelta(hours=h, minutes=i)))
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    runs = sorted(
+        (r["start_bucket"], r["end_bucket"], r["n_buckets"], r["peak"])
+        for r in burst_runs(df, "k", "ts", step_s=3600, factor=2.0).collect()
+    )
+    b0 = runs[0][0] - 3  # hour-3 bucket minus 3 = base bucket
+    assert runs == [(b0 + 3, b0 + 4, 2, 10), (b0 + 8, b0 + 8, 1, 9)]
