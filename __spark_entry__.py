@@ -7531,6 +7531,61 @@ def _burst_events_sql() -> str:
     )
 
 
+def q_katz_sp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality (``operators.katz``): all-walks centrality with
+    attenuation 1/4 over the supplier-part graph — the scaled scores
+    run as an ALL-INTEGER recursion (y_t = sum_in y_{t-1} + m^t, the
+    HITS trick), so any aggregation order yields the identical result
+    and the oracle replays the exact rounds."""
+    from polars_grouper_spark.operators.katz import katz_centrality
+
+    li = load_table(spark, "lineitem", sf_dir)
+    edges = li.where(F.col("l_orderkey") % 3 == 0).select(
+        F.concat(F.lit("S"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("P"), F.col("l_partkey")).alias("dst"),
+    )
+    return katz_centrality(edges, "src", "dst", m=4, iters=4)
+
+
+def _katz_sp_sql() -> str:
+    from polars_grouper_spark.operators.katz import katz_centrality_sql
+
+    rel = (
+        "SELECT 'S' || l_suppkey AS src, 'P' || l_partkey AS dst "
+        "FROM lineitem WHERE l_orderkey % 3 = 0"
+    )
+    return katz_centrality_sql(rel, m=4, iters=4)
+
+
+def q_quantile_map_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile mapping (``functions.features.quantile_map``): click
+    event values re-expressed on the purchase-value distribution —
+    CDF matching with exact integer position arithmetic (float ceil of
+    an exactly-integral quotient can land one off), the
+    domain-adaptation normalizer for cross-scorer comparability."""
+    from polars_grouper_spark.functions.features import quantile_map
+
+    ev = load_table(spark, "events", sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "value"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "value"
+    )
+    return quantile_map(clicks, purchases, "value", "event_id")
+
+
+def _quantile_map_events_sql() -> str:
+    from polars_grouper_spark.functions.features import quantile_map_sql
+
+    return quantile_map_sql(
+        "SELECT event_id, value FROM events WHERE event_type = 'click'",
+        "SELECT event_id, value FROM events WHERE event_type = 'purchase'",
+        "value",
+        "event_id",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -7688,6 +7743,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity_users": q_reciprocity_users,
         "item_cosine_parts": q_item_cosine_parts,
         "burst_events": q_burst_events,
+        "katz_sp": q_katz_sp,
+        "quantile_map_events": q_quantile_map_events,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -7967,6 +8024,8 @@ def oracle_sql() -> dict[str, str]:
         "reciprocity_users": _reciprocity_users_sql(),
         "item_cosine_parts": _item_cosine_parts_sql(),
         "burst_events": _burst_events_sql(),
+        "katz_sp": _katz_sp_sql(),
+        "quantile_map_events": _quantile_map_events_sql(),
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,

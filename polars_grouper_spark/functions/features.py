@@ -553,3 +553,73 @@ SELECT tlabel AS label, COUNT(*) AS n,
        SUM(si) / 1e8 / COUNT(*) AS mean_silhouette
 FROM si GROUP BY tlabel
 """
+
+
+def quantile_map(
+    src_df: DataFrame,
+    ref_df: DataFrame,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Quantile mapping (CDF matching) -> ``(id, value, mapped)``: each
+    source row's value is replaced by the REFERENCE distribution's
+    value at the same quantile position.
+
+    The domain-adaptation normalizer: quality scores from two scorers
+    (or two corpora) become comparable by forcing one onto the other's
+    distribution — rank-preserving, outlier-robust, assumption-free.
+
+    Exactness: source rank ``r`` (of ``n_src``) maps to reference
+    position ``ceil(r * n_ref / n_src)`` computed in INTEGER division
+    (``(r * n_ref - 1) div n_src + 1`` — a float ceil of an exactly-
+    integral quotient can land one off on the representation error);
+    the mapped value comes from one equality join on that position.
+    Requires ``n_src * n_ref < 2^63``.  Two global sorts (source and
+    reference ranks) — the same cost as any exact CDF; for 100 TB use
+    per-group maps (pre-partition both sides) or histogram quantiles.
+    """
+    w_src = Window.orderBy(F.col("value").asc(), F.col("id").asc())
+    src = src_df.select(
+        F.col(id_col).alias("id"), F.col(value_col).alias("value")
+    ).select("id", "value", F.row_number().over(w_src).alias("_r"))
+    n_src = src.count()
+    if n_src == 0:
+        raise ValueError("quantile_map: empty source")
+    w_ref = Window.orderBy(F.col("_rv").asc())
+    ref = ref_df.select(F.col(value_col).alias("_rv")).select(
+        "_rv", F.row_number().over(w_ref).alias("_p")
+    )
+    n_ref = ref.count()
+    if n_ref == 0:
+        raise ValueError("quantile_map: empty reference")
+    pos = F.expr(f"(_r * {n_ref}L - 1) div {n_src}L + 1")
+    return (
+        src.select("id", "value", pos.alias("_p"))
+        .join(ref, "_p")
+        .select("id", "value", F.col("_rv").alias("mapped"))
+    )
+
+
+def quantile_map_sql(
+    src_sql: str,
+    ref_sql: str,
+    value_expr: str,
+    id_expr: str,
+) -> str:
+    """DuckDB oracle for :func:`quantile_map` (same integer position
+    arithmetic)."""
+    return f"""
+WITH src AS (
+  SELECT {id_expr} AS id, {value_expr} AS value,
+         ROW_NUMBER() OVER (ORDER BY {value_expr} ASC, {id_expr} ASC) AS r
+  FROM ({src_sql})
+), ref AS (
+  SELECT {value_expr} AS rv,
+         ROW_NUMBER() OVER (ORDER BY {value_expr} ASC) AS p
+  FROM ({ref_sql})
+), ns AS (SELECT COUNT(*) AS n_src FROM src),
+nr AS (SELECT COUNT(*) AS n_ref FROM ref)
+SELECT s.id, s.value, ref.rv AS mapped
+FROM src s CROSS JOIN ns CROSS JOIN nr
+JOIN ref ON ref.p = (s.r * nr.n_ref - 1) // ns.n_src + 1
+"""
