@@ -7586,6 +7586,64 @@ def _quantile_map_events_sql() -> str:
     )
 
 
+def q_precision_cut_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter operating point
+    (``functions.evaluation.precision_threshold``): the largest
+    keep-prefix of the price ranking whose fulfilled-rate still holds
+    40% — the precision test is an integer cross-multiply against the
+    rational target (2/5), so the sweep can never waver on float
+    representation."""
+    from polars_grouper_spark.functions.evaluation import (
+        precision_threshold,
+    )
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("score"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+    )
+    return precision_threshold(o, "score", "label", "o_orderkey", 2, 5)
+
+
+def _precision_cut_orders_sql() -> str:
+    from polars_grouper_spark.functions.evaluation import (
+        precision_threshold_sql,
+    )
+
+    rel = (
+        "SELECT o_orderkey, o_totalprice AS score, "
+        "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label "
+        "FROM orders"
+    )
+    return precision_threshold_sql(rel, "score", "label", "o_orderkey", 2, 5)
+
+
+def q_lift_table_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-gains deciles (``functions.evaluation.lift_table``):
+    how much of the fulfilled-order mass each price decile captures and
+    its lift over the base rate — the targeting readout; integer-
+    division bucket cuts, exact counts."""
+    from polars_grouper_spark.functions.evaluation import lift_table
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("score"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+    )
+    return lift_table(o, "score", "label", "o_orderkey", n_buckets=10)
+
+
+def _lift_table_orders_sql() -> str:
+    from polars_grouper_spark.functions.evaluation import lift_table_sql
+
+    rel = (
+        "SELECT o_orderkey, o_totalprice AS score, "
+        "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label "
+        "FROM orders"
+    )
+    return lift_table_sql(rel, "score", "label", "o_orderkey", n_buckets=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -7745,6 +7803,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burst_events": q_burst_events,
         "katz_sp": q_katz_sp,
         "quantile_map_events": q_quantile_map_events,
+        "precision_cut_orders": q_precision_cut_orders,
+        "lift_table_orders": q_lift_table_orders,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -8026,6 +8086,8 @@ def oracle_sql() -> dict[str, str]:
         "burst_events": _burst_events_sql(),
         "katz_sp": _katz_sp_sql(),
         "quantile_map_events": _quantile_map_events_sql(),
+        "precision_cut_orders": _precision_cut_orders_sql(),
+        "lift_table_orders": _lift_table_orders_sql(),
         "stream_funnel": _funnel_depth_sql(_FUNNEL_STEPS),
         "stream_sliding": _STREAM_SLIDING_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,

@@ -773,3 +773,195 @@ SELECT {depth} AS depth,
        SUM(t) / 1e8 * CAST({1.0 - p!r} AS DOUBLE) AS rbo
 FROM terms
 """
+
+
+def precision_threshold(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    target_num: int,
+    target_den: int,
+) -> DataFrame:
+    """The operating point of a quality filter -> one row
+    ``(threshold, n_kept, n_pos_kept, precision, recall)``: the largest
+    keep-set prefix of the (score desc, id asc) order whose precision
+    is still >= ``target_num / target_den``.
+
+    This is how a scored corpus becomes a filtered corpus: sweep the
+    cut down the ranking, keep everything above the last rank where
+    precision holds.  The precision test is the integer cross-multiply
+    ``cum_pos * target_den >= target_num * k`` — no float precision
+    column, no tolerance; the target is a RATIONAL (pass 9, 10 for
+    90%), so the sweep decision can never waver on representation.
+    Returns the degenerate all-drop row (n_kept=0, NULL threshold) when
+    no prefix qualifies.
+
+    One window over the ranking + one argmax; the sort is the same
+    cost as the ranking any threshold sweep needs.
+    """
+    if not (0 < target_num <= target_den):
+        raise ValueError(
+            f"target must satisfy 0 < num <= den, got {target_num}/{target_den}"
+        )
+    lab = F.col(label_col).cast("int")
+    w = Window.orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = df.select(
+        F.col(score_col).alias("_s"),
+        lab.alias("_l"),
+        F.count(F.lit(1)).over(w).alias("_k"),
+        F.sum(lab).over(w).alias("_cp"),
+    )
+    tot = ranked.agg(
+        F.max("_k").alias("_n"), F.max("_cp").alias("_np")
+    )
+    ok = ranked.where(
+        F.col("_cp") * target_den >= target_num * F.col("_k")
+    )
+    best = ok.agg(
+        F.max(
+            F.struct(
+                F.col("_k").alias("k"),
+                F.col("_cp").alias("cp"),
+                F.col("_s").alias("s"),
+            )
+        ).alias("b")
+    )
+    return best.crossJoin(F.broadcast(tot)).select(
+        F.col("b.s").alias("threshold"),
+        F.coalesce(F.col("b.k"), F.lit(0)).alias("n_kept"),
+        F.coalesce(F.col("b.cp"), F.lit(0)).alias("n_pos_kept"),
+        F.when(
+            F.col("b.k").isNotNull(),
+            F.col("b.cp") / F.col("b.k").cast("double"),
+        ).alias("precision"),
+        F.when(
+            (F.col("b.k").isNotNull()) & (F.col("_np") > 0),
+            F.col("b.cp") / F.col("_np").cast("double"),
+        ).alias("recall"),
+    )
+
+
+def precision_threshold_sql(
+    rel_sql: str,
+    score_expr: str,
+    label_expr: str,
+    id_expr: str,
+    target_num: int,
+    target_den: int,
+) -> str:
+    """DuckDB oracle for :func:`precision_threshold`."""
+    frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    order = f"ORDER BY {score_expr} DESC, {id_expr} ASC"
+    return f"""
+WITH ranked AS (
+  SELECT {score_expr} AS s, CAST({label_expr} AS INT) AS l,
+         COUNT(*) OVER ({order} {frame}) AS k,
+         SUM(CAST({label_expr} AS INT)) OVER ({order} {frame}) AS cp
+  FROM ({rel_sql})
+), tot AS (SELECT MAX(k) AS n, MAX(cp) AS np FROM ranked),
+best AS (
+  SELECT k, cp, s FROM ranked
+  WHERE cp * {target_den} >= {target_num} * k
+  ORDER BY k DESC LIMIT 1
+)
+SELECT best.s AS threshold,
+       COALESCE(best.k, 0) AS n_kept,
+       COALESCE(best.cp, 0) AS n_pos_kept,
+       CASE WHEN best.k IS NOT NULL
+            THEN best.cp / CAST(best.k AS DOUBLE) END AS precision,
+       CASE WHEN best.k IS NOT NULL AND tot.np > 0
+            THEN best.cp / CAST(tot.np AS DOUBLE) END AS recall
+FROM tot LEFT JOIN best ON TRUE
+"""
+
+
+def lift_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Cumulative-gains / lift table -> one row per score bucket
+    ``(bucket, n, n_pos, cum_n, cum_pos, capture_rate, lift)``:
+    rank by (score desc, id asc), cut into ``n_buckets`` equal-count
+    buckets, report how much of the positive mass each prefix captures
+    and the bucket's lift over the base rate.
+
+    The campaign/filter-targeting readout ("the top decile holds 4x
+    its share of positives").  Bucket boundaries use the same integer
+    division as :func:`~..functions.features.quantile_map`; counts are
+    exact, the two ratios are single divisions.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    lab = F.col(label_col).cast("int")
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    ranked = df.select(
+        lab.alias("_l"), F.row_number().over(w).alias("_r")
+    )
+    n = ranked.count()
+    if n == 0:
+        raise ValueError("lift_table: empty input")
+    bucket = F.expr(f"(_r * {n_buckets}L - 1) div {n}L + 1")
+    per = ranked.select(bucket.alias("bucket"), "_l").groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_l").alias("n_pos"),
+    )
+    wc = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    return per.select(
+        "bucket",
+        "n",
+        "n_pos",
+        F.sum("n").over(wc).alias("cum_n"),
+        F.sum("n_pos").over(wc).alias("cum_pos"),
+        (
+            F.sum("n_pos").over(wc)
+            / F.greatest(F.sum("n_pos").over(wt), F.lit(1)).cast("double")
+        ).alias("capture_rate"),
+        (
+            F.col("n_pos")
+            * F.sum("n").over(wt)
+            / (
+                F.col("n")
+                * F.greatest(F.sum("n_pos").over(wt), F.lit(1))
+            ).cast("double")
+        ).alias("lift"),
+    )
+
+
+def lift_table_sql(
+    rel_sql: str,
+    score_expr: str,
+    label_expr: str,
+    id_expr: str,
+    n_buckets: int = 10,
+) -> str:
+    """DuckDB oracle for :func:`lift_table`."""
+    return f"""
+WITH ranked AS (
+  SELECT CAST({label_expr} AS INT) AS l,
+         ROW_NUMBER() OVER (ORDER BY {score_expr} DESC, {id_expr} ASC) AS r
+  FROM ({rel_sql})
+), nn AS (SELECT COUNT(*) AS n_all FROM ranked),
+per AS (
+  SELECT (r * {n_buckets} - 1) // nn.n_all + 1 AS bucket,
+         COUNT(*) AS n, SUM(l) AS n_pos
+  FROM ranked CROSS JOIN nn GROUP BY 1
+)
+SELECT bucket, n, n_pos,
+       SUM(n) OVER (ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+       SUM(n_pos) OVER (ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+       SUM(n_pos) OVER (ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         / CAST(GREATEST(SUM(n_pos) OVER (), 1) AS DOUBLE) AS capture_rate,
+       n_pos * SUM(n) OVER ()
+         / CAST(n * GREATEST(SUM(n_pos) OVER (), 1) AS DOUBLE) AS lift
+FROM per
+"""

@@ -271,3 +271,38 @@ def test_welch_ttest_tiny_side_is_null(spark):
     b = spark.createDataFrame([(1.0,), (2.0,)], "value double")
     got = welch_ttest(a, b, "value").first()
     assert got["t"] is None and got["dof"] is None
+
+
+def test_precision_threshold_sweep(spark):
+    from polars_grouper_spark.functions.evaluation import precision_threshold
+
+    # ranking by score desc: labels 1,1,0,1,0,0 (ids break no ties here)
+    rows = [(1, 6.0, 1), (2, 5.0, 1), (3, 4.0, 0), (4, 3.0, 1), (5, 2.0, 0), (6, 1.0, 0)]
+    df = spark.createDataFrame(rows, "id long, score double, label int")
+    # precision at k: 1, 1, 2/3, 3/4, 3/5, 1/2 ; target 3/4 -> largest k=4
+    got = precision_threshold(df, "score", "label", "id", 3, 4).first()
+    assert got["n_kept"] == 4 and got["n_pos_kept"] == 3
+    assert got["threshold"] == 3.0
+    assert got["precision"] == 3 / 4 and got["recall"] == 1.0
+    # impossible target: the top-ranked row is negative, so no prefix
+    # can reach 100% precision -> degenerate all-drop row
+    neg_top = spark.createDataFrame(
+        [(1, 9.0, 0), (2, 8.0, 1)], "id long, score double, label int"
+    )
+    none = precision_threshold(neg_top, "score", "label", "id", 1, 1).first()
+    assert none["n_kept"] == 0 and none["threshold"] is None
+
+
+def test_lift_table_known(spark):
+    from polars_grouper_spark.functions.evaluation import lift_table
+
+    # 20 rows, positives concentrated in the top quarter of scores
+    rows = [(i, 100.0 - i, 1 if i < 5 else 0) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, score double, label int")
+    got = {r["bucket"]: r for r in
+           lift_table(df, "score", "label", "id", n_buckets=4).collect()}
+    assert [got[b]["n"] for b in (1, 2, 3, 4)] == [5, 5, 5, 5]
+    assert got[1]["n_pos"] == 5 and got[2]["n_pos"] == 0
+    assert got[1]["capture_rate"] == 1.0
+    assert got[1]["lift"] == 4.0  # all positives in the top quartile
+    assert got[4]["cum_n"] == 20 and got[4]["capture_rate"] == 1.0
