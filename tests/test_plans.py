@@ -232,3 +232,36 @@ def test_fk_audit_and_knn_labels_scan_once(spark):
     emb = load_table(spark, "embeddings", SF_DIR)
     p = plan_str(knn_label_check(emb, k=5))
     assert p.count("Location: InMemoryFileIndex") == 0, p
+
+
+def test_tpch_batch5_plan_shapes(spark):
+    """Round-5 TPC-H completion batch scale shapes: Q4's EXISTS plans
+    as a LEFT SEMI join, Q21's EXISTS / NOT EXISTS as semi + anti (no
+    cartesian anywhere), Q8 broadcasts every dimension of the snowflake,
+    and Q6 pushes all scan predicates and prunes to four columns."""
+    import re
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+
+    def executed(name):
+        df = qs[name](spark, SF_DIR)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    p4 = executed("tpch_q4")
+    assert "LeftSemi" in p4 and "CartesianProduct" not in p4, p4
+
+    p21 = executed("tpch_q21")
+    assert "LeftSemi" in p21 and "LeftAnti" in p21, p21
+    assert "CartesianProduct" not in p21, p21
+
+    p8 = executed("tpch_q8")
+    assert p8.count("BroadcastHashJoin") >= 5, p8
+    assert "SortMergeJoin" not in p8 and "CartesianProduct" not in p8, p8
+
+    p6 = plan_str(qs["tpch_q6"](spark, SF_DIR))
+    assert "PushedFilters: [" in p6 and "l_quantity" in p6, p6
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p6)
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}, cols
