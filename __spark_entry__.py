@@ -8280,6 +8280,120 @@ GROUP BY cntrycode
 """
 
 
+# --------------------------------------------------------------------------
+# Round-5 batch 6: maximal matching, skyline, rank statistics, target
+# encoding — symmetry-breaking, Pareto, and nonparametric-testing gaps.
+# --------------------------------------------------------------------------
+
+_MATCH_ROUNDS = 12
+
+
+def q_matching_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximal matching (``operators.matching`` — locally-
+    dominant edges, deterministic hash priorities) on the part
+    co-purchase graph: each round one min-aggregation + two equality
+    joins over a shrinking edge set, oracle-replayed round for round;
+    raises rather than returning a non-maximal matching."""
+    from polars_grouper_spark.operators.matching import greedy_matching
+
+    edges = _part_co_edges(spark, sf_dir)
+    return greedy_matching(edges, "src", "dst", max_rounds=_MATCH_ROUNDS)
+
+
+def _matching_parts_sql() -> str:
+    from polars_grouper_spark.operators.matching import greedy_matching_sql
+
+    return greedy_matching_sql(_PART_CO_EDGE_SQL, rounds=_MATCH_ROUNDS)
+
+
+def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (``operators.skyline``): orders not dominated
+    on (totalprice, recency) — bucket-pruned, so the exact pass runs
+    only on near-frontier survivors, never a data-sized global sort;
+    the oracle is the brute-force NOT EXISTS, so any pruning recall
+    loss breaks the compare."""
+    from polars_grouper_spark.operators.skyline import skyline_2d
+
+    orders = load_table(spark, "orders", sf_dir)
+    sky = skyline_2d(orders, "o_totalprice", "o_orderdate")
+    return sky.select(
+        F.col("x").alias("o_totalprice"),
+        F.col("y").cast("string").alias("o_orderdate"),
+    )
+
+
+def _skyline_orders_sql() -> str:
+    from polars_grouper_spark.operators.skyline import skyline_2d_sql
+
+    inner = skyline_2d_sql("SELECT o_totalprice AS x, o_orderdate AS y FROM orders")
+    return (
+        "SELECT x AS o_totalprice, CAST(y AS VARCHAR) AS o_orderdate "
+        f"FROM ({inner})"
+    )
+
+
+def q_mannwhitney_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (``functions.experiment.mann_whitney_u``): do
+    fulfilled and open orders differ in price distribution?  Rank-sum
+    without ranking rows — per-distinct-value counts + the bucketed
+    exclusive-prefix carry-in, tie-corrected z from exact integer
+    sums."""
+    from polars_grouper_spark.functions.experiment import mann_whitney_u
+
+    orders = load_table(spark, "orders", sf_dir)
+    return mann_whitney_u(orders, "o_orderstatus", "o_totalprice", "F", "O")
+
+
+def _mannwhitney_orders_sql() -> str:
+    from polars_grouper_spark.functions.experiment import mann_whitney_u_sql
+
+    return mann_whitney_u_sql(
+        "SELECT o_orderstatus AS g, o_totalprice AS v FROM orders", "F", "O"
+    )
+
+
+def q_spearman_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (``functions.experiment.
+    spearman_corr``) between quantity and extended price — the
+    outlier-proof monotonic-association check; doubled-integer average
+    ranks (ties stay exact), five decimal Pearson sums, one double
+    division at the end."""
+    from polars_grouper_spark.functions.experiment import spearman_corr
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return spearman_corr(li, "l_quantity", "l_extendedprice")
+
+
+def _spearman_lineitem_sql() -> str:
+    from polars_grouper_spark.functions.experiment import spearman_corr_sql
+
+    return spearman_corr_sql(
+        "SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem"
+    )
+
+
+def q_target_encode_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed + leave-one-out target encoding (``functions.features.
+    target_encode``) of order priority against total price: one
+    category aggregation broadcast back, 1-row global prior, LOO
+    singleton-category degeneracy handled by the formula itself."""
+    from polars_grouper_spark.functions.features import target_encode
+
+    orders = load_table(spark, "orders", sf_dir)
+    return target_encode(
+        orders, "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+
+
+def _target_encode_orders_sql() -> str:
+    from polars_grouper_spark.functions.features import target_encode_sql
+
+    return target_encode_sql(
+        "SELECT o_orderkey AS id, o_orderpriority AS cat, o_totalprice AS y "
+        "FROM orders"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -8454,6 +8568,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": q_tpch_q19,
         "tpch_q21": q_tpch_q21,
         "tpch_q22": q_tpch_q22,
+        # --- round-5 batch 6 ---
+        "matching_parts": q_matching_parts,
+        "skyline_orders": q_skyline_orders,
+        "mannwhitney_orders": q_mannwhitney_orders,
+        "spearman_lineitem": q_spearman_lineitem,
+        "target_encode_orders": q_target_encode_orders,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -8890,4 +9010,9 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q19": _TPCH_Q19_SQL,
         "tpch_q21": _TPCH_Q21_SQL,
         "tpch_q22": _TPCH_Q22_SQL,
+        "matching_parts": _matching_parts_sql(),
+        "skyline_orders": _skyline_orders_sql(),
+        "mannwhitney_orders": _mannwhitney_orders_sql(),
+        "spearman_lineitem": _spearman_lineitem_sql(),
+        "target_encode_orders": _target_encode_orders_sql(),
     }

@@ -275,3 +275,251 @@ SELECT n_a, {mean_a} AS mean_a, n_b, {mean_b} AS mean_b,
             + ({se_b}) * ({se_b}) / (n_b - 1)) END AS dof
 FROM ({mom(a_sql, 'a')}) a CROSS JOIN ({mom(b_sql, 'b')}) b
 """
+
+
+def _exclusive_prefix(
+    vc: DataFrame,
+    value_col: str,
+    sum_cols: list[str],
+    *,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Exclusive prefix sums of ``sum_cols`` over ascending ``value_col``
+    WITHOUT a data-sized single-partition window: per-bucket totals (at
+    most ``n_buckets`` rows) take the only unbounded-ordering window,
+    then broadcast back as each bucket's carry-in; rows pay one
+    within-bucket window partitioned by bucket.  ``vc`` must hold ONE
+    row per distinct value (the caller's group-by guarantees it), so
+    the within-bucket ordering is total and deterministic.  Adds
+    ``_pre_<col>`` columns.
+    """
+    mm = vc.agg(F.min(value_col).alias("_lo"), F.max(value_col).alias("_hi"))
+    d = vc.crossJoin(F.broadcast(mm))
+    span = F.col("_hi") - F.col("_lo")
+    width = F.when(span > 0, span / F.lit(n_buckets)).otherwise(F.lit(1.0))
+    d = d.withColumn(
+        "_bkt",
+        F.least(
+            F.floor((F.col(value_col) - F.col("_lo")) / width),
+            F.lit(n_buckets - 1),
+        ).cast("int"),
+    ).drop("_lo", "_hi")
+    from pyspark.sql import Window
+
+    totals = d.groupBy("_bkt").agg(
+        *[F.sum(c).alias(f"_t_{c}") for c in sum_cols]
+    )
+    w_b = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    bpre = totals.select(
+        "_bkt",
+        *[
+            F.coalesce(F.sum(f"_t_{c}").over(w_b), F.lit(0)).alias(f"_bp_{c}")
+            for c in sum_cols
+        ],
+    )
+    w_v = (
+        Window.partitionBy("_bkt")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = d.join(F.broadcast(bpre), "_bkt")
+    for c in sum_cols:
+        out = out.withColumn(
+            f"_pre_{c}",
+            F.col(f"_bp_{c}") + F.coalesce(F.sum(c).over(w_v), F.lit(0)),
+        )
+    return out.drop("_bkt", *[f"_bp_{c}" for c in sum_cols])
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) -> ONE row ``(n_a, n_b, u_a,
+    z)`` — the nonparametric A/B test for skewed metrics (revenue,
+    latency) where the t-test's normality assumption fails.
+
+    Never ranks rows: reduces to per-distinct-value counts (one value
+    shuffle), takes exclusive prefix counts via the bucketed carry-in
+    (:func:`_exclusive_prefix` — no data-sized global sort), then
+    2·U_a = Σ_v cnt_a(v)·(2·cumB(<v) + cnt_b(v)) with the ½-tie credit
+    kept integral.  All sums are exact decimals; z's tie-corrected
+    variance divides exact integers in double at the very end, so the
+    oracle reproduces it bit for bit.
+    """
+    g = F.col(group_col).cast("string")
+    src = df.where(
+        F.col(value_col).isNotNull() & g.isin([group_a, group_b])
+    ).select(g.alias("g"), F.col(value_col).cast("double").alias("v"))
+    vc = src.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == group_a, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("g") == group_b, 1).otherwise(0)).alias("cb"),
+    )
+    cum = _exclusive_prefix(vc, "v", ["cb"])
+    dec38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    t = F.col("ca") + F.col("cb")
+    agg = cum.agg(
+        F.sum("ca").alias("na_i"),
+        F.sum("cb").alias("nb_i"),
+        F.sum(
+            dec38(
+                F.col("ca") * (F.lit(2) * F.col("_pre_cb") + F.col("cb"))
+            )
+        ).alias("twou_d"),
+        F.sum(dec38(t * t * t - t)).alias("ties_d"),
+    )
+    na = F.col("na_i").cast("double")
+    nb = F.col("nb_i").cast("double")
+    n = na + nb
+    twou = F.col("twou_d").cast("double")
+    ties = F.col("ties_d").cast("double")
+    u_a = twou / F.lit(2.0)
+    mu = na * nb / F.lit(2.0)
+    sig = F.sqrt(
+        (na * nb / F.lit(12.0))
+        * ((n + F.lit(1.0)) - ties / (n * (n - F.lit(1.0))))
+    )
+    return agg.select(
+        F.col("na_i").alias("n_a"),
+        F.col("nb_i").alias("n_b"),
+        u_a.alias("u_a"),
+        ((u_a - mu) / sig).alias("z"),
+    )
+
+
+def mann_whitney_u_sql(
+    src_sql: str, group_a: str, group_b: str
+) -> str:
+    """DuckDB oracle for :func:`mann_whitney_u` — ``src_sql`` yields
+    (g, v); the cumulative runs as a plain window (the bucketed carry-in
+    is a pure execution strategy, sums are identical)."""
+    return f"""
+WITH src AS ({src_sql}),
+vc AS (
+  SELECT v,
+         sum(CASE WHEN g = '{group_a}' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN g = '{group_b}' THEN 1 ELSE 0 END) AS cb
+  FROM src WHERE v IS NOT NULL AND g IN ('{group_a}', '{group_b}')
+  GROUP BY v
+),
+cum AS (
+  SELECT ca, cb,
+         coalesce(sum(cb) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre_cb
+  FROM vc
+),
+agg AS (
+  SELECT sum(ca) AS na_i, sum(cb) AS nb_i,
+         sum(CAST(ca * (2 * pre_cb + cb) AS DECIMAL(38,0))) AS twou_d,
+         sum(CAST((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)
+             AS DECIMAL(38,0))) AS ties_d
+  FROM cum
+)
+SELECT na_i AS n_a, nb_i AS n_b,
+       CAST(twou_d AS DOUBLE) / 2.0 AS u_a,
+       (CAST(twou_d AS DOUBLE) / 2.0
+        - CAST(na_i AS DOUBLE) * CAST(nb_i AS DOUBLE) / 2.0)
+       / sqrt((CAST(na_i AS DOUBLE) * CAST(nb_i AS DOUBLE) / 12.0)
+              * ((CAST(na_i AS DOUBLE) + CAST(nb_i AS DOUBLE) + 1.0)
+                 - CAST(ties_d AS DOUBLE)
+                   / ((CAST(na_i AS DOUBLE) + CAST(nb_i AS DOUBLE))
+                      * (CAST(na_i AS DOUBLE) + CAST(nb_i AS DOUBLE) - 1.0))))
+         AS z
+FROM agg
+"""
+
+
+def spearman_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Spearman rank correlation -> ONE row ``(n, rho)`` — the monotonic-
+    association check that survives outliers and nonlinearity (Pearson
+    on average ranks, ties averaged).
+
+    Ranks come from per-distinct-value counts + the bucketed exclusive
+    prefix — never a data-sized global sort.  Average ranks are kept as
+    DOUBLED integers (2·rank is integral even with ½ tie credits), the
+    five Pearson sums accumulate as exact decimals, and rho divides
+    exact doubles once at the end — bit-stable against the oracle.
+    """
+    src = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    )
+
+    def doubled_ranks(col: str) -> DataFrame:
+        vc = src.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        cum = _exclusive_prefix(vc, col, ["c"])
+        # avg rank = pre + (c+1)/2  ->  2*rank = 2*pre + c + 1 (integer)
+        return cum.select(
+            col,
+            (F.lit(2) * F.col("_pre_c") + F.col("c") + F.lit(1)).alias(
+                f"r2_{col}"
+            ),
+        )
+
+    ranked = src.join(doubled_ranks("x"), "x").join(doubled_ranks("y"), "y")
+    dec38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    rx, ry = F.col("r2_x"), F.col("r2_y")
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_i"),
+        F.sum(dec38(rx)).alias("sx"),
+        F.sum(dec38(ry)).alias("sy"),
+        F.sum(dec38(rx * ry)).alias("sxy"),
+        F.sum(dec38(rx * rx)).alias("sxx"),
+        F.sum(dec38(ry * ry)).alias("syy"),
+    )
+    n = F.col("n_i").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    rho = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return agg.select(F.col("n_i").alias("n"), rho.alias("rho"))
+
+
+def spearman_corr_sql(src_sql: str) -> str:
+    """DuckDB oracle for :func:`spearman_corr` — ``src_sql`` yields
+    (x, y); doubled average ranks via window counts."""
+
+    def r2(col: str) -> str:
+        return f"""
+  SELECT {col},
+         2 * coalesce(sum(c) OVER (ORDER BY {col}
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + c + 1 AS r2_{col}
+  FROM (SELECT {col}, count(*) AS c FROM src GROUP BY {col})
+"""
+
+    return f"""
+WITH src AS (
+  SELECT CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y FROM ({src_sql})
+  WHERE x IS NOT NULL AND y IS NOT NULL
+),
+rxt AS ({r2('x')}),
+ryt AS ({r2('y')}),
+ranked AS (
+  SELECT r2_x, r2_y FROM src JOIN rxt USING (x) JOIN ryt USING (y)
+),
+agg AS (
+  SELECT count(*) AS n_i,
+         sum(CAST(r2_x AS DECIMAL(38,0))) AS sx,
+         sum(CAST(r2_y AS DECIMAL(38,0))) AS sy,
+         sum(CAST(r2_x * r2_y AS DECIMAL(38,0))) AS sxy,
+         sum(CAST(r2_x * r2_x AS DECIMAL(38,0))) AS sxx,
+         sum(CAST(r2_y * r2_y AS DECIMAL(38,0))) AS syy
+  FROM ranked
+)
+SELECT n_i AS n,
+       (CAST(n_i AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (sqrt(CAST(n_i AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * sqrt(CAST(n_i AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rho
+FROM agg
+"""

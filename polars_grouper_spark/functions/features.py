@@ -623,3 +623,77 @@ SELECT s.id, s.value, ref.rv AS mapped
 FROM src s CROSS JOIN ns CROSS JOIN nr
 JOIN ref ON ref.p = (s.r * nr.n_ref - 1) // ns.n_src + 1
 """
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    y_col: str,
+    id_col: str,
+    *,
+    prior_weight: float = 10.0,
+) -> DataFrame:
+    """Smoothed target encoding -> ``(id, cat, enc, enc_loo)`` — the
+    categorical-feature workhorse: each category's target mean shrunk
+    toward the global prior by ``prior_weight`` pseudo-observations,
+    plus the leave-one-out variant that excludes the row's own label
+    (the train-time column that avoids self-leakage).
+
+    enc      = (sum_y(cat) + m·prior) / (n_cat + m)
+    enc_loo  = (sum_y(cat) − y_row + m·prior) / (n_cat − 1 + m)
+
+    Scale shape: ONE category aggregation (map-side combinable decimal
+    sums) broadcast back over the rows, plus a 1-row global prior — no
+    window, no second scan.  Singleton categories fall out of the LOO
+    formula as exactly the prior (numerator m·prior over denominator
+    m).  Sums are exact decimal(18,4); the two divisions are the only
+    double ops, so the oracle matches bit for bit."""
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    src = df.where(
+        F.col(cat_col).isNotNull()
+        & F.col(y_col).isNotNull()
+        & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("id"),
+        F.col(cat_col).cast("string").alias("cat"),
+        dec(y_col).alias("_y"),
+    )
+    st = src.groupBy("cat").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_y").alias("_s")
+    )
+    prior = src.agg(
+        (F.sum("_y").cast("double") / F.count(F.lit(1))).alias("_prior")
+    )
+    m = F.lit(float(prior_weight))
+    out = src.join(F.broadcast(st), "cat").crossJoin(F.broadcast(prior))
+    return out.select(
+        "id",
+        "cat",
+        (
+            (F.col("_s").cast("double") + m * F.col("_prior"))
+            / (F.col("_n") + m)
+        ).alias("enc"),
+        (
+            ((F.col("_s") - F.col("_y")).cast("double") + m * F.col("_prior"))
+            / (F.col("_n") - F.lit(1) + m)
+        ).alias("enc_loo"),
+    )
+
+
+def target_encode_sql(src_sql: str, *, prior_weight: float = 10.0) -> str:
+    """DuckDB oracle for :func:`target_encode` — ``src_sql`` yields
+    (id, cat, y)."""
+    m = repr(float(prior_weight))
+    return f"""
+WITH src AS (
+  SELECT id, CAST(cat AS VARCHAR) AS cat, CAST(y AS DECIMAL(18,4)) AS y
+  FROM ({src_sql})
+  WHERE id IS NOT NULL AND cat IS NOT NULL AND y IS NOT NULL
+),
+st AS (SELECT cat, count(*) AS n, sum(y) AS s FROM src GROUP BY cat),
+g AS (SELECT CAST(sum(y) AS DOUBLE) / count(*) AS prior FROM src)
+SELECT id, cat,
+       (CAST(s AS DOUBLE) + {m} * prior) / (n + {m}) AS enc,
+       (CAST(s - y AS DOUBLE) + {m} * prior) / (n - 1 + {m}) AS enc_loo
+FROM src JOIN st USING (cat) CROSS JOIN g
+"""

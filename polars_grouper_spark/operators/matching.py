@@ -1,0 +1,158 @@
+"""Greedy maximal matching — locally-dominant edges with hash priorities.
+
+Maximal matching is the other classic symmetry-breaking primitive next
+to MIS (``operators.mis``): pair up adjacent nodes so no node is in two
+pairs and no remaining edge could still be added.  Uses: entity-pair
+assignment after blocking, 1:1 record linkage, conflict-free resource
+pairing.  The distributed formulation is the locally-dominant-edge
+algorithm (Preis 1999 / Manne-Bisseling 2007): every round, an edge is
+matched iff its priority is the minimum among ALL edges incident to
+BOTH of its endpoints; matched endpoints drop out with their incident
+edges.  Expected O(log n) rounds with random priorities — here the
+deterministic portable 60-bit hash of the canonical edge key, so
+re-runs, backfills, and the DuckDB oracle pick the identical matching
+round for round.
+
+Each round is one union + one min-aggregation + two equality joins over
+a shrinking edge set — no per-node sequential scan anywhere, which is
+what makes the operator survive a 100 TB edge list where the textbook
+greedy (sort all edges globally, scan serially) cannot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash64, portable_hash64_sql
+from ..plans.iteration import truncate_lineage
+
+
+def greedy_matching(
+    df: DataFrame,
+    src: str = "from",
+    dst: str = "to",
+    *,
+    seed: int = 0,
+    max_rounds: int = 60,
+    portable: bool = True,
+) -> DataFrame:
+    """Maximal matching -> ``(a, b)`` canonical matched pairs over the
+    cleaned undirected simple graph (self-loops/nulls drop, parallel
+    edges collapse).
+
+    Per round over ACTIVE edges: an edge wins iff its hash priority is
+    the strict minimum over every active edge touching either endpoint;
+    winners' endpoints and all their incident edges deactivate.  The
+    edge set only shrinks; raises if ``max_rounds`` is hit rather than
+    returning a non-maximal matching.
+    """
+    s = F.col(src).cast("string")
+    d = F.col(dst).cast("string")
+    edges = truncate_lineage(
+        df.where(s.isNotNull() & d.isNotNull() & (s != d))
+        .select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
+        .distinct()
+        .select(
+            "a",
+            "b",
+            portable_hash64(
+                F.concat(F.col("a"), F.lit("|"), F.col("b"), F.lit(f"|{seed}")),
+                portable=portable,
+            ).alias("p"),
+        )
+    )
+    spark = df.sparkSession
+    matched = spark.createDataFrame([], "a string, b string")
+    # Matched-node sets are at most 2x the round's winners; broadcast
+    # them into the anti-joins while they fit (same guard as MIS —
+    # checkpointed frames give AQE no size estimate to make this call).
+    bcast_ok = None
+
+    for rnd in range(max_rounds + 1):
+        n_edges = edges.count()
+        if bcast_ok is None:
+            bcast_ok = n_edges <= 5_000_000
+        bc = F.broadcast if bcast_ok else (lambda x: x)
+        if n_edges == 0:
+            break
+        if rnd == max_rounds:
+            raise RuntimeError(
+                f"matching did not converge within max_rounds={max_rounds}"
+            )
+        inc = edges.select(F.col("a").alias("node"), "p").unionAll(
+            edges.select(F.col("b").alias("node"), "p")
+        )
+        vmin = inc.groupBy("node").agg(F.min("p").alias("mp"))
+        winners = (
+            edges.join(
+                vmin.select(F.col("node").alias("a"), F.col("mp").alias("_ma")),
+                "a",
+            )
+            .join(
+                vmin.select(F.col("node").alias("b"), F.col("mp").alias("_mb")),
+                "b",
+            )
+            .where((F.col("p") == F.col("_ma")) & (F.col("p") == F.col("_mb")))
+            .select("a", "b")
+        )
+        winners = truncate_lineage(winners, cache=False)
+        matched = matched.unionAll(winners)
+        hit = (
+            winners.select(F.col("a").alias("node"))
+            .union(winners.select(F.col("b").alias("node")))
+            .distinct()
+        )
+        edges = truncate_lineage(
+            edges.join(
+                bc(hit.select(F.col("node").alias("a"))), "a", "left_anti"
+            ).join(bc(hit.select(F.col("node").alias("b"))), "b", "left_anti"),
+            cache=False,
+        )
+
+    return matched.select("a", "b")
+
+
+def greedy_matching_sql(edge_sql: str, *, seed: int = 0, rounds: int = 12) -> str:
+    """DuckDB oracle replaying :func:`greedy_matching`, ``rounds``
+    unrolled.  If any edge is still active after the last round the
+    output rows poison to NULL, breaking the compare loudly instead of
+    passing a truncated (non-maximal) matching."""
+    h = portable_hash64_sql(f"a || '|' || b || '|{seed}'")
+    parts = [
+        f"WITH raw AS ({edge_sql})",
+        ", e0 AS (SELECT a, b, " + h + " AS p FROM ("
+        "SELECT DISTINCT least(CAST(src AS VARCHAR), CAST(dst AS VARCHAR)) AS a,"
+        " greatest(CAST(src AS VARCHAR), CAST(dst AS VARCHAR)) AS b"
+        " FROM raw WHERE src IS NOT NULL AND dst IS NOT NULL"
+        " AND CAST(src AS VARCHAR) <> CAST(dst AS VARCHAR)))",
+        ", m0 AS (SELECT a, b FROM e0 WHERE 1 = 0)",
+    ]
+    for r in range(1, rounds + 1):
+        pe, pm = f"e{r - 1}", f"m{r - 1}"
+        parts.append(
+            f""", vmin{r} AS MATERIALIZED (
+  SELECT node, min(p) AS mp FROM (
+    SELECT a AS node, p FROM {pe} UNION ALL SELECT b, p FROM {pe}
+  ) GROUP BY node
+), win{r} AS MATERIALIZED (
+  SELECT e.a, e.b FROM {pe} e
+  JOIN vmin{r} va ON va.node = e.a AND va.mp = e.p
+  JOIN vmin{r} vb ON vb.node = e.b AND vb.mp = e.p
+), m{r} AS (SELECT a, b FROM {pm} UNION ALL SELECT a, b FROM win{r}),
+e{r} AS MATERIALIZED (
+  SELECT e.a, e.b, e.p FROM {pe} e
+  ANTI JOIN (SELECT a AS node FROM win{r} UNION SELECT b FROM win{r}) ka
+    ON ka.node = e.a
+  ANTI JOIN (SELECT a AS node FROM win{r} UNION SELECT b FROM win{r}) kb
+    ON kb.node = e.b
+)"""
+        )
+    parts.append(
+        f"""
+SELECT CASE WHEN leftover.cnt > 0 THEN NULL ELSE m.a END AS a,
+       CASE WHEN leftover.cnt > 0 THEN NULL ELSE m.b END AS b
+FROM m{rounds} m
+CROSS JOIN (SELECT count(*) AS cnt FROM e{rounds}) leftover"""
+    )
+    return "\n".join(parts)
