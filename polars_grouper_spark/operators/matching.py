@@ -83,14 +83,18 @@ def greedy_matching(
         inc = edges.select(F.col("a").alias("node"), "p").unionAll(
             edges.select(F.col("b").alias("node"), "p")
         )
-        vmin = inc.groupBy("node").agg(F.min("p").alias("mp"))
+        # node-min table is O(active nodes) and shrinks with the edge
+        # set; broadcasting it keeps the edge side un-shuffled per round
+        vmin = truncate_lineage(
+            inc.groupBy("node").agg(F.min("p").alias("mp")), cache=False
+        )
         winners = (
             edges.join(
-                vmin.select(F.col("node").alias("a"), F.col("mp").alias("_ma")),
+                bc(vmin.select(F.col("node").alias("a"), F.col("mp").alias("_ma"))),
                 "a",
             )
             .join(
-                vmin.select(F.col("node").alias("b"), F.col("mp").alias("_mb")),
+                bc(vmin.select(F.col("node").alias("b"), F.col("mp").alias("_mb"))),
                 "b",
             )
             .where((F.col("p") == F.col("_ma")) & (F.col("p") == F.col("_mb")))
