@@ -8394,6 +8394,127 @@ def _target_encode_orders_sql() -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# Round-5 batch 7: TextRank keywords, autocorrelation, eccentricity /
+# approximate diameter — compositions over the existing graph/text kernels.
+# --------------------------------------------------------------------------
+
+_TEXTRANK_K = 30
+_TEXTRANK_MIN_PAIR = 3
+
+
+def q_textrank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (``functions.text.textrank_keywords``
+    — Mihalcea & Tarau 2004): PageRank over the adjacent-word
+    co-occurrence graph, pair-count floor 3, fixed power rounds
+    replayed by the oracle; the graph is vocabulary-sized so every
+    round is a broadcast join + one map-side-combinable sum."""
+    docs = load_table(spark, "documents", sf_dir)
+    return tx.textrank_keywords(
+        docs, k=_TEXTRANK_K, min_pair_count=_TEXTRANK_MIN_PAIR,
+        damping=_PR_DAMP, iters=_PR_ITERS,
+    )
+
+
+def _textrank_docs_sql() -> str:
+    edges = tx.textrank_edges_sql(
+        "documents", min_pair_count=_TEXTRANK_MIN_PAIR
+    )
+    pr = _pagerank_sql(edges, iters=_PR_ITERS, d=_PR_DAMP)
+    return (
+        f"SELECT node AS word, score FROM ({pr}) "
+        f"ORDER BY score DESC, node LIMIT {_TEXTRANK_K}"
+    )
+
+
+def q_acf_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily event-count series at lags 1..7
+    (``functions.timeseries.acf``): integer tick/value series so every
+    accumulated sum is exact; lag alignment is an equality self-join
+    against the exploded lag column, never a window over the
+    unpartitioned series — sparse days just contribute no pair."""
+    from polars_grouper_spark.functions.timeseries import acf
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 86400).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return acf(daily, "day", "n_events", max_lag=7)
+
+
+def _acf_daily_events_sql() -> str:
+    from polars_grouper_spark.functions.timeseries import acf_sql
+
+    return acf_sql(
+        "SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS t, "
+        "count(*) AS x FROM events GROUP BY 1",
+        max_lag=7,
+    )
+
+
+def q_eccentricity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-seed eccentricity and (implicitly) the approximate diameter
+    lower bound — multi-source BFS via the shortest-path relaxation
+    (``operators.shortest_path.calculate_shortest_path``) from a
+    BOUNDED deterministic seed set (partkey % 30 == 0, key <= 600, so
+    the source count is sf-stable like ``shortest_path_sp_bounded``).
+    Unweighted hops (weight 1.0) on the part co-purchase graph;
+    eccentricity = max distance over the seed's reachable component;
+    the max over seeds lower-bounds the graph diameter."""
+    edges = _part_co_edges(spark, sf_dir).withColumn("weight", F.lit(1.0))
+    li = load_table(spark, "lineitem", sf_dir)
+    srcs = [
+        r["s"]
+        for r in li.where(
+            (F.col("l_partkey") % 30 == 0) & (F.col("l_partkey") <= 600)
+        )
+        .select(F.concat(F.lit("P"), F.col("l_partkey")).alias("s"))
+        .distinct()
+        .collect()
+    ]
+    sp = calculate_shortest_path(
+        edges, "src", "dst", "weight", directed=False, sources=srcs
+    )
+    is_seed = lambda c: (  # noqa: E731
+        c.startswith("P")
+        & (F.substring(c, 2, 10).cast("long") % 30 == 0)
+        & (F.substring(c, 2, 10).cast("long") <= 600)
+    )
+    both = sp.where(is_seed(F.col("from"))).select(
+        F.col("from").alias("seed"), "distance"
+    ).unionAll(
+        sp.where(is_seed(F.col("to"))).select(
+            F.col("to").alias("seed"), "distance"
+        )
+    )
+    return both.groupBy("seed").agg(F.max("distance").alias("ecc"))
+
+
+def _eccentricity_parts_sql() -> str:
+    seed_pred = (
+        "(node LIKE 'P%' AND CAST(substr(node, 2) AS BIGINT) % 30 = 0 "
+        "AND CAST(substr(node, 2) AS BIGINT) <= 600)"
+    )
+    edges = (
+        f"SELECT src, dst, 1.0 AS weight FROM ({_PART_CO_EDGE_SQL})"
+    )
+    sp = _shortest_path_bounded_sql(edges, seed_pred, q_max=99999999, rounds=6)
+    sd = (
+        "(x LIKE 'P%' AND CAST(substr(x, 2) AS BIGINT) % 30 = 0 "
+        "AND CAST(substr(x, 2) AS BIGINT) <= 600)"
+    )
+    return f"""
+WITH sp AS ({sp}),
+oriented AS (
+  SELECT src AS seed, distance FROM sp
+  WHERE {sd.replace('x', 'src')}
+  UNION ALL
+  SELECT dst, distance FROM sp WHERE {sd.replace('x', 'dst')}
+)
+SELECT seed, max(distance) AS ecc FROM oriented GROUP BY seed
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -8574,6 +8695,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mannwhitney_orders": q_mannwhitney_orders,
         "spearman_lineitem": q_spearman_lineitem,
         "target_encode_orders": q_target_encode_orders,
+        # --- round-5 batch 7 ---
+        "textrank_docs": q_textrank_docs,
+        "acf_daily_events": q_acf_daily_events,
+        "eccentricity_parts": q_eccentricity_parts,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -9015,4 +9140,7 @@ def oracle_sql() -> dict[str, str]:
         "mannwhitney_orders": _mannwhitney_orders_sql(),
         "spearman_lineitem": _spearman_lineitem_sql(),
         "target_encode_orders": _target_encode_orders_sql(),
+        "textrank_docs": _textrank_docs_sql(),
+        "acf_daily_events": _acf_daily_events_sql(),
+        "eccentricity_parts": _eccentricity_parts_sql(),
     }

@@ -628,3 +628,93 @@ ORDER BY CAST(floor((n_ab * 1000000000000) / (a.n * b.n)) AS BIGINT) DESC,
          tok_a, tok_b
 LIMIT {top_k}
 """
+
+
+def textrank_edges(
+    df: DataFrame, text_col: str = "text", *, min_pair_count: int = 3
+) -> DataFrame:
+    """Word co-occurrence graph for TextRank -> symmetric ``(src, dst)``
+    edges: adjacent lowercase token pairs (canonical order, self-pairs
+    dropped) kept when the corpus-wide pair count reaches
+    ``min_pair_count`` — the frequency floor bounds the graph to the
+    stable collocation structure instead of the long tail.  One corpus
+    scan + one explode; the pair count is map-side combinable."""
+    staged = df.select(
+        F.transform(tokens(F.col(text_col)), F.lower).alias("_toks")
+    )
+    pairs = staged.select(F.explode(_windows(F.col("_toks"), 2)).alias("_bg"))
+    arr = F.split(F.col("_bg"), " ")
+    w1, w2 = arr.getItem(0), arr.getItem(1)
+    pc = (
+        pairs.select(
+            F.least(w1, w2).alias("a"), F.greatest(w1, w2).alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_pair_count)
+    )
+    return pc.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        pc.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+
+
+def textrank_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    k: int = 30,
+    min_pair_count: int = 3,
+    damping: float = 0.85,
+    iters: int = 5,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004) -> top-``k``
+    ``(word, score)``: PageRank over the adjacent-word co-occurrence
+    graph, fixed ``iters`` power rounds so the oracle replays every
+    round, total (rounded score desc, word) order for a deterministic
+    cut.  Composition of :func:`textrank_edges` with
+    ``operators.pagerank.page_rank_nodes`` — the graph is
+    vocabulary-sized, far below the rank-broadcast threshold, so each
+    round is a broadcast join + one map-side-combinable sum."""
+    from ..operators.pagerank import page_rank_nodes
+
+    edges = textrank_edges(df, text_col, min_pair_count=min_pair_count)
+    pr = page_rank_nodes(
+        edges,
+        "src",
+        "dst",
+        damping_factor=damping,
+        max_iterations=iters,
+        convergence_threshold=0.0,
+    )
+    scored = pr.select("node", F.round("score", 8).alias("score"))
+    return (
+        scored.orderBy(F.col("score").desc(), "node")
+        .limit(k)
+        .select(F.col("node").alias("word"), "score")
+    )
+
+
+def textrank_edges_sql(
+    table: str = "documents", *, min_pair_count: int = 3
+) -> str:
+    """DuckDB edge SQL matching :func:`textrank_edges` (feed to the same
+    unrolled-PageRank oracle builder as the graph queries)."""
+    return f"""
+WITH _toks AS (
+  SELECT CASE WHEN trim(text) = '' THEN []
+              ELSE list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                  t -> lower(t))
+         END AS t
+  FROM {table}
+),
+_prs AS (
+  SELECT least(t[i], t[i + 1]) AS a, greatest(t[i], t[i + 1]) AS b
+  FROM _toks, unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2 AND t[i] <> t[i + 1]
+),
+_pc AS (
+  SELECT a, b FROM _prs GROUP BY a, b HAVING count(*) >= {min_pair_count}
+)
+SELECT a AS src, b AS dst FROM _pc UNION ALL SELECT b, a FROM _pc
+"""

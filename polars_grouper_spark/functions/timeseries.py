@@ -442,3 +442,95 @@ SELECT key, MIN(b) AS first_bucket, MAX(b) AS last_bucket,
        MAX(b) - MIN(b) + 1 - COUNT(*) AS missing
 FROM per_bucket GROUP BY key
 """
+
+
+def acf(df: DataFrame, t_col: str, x_col: str, *, max_lag: int = 7) -> DataFrame:
+    """Sample autocorrelation at lags ``1..max_lag`` -> ``(lag, n_pairs,
+    acf)`` — the seasonality detector (a daily series with a weekly
+    cycle spikes at lag 7).
+
+    Input is a series of INTEGER values at integer ticks (counts, sums
+    of quantized units): that keeps every accumulated sum exact, so the
+    float formula evaluates on identical inputs in both engines —
+    double summation order never enters.  The lag alignment is ONE
+    equality join of the series against itself shifted by an exploded
+    lag column (never a window over the unpartitioned series), so ticks
+    may be sparse (missing days simply contribute no pair) and the plan
+    scales with |series| x max_lag.
+
+    acf(L) = [Σ x_t·x_{t+L} − x̄·(Σ_left + Σ_right) + m_L·x̄²]
+             / [Σ x² − n·x̄²]    with x̄ the global mean, m_L the pair
+    count — the standard biased estimator, denominator over the full
+    series."""
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    src = df.select(
+        F.col(t_col).cast("long").alias("t"),
+        F.col(x_col).cast("long").alias("x"),
+    ).where(F.col("t").isNotNull() & F.col("x").isNotNull())
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = src.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+    )
+    lags = src.sparkSession.range(1, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    left = src.crossJoin(F.broadcast(lags)).select(
+        "lag", (F.col("t") + F.col("lag")).alias("t2"), F.col("x").alias("xl")
+    )
+    right = src.select(F.col("t").alias("t2"), F.col("x").alias("xr"))
+    per = (
+        left.join(right, "t2")
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum(dec(F.col("xl") * F.col("xr"))).alias("sxy"),
+            F.sum(dec(F.col("xl"))).alias("sl"),
+            F.sum(dec(F.col("xr"))).alias("sr"),
+        )
+    )
+    j = per.crossJoin(F.broadcast(base))
+    mean = F.col("sx").cast("double") / F.col("n")
+    num = (
+        F.col("sxy").cast("double")
+        - mean * (F.col("sl").cast("double") + F.col("sr").cast("double"))
+        + F.col("m") * mean * mean
+    )
+    den = F.col("sxx").cast("double") - F.col("n") * mean * mean
+    return j.select(
+        "lag", F.col("m").alias("n_pairs"), (num / den).alias("acf")
+    ).orderBy("lag")
+
+
+def acf_sql(series_sql: str, *, max_lag: int = 7) -> str:
+    """DuckDB oracle for :func:`acf` — ``series_sql`` yields (t, x)."""
+    return f"""
+WITH src AS (
+  SELECT CAST(t AS BIGINT) AS t, CAST(x AS BIGINT) AS x FROM ({series_sql})
+  WHERE t IS NOT NULL AND x IS NOT NULL
+),
+base AS (
+  SELECT count(*) AS n, sum(CAST(x AS DECIMAL(38,0))) AS sx,
+         sum(CAST(x * x AS DECIMAL(38,0))) AS sxx
+  FROM src
+),
+lags AS (SELECT CAST(u.l AS INT) AS lag FROM unnest(range(1, {max_lag} + 1)) AS u(l)),
+per AS (
+  SELECT l.lag, count(*) AS m,
+         sum(CAST(a.x * b.x AS DECIMAL(38,0))) AS sxy,
+         sum(CAST(a.x AS DECIMAL(38,0))) AS sl,
+         sum(CAST(b.x AS DECIMAL(38,0))) AS sr
+  FROM src a CROSS JOIN lags l JOIN src b ON b.t = a.t + l.lag
+  GROUP BY l.lag
+)
+SELECT lag, m AS n_pairs,
+       (CAST(sxy AS DOUBLE)
+        - (CAST(sx AS DOUBLE) / n) * (CAST(sl AS DOUBLE) + CAST(sr AS DOUBLE))
+        + m * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+       / (CAST(sxx AS DOUBLE) - n * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+         AS acf
+FROM per CROSS JOIN base
+ORDER BY lag
+"""
