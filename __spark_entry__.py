@@ -8515,6 +8515,107 @@ SELECT seed, max(distance) AS ecc FROM oriented GROUP BY seed
 """
 
 
+# --------------------------------------------------------------------------
+# Round-5 batch 8: bipartiteness via node doubling, Naive Bayes training,
+# weight-of-evidence binning.
+# --------------------------------------------------------------------------
+
+_NB_TOPK = 15
+
+
+def q_bipartite_sp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartiteness + 2-coloring of the supplier-part graph
+    (``operators.bipartite`` — node-doubled connected components, ONE
+    run of the existing CC kernel on a 2x edge list, no parity BFS).
+    The graph is bipartite by construction (S-nodes never touch
+    S-nodes), so every row must come back is_bipartite=true with sides
+    splitting S from P — derived, not asserted."""
+    from polars_grouper_spark.operators.bipartite import bipartite_check
+
+    return bipartite_check(_sp_edges(spark, sf_dir), "src", "dst")
+
+
+def _bipartite_sp_sql() -> str:
+    from polars_grouper_spark.operators.bipartite import bipartite_check_sql
+
+    return bipartite_check_sql(_SP_EDGE_SQL, rounds=24)
+
+
+def q_bipartite_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The negative case: the part co-purchase graph is saturated with
+    triangles (odd cycles), so its components must come back
+    is_bipartite=false with NULL sides — the doubled-CC construction
+    derives this, the oracle replays it."""
+    from polars_grouper_spark.operators.bipartite import bipartite_check
+
+    return bipartite_check(_part_co_edges(spark, sf_dir), "src", "dst")
+
+
+def _bipartite_parts_sql() -> str:
+    from polars_grouper_spark.operators.bipartite import bipartite_check_sql
+
+    return bipartite_check_sql(_PART_CO_EDGE_SQL, rounds=16)
+
+
+def q_nb_lang_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes trainer (``functions.naive_bayes``):
+    per-language smoothed token probabilities — two map-side-combinable
+    count aggregations + a vocabulary scalar, probabilities emitted as
+    exact integer ratios (never meets libm's log).  Top 15 tokens per
+    language by (count desc, token) for a deterministic cut."""
+    from polars_grouper_spark.functions.naive_bayes import nb_token_probs
+
+    docs = load_table(spark, "documents", sf_dir)
+    probs = nb_token_probs(docs, "lang", "text", alpha=1, min_count=2)
+    w = Window.partitionBy("label").orderBy(
+        F.col("n").desc(), F.col("token")
+    )
+    return (
+        probs.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= _NB_TOPK)
+        .select("label", "token", "n", "cond_p")
+    )
+
+
+def _nb_lang_docs_sql() -> str:
+    from polars_grouper_spark.functions.naive_bayes import nb_token_probs_sql
+
+    inner = nb_token_probs_sql(
+        "documents", "lang", "text", alpha=1, min_count=2
+    )
+    return f"""
+SELECT label, token, n, cond_p FROM (
+  SELECT *, row_number() OVER (PARTITION BY label
+         ORDER BY n DESC, token) AS rk
+  FROM ({inner})
+) WHERE rk <= {_NB_TOPK}
+"""
+
+
+def q_woe_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence binning (``functions.features.woe_bins``):
+    does order price separate fulfilled from open orders?  One scan,
+    equal-width bins off a 1-row min/max broadcast, Jeffreys-smoothed
+    log-odds per bin plus the information-value terms."""
+    from polars_grouper_spark.functions.features import woe_bins
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_totalprice",
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+    )
+    return woe_bins(o, "o_totalprice", "label", n_bins=10)
+
+
+def _woe_orders_sql() -> str:
+    from polars_grouper_spark.functions.features import woe_bins_sql
+
+    return woe_bins_sql(
+        "SELECT o_totalprice AS v, "
+        "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders",
+        n_bins=10,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -8699,6 +8800,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_docs": q_textrank_docs,
         "acf_daily_events": q_acf_daily_events,
         "eccentricity_parts": q_eccentricity_parts,
+        # --- round-5 batch 8 ---
+        "bipartite_sp": q_bipartite_sp,
+        "bipartite_parts": q_bipartite_parts,
+        "nb_lang_docs": q_nb_lang_docs,
+        "woe_orders": q_woe_orders,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -9143,4 +9249,8 @@ def oracle_sql() -> dict[str, str]:
         "textrank_docs": _textrank_docs_sql(),
         "acf_daily_events": _acf_daily_events_sql(),
         "eccentricity_parts": _eccentricity_parts_sql(),
+        "bipartite_sp": _bipartite_sp_sql(),
+        "bipartite_parts": _bipartite_parts_sql(),
+        "nb_lang_docs": _nb_lang_docs_sql(),
+        "woe_orders": _woe_orders_sql(),
     }

@@ -697,3 +697,95 @@ SELECT id, cat,
        (CAST(s - y AS DOUBLE) + {m} * prior) / (n - 1 + {m}) AS enc_loo
 FROM src JOIN st USING (cat) CROSS JOIN g
 """
+
+
+def woe_bins(
+    df: DataFrame,
+    value_col: str,
+    label_col: str,
+    *,
+    n_bins: int = 10,
+    decimals: int = 6,
+) -> DataFrame:
+    """Weight-of-evidence binning -> ``(bin, lo, n_pos, n_neg, woe,
+    iv_term)`` — the credit-scoring / feature-screening readout: how
+    strongly each equal-width value bin separates the binary label,
+    with the information-value terms whose sum ranks features.
+
+    woe = ln( ((n_pos+0.5)·NEG) / ((n_neg+0.5)·POS) ) — the 0.5
+    Jeffreys smoothing keeps empty cells finite; the products inside
+    the log are EXACT integers-plus-half, so both engines take ln of
+    identical doubles (rounded to ``decimals`` like every other libm
+    output in the repo).  One scan: min/max as a 1-row broadcast, one
+    binned aggregation, totals broadcast back."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    v = F.col(value_col).cast("double")
+    y = F.col(label_col).cast("int")
+    src = df.where(v.isNotNull() & y.isNotNull()).select(
+        v.alias("_v"), y.alias("_y")
+    )
+    mm = src.agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
+    d = src.crossJoin(F.broadcast(mm))
+    span = F.col("_hi") - F.col("_lo")
+    width = F.when(span > 0, span / F.lit(n_bins)).otherwise(F.lit(1.0))
+    b = F.least(
+        F.floor((F.col("_v") - F.col("_lo")) / width), F.lit(n_bins - 1)
+    ).cast("int")
+    binned = d.groupBy(b.alias("bin")).agg(
+        F.sum("_y").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("_y")).alias("n_neg"),
+    )
+    tot = binned.agg(
+        F.sum("n_pos").alias("_tp"), F.sum("n_neg").alias("_tn")
+    )
+    j = binned.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(mm))
+    woe_raw = F.log(
+        ((F.col("n_pos") + F.lit(0.5)) * F.col("_tn"))
+        / ((F.col("n_neg") + F.lit(0.5)) * F.col("_tp"))
+    )
+    rate_gap = (
+        F.col("n_pos").cast("double") / F.col("_tp")
+        - F.col("n_neg").cast("double") / F.col("_tn")
+    )
+    w2 = F.when(span > 0, span / F.lit(n_bins)).otherwise(F.lit(1.0))
+    return j.select(
+        "bin",
+        F.round(F.col("_lo") + F.col("bin") * w2, decimals).alias("lo"),
+        "n_pos",
+        "n_neg",
+        F.round(woe_raw, decimals).alias("woe"),
+        F.round(rate_gap * woe_raw, decimals).alias("iv_term"),
+    ).orderBy("bin")
+
+
+def woe_bins_sql(
+    src_sql: str, *, n_bins: int = 10, decimals: int = 6
+) -> str:
+    """DuckDB oracle for :func:`woe_bins` — ``src_sql`` yields (v, y)."""
+    return f"""
+WITH src AS (
+  SELECT CAST(v AS DOUBLE) AS v, CAST(y AS INT) AS y FROM ({src_sql})
+  WHERE v IS NOT NULL AND y IS NOT NULL
+),
+mm AS (SELECT min(v) AS lo, max(v) AS hi FROM src),
+binned AS (
+  SELECT CAST(least(floor((v - lo) / (CASE WHEN hi > lo
+               THEN (hi - lo) / {n_bins} ELSE 1.0 END)),
+               {n_bins} - 1) AS INT) AS bin,
+         sum(y) AS n_pos, sum(1 - y) AS n_neg
+  FROM src, mm GROUP BY 1
+),
+tot AS (SELECT sum(n_pos) AS tp, sum(n_neg) AS tn FROM binned)
+SELECT bin,
+       round(lo + bin * (CASE WHEN hi > lo
+             THEN (hi - lo) / {n_bins} ELSE 1.0 END), {decimals}) AS lo,
+       n_pos, n_neg,
+       round(ln(((n_pos + 0.5) * tn) / ((n_neg + 0.5) * tp)), {decimals})
+         AS woe,
+       round((CAST(n_pos AS DOUBLE) / tp - CAST(n_neg AS DOUBLE) / tn)
+             * ln(((n_pos + 0.5) * tn) / ((n_neg + 0.5) * tp)), {decimals})
+         AS iv_term
+FROM binned CROSS JOIN tot CROSS JOIN mm
+ORDER BY bin
+"""
