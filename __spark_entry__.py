@@ -8616,6 +8616,126 @@ def _woe_orders_sql() -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# Round-5 batch 9: closed-form OLS, session entry/exit, k-anonymity audit,
+# quarantine routing.
+# --------------------------------------------------------------------------
+
+
+def q_ols2_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature OLS, closed form (``functions.regression.ols2``):
+    price ~ quantity + discount — one scan of exact quantized moments,
+    Cramer solve, R² from the same moments; no iteration, no gradient
+    state, no summation-order sensitivity."""
+    from polars_grouper_spark.functions.regression import ols2
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return ols2(
+        li, "l_quantity", "l_discount", "l_extendedprice",
+        q1=1, q2=100, qy=100,
+    )
+
+
+def _ols2_lineitem_sql() -> str:
+    from polars_grouper_spark.functions.regression import ols2_sql
+
+    return ols2_sql(
+        "SELECT l_quantity AS x1, l_discount AS x2, l_extendedprice AS y "
+        "FROM lineitem",
+        q1=1, q2=100, qy=100,
+    )
+
+
+def q_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry/exit-page analytics (``operators.sequences.
+    session_entry_exit``): 30-minute-gap sessions, per-(entry, exit)
+    session counts + single-event bounces; one user-keyed shuffle, then
+    aggregates on (user, session)."""
+    from polars_grouper_spark.operators.sequences import session_entry_exit
+
+    ev = load_table(spark, "events", sf_dir)
+    return session_entry_exit(
+        ev, "user_id", "ts", "event_type", "event_id", gap_minutes=30
+    )
+
+
+def _session_entry_exit_sql() -> str:
+    from polars_grouper_spark.operators.sequences import (
+        session_entry_exit_sql,
+    )
+
+    return session_entry_exit_sql(
+        "SELECT user_id AS u, ts, event_type AS et, event_id AS eid "
+        "FROM events",
+        gap_minutes=30,
+    )
+
+
+def q_kanon_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (``functions.scrub.k_anonymity_violations``):
+    (nation, market segment) combinations shared by fewer than 8
+    customers — the re-identification-risk gate before an export; safe
+    groups never leave the aggregate."""
+    from polars_grouper_spark.functions.scrub import k_anonymity_violations
+
+    cust = load_table(spark, "customer", sf_dir)
+    return k_anonymity_violations(
+        cust, ["c_nationkey", "c_mktsegment"], k=8
+    )
+
+
+def _kanon_customers_sql() -> str:
+    from polars_grouper_spark.functions.scrub import (
+        k_anonymity_violations_sql,
+    )
+
+    return k_anonymity_violations_sql(
+        "SELECT c_nationkey, c_mktsegment FROM customer",
+        ["c_nationkey", "c_mktsegment"],
+        k=8,
+    )
+
+
+def q_quarantine_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bad-row quarantine routing (``functions.validate.quarantine``):
+    the side-output stream of a validating ingest — rows violating any
+    rule, reasons comma-joined in declaration order; entirely row-local
+    (scan speed, no shuffle)."""
+    from polars_grouper_spark.functions.validate import quarantine
+
+    o = load_table(spark, "orders", sf_dir)
+    return quarantine(
+        o,
+        [
+            ("suspicious_high", F.col("o_totalprice") > 400000),
+            (
+                "too_recent",
+                F.col("o_orderdate")
+                >= F.lit("2001-07-01").cast("timestamp_ntz"),
+            ),
+            (
+                "unspecified_priority",
+                F.col("o_orderpriority") == "4-NOT SPECIFIED",
+            ),
+        ],
+        "o_orderkey",
+    )
+
+
+def _quarantine_orders_sql() -> str:
+    from polars_grouper_spark.functions.validate import quarantine_sql
+
+    return quarantine_sql(
+        "SELECT * FROM orders",
+        [
+            ("suspicious_high", "o_totalprice > 400000"),
+            ("too_recent", "o_orderdate >= TIMESTAMP '2001-07-01'"),
+            ("unspecified_priority", "o_orderpriority = '4-NOT SPECIFIED'"),
+        ],
+        "o_orderkey",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -8805,6 +8925,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bipartite_parts": q_bipartite_parts,
         "nb_lang_docs": q_nb_lang_docs,
         "woe_orders": q_woe_orders,
+        # --- round-5 batch 9 ---
+        "ols2_lineitem": q_ols2_lineitem,
+        "session_entry_exit": q_session_entry_exit,
+        "kanon_customers": q_kanon_customers,
+        "quarantine_orders": q_quarantine_orders,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -9253,4 +9378,8 @@ def oracle_sql() -> dict[str, str]:
         "bipartite_parts": _bipartite_parts_sql(),
         "nb_lang_docs": _nb_lang_docs_sql(),
         "woe_orders": _woe_orders_sql(),
+        "ols2_lineitem": _ols2_lineitem_sql(),
+        "session_entry_exit": _session_entry_exit_sql(),
+        "kanon_customers": _kanon_customers_sql(),
+        "quarantine_orders": _quarantine_orders_sql(),
     }

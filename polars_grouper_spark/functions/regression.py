@@ -209,3 +209,132 @@ SELECT c.grp, c.n_points, med.n_pairs, med.slope
 FROM (SELECT grp, COUNT(*) AS n_points FROM base GROUP BY grp) c
 LEFT JOIN med USING (grp)
 """
+
+
+def ols2(
+    df: DataFrame,
+    x1_col: str,
+    x2_col: str,
+    y_col: str,
+    *,
+    q1: int = 1,
+    q2: int = 1,
+    qy: int = 1,
+) -> DataFrame:
+    """Two-feature ordinary least squares, closed form -> ONE row
+    ``(n, b0, b1, b2, r2)`` — distributed regression without iteration:
+    one scan accumulates the nine moments, the driver-free normal
+    equations solve by Cramer's rule on the centered 2x2 system.
+
+    Exactness contract (same as Welch's t): values quantize to
+    ``round(v * q)`` integers, products accumulate as exact decimals,
+    and the float solve runs ONCE on identical inputs in both engines
+    — no gradient state, no summation-order sensitivity.  R² =
+    (b1'·c1 + b2'·c2) / (n·Syy − Sy²) evaluated in quantized space
+    (scale-free).  Rows with any null drop; degenerate det (collinear
+    features) yields NULL coefficients rather than a crash."""
+    for name, q in (("q1", q1), ("q2", q2), ("qy", qy)):
+        if q < 1:
+            raise ValueError(f"{name} must be >= 1, got {q}")
+    qz = lambda c, q: F.round(F.col(c).cast("double") * q).cast(  # noqa: E731
+        "decimal(18,0)"
+    )
+    src = df.where(
+        F.col(x1_col).isNotNull()
+        & F.col(x2_col).isNotNull()
+        & F.col(y_col).isNotNull()
+    ).select(
+        qz(x1_col, q1).alias("a"),
+        qz(x2_col, q2).alias("b"),
+        qz(y_col, qy).alias("y"),
+    )
+    s = lambda e: F.sum(e).cast("double")  # noqa: E731
+    agg = src.agg(
+        F.count(F.lit(1)).alias("n_i"),
+        s(F.col("a")).alias("sa"),
+        s(F.col("b")).alias("sb"),
+        s(F.col("y")).alias("sy"),
+        s(F.col("a") * F.col("a")).alias("saa"),
+        s(F.col("b") * F.col("b")).alias("sbb"),
+        s(F.col("a") * F.col("b")).alias("sab"),
+        s(F.col("a") * F.col("y")).alias("say"),
+        s(F.col("b") * F.col("y")).alias("sby"),
+        s(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n_i").cast("double")
+    a11 = n * F.col("saa") - F.col("sa") * F.col("sa")
+    a22 = n * F.col("sbb") - F.col("sb") * F.col("sb")
+    a12 = n * F.col("sab") - F.col("sa") * F.col("sb")
+    c1 = n * F.col("say") - F.col("sa") * F.col("sy")
+    c2 = n * F.col("sby") - F.col("sb") * F.col("sy")
+    det = a11 * a22 - a12 * a12
+    b1q = (c1 * a22 - c2 * a12) / det
+    b2q = (c2 * a11 - c1 * a12) / det
+    sst = n * F.col("syy") - F.col("sy") * F.col("sy")
+    r2 = (b1q * c1 + b2q * c2) / sst
+    b1 = b1q * F.lit(float(q1)) / F.lit(float(qy))
+    b2 = b2q * F.lit(float(q2)) / F.lit(float(qy))
+    b0 = (
+        F.col("sy") / F.lit(float(qy))
+        - b1 * (F.col("sa") / F.lit(float(q1)))
+        - b2 * (F.col("sb") / F.lit(float(q2)))
+    ) / n
+    ok = det != F.lit(0.0)
+    return agg.select(
+        F.col("n_i").alias("n"),
+        F.when(ok, b0).alias("b0"),
+        F.when(ok, b1).alias("b1"),
+        F.when(ok, b2).alias("b2"),
+        F.when(ok, r2).alias("r2"),
+    )
+
+
+def ols2_sql(
+    src_sql: str, *, q1: int = 1, q2: int = 1, qy: int = 1
+) -> str:
+    """DuckDB oracle for :func:`ols2` — ``src_sql`` yields (x1, x2, y)."""
+    return f"""
+WITH src AS (
+  SELECT CAST(ROUND(CAST(x1 AS DOUBLE) * {q1}) AS DECIMAL(18,0)) AS a,
+         CAST(ROUND(CAST(x2 AS DOUBLE) * {q2}) AS DECIMAL(18,0)) AS b,
+         CAST(ROUND(CAST(y AS DOUBLE) * {qy}) AS DECIMAL(18,0)) AS y
+  FROM ({src_sql})
+  WHERE x1 IS NOT NULL AND x2 IS NOT NULL AND y IS NOT NULL
+),
+agg AS (
+  SELECT count(*) AS n_i,
+         CAST(sum(a) AS DOUBLE) AS sa, CAST(sum(b) AS DOUBLE) AS sb,
+         CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(a * a) AS DOUBLE) AS saa, CAST(sum(b * b) AS DOUBLE) AS sbb,
+         CAST(sum(a * b) AS DOUBLE) AS sab, CAST(sum(a * y) AS DOUBLE) AS say,
+         CAST(sum(b * y) AS DOUBLE) AS sby, CAST(sum(y * y) AS DOUBLE) AS syy
+  FROM src
+),
+m AS (
+  SELECT n_i, sa, sb, sy,
+         CAST(n_i AS DOUBLE) * saa - sa * sa AS a11,
+         CAST(n_i AS DOUBLE) * sbb - sb * sb AS a22,
+         CAST(n_i AS DOUBLE) * sab - sa * sb AS a12,
+         CAST(n_i AS DOUBLE) * say - sa * sy AS c1,
+         CAST(n_i AS DOUBLE) * sby - sb * sy AS c2,
+         CAST(n_i AS DOUBLE) * syy - sy * sy AS sst
+  FROM agg
+),
+sol AS (
+  SELECT n_i, sa, sb, sy, c1, c2, sst,
+         a11 * a22 - a12 * a12 AS det,
+         (c1 * a22 - c2 * a12) / (a11 * a22 - a12 * a12) AS b1q,
+         (c2 * a11 - c1 * a12) / (a11 * a22 - a12 * a12) AS b2q
+  FROM m
+)
+SELECT n_i AS n,
+       CASE WHEN det <> 0.0 THEN
+         (sy / {float(qy)!r}
+          - (b1q * {float(q1)!r} / {float(qy)!r}) * (sa / {float(q1)!r})
+          - (b2q * {float(q2)!r} / {float(qy)!r}) * (sb / {float(q2)!r}))
+         / CAST(n_i AS DOUBLE) END AS b0,
+       CASE WHEN det <> 0.0 THEN b1q * {float(q1)!r} / {float(qy)!r} END AS b1,
+       CASE WHEN det <> 0.0 THEN b2q * {float(q2)!r} / {float(qy)!r} END AS b2,
+       CASE WHEN det <> 0.0 THEN (b1q * c1 + b2q * c2) / sst END AS r2
+FROM sol
+"""

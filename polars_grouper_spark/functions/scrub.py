@@ -69,3 +69,37 @@ def pii_scrub_sql(
         + ", ".join(chain)
         + f" SELECT id, {cols}, txt AS redacted FROM t{len(PII_PATTERNS)}"
     )
+
+
+def k_anonymity_violations(
+    df: DataFrame, quasi_cols: "list[str]", k: int = 5
+) -> DataFrame:
+    """k-anonymity audit -> the quasi-identifier combinations whose
+    group size is below ``k`` (each row here is a re-identification
+    risk: fewer than k individuals share the combination).  Returns
+    ``(*quasi_cols, n_rows)`` for violating groups only — the
+    privacy-gate readout before a dataset export.
+
+    One map-side-combinable aggregation on the quasi-identifier key;
+    output is at most |violating groups| rows (the safe groups, the
+    overwhelming majority at scale, never leave the aggregate)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .where(F.col("n_rows") < k)
+    )
+
+
+def k_anonymity_violations_sql(
+    src_sql: str, quasi_cols: "list[str]", k: int = 5
+) -> str:
+    """DuckDB oracle for :func:`k_anonymity_violations`."""
+    cols = ", ".join(quasi_cols)
+    return (
+        f"SELECT {cols}, count(*) AS n_rows FROM ({src_sql}) "
+        f"GROUP BY {cols} HAVING count(*) < {k}"
+    )

@@ -361,3 +361,47 @@ SELECT digit, cnt,
          / (CASE digit {cases} END) AS contrib
 FROM counts
 """
+
+
+def quarantine(
+    df: DataFrame,
+    rules: "Sequence[tuple[str, Column]]",
+    id_col: str,
+) -> DataFrame:
+    """Bad-row side-output routing -> ``(id, reasons)`` for every row
+    violating at least one rule, ``reasons`` the comma-joined rule
+    names in declaration order — the quarantine stream of a
+    validating ingest pipeline (:func:`validate` counts violations;
+    this returns the rows so they can be parked and replayed).
+
+    Entirely row-local (scan speed, no shuffle): each rule is a boolean
+    column, the reasons string is a concat_ws over per-rule CASE
+    expressions, and clean rows are filtered out before anything
+    materializes."""
+    if not rules:
+        raise ValueError("quarantine() called with no rules")
+    parts = [
+        F.when(cond, F.lit(name)) for name, cond in rules
+    ]
+    reasons = F.concat_ws(",", *parts)
+    return (
+        df.select(F.col(id_col).alias("id"), reasons.alias("reasons"))
+        .where(F.col("reasons") != "")
+    )
+
+
+def quarantine_sql(
+    src_sql: str, rules: "Sequence[tuple[str, str]]", id_expr: str
+) -> str:
+    """DuckDB oracle for :func:`quarantine` — rules as (name,
+    SQL-predicate) pairs."""
+    parts = ", ".join(
+        f"CASE WHEN {pred} THEN '{name}' END" for name, pred in rules
+    )
+    return f"""
+SELECT id, reasons FROM (
+  SELECT {id_expr} AS id,
+         concat_ws(',', {parts}) AS reasons
+  FROM ({src_sql})
+) WHERE reasons <> ''
+"""

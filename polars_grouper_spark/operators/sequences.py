@@ -169,3 +169,97 @@ SELECT src_state, dst_state, n,
        round(n / sum(n) OVER (PARTITION BY src_state), {decimals}) AS p
 FROM counts
 """
+
+
+def session_entry_exit(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    *,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Entry/exit-page analytics -> ``(entry_type, exit_type,
+    n_sessions, n_bounces)``: sessionize by inactivity gap, take each
+    session's first and last event type, count (entry, exit) pairs and
+    single-event bounces — the landing/abandonment readout of every
+    product-analytics stack.
+
+    Session ids come from the classic gap construction: a per-user
+    window flags gap-starts, a running sum numbers sessions — one
+    user-keyed shuffle; everything after aggregates on (user, session).
+    In-session order is total — (ts, id) — so first/last are
+    deterministic under ties."""
+    if gap_minutes < 1:
+        raise ValueError(f"gap_minutes must be >= 1, got {gap_minutes}")
+    gap_s = gap_minutes * 60
+    src = df.where(
+        F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(type_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("u"),
+        F.unix_timestamp(F.col(ts_col)).alias("t"),
+        F.col(type_col).cast("string").alias("et"),
+        F.col(id_col).alias("eid"),
+    )
+    w = Window.partitionBy("u").orderBy("t", "eid")
+    new_sess = (
+        F.col("t") - F.lag("t").over(w) > F.lit(gap_s)
+    ) | F.lag("t").over(w).isNull()
+    sessions = src.select(
+        "u",
+        "t",
+        "et",
+        "eid",
+        F.sum(new_sess.cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("sid"),
+    )
+    per = sessions.groupBy("u", "sid").agg(
+        F.min_by("et", F.struct("t", "eid")).alias("entry_type"),
+        F.max_by("et", F.struct("t", "eid")).alias("exit_type"),
+        F.count(F.lit(1)).alias("n_ev"),
+    )
+    return per.groupBy("entry_type", "exit_type").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum((F.col("n_ev") == 1).cast("long")).alias("n_bounces"),
+    )
+
+
+def session_entry_exit_sql(
+    events_sql: str, *, gap_minutes: int = 30
+) -> str:
+    """DuckDB oracle for :func:`session_entry_exit` — ``events_sql``
+    yields (u, ts, et, eid)."""
+    gap_s = gap_minutes * 60
+    return f"""
+WITH src AS (
+  SELECT u, CAST(epoch(ts) AS BIGINT) AS t, CAST(et AS VARCHAR) AS et, eid
+  FROM ({events_sql})
+  WHERE u IS NOT NULL AND ts IS NOT NULL AND et IS NOT NULL
+),
+flagged AS (
+  SELECT u, t, et, eid,
+         CASE WHEN lag(t) OVER w IS NULL
+                OR t - lag(t) OVER w > {gap_s} THEN 1 ELSE 0 END AS ns
+  FROM src WINDOW w AS (PARTITION BY u ORDER BY t, eid)
+),
+sess AS (
+  SELECT u, t, et, eid,
+         sum(ns) OVER (PARTITION BY u ORDER BY t, eid
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+),
+per AS (
+  SELECT u, sid,
+         first(et ORDER BY t, eid) AS entry_type,
+         last(et ORDER BY t, eid) AS exit_type,
+         count(*) AS n_ev
+  FROM sess GROUP BY u, sid
+)
+SELECT entry_type, exit_type, count(*) AS n_sessions,
+       sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS n_bounces
+FROM per GROUP BY 1, 2
+"""
