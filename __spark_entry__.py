@@ -8736,6 +8736,103 @@ def _quarantine_orders_sql() -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# Round-5 batch 10: streaming quarantine, rich-club coefficient, Zipf fit.
+# --------------------------------------------------------------------------
+
+
+def _event_quarantine_rules():
+    return [
+        ("error_event", F.col("event_type") == "error"),
+        ("high_value", F.col("value") > 400),
+    ]
+
+
+def q_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validating-ingest side output AS A STREAM: the row-local
+    ``functions.validate.quarantine`` projection applied to a file
+    stream (time-ordered replay chunks, availableNow) — stateless, so
+    microbatching changes nothing about the result and the oracle is
+    the identical batch SQL.  The production shape: quarantined rows
+    append to their own sink while clean rows flow on."""
+    import shutil
+    import tempfile
+
+    from polars_grouper_spark.functions.validate import quarantine
+    from polars_grouper_spark.streaming.replay import write_time_ordered_chunks
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "event_type", "value"
+    )
+    out_dir = tempfile.mkdtemp(prefix="pgs_sq_")
+    try:
+        n = write_time_ordered_chunks(ev, "ts", out_dir, 3)
+        if n == 0:
+            return spark.createDataFrame([], "id long, reasons string")
+        schema = spark.read.parquet(f"{out_dir}/c0000").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(f"{out_dir}/c*")
+        )
+        bad = quarantine(stream, _event_quarantine_rules(), "event_id")
+        name = "stream_quarantine_sink"
+        q = (
+            bad.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def _stream_quarantine_sql() -> str:
+    from polars_grouper_spark.functions.validate import quarantine_sql
+
+    return quarantine_sql(
+        "SELECT * FROM events",
+        [
+            ("error_event", "event_type = 'error'"),
+            ("high_value", "value > 400"),
+        ],
+        "event_id",
+    )
+
+
+def q_richclub_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficients (``operators.degree_stats.rich_club``) of
+    the part co-purchase graph: do high-degree parts link to each other
+    more than chance?  All thresholds evaluate in ONE conditional-sum
+    pass over the degree-annotated edge list."""
+    from polars_grouper_spark.operators.degree_stats import rich_club
+
+    return rich_club(_part_co_edges(spark, sf_dir), "src", "dst")
+
+
+def _richclub_parts_sql() -> str:
+    from polars_grouper_spark.operators.degree_stats import rich_club_sql
+
+    return rich_club_sql(_PART_CO_EDGE_SQL)
+
+
+def q_zipf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent of the corpus token-frequency distribution
+    (``functions.text.zipf_alpha``) — the corpus-health fingerprint;
+    discrete MLE over the count-of-counts histogram, two
+    map-side-combinable aggregations after the explode."""
+    docs = load_table(spark, "documents", sf_dir)
+    return tx.zipf_alpha(docs, "text", c_min=3)
+
+
+def _zipf_docs_sql() -> str:
+    return tx.zipf_alpha_sql("documents", "text", c_min=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -8930,6 +9027,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_entry_exit": q_session_entry_exit,
         "kanon_customers": q_kanon_customers,
         "quarantine_orders": q_quarantine_orders,
+        # --- round-5 batch 10 ---
+        "stream_quarantine": q_stream_quarantine,
+        "richclub_parts": q_richclub_parts,
+        "zipf_docs": q_zipf_docs,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -9382,4 +9483,7 @@ def oracle_sql() -> dict[str, str]:
         "session_entry_exit": _session_entry_exit_sql(),
         "kanon_customers": _kanon_customers_sql(),
         "quarantine_orders": _quarantine_orders_sql(),
+        "stream_quarantine": _stream_quarantine_sql(),
+        "richclub_parts": _richclub_parts_sql(),
+        "zipf_docs": _zipf_docs_sql(),
     }

@@ -718,3 +718,65 @@ _pc AS (
 )
 SELECT a AS src, b AS dst FROM _pc UNION ALL SELECT b, a FROM _pc
 """
+
+
+def zipf_alpha(
+    df: DataFrame, text_col: str = "text", *, c_min: int = 3
+) -> DataFrame:
+    """Zipf/power-law exponent of the token frequency distribution ->
+    ONE row ``(n_tokens, n_tail, max_count, alpha)`` — the corpus-health
+    fingerprint (natural language sits near alpha ~= 2 on
+    frequency-of-frequencies; generated/templated text drifts).
+
+    Same discrete MLE as the degree-distribution fit
+    (``operators.degree_stats.powerlaw_alpha``): alpha = 1 + n_tail /
+    Σ n_c·ln(c/(c_min−½)) over tokens with count >= ``c_min``, computed
+    on the count-of-counts histogram — two map-side-combinable
+    aggregations after the token explode; ln sees exact integer ratios
+    and rounds to 6 like every libm output in the repo."""
+    if c_min < 1:
+        raise ValueError(f"c_min must be >= 1, got {c_min}")
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        F.explode(F.transform(tokens(F.col(text_col)), F.lower)).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    hist = counts.groupBy("c").agg(F.count(F.lit(1)).alias("n_c"))
+    tail = F.when(F.col("c") >= c_min, F.col("n_c")).otherwise(0)
+    log_term = F.when(
+        F.col("c") >= c_min,
+        F.col("n_c") * F.log(F.col("c") / F.lit(c_min - 0.5)),
+    ).otherwise(F.lit(0.0))
+    return hist.agg(
+        F.sum("n_c").alias("n_tokens"),
+        F.sum(tail).alias("n_tail"),
+        F.max("c").alias("max_count"),
+        F.round(F.lit(1.0) + F.sum(tail) / F.sum(log_term), 6).alias(
+            "alpha"
+        ),
+    )
+
+
+def zipf_alpha_sql(
+    table: str = "documents", text_col: str = "text", *, c_min: int = 3
+) -> str:
+    """DuckDB oracle for :func:`zipf_alpha`."""
+    return f"""
+WITH toks AS (
+  SELECT lower(u.tok) AS tok
+  FROM {table},
+       unnest(CASE WHEN trim({text_col}) = '' THEN []
+                   ELSE regexp_split_to_array(trim({text_col}), '\\s+')
+              END) AS u(tok)
+  WHERE {text_col} IS NOT NULL
+),
+counts AS (SELECT tok, count(*)::BIGINT AS c FROM toks GROUP BY tok),
+hist AS (SELECT c, count(*)::BIGINT AS n_c FROM counts GROUP BY c)
+SELECT sum(n_c)::BIGINT AS n_tokens,
+       sum(CASE WHEN c >= {c_min} THEN n_c ELSE 0 END)::BIGINT AS n_tail,
+       max(c) AS max_count,
+       round(1.0 + sum(CASE WHEN c >= {c_min} THEN n_c ELSE 0 END)
+             / sum(CASE WHEN c >= {c_min}
+                   THEN n_c * ln(c / {c_min - 0.5!r}) ELSE 0.0 END), 6)
+         AS alpha
+FROM hist
+"""

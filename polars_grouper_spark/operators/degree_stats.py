@@ -183,3 +183,115 @@ SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
 FROM edges e WHERE EXISTS (
   SELECT 1 FROM edges r WHERE r.s = e.d AND r.d = e.s)
 """
+
+
+def rich_club(
+    df: DataFrame,
+    src: str = "from",
+    dst: str = "to",
+    *,
+    ks: "tuple[int, ...]" = (4, 8, 16, 32, 64),
+) -> DataFrame:
+    """Rich-club coefficients -> ``(k, n_nodes, n_edges, phi)`` per
+    degree threshold: among nodes with degree > k, what fraction of
+    possible edges exists?  phi(k) rising toward 1 means the hubs form
+    a club (core-periphery); flat phi means hub links are incidental.
+
+    One degree aggregation joined back to the canonical edge list (so
+    every edge carries both endpoint degrees), then ALL thresholds
+    evaluate in a single conditional-sum pass — one scan of edges and
+    one of degrees regardless of len(ks); phi divides exact integers in
+    double at the end."""
+    if not ks or any(k < 1 for k in ks):
+        raise ValueError(f"ks must be non-empty positive thresholds: {ks}")
+    s = F.col(src).cast("string")
+    d = F.col(dst).cast("string")
+    edges = (
+        df.where(s.isNotNull() & d.isNotNull() & (s != d))
+        .select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
+        .distinct()
+    )
+    from ..plans.iteration import truncate_lineage
+
+    edges = truncate_lineage(edges)
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    deg = truncate_lineage(deg)
+    ed = edges.join(
+        deg.select(F.col("node").alias("a"), F.col("degree").alias("_da")),
+        "a",
+    ).join(
+        deg.select(F.col("node").alias("b"), F.col("degree").alias("_db")),
+        "b",
+    )
+    e_aggs = [
+        F.sum(
+            ((F.col("_da") > k) & (F.col("_db") > k)).cast("long")
+        ).alias(f"_e{k}")
+        for k in ks
+    ]
+    n_aggs = [
+        F.sum((F.col("degree") > k).cast("long")).alias(f"_n{k}")
+        for k in ks
+    ]
+    e_row = ed.agg(*e_aggs)
+    n_row = deg.agg(*n_aggs)
+    both = e_row.crossJoin(n_row)
+    spark = df.sparkSession
+    k_df = spark.createDataFrame([(int(k),) for k in ks], "k int")
+    out = k_df.crossJoin(F.broadcast(both))
+    pick_e = F.coalesce(
+        *[F.when(F.col("k") == k, F.col(f"_e{k}")) for k in ks]
+    )
+    pick_n = F.coalesce(
+        *[F.when(F.col("k") == k, F.col(f"_n{k}")) for k in ks]
+    )
+    phi = F.when(
+        pick_n >= 2,
+        (F.lit(2.0) * pick_e) / (pick_n.cast("double") * (pick_n - F.lit(1))),
+    )
+    return out.select(
+        "k",
+        pick_n.alias("n_nodes"),
+        pick_e.alias("n_edges"),
+        phi.alias("phi"),
+    ).orderBy("k")
+
+
+def rich_club_sql(
+    edge_sql: str, *, ks: "tuple[int, ...]" = (4, 8, 16, 32, 64)
+) -> str:
+    """DuckDB oracle for :func:`rich_club`."""
+    k_rows = ", ".join(f"({int(k)})" for k in ks)
+    return f"""
+WITH raw AS ({edge_sql}),
+e AS (
+  SELECT DISTINCT least(CAST(src AS VARCHAR), CAST(dst AS VARCHAR)) AS a,
+         greatest(CAST(src AS VARCHAR), CAST(dst AS VARCHAR)) AS b
+  FROM raw WHERE src IS NOT NULL AND dst IS NOT NULL
+    AND CAST(src AS VARCHAR) <> CAST(dst AS VARCHAR)
+),
+deg AS (
+  SELECT node, count(*)::BIGINT AS degree FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY node
+),
+ed AS (
+  SELECT da.degree AS dega, db.degree AS degb
+  FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
+),
+ks(k) AS (VALUES {k_rows})
+SELECT k,
+       (SELECT count(*) FROM deg WHERE degree > k)::BIGINT AS n_nodes,
+       (SELECT count(*) FROM ed WHERE dega > k AND degb > k)::BIGINT AS n_edges,
+       CASE WHEN (SELECT count(*) FROM deg WHERE degree > k) >= 2 THEN
+         (2.0 * (SELECT count(*) FROM ed WHERE dega > k AND degb > k))
+         / (CAST((SELECT count(*) FROM deg WHERE degree > k) AS DOUBLE)
+            * ((SELECT count(*) FROM deg WHERE degree > k) - 1))
+       END AS phi
+FROM ks ORDER BY k
+"""
