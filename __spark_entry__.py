@@ -8833,6 +8833,78 @@ def _zipf_docs_sql() -> str:
     return tx.zipf_alpha_sql("documents", "text", c_min=3)
 
 
+# --------------------------------------------------------------------------
+# Round-5 batch 11: HLL set intersection, partitioned-write roundtrip.
+# --------------------------------------------------------------------------
+
+
+def q_hll_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap from sketches alone (``functions.sketches.
+    hll_intersect``): |clickers ∩ purchasers| by inclusion-exclusion on
+    HLL registers — each side reduces once to 2^b registers, the union
+    merges registers by max, and no click row ever meets a purchase
+    row.  The join-selectivity / audience-overlap primitive at 100 TB."""
+    from polars_grouper_spark.functions.sketches import hll_intersect
+
+    ev = load_table(spark, "events", sf_dir)
+    clicks = ev.where(F.col("event_type") == "click")
+    buys = ev.where(F.col("event_type") == "purchase")
+    return hll_intersect(clicks, "user_id", buys, "user_id", b=12)
+
+
+def _hll_intersect_users_sql() -> str:
+    from polars_grouper_spark.functions.sketches import hll_intersect_sql
+
+    return hll_intersect_sql(
+        "SELECT user_id FROM events WHERE event_type = 'click'",
+        "user_id",
+        "SELECT user_id FROM events WHERE event_type = 'purchase'",
+        "user_id",
+        b=12,
+    )
+
+
+def q_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink + partition-pruned read, end to end:
+    write orders partitioned by priority, read back and filter ONE
+    partition — the filter prunes at the FILE level (only that
+    directory is listed), which is the layout contract partitioned
+    tables buy at 100 TB.  The aggregate proves values and the
+    partition column itself survive the round trip (including the
+    space-escaped '4-NOT SPECIFIED' directory name)."""
+    import os as _os
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    path = _os.path.join("/tmp", f"spark_graft_part_rt_{tag}")
+    (
+        o.write.mode("overwrite")
+        .partitionBy("o_orderpriority")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).where(
+        F.col("o_orderpriority").isin("1-URGENT", "4-NOT SPECIFIED")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(dec("o_totalprice")).cast("double").alias("total"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+_PARTITIONED_ROUNDTRIP_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+       max(o_orderkey) AS max_key
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '4-NOT SPECIFIED')
+GROUP BY o_orderpriority
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -9031,6 +9103,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_quarantine": q_stream_quarantine,
         "richclub_parts": q_richclub_parts,
         "zipf_docs": q_zipf_docs,
+        # --- round-5 batch 11 ---
+        "hll_intersect_users": q_hll_intersect_users,
+        "partitioned_roundtrip": q_partitioned_roundtrip,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -9486,4 +9561,6 @@ def oracle_sql() -> dict[str, str]:
         "stream_quarantine": _stream_quarantine_sql(),
         "richclub_parts": _richclub_parts_sql(),
         "zipf_docs": _zipf_docs_sql(),
+        "hll_intersect_users": _hll_intersect_users_sql(),
+        "partitioned_roundtrip": _PARTITIONED_ROUNDTRIP_SQL,
     }

@@ -955,3 +955,98 @@ SELECT c.key, q.q, round({lo!r} + min(c.bucket) * {width!r}, 9) AS value
 FROM q JOIN cum c ON c.cum >= greatest(1, CAST(ceil(q.q * c.total) AS BIGINT))
 GROUP BY c.key, q.q
 """
+
+
+def hll_intersect(
+    df_a: DataFrame,
+    col_a: "Column | str",
+    df_b: DataFrame,
+    col_b: "Column | str",
+    b: int = 12,
+    *,
+    portable: bool = True,
+) -> DataFrame:
+    """Set-overlap estimate from sketches alone -> ONE row ``(est_a,
+    est_b, est_union, est_intersect)`` via inclusion-exclusion:
+    |A∩B| ≈ |A| + |B| − |A∪B|, where the union estimate merges the two
+    register frames by per-bucket max (exact HLL union semantics).
+
+    The audience-overlap / join-selectivity primitive: each side
+    reduces once to 2^b registers; no row of A ever meets a row of B.
+    Inclusion-exclusion error compounds the three estimates' errors —
+    fine for overlap triage, not for tiny intersections (documented
+    HLL limitation; a theta sketch would bound it, at the cost of a
+    sampled value set).  Components round to 4 decimals first, then
+    the difference — deterministic on both engines."""
+    ra = hll_registers(df_a, col_a, b, portable=portable)
+    rb = hll_registers(df_b, col_b, b, portable=portable)
+    ru = ra.unionAll(rb).groupBy("bucket").agg(
+        F.max("max_rho").alias("max_rho")
+    )
+    ea = hll_estimate(ra, b).select(F.col("estimate").alias("est_a"))
+    eb = hll_estimate(rb, b).select(F.col("estimate").alias("est_b"))
+    eu = hll_estimate(ru, b).select(F.col("estimate").alias("est_union"))
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), 4
+            ).alias("est_intersect"),
+        )
+    )
+
+
+def hll_intersect_sql(
+    a_sql: str, a_expr: str, b_sql: str, b_expr: str, b: int = 12
+) -> str:
+    """DuckDB oracle for :func:`hll_intersect`."""
+    from .hashing import portable_hash64_sql
+
+    m = 1 << b
+    rest_bits = _HASH_BITS - b
+    rest = 1 << rest_bits
+
+    def regs(tag: str, src: str, expr: str) -> str:
+        h = portable_hash64_sql(f"CAST({expr} AS VARCHAR)")
+        return f"""
+regs_{tag} AS (
+  SELECT CAST(h // {rest} AS INT) AS bucket,
+         max(CASE WHEN h % {rest} = 0 THEN {rest_bits + 1}
+                  ELSE {rest_bits} - length(bin(h % {rest})) + 1
+             END) AS max_rho
+  FROM (SELECT {h} AS h FROM ({src}) WHERE {expr} IS NOT NULL)
+  GROUP BY 1
+)"""
+
+    def est(tag: str, reg_rel: str) -> str:
+        amm = _alpha(m) * m * m
+        return f"""
+est_{tag} AS (
+  SELECT round(
+    CASE WHEN ({amm!r} / (s + ({m} - nonempty))) <= {2.5 * m}
+          AND ({m} - nonempty) > 0
+         THEN -{float(m)!r} * ln(({m} - nonempty) / {float(m)!r})
+         ELSE {amm!r} / (s + ({m} - nonempty)) END, 4) AS e
+  FROM (SELECT coalesce(sum(power(2.0, -max_rho)), 0.0) AS s,
+               count(*) AS nonempty FROM {reg_rel})
+)"""
+
+    return f"""
+WITH {regs('a', a_sql, a_expr).lstrip()},
+{regs('b', b_sql, b_expr).lstrip()},
+regs_u AS (
+  SELECT bucket, max(max_rho) AS max_rho FROM (
+    SELECT * FROM regs_a UNION ALL SELECT * FROM regs_b
+  ) GROUP BY bucket
+),
+{est('a', 'regs_a').lstrip()},
+{est('b', 'regs_b').lstrip()},
+{est('u', 'regs_u').lstrip()}
+SELECT est_a.e AS est_a, est_b.e AS est_b, est_u.e AS est_union,
+       round(est_a.e + est_b.e - est_u.e, 4) AS est_intersect
+FROM est_a, est_b, est_u
+"""
