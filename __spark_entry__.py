@@ -8905,6 +8905,82 @@ GROUP BY o_orderpriority
 """
 
 
+# --------------------------------------------------------------------------
+# Round-5 batch 12: one-way ANOVA, edge embeddedness, k-fold audit.
+# --------------------------------------------------------------------------
+
+
+def q_anova_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA (``functions.experiment.anova_oneway``): does event
+    value differ across the five event types?  Per-group exact
+    quantized moments -> F and η² in one pass; the multi-group
+    generalization of the Welch t already in the suite."""
+    from polars_grouper_spark.functions.experiment import anova_oneway
+
+    ev = load_table(spark, "events", sf_dir)
+    return anova_oneway(ev, "event_type", "value", quant=100)
+
+
+def _anova_events_sql() -> str:
+    from polars_grouper_spark.functions.experiment import anova_oneway_sql
+
+    return anova_oneway_sql(
+        "SELECT event_type AS g, value AS v FROM events", quant=100
+    )
+
+
+def q_embeddedness_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge embeddedness / tie strength (``operators.triangles.
+    edge_embeddedness``): common-neighbor counts per edge of the part
+    co-purchase graph via ONE wedge join (the triangle counter's
+    bounded shape) — 0-embedded edges are the weak ties / local
+    bridges."""
+    from polars_grouper_spark.operators.triangles import edge_embeddedness
+
+    return edge_embeddedness(_part_co_edges(spark, sf_dir), "src", "dst")
+
+
+def _embeddedness_parts_sql() -> str:
+    from polars_grouper_spark.operators.triangles import (
+        edge_embeddedness_sql,
+    )
+
+    return edge_embeddedness_sql(_PART_CO_EDGE_SQL)
+
+
+def q_kfold_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment audit: folds from the salted
+    portable hash (``functions.experiment.assign_variant`` with 5
+    variants — a row keeps its fold across runs, engines, and
+    repartitioning), with per-fold size and label balance so a skewed
+    fold is caught before training."""
+    from polars_grouper_spark.functions.experiment import assign_variant
+
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.select(
+            assign_variant("o_orderkey", "kfold", n_variants=5).alias(
+                "fold"
+            ),
+            (F.col("o_orderstatus") == "F").cast("long").alias("_y"),
+        )
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("_y").alias("n_pos"),
+        )
+    )
+
+
+def _kfold_orders_sql() -> str:
+    h = portable_hash64_sql("'kfold' || '|' || CAST(o_orderkey AS VARCHAR)")
+    return f"""
+SELECT CAST({h} % 5 AS INT) AS fold, count(*) AS n_rows,
+       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_pos
+FROM orders GROUP BY 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -9106,6 +9182,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 batch 11 ---
         "hll_intersect_users": q_hll_intersect_users,
         "partitioned_roundtrip": q_partitioned_roundtrip,
+        # --- round-5 batch 12 ---
+        "anova_events": q_anova_events,
+        "embeddedness_parts": q_embeddedness_parts,
+        "kfold_orders": q_kfold_orders,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -9563,4 +9643,7 @@ def oracle_sql() -> dict[str, str]:
         "zipf_docs": _zipf_docs_sql(),
         "hll_intersect_users": _hll_intersect_users_sql(),
         "partitioned_roundtrip": _PARTITIONED_ROUNDTRIP_SQL,
+        "anova_events": _anova_events_sql(),
+        "embeddedness_parts": _embeddedness_parts_sql(),
+        "kfold_orders": _kfold_orders_sql(),
     }

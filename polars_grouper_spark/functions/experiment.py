@@ -523,3 +523,95 @@ SELECT n_i AS n,
                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rho
 FROM agg
 """
+
+
+def anova_oneway(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    quant: int = 1000,
+) -> DataFrame:
+    """One-way ANOVA -> ONE row ``(k, n, f, eta2)`` — does the metric
+    differ across k groups?  The multi-group generalization of the
+    t-test, from per-group exact quantized moments only:
+
+    SSB = Σ S_g²/n_g − S²/N,  SSW = SST − SSB,  F = (SSB/(k−1)) /
+    (SSW/(N−k)),  η² = SSB/SST.
+
+    Values quantize to ``round(v·quant)`` integers (the Welch-t
+    contract), per-group sums accumulate as exact decimals.  The one
+    order-sensitive float op is the k-term sum of s_g²/n_g (k is small
+    by ANOVA's nature but its order is engine-chosen), so F and η²
+    round to 6 — the repo-wide posture for ulp-level float noise.
+    Needs k >= 2 and N > k; otherwise F/η² come back NULL."""
+    if quant < 1:
+        raise ValueError(f"quant must be >= 1, got {quant}")
+    g = F.col(group_col).cast("string")
+    v = F.round(F.col(value_col).cast("double") * quant).cast(
+        "decimal(18,0)"
+    )
+    src = df.where(
+        g.isNotNull() & F.col(value_col).isNotNull()
+    ).select(g.alias("g"), v.alias("x"))
+    per = src.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("x").cast("double").alias("s_g"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("ss_g"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).alias("k_i"),
+        F.sum("n_g").alias("n_i"),
+        F.sum("s_g").alias("s"),
+        F.sum("ss_g").alias("ss"),
+        F.sum(F.col("s_g") * F.col("s_g") / F.col("n_g")).alias("sb_part"),
+    )
+    k = F.col("k_i").cast("double")
+    n = F.col("n_i").cast("double")
+    ssb = F.col("sb_part") - F.col("s") * F.col("s") / n
+    sst = F.col("ss") - F.col("s") * F.col("s") / n
+    ssw = sst - ssb
+    ok = (F.col("k_i") >= 2) & (F.col("n_i") > F.col("k_i")) & (sst > 0)
+    f_stat = (ssb / (k - F.lit(1.0))) / (ssw / (n - k))
+    return agg.select(
+        F.col("k_i").alias("k"),
+        F.col("n_i").alias("n"),
+        F.when(ok, F.round(f_stat, 6)).alias("f"),
+        F.when(ok, F.round(ssb / sst, 6)).alias("eta2"),
+    )
+
+
+def anova_oneway_sql(src_sql: str, *, quant: int = 1000) -> str:
+    """DuckDB oracle for :func:`anova_oneway` — ``src_sql`` yields
+    (g, v)."""
+    return f"""
+WITH src AS (
+  SELECT CAST(g AS VARCHAR) AS g,
+         CAST(ROUND(CAST(v AS DOUBLE) * {quant}) AS DECIMAL(18,0)) AS x
+  FROM ({src_sql}) WHERE g IS NOT NULL AND v IS NOT NULL
+),
+per AS (
+  SELECT g, count(*) AS n_g,
+         CAST(sum(x) AS DOUBLE) AS s_g,
+         CAST(sum(x * x) AS DOUBLE) AS ss_g
+  FROM src GROUP BY g
+),
+agg AS (
+  SELECT count(*) AS k_i, sum(n_g) AS n_i, sum(s_g) AS s, sum(ss_g) AS ss,
+         sum(s_g * s_g / n_g) AS sb_part
+  FROM per
+)
+SELECT k_i AS k, n_i AS n,
+       CASE WHEN k_i >= 2 AND n_i > k_i
+             AND (ss - s * s / CAST(n_i AS DOUBLE)) > 0 THEN
+         round(((sb_part - s * s / CAST(n_i AS DOUBLE))
+          / (CAST(k_i AS DOUBLE) - 1.0))
+         / (((ss - s * s / CAST(n_i AS DOUBLE))
+             - (sb_part - s * s / CAST(n_i AS DOUBLE)))
+            / (CAST(n_i AS DOUBLE) - CAST(k_i AS DOUBLE))), 6) END AS f,
+       CASE WHEN k_i >= 2 AND n_i > k_i
+             AND (ss - s * s / CAST(n_i AS DOUBLE)) > 0 THEN
+         round((sb_part - s * s / CAST(n_i AS DOUBLE))
+         / (ss - s * s / CAST(n_i AS DOUBLE)), 6) END AS eta2
+FROM agg
+"""

@@ -406,3 +406,81 @@ SELECT round(
        ELSE NULL END, 6) AS assortativity
 FROM m
 """
+
+
+def edge_embeddedness(
+    df: DataFrame, src: str = "from", dst: str = "to", *, decimals: int = 6
+) -> DataFrame:
+    """Per-edge embeddedness -> ``(a, b, n_common, strength)``: how many
+    common neighbors each edge's endpoints share, plus the neighborhood
+    Jaccard ``|N(a)∩N(b)| / |N(a)∪N(b) \\ {a,b}|`` — Granovetter's
+    tie-strength readout (0-embedded edges are the weak ties / local
+    bridges that carry novel information; dense embeddings mark
+    redundant intra-community edges).
+
+    Plan: common neighbors come from ONE wedge join of the symmetric
+    adjacency with itself on the shared endpoint, semi-joined back to
+    the edge set — the same wedge-bounded shape as the triangle
+    counter, never an all-pairs neighborhood comparison; degrees attach
+    by two broadcast-size joins."""
+    edges = _canonical_edges(df, src, dst)
+    edges = truncate_lineage(edges)
+    sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # wedges through w: (x, w) and (y, w) both edges -> candidate pair
+    # (x, y); keep only pairs that ARE edges (semi via inner join).
+    w1 = sym.select(F.col("v").alias("w"), F.col("u").alias("x"))
+    w2 = sym.select(F.col("v").alias("w"), F.col("u").alias("y"))
+    common = (
+        w1.join(w2, "w")
+        .where(F.col("x") < F.col("y"))
+        .groupBy(F.col("x").alias("a"), F.col("y").alias("b"))
+        .agg(F.count(F.lit(1)).alias("nc"))
+        .join(edges, ["a", "b"])
+    )
+    nc = F.coalesce("nc", F.lit(0))
+    # |N(a) ∪ N(b) \ {a,b}| = deg(a) + deg(b) − 2 − n_common (the edge
+    # itself contributes b to N(a) and a to N(b); common neighbors are
+    # counted twice in the degree sum).
+    union_sz = F.col("_da") + F.col("_db") - F.lit(2) - nc
+    strength = F.when(
+        union_sz > 0, F.round(nc.cast("double") / union_sz, decimals)
+    ).otherwise(F.lit(0.0))
+    return (
+        edges.join(common, ["a", "b"], "left")
+        .join(deg.select(F.col("u").alias("a"), F.col("deg").alias("_da")), "a")
+        .join(deg.select(F.col("u").alias("b"), F.col("deg").alias("_db")), "b")
+        .select("a", "b", nc.alias("n_common"), strength.alias("strength"))
+    )
+
+
+def edge_embeddedness_sql(edge_sql: str, *, decimals: int = 6) -> str:
+    """DuckDB oracle for :func:`edge_embeddedness`."""
+    return f"""
+WITH raw AS ({edge_sql}),
+e AS (
+  SELECT DISTINCT least(CAST(src AS VARCHAR), CAST(dst AS VARCHAR)) AS a,
+         greatest(CAST(src AS VARCHAR), CAST(dst AS VARCHAR)) AS b
+  FROM raw WHERE src IS NOT NULL AND dst IS NOT NULL
+    AND CAST(src AS VARCHAR) <> CAST(dst AS VARCHAR)
+),
+sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT u, count(*)::BIGINT AS deg FROM sym GROUP BY u),
+common AS (
+  SELECT w1.u AS a, w2.u AS b, count(*)::BIGINT AS nc
+  FROM sym w1 JOIN sym w2 ON w1.v = w2.v AND w1.u < w2.u
+  JOIN e ON e.a = w1.u AND e.b = w2.u
+  GROUP BY 1, 2
+)
+SELECT e.a, e.b, coalesce(c.nc, 0) AS n_common,
+       CASE WHEN da.deg + db.deg - 2 - coalesce(c.nc, 0) > 0
+            THEN round(CAST(coalesce(c.nc, 0) AS DOUBLE)
+                 / (da.deg + db.deg - 2 - coalesce(c.nc, 0)), {decimals})
+            ELSE 0.0 END AS strength
+FROM e
+LEFT JOIN common c ON c.a = e.a AND c.b = e.b
+JOIN deg da ON da.u = e.a
+JOIN deg db ON db.u = e.b
+"""
