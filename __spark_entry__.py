@@ -8981,6 +8981,66 @@ FROM orders GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Round-5 batch 13: CUPED variance reduction, Matryoshka energy curve.
+# --------------------------------------------------------------------------
+
+_CUPED_SPLIT = "1999-01-01"
+
+
+def q_cuped_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (``functions.experiment.cuped_adjust``):
+    per-user pre-period event value predicts the post-period metric;
+    five exact quantized moments in one aggregation give θ and the
+    variance the adjustment removes — the sample-size lever of modern
+    experimentation, with no second pass to apply-then-measure."""
+    from polars_grouper_spark.functions.experiment import cuped_adjust
+
+    ev = load_table(spark, "events", sf_dir)
+    cut = F.lit(_CUPED_SPLIT).cast("timestamp_ntz")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, F.col("value")).otherwise(0.0)).alias(
+            "pre"
+        ),
+        F.sum(
+            F.when(F.col("ts") >= cut, F.col("value")).otherwise(0.0)
+        ).alias("post"),
+    )
+    return cuped_adjust(per_user, "pre", "post", quant=100)
+
+
+def _cuped_users_sql() -> str:
+    from polars_grouper_spark.functions.experiment import cuped_adjust_sql
+
+    per_user = f"""
+SELECT user_id,
+       sum(CASE WHEN ts < TIMESTAMP '{_CUPED_SPLIT}' THEN value ELSE 0 END) AS x,
+       sum(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT}' THEN value ELSE 0 END) AS y
+FROM events GROUP BY user_id
+"""
+    return cuped_adjust_sql(per_user, quant=100)
+
+
+def q_matryoshka_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation curve (``functions.similarity.
+    matryoshka_energy``): squared-L2 mass retained by prefix dims
+    4/8/16/32 of the 64-d embeddings — exact integer numerators and
+    denominator (components quantized once), one posexplode pass for
+    every d."""
+    from polars_grouper_spark.functions.similarity import matryoshka_energy
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return matryoshka_energy(emb, "embedding")
+
+
+def _matryoshka_embeddings_sql() -> str:
+    from polars_grouper_spark.functions.similarity import (
+        matryoshka_energy_sql,
+    )
+
+    return matryoshka_energy_sql("embeddings", "embedding")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -9186,6 +9246,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anova_events": q_anova_events,
         "embeddedness_parts": q_embeddedness_parts,
         "kfold_orders": q_kfold_orders,
+        # --- round-5 batch 13 ---
+        "cuped_users": q_cuped_users,
+        "matryoshka_embeddings": q_matryoshka_embeddings,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -9646,4 +9709,6 @@ def oracle_sql() -> dict[str, str]:
         "anova_events": _anova_events_sql(),
         "embeddedness_parts": _embeddedness_parts_sql(),
         "kfold_orders": _kfold_orders_sql(),
+        "cuped_users": _cuped_users_sql(),
+        "matryoshka_embeddings": _matryoshka_embeddings_sql(),
     }

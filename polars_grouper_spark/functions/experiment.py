@@ -615,3 +615,101 @@ SELECT k_i AS k, n_i AS n,
          / (ss - s * s / CAST(n_i AS DOUBLE)), 6) END AS eta2
 FROM agg
 """
+
+
+def cuped_adjust(
+    df: DataFrame,
+    pre_col: str,
+    post_col: str,
+    *,
+    quant: int = 100,
+) -> DataFrame:
+    """CUPED variance reduction -> ONE row ``(n, theta, var_y,
+    var_y_adj, var_reduction_pct)`` — the modern experimentation
+    workhorse: regress the experiment metric on its pre-period
+    covariate and subtract, shrinking metric variance (and therefore
+    required sample size) by the squared correlation.
+
+    theta = cov(x, y) / var(x);  var(y − θ(x − x̄)) = var(y) −
+    cov²/var(x).  Everything derives from five exact quantized moments
+    in ONE aggregation over the per-unit table — no second pass to
+    apply the adjustment before measuring it.  Outputs round to 6 (the
+    final ops are pure-double but the formula is ulp-sensitive through
+    the ratio).  Degenerate var(x)=0 yields NULLs."""
+    if quant < 1:
+        raise ValueError(f"quant must be >= 1, got {quant}")
+    qz = lambda c: F.round(F.col(c).cast("double") * quant).cast(  # noqa: E731
+        "decimal(18,0)"
+    )
+    src = df.where(
+        F.col(pre_col).isNotNull() & F.col(post_col).isNotNull()
+    ).select(qz(pre_col).alias("x"), qz(post_col).alias("y"))
+    agg = src.agg(
+        F.count(F.lit(1)).alias("n_i"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    n = F.col("n_i").cast("double")
+    q2 = F.lit(float(quant * quant))
+    var_x = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - F.lit(1.0))
+    var_y = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - F.lit(1.0))
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - F.lit(1.0))
+    theta = cov / var_x
+    var_adj = var_y - cov * cov / var_x
+    ok = (F.col("n_i") >= 2) & (var_x > 0)
+    return agg.select(
+        F.col("n_i").alias("n"),
+        F.when(ok, F.round(theta, 6)).alias("theta"),
+        F.when(ok, F.round(var_y / q2, 6)).alias("var_y"),
+        F.when(ok, F.round(var_adj / q2, 6)).alias("var_y_adj"),
+        F.when(
+            ok & (var_y > 0),
+            F.round(F.lit(100.0) * (var_y - var_adj) / var_y, 6),
+        ).alias("var_reduction_pct"),
+    )
+
+
+def cuped_adjust_sql(src_sql: str, *, quant: int = 100) -> str:
+    """DuckDB oracle for :func:`cuped_adjust` — ``src_sql`` yields
+    (x, y) per unit."""
+    q2 = float(quant * quant)
+    return f"""
+WITH src AS (
+  SELECT CAST(ROUND(CAST(x AS DOUBLE) * {quant}) AS DECIMAL(18,0)) AS x,
+         CAST(ROUND(CAST(y AS DOUBLE) * {quant}) AS DECIMAL(18,0)) AS y
+  FROM ({src_sql}) WHERE x IS NOT NULL AND y IS NOT NULL
+),
+agg AS (
+  SELECT count(*) AS n_i,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x * x) AS DOUBLE) AS sxx,
+         CAST(sum(y * y) AS DOUBLE) AS syy,
+         CAST(sum(x * y) AS DOUBLE) AS sxy
+  FROM src
+),
+m AS (
+  SELECT n_i,
+         (sxx - sx * sx / CAST(n_i AS DOUBLE))
+           / (CAST(n_i AS DOUBLE) - 1.0) AS var_x,
+         (syy - sy * sy / CAST(n_i AS DOUBLE))
+           / (CAST(n_i AS DOUBLE) - 1.0) AS var_y,
+         (sxy - sx * sy / CAST(n_i AS DOUBLE))
+           / (CAST(n_i AS DOUBLE) - 1.0) AS cov
+  FROM agg
+)
+SELECT n_i AS n,
+       CASE WHEN n_i >= 2 AND var_x > 0
+            THEN round(cov / var_x, 6) END AS theta,
+       CASE WHEN n_i >= 2 AND var_x > 0
+            THEN round(var_y / {q2!r}, 6) END AS var_y,
+       CASE WHEN n_i >= 2 AND var_x > 0
+            THEN round((var_y - cov * cov / var_x) / {q2!r}, 6)
+       END AS var_y_adj,
+       CASE WHEN n_i >= 2 AND var_x > 0 AND var_y > 0
+            THEN round(100.0 * (var_y - (var_y - cov * cov / var_x))
+                       / var_y, 6) END AS var_reduction_pct
+FROM m
+"""

@@ -621,3 +621,71 @@ FROM src s
 JOIN winner w ON w.id = s.vid
 LEFT JOIN votes a ON a.id = s.vid AND a.nb_lab = s.lab
 """
+
+
+def matryoshka_energy(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    *,
+    dims: "tuple[int, ...]" = (4, 8, 16, 32),
+    quant: int = 1000,
+) -> DataFrame:
+    """Matryoshka truncation curve -> ``(d, energy)`` per prefix length:
+    the corpus-level fraction of embedding energy (squared L2 mass)
+    retained by keeping only the first ``d`` dimensions — the readout
+    that says how far MRL-style prefix truncation can cut storage and
+    ANN cost before recall collapses.  energy(d) =
+    Σ_rows Σ_{i<d} v_i² / Σ_rows Σ_i v_i².
+
+    Components quantize to integers once, so both numerator and
+    denominator are EXACT integer sums (order-free) and the single
+    division is deterministic — no per-row float ratios to drift.  One
+    posexplode pass computes every d at once (conditional sums)."""
+    if not dims or any(d < 1 for d in dims):
+        raise ValueError(f"dims must be non-empty positive: {dims}")
+    q = F.round(F.col("x").cast("double") * quant).cast("decimal(18,0)")
+    comps = df.where(F.col(vec_col).isNotNull()).select(
+        F.posexplode(F.col(vec_col)).alias("i", "x")
+    ).select("i", (q * q).alias("e"))
+    aggs = [F.sum("e").cast("double").alias("_tot")] + [
+        F.sum(F.when(F.col("i") < d, F.col("e"))).cast("double").alias(f"_e{d}")
+        for d in dims
+    ]
+    row = comps.agg(*aggs)
+    d_df = df.sparkSession.createDataFrame([(int(d),) for d in dims], "d int")
+    out = d_df.crossJoin(F.broadcast(row))
+    pick = F.coalesce(
+        *[F.when(F.col("d") == d, F.col(f"_e{d}")) for d in dims]
+    )
+    return out.select(
+        "d", (pick / F.col("_tot")).alias("energy")
+    ).orderBy("d")
+
+
+def matryoshka_energy_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    *,
+    dims: "tuple[int, ...]" = (4, 8, 16, 32),
+    quant: int = 1000,
+) -> str:
+    """DuckDB oracle for :func:`matryoshka_energy` (1-based list
+    indexing shifted to posexplode's 0-based positions)."""
+    d_rows = ", ".join(f"({int(d)})" for d in dims)
+    return f"""
+WITH comps AS (
+  SELECT u.i - 1 AS i,
+         CAST(ROUND(CAST({vec_col}[u.i] AS DOUBLE) * {quant})
+              AS DECIMAL(18,0)) AS qv
+  FROM {table}, unnest(range(1, len({vec_col}) + 1)) AS u(i)
+  WHERE {vec_col} IS NOT NULL
+),
+agg AS (
+  SELECT CAST(sum(qv * qv) AS DOUBLE) AS tot FROM comps
+),
+ds(d) AS (VALUES {d_rows})
+SELECT d,
+       (SELECT CAST(sum(qv * qv) AS DOUBLE) FROM comps WHERE i < d)
+         / (SELECT tot FROM agg) AS energy
+FROM ds ORDER BY d
+"""
