@@ -9041,6 +9041,46 @@ def _matryoshka_embeddings_sql() -> str:
     return matryoshka_energy_sql("embeddings", "embedding")
 
 
+# --------------------------------------------------------------------------
+# Round-5 batch 14: RFM segmentation, vocabulary growth (Heaps) curve.
+# --------------------------------------------------------------------------
+
+
+def q_rfm_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer-value segmentation (``functions.features.
+    rfm_segments``): recency/frequency/monetary quintiles with
+    deterministic tile boundaries (total (metric, key) orders) —
+    one fact-table aggregation, then windows over the key-sized
+    table only."""
+    from polars_grouper_spark.functions.features import rfm_segments
+
+    o = load_table(spark, "orders", sf_dir)
+    return rfm_segments(o, "o_custkey", "o_orderdate", "o_totalprice")
+
+
+def _rfm_customers_sql() -> str:
+    from polars_grouper_spark.functions.features import rfm_segments_sql
+
+    return rfm_segments_sql(
+        "SELECT o_custkey AS key, o_orderdate AS ts, o_totalprice AS amount "
+        "FROM orders"
+    )
+
+
+def q_vocab_growth_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth / Heaps-law curve (``functions.text.
+    vocab_growth``): vocab and token totals at 10 corpus prefixes — all
+    checkpoints are conditional sums in ONE aggregation over the
+    token-first-seen and per-doc-count tables (exact integers, one
+    corpus scan)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return tx.vocab_growth(docs, "doc_id", "text")
+
+
+def _vocab_growth_docs_sql() -> str:
+    return tx.vocab_growth_sql("documents", "doc_id", "text")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -9249,6 +9289,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 batch 13 ---
         "cuped_users": q_cuped_users,
         "matryoshka_embeddings": q_matryoshka_embeddings,
+        # --- round-5 batch 14 ---
+        "rfm_customers": q_rfm_customers,
+        "vocab_growth_docs": q_vocab_growth_docs,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -9711,4 +9754,6 @@ def oracle_sql() -> dict[str, str]:
         "kfold_orders": _kfold_orders_sql(),
         "cuped_users": _cuped_users_sql(),
         "matryoshka_embeddings": _matryoshka_embeddings_sql(),
+        "rfm_customers": _rfm_customers_sql(),
+        "vocab_growth_docs": _vocab_growth_docs_sql(),
     }

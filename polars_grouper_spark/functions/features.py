@@ -789,3 +789,75 @@ SELECT bin,
 FROM binned CROSS JOIN tot CROSS JOIN mm
 ORDER BY bin
 """
+
+
+def rfm_segments(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    amount_col: str,
+    *,
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM segmentation -> ``(key, recency_ts, frequency, monetary, r,
+    f, m, segment)`` — the classic customer-value grid: per-key last
+    activity, order count, and exact decimal spend, each scored into
+    ``n_tiles`` equi-depth tiles (5 = quintiles), ``segment`` the
+    concatenated "rfm" code (555 = best).
+
+    One key aggregation (map-side combinable), then three ntile windows
+    over the KEY-sized table (not the fact table) with total
+    (metric, key) orders so tile boundaries are deterministic; recency
+    scores newest = highest."""
+    if n_tiles < 2:
+        raise ValueError(f"n_tiles must be >= 2, got {n_tiles}")
+    per = df.where(
+        F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(amount_col).isNotNull()
+    ).groupBy(F.col(key_col).alias("key")).agg(
+        F.max(F.col(ts_col)).alias("recency_ts"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col(amount_col).cast("decimal(18,4)")).alias("_mon"),
+    )
+    w_r = Window.orderBy("recency_ts", "key")
+    w_f = Window.orderBy("frequency", "key")
+    w_m = Window.orderBy("_mon", "key")
+    out = per.select(
+        "key",
+        F.col("recency_ts").cast("string").alias("recency_ts"),
+        "frequency",
+        F.col("_mon").cast("double").alias("monetary"),
+        F.ntile(n_tiles).over(w_r).alias("r"),
+        F.ntile(n_tiles).over(w_f).alias("f"),
+        F.ntile(n_tiles).over(w_m).alias("m"),
+    )
+    return out.withColumn(
+        "segment",
+        F.concat(F.col("r").cast("string"), F.col("f").cast("string"),
+                 F.col("m").cast("string")),
+    )
+
+
+def rfm_segments_sql(src_sql: str, *, n_tiles: int = 5) -> str:
+    """DuckDB oracle for :func:`rfm_segments` — ``src_sql`` yields
+    (key, ts, amount)."""
+    return f"""
+WITH per AS (
+  SELECT key, max(ts) AS recency_ts, count(*) AS frequency,
+         sum(CAST(amount AS DECIMAL(18,4))) AS mon
+  FROM ({src_sql})
+  WHERE key IS NOT NULL AND ts IS NOT NULL AND amount IS NOT NULL
+  GROUP BY key
+)
+SELECT key, CAST(recency_ts AS VARCHAR) AS recency_ts, frequency,
+       CAST(mon AS DOUBLE) AS monetary,
+       ntile({n_tiles}) OVER (ORDER BY recency_ts, key) AS r,
+       ntile({n_tiles}) OVER (ORDER BY frequency, key) AS f,
+       ntile({n_tiles}) OVER (ORDER BY mon, key) AS m,
+       CAST(ntile({n_tiles}) OVER (ORDER BY recency_ts, key) AS VARCHAR)
+       || CAST(ntile({n_tiles}) OVER (ORDER BY frequency, key) AS VARCHAR)
+       || CAST(ntile({n_tiles}) OVER (ORDER BY mon, key) AS VARCHAR)
+         AS segment
+FROM per
+"""

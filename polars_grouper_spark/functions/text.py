@@ -780,3 +780,118 @@ SELECT sum(n_c)::BIGINT AS n_tokens,
          AS alpha
 FROM hist
 """
+
+
+def vocab_growth(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n_checkpoints: int = 10,
+) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law readout) -> ``(checkpoint,
+    id_threshold, n_tokens, vocab)`` at ``n_checkpoints`` corpus
+    prefixes ordered by document id: how fast does the vocabulary grow
+    as the corpus grows?  Sub-linear growth (β < 1 on the log-log
+    curve) is the natural-language signature; near-linear growth flags
+    id-like or noisy token streams.
+
+    Everything is exact integers: each token's FIRST document id (one
+    min-aggregation) and per-document token counts reduce once, then
+    every checkpoint is a conditional sum in the SAME aggregation —
+    one corpus scan total, n_checkpoints never adds passes."""
+    if n_checkpoints < 2:
+        raise ValueError(
+            f"n_checkpoints must be >= 2, got {n_checkpoints}"
+        )
+    toks = df.where(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(
+        F.col(id_col).cast("long").alias("doc"),
+        F.explode(F.transform(tokens(F.col(text_col)), F.lower)).alias(
+            "tok"
+        ),
+    )
+    first = toks.groupBy("tok").agg(F.min("doc").alias("first_doc"))
+    per_doc = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("n_tok"))
+    mm = per_doc.agg(F.min("doc").alias("_lo"), F.max("doc").alias("_hi"))
+
+    def thresholds(i):
+        # id threshold of checkpoint i (1-based): lo + i*(hi-lo)/n
+        return F.col("_lo") + F.floor(
+            (F.col("_hi") - F.col("_lo")) * i / n_checkpoints
+        )
+
+    vocab_aggs = [
+        F.sum(
+            (F.col("first_doc") <= thresholds(i)).cast("long")
+        ).alias(f"_v{i}")
+        for i in range(1, n_checkpoints + 1)
+    ]
+    tok_aggs = [
+        F.sum(
+            F.when(F.col("doc") <= thresholds(i), F.col("n_tok")).otherwise(0)
+        ).alias(f"_t{i}")
+        for i in range(1, n_checkpoints + 1)
+    ]
+    v_row = first.crossJoin(F.broadcast(mm)).agg(*vocab_aggs)
+    t_row = per_doc.crossJoin(F.broadcast(mm)).agg(*tok_aggs)
+    both = v_row.crossJoin(t_row).crossJoin(F.broadcast(mm))
+    ck = df.sparkSession.range(1, n_checkpoints + 1).select(
+        F.col("id").cast("int").alias("checkpoint")
+    )
+    out = ck.crossJoin(F.broadcast(both))
+    pick_v = F.coalesce(
+        *[
+            F.when(F.col("checkpoint") == i, F.col(f"_v{i}"))
+            for i in range(1, n_checkpoints + 1)
+        ]
+    )
+    pick_t = F.coalesce(
+        *[
+            F.when(F.col("checkpoint") == i, F.col(f"_t{i}"))
+            for i in range(1, n_checkpoints + 1)
+        ]
+    )
+    thr = F.col("_lo") + F.floor(
+        (F.col("_hi") - F.col("_lo")) * F.col("checkpoint") / n_checkpoints
+    )
+    return out.select(
+        "checkpoint",
+        thr.cast("long").alias("id_threshold"),
+        pick_t.alias("n_tokens"),
+        pick_v.alias("vocab"),
+    ).orderBy("checkpoint")
+
+
+def vocab_growth_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n_checkpoints: int = 10,
+) -> str:
+    """DuckDB oracle for :func:`vocab_growth`."""
+    return f"""
+WITH toks AS (
+  SELECT CAST({id_col} AS BIGINT) AS doc, lower(u.tok) AS tok
+  FROM {table},
+       unnest(CASE WHEN trim({text_col}) = '' THEN []
+                   ELSE regexp_split_to_array(trim({text_col}), '\\s+')
+              END) AS u(tok)
+  WHERE {id_col} IS NOT NULL AND {text_col} IS NOT NULL
+),
+first AS (SELECT tok, min(doc) AS first_doc FROM toks GROUP BY tok),
+per_doc AS (SELECT doc, count(*) AS n_tok FROM toks GROUP BY doc),
+mm AS (SELECT min(doc) AS lo, max(doc) AS hi FROM per_doc),
+cks AS (SELECT CAST(u.i AS INT) AS checkpoint,
+               lo + CAST(floor((hi - lo) * u.i / {n_checkpoints}) AS BIGINT)
+                 AS id_threshold
+        FROM mm, unnest(range(1, {n_checkpoints} + 1)) AS u(i))
+SELECT c.checkpoint, c.id_threshold,
+       (SELECT sum(n_tok) FROM per_doc WHERE doc <= c.id_threshold)
+         AS n_tokens,
+       (SELECT count(*) FROM first WHERE first_doc <= c.id_threshold)
+         AS vocab
+FROM cks c ORDER BY c.checkpoint
+"""
