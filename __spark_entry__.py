@@ -9081,6 +9081,78 @@ def _vocab_growth_docs_sql() -> str:
     return tx.vocab_growth_sql("documents", "doc_id", "text")
 
 
+# --------------------------------------------------------------------------
+# Round-5 batch 15: calendar dimension spine, rendezvous sharding.
+# --------------------------------------------------------------------------
+
+_RDV_SHARDS8 = ["s0", "s1", "s2", "s3", "s4", "s5", "s6", "s7"]
+
+
+def q_calendar_2000(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse date spine (``functions.calendar.calendar_dim``): year
+    2000 with day-of-week (pure epoch arithmetic — engine dow numbering
+    never enters), month/quarter boundaries, and Feb-start fiscal
+    periods.  Generated from spark.range over epoch days — zero data
+    scanned."""
+    from polars_grouper_spark.functions.calendar import calendar_dim
+
+    return calendar_dim(spark, "2000-01-01", "2000-12-31")
+
+
+def _calendar_2000_sql() -> str:
+    from polars_grouper_spark.functions.calendar import calendar_dim_sql
+
+    return calendar_dim_sql("2000-01-01", "2000-12-31")
+
+
+def q_rendezvous_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash sharding + ITS defining property as the result
+    (``functions.sampling.rendezvous_assign``): route documents to 8
+    shards, then re-route with shard s3 removed — per shard, the row
+    count before, after, and the number of rows that MOVED IN.  Correct
+    rendezvous behavior means only s3's rows redistribute (moved_in
+    sums to s3's old count; every other shard keeps all its rows) —
+    derived by the query, replayed by the oracle, where modulo sharding
+    would reshuffle nearly everything."""
+    from polars_grouper_spark.functions.sampling import rendezvous_assign
+
+    docs = load_table(spark, "documents", sf_dir)
+    a8 = rendezvous_assign(docs, "doc_id", _RDV_SHARDS8)
+    a7 = rendezvous_assign(
+        docs, "doc_id", [s for s in _RDV_SHARDS8 if s != "s3"]
+    ).withColumnRenamed("shard", "shard7")
+    j = a8.join(a7, "id")
+    return j.groupBy(F.col("shard7").alias("shard")).agg(
+        F.sum((F.col("shard") == F.col("shard7")).cast("long")).alias(
+            "n_stayed"
+        ),
+        F.sum((F.col("shard") != F.col("shard7")).cast("long")).alias(
+            "n_moved_in"
+        ),
+    )
+
+
+def _rendezvous_docs_sql() -> str:
+    from polars_grouper_spark.functions.sampling import rendezvous_assign_sql
+
+    a8 = rendezvous_assign_sql(
+        "SELECT doc_id FROM documents", "doc_id", _RDV_SHARDS8
+    )
+    a7 = rendezvous_assign_sql(
+        "SELECT doc_id FROM documents",
+        "doc_id",
+        [s for s in _RDV_SHARDS8 if s != "s3"],
+    )
+    return f"""
+WITH a8 AS ({a8}), a7 AS ({a7})
+SELECT a7.shard AS shard,
+       sum(CASE WHEN a8.shard = a7.shard THEN 1 ELSE 0 END) AS n_stayed,
+       sum(CASE WHEN a8.shard <> a7.shard THEN 1 ELSE 0 END) AS n_moved_in
+FROM a8 JOIN a7 USING (id)
+GROUP BY a7.shard
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -9292,6 +9364,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 batch 14 ---
         "rfm_customers": q_rfm_customers,
         "vocab_growth_docs": q_vocab_growth_docs,
+        # --- round-5 batch 15 ---
+        "calendar_2000": q_calendar_2000,
+        "rendezvous_docs": q_rendezvous_docs,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -9756,4 +9831,6 @@ def oracle_sql() -> dict[str, str]:
         "matryoshka_embeddings": _matryoshka_embeddings_sql(),
         "rfm_customers": _rfm_customers_sql(),
         "vocab_growth_docs": _vocab_growth_docs_sql(),
+        "calendar_2000": _calendar_2000_sql(),
+        "rendezvous_docs": _rendezvous_docs_sql(),
     }

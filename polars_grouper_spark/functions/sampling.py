@@ -342,3 +342,72 @@ ranked AS (
 sized AS ({sized})
 SELECT * EXCLUDE ({exclude}) FROM sized WHERE rn <= cap
 """
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    id_col: str,
+    shards: "Sequence[str]",
+    salt: str = "rdv",
+    *,
+    portable: bool = True,
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding -> ``(id, shard)``:
+    each row goes to the shard whose ``hash(salt|shard|id)`` is
+    maximal.  THE stable-routing primitive: adding or removing a shard
+    only remaps rows whose winner changed — ~1/N of traffic — where
+    modulo sharding reshuffles nearly everything.
+
+    Row-local (scan speed): the per-shard hashes explode from a
+    broadcast literal array and the winner is an integer argmax packed
+    as ``h * n_shards + shard_idx`` (exact 63-bit arithmetic, tie-free
+    because distinct shard indices break exact-hash collisions).
+    Deterministic across runs, engines, and partitionings."""
+    if not shards:
+        raise ValueError("shards must be non-empty")
+    if len(shards) != len(set(shards)):
+        raise ValueError(f"duplicate shard names: {shards}")
+    if len(shards) > 8:
+        # 60-bit hash * n + i must stay inside the 63-bit long
+        raise ValueError(
+            f"rendezvous_assign packs hash*n+i into a long; n <= 8 "
+            f"(got {len(shards)}) — shard hierarchically beyond that"
+        )
+    n = len(shards)
+    c = F.col(id_col)
+    packed = [
+        portable_hash64(
+            F.concat(F.lit(f"{salt}|{s}|"), c.cast("string")),
+            portable=portable,
+        )
+        * n
+        + F.lit(i)
+        for i, s in enumerate(shards)
+    ]
+    win_idx = F.pmod(F.greatest(*packed) if n > 1 else packed[0], F.lit(n))
+    shard_arr = F.array(*[F.lit(s) for s in shards])
+    return df.where(c.isNotNull()).select(
+        c.alias("id"),
+        F.element_at(shard_arr, win_idx.cast("int") + 1).alias("shard"),
+    )
+
+
+def rendezvous_assign_sql(
+    src_sql: str,
+    id_expr: str,
+    shards: "Sequence[str]",
+    salt: str = "rdv",
+) -> str:
+    """DuckDB oracle for :func:`rendezvous_assign`."""
+    n = len(shards)
+    packed = []
+    for i, sh in enumerate(shards):
+        h = portable_hash64_sql(f"'{salt}|{sh}|' || CAST({id_expr} AS VARCHAR)")
+        packed.append(f"({h} * {n} + {i})")
+    big = packed[0] if n == 1 else "greatest(" + ", ".join(packed) + ")"
+    arr = "[" + ", ".join(f"'{s}'" for s in shards) + "]"
+    return f"""
+SELECT {id_expr} AS id,
+       ({arr})[CAST({big} % {n} AS INT) + 1] AS shard
+FROM ({src_sql}) WHERE {id_expr} IS NOT NULL
+"""
