@@ -9153,6 +9153,52 @@ GROUP BY a7.shard
 """
 
 
+# --------------------------------------------------------------------------
+# Round-5 batch 16: winnowing fingerprints, Neyman allocation.
+# --------------------------------------------------------------------------
+
+
+def q_winnow_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (``functions.dedup.winnow_fingerprints``
+    — the MOSS algorithm): per-window minimum k-gram hashes with the
+    local-selection guarantee (any shared substring >= w+k-1 chars
+    shares a fingerprint); one row per document (count + xor of the
+    selected set) so output is doc-sized regardless of length."""
+    from polars_grouper_spark.functions.dedup import winnow_fingerprints
+
+    docs = load_table(spark, "documents", sf_dir)
+    return winnow_fingerprints(docs, "doc_id", "text", k=8, w=4)
+
+
+def _winnow_docs_sql() -> str:
+    from polars_grouper_spark.functions.dedup import winnow_fingerprints_sql
+
+    return winnow_fingerprints_sql("documents", "doc_id", "text", k=8, w=4)
+
+
+def q_neyman_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal sample allocation (``functions.sampling.
+    neyman_allocation``): a 1000-row budget across order priorities,
+    proportional to N_h x S_h from one pass of exact quantized moments
+    — big noisy strata get the budget, uniform ones don't waste it."""
+    from polars_grouper_spark.functions.sampling import neyman_allocation
+
+    o = load_table(spark, "orders", sf_dir)
+    return neyman_allocation(
+        o, "o_orderpriority", "o_totalprice", budget=1000, quant=100
+    )
+
+
+def _neyman_orders_sql() -> str:
+    from polars_grouper_spark.functions.sampling import neyman_allocation_sql
+
+    return neyman_allocation_sql(
+        "SELECT o_orderpriority AS stratum, o_totalprice AS v FROM orders",
+        budget=1000,
+        quant=100,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -9367,6 +9413,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 batch 15 ---
         "calendar_2000": q_calendar_2000,
         "rendezvous_docs": q_rendezvous_docs,
+        # --- round-5 batch 16 ---
+        "winnow_docs": q_winnow_docs,
+        "neyman_orders": q_neyman_orders,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -9833,4 +9882,6 @@ def oracle_sql() -> dict[str, str]:
         "vocab_growth_docs": _vocab_growth_docs_sql(),
         "calendar_2000": _calendar_2000_sql(),
         "rendezvous_docs": _rendezvous_docs_sql(),
+        "winnow_docs": _winnow_docs_sql(),
+        "neyman_orders": _neyman_orders_sql(),
     }

@@ -1116,3 +1116,106 @@ SELECT a.id AS group_a, b.id AS group_b,
 FROM sig a JOIN sig b ON b.perm = a.perm AND a.id < b.id
 GROUP BY 1, 2
 """
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 8,
+    w: int = 4,
+    portable: bool = True,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm) -> ``(doc_id, n_fingerprints, fp_xor)``: hash
+    every character ``k``-gram, slide a ``w``-window over the hash
+    sequence, keep each window's minimum — guaranteeing any shared
+    substring of length >= ``w + k - 1`` contributes a shared
+    fingerprint (the local-selection property plain min-hash sampling
+    lacks).  The per-doc selected-hash SET is summarized as (count,
+    bit_xor) so output stays one row per document regardless of length.
+
+    Plan: positions explode per document (the inherent O(L) of any
+    k-gram method), the window min is a per-doc frame over the position
+    order, selection dedups per doc — one shuffle on the doc key."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if w < 1:
+        raise ValueError(f"w must be >= 1, got {w}")
+    from pyspark.sql import Window
+    from .hashing import portable_hash64
+
+    src = df.where(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("doc"), F.col(text_col).alias("_t")
+    )
+    grams = src.where(F.length("_t") >= k).select(
+        "doc",
+        F.posexplode(
+            F.sequence(F.lit(1), F.length("_t") - F.lit(k) + 1)
+        ).alias("_", "pos"),
+        F.col("_t"),
+    ).select(
+        "doc",
+        "pos",
+        portable_hash64(
+            F.substring(F.col("_t"), F.col("pos"), k), portable=portable
+        ).alias("h"),
+    )
+    win = (
+        Window.partitionBy("doc")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    n_grams = Window.partitionBy("doc")
+    mins = grams.select(
+        "doc",
+        "pos",
+        F.min("h").over(win).alias("wm"),
+        F.count(F.lit(1)).over(n_grams).alias("_n"),
+    ).where(F.col("pos") <= F.col("_n") - F.lit(w) + 1)
+    sel = mins.select("doc", "wm").distinct()
+    return sel.groupBy(F.col("doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.bit_xor("wm").alias("fp_xor"),
+    )
+
+
+def winnow_fingerprints_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 8,
+    w: int = 4,
+) -> str:
+    """DuckDB oracle for :func:`winnow_fingerprints`."""
+    from .hashing import portable_hash64_sql
+
+    h = portable_hash64_sql(f"substr(t, CAST(u.p AS INT), {k})")
+    return f"""
+WITH src AS (
+  SELECT {id_col} AS doc, {text_col} AS t FROM {table}
+  WHERE {id_col} IS NOT NULL AND {text_col} IS NOT NULL
+    AND length({text_col}) >= {k}
+),
+grams AS (
+  SELECT doc, CAST(u.p AS INT) AS pos, {h} AS h
+  FROM src, unnest(range(1, length(t) - {k} + 2)) AS u(p)
+),
+mins AS (
+  SELECT doc, pos,
+         min(h) OVER (PARTITION BY doc ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS wm,
+         count(*) OVER (PARTITION BY doc) AS n
+  FROM grams
+),
+sel AS (
+  SELECT DISTINCT doc, wm FROM mins WHERE pos <= n - {w} + 1
+)
+SELECT doc AS doc_id, count(*) AS n_fingerprints,
+       bit_xor(wm) AS fp_xor
+FROM sel GROUP BY doc
+"""

@@ -411,3 +411,100 @@ SELECT {id_expr} AS id,
        ({arr})[CAST({big} % {n} AS INT) + 1] AS shard
 FROM ({src_sql}) WHERE {id_expr} IS NOT NULL
 """
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    *,
+    budget: int = 10_000,
+    quant: int = 100,
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation -> ``(stratum,
+    n_rows, std, alloc)``: for a fixed total sample ``budget``, the
+    variance-minimizing allocation samples stratum h proportionally to
+    ``N_h · S_h`` (size x standard deviation) — big, noisy strata get
+    the samples; small, uniform ones don't waste budget.
+
+    One pass of exact quantized per-stratum moments (the Welch-t
+    contract) gives every N_h and S_h; the allocation normalizes over
+    the strata-sized table.  std and alloc round to 6/integer — the
+    k-term normalizer sum is the one engine-ordered float op (k =
+    stratum count, small by construction).  ``alloc`` is capped at
+    ``n_rows`` (can't sample more rows than exist); single-row strata
+    carry std 0 and draw no budget."""
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    if quant < 1:
+        raise ValueError(f"quant must be >= 1, got {quant}")
+    g = F.col(stratum_col).cast("string")
+    x = F.round(F.col(value_col).cast("double") * quant).cast(
+        "decimal(18,0)"
+    )
+    per = df.where(
+        g.isNotNull() & F.col(value_col).isNotNull()
+    ).groupBy(g.alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(x).cast("double").alias("_s"),
+        F.sum(x * x).cast("double").alias("_ss"),
+    )
+    n = F.col("n_rows").cast("double")
+    var = F.when(
+        F.col("n_rows") >= 2,
+        (F.col("_ss") - F.col("_s") * F.col("_s") / n) / (n - F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+    std = F.sqrt(F.greatest(var, F.lit(0.0))) / F.lit(float(quant))
+    scored = per.select("stratum", "n_rows", std.alias("_std"))
+    tot = scored.agg(
+        F.sum(F.col("n_rows") * F.col("_std")).alias("_norm")
+    )
+    j = scored.crossJoin(F.broadcast(tot))
+    raw = (
+        F.lit(float(budget))
+        * (F.col("n_rows") * F.col("_std"))
+        / F.col("_norm")
+    )
+    alloc = F.when(F.col("_norm") > 0, F.least(
+        F.floor(raw).cast("long"), F.col("n_rows")
+    )).otherwise(F.lit(0))
+    return j.select(
+        "stratum",
+        "n_rows",
+        F.round("_std", 6).alias("std"),
+        alloc.alias("alloc"),
+    )
+
+
+def neyman_allocation_sql(
+    src_sql: str, *, budget: int = 10_000, quant: int = 100
+) -> str:
+    """DuckDB oracle for :func:`neyman_allocation` — ``src_sql`` yields
+    (stratum, v)."""
+    return f"""
+WITH src AS (
+  SELECT CAST(stratum AS VARCHAR) AS stratum,
+         CAST(ROUND(CAST(v AS DOUBLE) * {quant}) AS DECIMAL(18,0)) AS x
+  FROM ({src_sql}) WHERE stratum IS NOT NULL AND v IS NOT NULL
+),
+per AS (
+  SELECT stratum, count(*) AS n_rows,
+         CAST(sum(x) AS DOUBLE) AS s, CAST(sum(x * x) AS DOUBLE) AS ss
+  FROM src GROUP BY stratum
+),
+scored AS (
+  SELECT stratum, n_rows,
+         sqrt(greatest(CASE WHEN n_rows >= 2
+              THEN (ss - s * s / CAST(n_rows AS DOUBLE))
+                   / (CAST(n_rows AS DOUBLE) - 1.0)
+              ELSE 0.0 END, 0.0)) / {float(quant)!r} AS stdv
+  FROM per
+),
+tot AS (SELECT sum(n_rows * stdv) AS norm FROM scored)
+SELECT stratum, n_rows, round(stdv, 6) AS std,
+       CASE WHEN norm > 0 THEN
+         least(CAST(floor({float(budget)!r} * (n_rows * stdv) / norm)
+               AS BIGINT), n_rows)
+       ELSE 0 END AS alloc
+FROM scored CROSS JOIN tot
+"""
