@@ -9199,6 +9199,61 @@ def _neyman_orders_sql() -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# Round-5 batch 17: dataset fingerprint, 2-hop DAG redundancy.
+# --------------------------------------------------------------------------
+
+
+def q_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-free dataset fingerprint (``functions.profile.
+    dataset_fingerprint``): the scan-speed "did anything change?" gate
+    — one map-side-combinable (count, xor-of-row-hashes) pass, float
+    columns rejected by contract (string forms aren't engine-portable;
+    snapshot_diff is the WHAT-changed tool, this is the WHETHER)."""
+    from polars_grouper_spark.functions.profile import dataset_fingerprint
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+        "o_orderdate",
+    )
+    return dataset_fingerprint(
+        o,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+         "o_orderdate"],
+    )
+
+
+def _fingerprint_orders_sql() -> str:
+    from polars_grouper_spark.functions.profile import (
+        dataset_fingerprint_sql,
+    )
+
+    return dataset_fingerprint_sql(
+        "SELECT * FROM orders",
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+         "o_orderdate"],
+    )
+
+
+def q_redundant_edges_tasks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop redundant dependency edges (``operators.toposort.
+    redundant_edges_2hop``) on the task DAG: direct edges
+    short-circuited by a 2-path add scheduling constraints without
+    information — one directed wedge join (the triangle counter's
+    bounded shape) joined back to the edge set."""
+    from polars_grouper_spark.operators.toposort import redundant_edges_2hop
+
+    return redundant_edges_2hop(_dag_edges(spark, sf_dir), "src", "dst")
+
+
+def _redundant_edges_tasks_sql() -> str:
+    from polars_grouper_spark.operators.toposort import (
+        redundant_edges_2hop_sql,
+    )
+
+    return redundant_edges_2hop_sql(_DAG_EDGE_SQL)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -9416,6 +9471,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 batch 16 ---
         "winnow_docs": q_winnow_docs,
         "neyman_orders": q_neyman_orders,
+        # --- round-5 batch 17 ---
+        "fingerprint_orders": q_fingerprint_orders,
+        "redundant_edges_tasks": q_redundant_edges_tasks,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -9884,4 +9942,6 @@ def oracle_sql() -> dict[str, str]:
         "rendezvous_docs": _rendezvous_docs_sql(),
         "winnow_docs": _winnow_docs_sql(),
         "neyman_orders": _neyman_orders_sql(),
+        "fingerprint_orders": _fingerprint_orders_sql(),
+        "redundant_edges_tasks": _redundant_edges_tasks_sql(),
     }

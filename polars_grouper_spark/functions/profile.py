@@ -153,3 +153,55 @@ SELECT s.col AS "column", s.n_rows, s.n_nulls,
        s.min_str, s.max_str
 FROM stats s LEFT JOIN est e ON e.col = s.col
 """
+
+
+def dataset_fingerprint(df: DataFrame, cols: "list[str]") -> DataFrame:
+    """Order-free dataset fingerprint -> ONE row ``(n_rows, xor_hash)``
+    — the cheap "did anything change?" gate between pipeline runs:
+    identical (count, xor-of-row-hashes) means identical row multisets
+    up to the 60-bit-collision trust model used repo-wide, computed in
+    one map-side-combinable pass with no sort and no shuffle beyond the
+    final 1-row reduce.  (``snapshot_diff`` tells you WHAT changed;
+    this tells you WHETHER, at scan speed.)
+
+    Column contract: ints, strings, dates/timestamps only — float
+    columns are REJECTED because their string forms differ across
+    engines (cast them to decimal first).  Nulls encode distinctly
+    from empty strings."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    for c in cols:
+        t = dict(df.dtypes).get(c)
+        if t is None:
+            raise ValueError(f"no such column: {c}")
+        if t in ("float", "double"):
+            raise ValueError(
+                f"column {c} is {t}; cast to decimal first — raw float "
+                "string forms are not engine-portable"
+            )
+    from .hashing import portable_hash64
+
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL")) for c in cols
+    ]
+    row_str = F.concat_ws("\x1f", *parts)
+    h = portable_hash64(row_str)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(h).alias("xor_hash"),
+    )
+
+
+def dataset_fingerprint_sql(src_sql: str, exprs: "list[str]") -> str:
+    """DuckDB oracle for :func:`dataset_fingerprint` — ``exprs`` are the
+    column expressions in the same order."""
+    from .hashing import portable_hash64_sql
+
+    parts = ", ".join(
+        f"coalesce(CAST({e} AS VARCHAR), chr(0) || 'NULL')" for e in exprs
+    )
+    h = portable_hash64_sql(f"concat_ws(chr(31), {parts})")
+    return f"""
+SELECT count(*) AS n_rows, bit_xor({h}) AS xor_hash
+FROM ({src_sql})
+"""

@@ -108,3 +108,59 @@ paths AS (
 )
 SELECT node, CAST(max(depth) AS INT) AS level FROM paths GROUP BY node
 """
+
+
+def redundant_edges_2hop(
+    df: DataFrame, src: str = "from", dst: str = "to"
+) -> DataFrame:
+    """Two-hop redundancy detection -> ``(src, dst, via_count)`` for
+    every DIRECT edge that is short-circuited by some 2-path (∃w:
+    src→w→dst) — the lineage/dependency-graph cleanup: a direct edge
+    that duplicates a transitive path adds scheduling constraints
+    without information.  (Exact transitive reduction needs full
+    reachability; the 2-hop form is the standard one-join
+    approximation and is exact for redundancy introduced by collapsing
+    one intermediate — the common case in generated DAGs.)
+
+    One wedge self-join on the shared middle node, inner-joined back to
+    the edge set — the triangle counter's bounded shape on a directed
+    graph; via_count says how many distinct middles witness the
+    redundancy."""
+    s = F.col(src).cast("string")
+    d = F.col(dst).cast("string")
+    edges = truncate_lineage(
+        df.where(s.isNotNull() & d.isNotNull() & (s != d))
+        .select(s.alias("u"), d.alias("v"))
+        .distinct()
+    )
+    hop1 = edges.select(F.col("u").alias("a"), F.col("v").alias("w"))
+    hop2 = edges.select(F.col("u").alias("w"), F.col("v").alias("b"))
+    two = (
+        hop1.join(hop2, "w")
+        .where(F.col("a") != F.col("b"))
+        .groupBy(F.col("a").alias("u"), F.col("b").alias("v"))
+        .agg(F.count(F.lit(1)).alias("via_count"))
+    )
+    return edges.join(two, ["u", "v"]).select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "via_count"
+    )
+
+
+def redundant_edges_2hop_sql(edge_sql: str) -> str:
+    """DuckDB oracle for :func:`redundant_edges_2hop`."""
+    return f"""
+WITH raw AS ({edge_sql}),
+e AS (
+  SELECT DISTINCT CAST(src AS VARCHAR) AS u, CAST(dst AS VARCHAR) AS v
+  FROM raw WHERE src IS NOT NULL AND dst IS NOT NULL
+    AND CAST(src AS VARCHAR) <> CAST(dst AS VARCHAR)
+),
+two AS (
+  SELECT h1.u, h2.v, count(*) AS via_count
+  FROM e h1 JOIN e h2 ON h1.v = h2.u
+  WHERE h1.u <> h2.v
+  GROUP BY h1.u, h2.v
+)
+SELECT e.u AS src, e.v AS dst, two.via_count
+FROM e JOIN two ON two.u = e.u AND two.v = e.v
+"""
