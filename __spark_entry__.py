@@ -9254,6 +9254,97 @@ def _redundant_edges_tasks_sql() -> str:
     return redundant_edges_2hop_sql(_DAG_EDGE_SQL)
 
 
+# --------------------------------------------------------------------------
+# Round-5 batch 18: bow-tie decomposition, percolation robustness curve.
+# --------------------------------------------------------------------------
+
+
+def q_bowtie_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bow-tie macro-structure (``operators.scc.bowtie_decomposition``)
+    of the directed user graph: giant strongly connected core, IN
+    (reaches it), OUT (reached from it), OTHER — one SCC run plus two
+    frontier-expansion reachability loops; the strongly-connected-core
+    pivot trick lets the oracle's closure test a single node."""
+    from polars_grouper_spark.operators.scc import bowtie_decomposition
+
+    return bowtie_decomposition(_scc_edges(spark, sf_dir), "src", "dst")
+
+
+def _bowtie_users_sql() -> str:
+    from polars_grouper_spark.operators.scc import bowtie_decomposition_sql
+
+    return bowtie_decomposition_sql(_SCC_EDGE_SQL)
+
+
+_PERC_LEVELS = (1, 2, 4)  # keep-fractions k/4 of edges
+
+
+def q_percolation_sp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolation / robustness curve: giant-component fraction of the
+    supplier-part graph under deterministic hash edge-sampling at 25%,
+    50%, 100% — how much random edge loss the graph absorbs before the
+    giant component dissolves.  Composition: one ``components`` run per
+    level on the hash-filtered edge list (the same CC kernel,
+    replayed), fractions over the FULL node set so isolated survivors
+    count as singletons."""
+    from polars_grouper_spark.operators.connected_components import (
+        components,
+    )
+    from polars_grouper_spark.functions.hashing import portable_hash64
+
+    edges = _sp_edges(spark, sf_dir).distinct()
+    all_nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_total = all_nodes.count()
+    h = portable_hash64(
+        F.concat(F.col("src"), F.lit("|"), F.col("dst"), F.lit("|perc"))
+    )
+    rows = []
+    for k in _PERC_LEVELS:
+        sampled = edges.where(F.pmod(h, F.lit(4)) < k)
+        n_edges = sampled.count()
+        if n_edges == 0:
+            rows.append((int(k), 0, 0.0))
+            continue
+        cc = components(sampled, "src", "dst")
+        giant = (
+            cc.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("mx"))
+            .collect()[0]["mx"]
+        )
+        rows.append((int(k), int(n_edges), float(giant) / n_total))
+    return spark.createDataFrame(
+        rows, "k int, n_edges bigint, giant_frac double"
+    )
+
+
+def _percolation_sp_sql() -> str:
+    h = portable_hash64_sql("src || '|' || dst || '|perc'")
+    parts = []
+    for k in _PERC_LEVELS:
+        filt = (
+            f"SELECT src, dst FROM ({_SP_EDGE_SQL.replace('DISTINCT ', '')}) "
+            f"WHERE {h} % 4 < {k}"
+        )
+        cc = _cc_label_sql(filt, rounds=16)
+        parts.append(
+            f"""
+SELECT {k} AS k,
+       (SELECT count(*) FROM (SELECT DISTINCT src, dst FROM ({filt})))
+         AS n_edges,
+       (SELECT CAST(max(n) AS DOUBLE) FROM (
+          SELECT count(*) AS n FROM ({cc}) GROUP BY comp_label))
+       / (SELECT count(*) FROM (
+          SELECT src AS x FROM ({_SP_EDGE_SQL}) UNION
+          SELECT dst FROM ({_SP_EDGE_SQL}))) AS giant_frac"""
+        )
+    return " UNION ALL ".join(parts)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -9474,6 +9565,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 batch 17 ---
         "fingerprint_orders": q_fingerprint_orders,
         "redundant_edges_tasks": q_redundant_edges_tasks,
+        # --- round-5 batch 18 ---
+        "bowtie_users": q_bowtie_users,
+        "percolation_sp": q_percolation_sp,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -9944,4 +10038,6 @@ def oracle_sql() -> dict[str, str]:
         "neyman_orders": _neyman_orders_sql(),
         "fingerprint_orders": _fingerprint_orders_sql(),
         "redundant_edges_tasks": _redundant_edges_tasks_sql(),
+        "bowtie_users": _bowtie_users_sql(),
+        "percolation_sp": _percolation_sp_sql(),
     }

@@ -347,3 +347,129 @@ JOIN lab lu ON lu.node = e2.a
 JOIN lab lv ON lv.node = e2.b
 WHERE lu.scc <> lv.scc
 """
+
+
+def bowtie_decomposition(
+    df: DataFrame,
+    src: str = "from",
+    dst: str = "to",
+    *,
+    max_rounds: int = 60,
+) -> DataFrame:
+    """Web-graph bow-tie structure (Broder et al. 2000) -> ``(node,
+    region)`` with region ∈ {SCC, IN, OUT, OTHER}: the giant strongly
+    connected core, the nodes that can reach it (IN), the nodes it can
+    reach (OUT), and everything else (tendrils/tubes/disconnected) —
+    the first macro-structure question asked of any directed graph
+    (links, follows, citations, payments).
+
+    Composition, not a new kernel: one SCC run labels the core, then
+    two frontier-expansion reachability loops (forward along edges,
+    backward along reversed edges) from the giant component — each
+    round ONE join + ONE anti-join over a shrinking frontier, lineage
+    truncated; raises past ``max_rounds``.  Because the core is
+    strongly connected, reaching ANY member is reaching ALL, so the
+    oracle's closure can test against the single min-name pivot."""
+    s = F.col(src).cast("string")
+    d = F.col(dst).cast("string")
+    edges = truncate_lineage(
+        df.where(s.isNotNull() & d.isNotNull() & (s != d))
+        .select(s.alias("u"), d.alias("v"))
+        .distinct()
+    )
+    scc = truncate_lineage(
+        strongly_connected_components(edges, "u", "v")
+    )
+    giant_row = (
+        scc.groupBy("scc")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "scc")
+        .limit(1)
+        .collect()
+    )
+    if not giant_row:
+        return scc.select("node", F.lit("OTHER").alias("region"))
+    giant = giant_row[0]["scc"]
+    core = truncate_lineage(
+        scc.where(F.col("scc") == giant).select("node")
+    )
+
+    def reach(edge_frame: DataFrame) -> DataFrame:
+        visited = core
+        frontier = core
+        for rnd in range(max_rounds + 1):
+            if frontier.count() == 0:
+                break
+            if rnd == max_rounds:
+                raise RuntimeError(
+                    f"bow-tie reachability did not converge within "
+                    f"max_rounds={max_rounds}"
+                )
+            nxt = (
+                edge_frame.join(
+                    frontier.withColumnRenamed("node", "u"), "u"
+                )
+                .select(F.col("v").alias("node"))
+                .distinct()
+                .join(visited, "node", "left_anti")
+            )
+            nxt = truncate_lineage(nxt, cache=False)
+            visited = truncate_lineage(
+                visited.unionAll(nxt), cache=False
+            )
+            frontier = nxt
+        return visited
+
+    fwd = reach(edges)  # core + OUT
+    bwd = reach(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    out_flag = fwd.withColumn("_out", F.lit(True))
+    in_flag = bwd.select("node", F.lit(True).alias("_in"))
+    return (
+        scc.join(out_flag, "node", "left")
+        .join(in_flag, "node", "left")
+        .select(
+            "node",
+            F.when(F.col("scc") == giant, "SCC")
+            .when(F.col("_in").isNotNull(), "IN")
+            .when(F.col("_out").isNotNull(), "OUT")
+            .otherwise("OTHER")
+            .alias("region"),
+        )
+    )
+
+
+def bowtie_decomposition_sql(edge_sql: str) -> str:
+    """DuckDB oracle for :func:`bowtie_decomposition`: recursive
+    closure + the same giant-core pivot reduction (reaching any member
+    of a strongly connected core == reaching its min-name pivot)."""
+    scc_inner = strongly_connected_components_sql(edge_sql)
+    return f"""
+WITH RECURSIVE raw2 AS ({edge_sql}),
+e2 AS (
+  SELECT DISTINCT CAST(src AS VARCHAR) AS a, CAST(dst AS VARCHAR) AS b
+  FROM raw2 WHERE src IS NOT NULL AND dst IS NOT NULL
+    AND CAST(src AS VARCHAR) <> CAST(dst AS VARCHAR)
+),
+reach2 AS (
+  SELECT a, b FROM e2
+  UNION
+  SELECT r.a, e2.b FROM reach2 r JOIN e2 ON e2.a = r.b
+),
+sccs AS ({scc_inner}),
+giant AS (
+  SELECT scc FROM (
+    SELECT scc, count(*) AS n FROM sccs GROUP BY scc
+    ORDER BY n DESC, scc LIMIT 1
+  )
+)
+SELECT s.node,
+       CASE WHEN s.scc = (SELECT scc FROM giant) THEN 'SCC'
+            WHEN EXISTS (SELECT 1 FROM reach2 r
+                         WHERE r.a = s.node
+                           AND r.b = (SELECT scc FROM giant)) THEN 'IN'
+            WHEN EXISTS (SELECT 1 FROM reach2 r
+                         WHERE r.a = (SELECT scc FROM giant)
+                           AND r.b = s.node) THEN 'OUT'
+            ELSE 'OTHER' END AS region
+FROM sccs s
+"""
