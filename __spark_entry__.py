@@ -9345,6 +9345,90 @@ SELECT {k} AS k,
     return " UNION ALL ".join(parts)
 
 
+# --------------------------------------------------------------------------
+# Round-5 batch 19: grouped OLS elasticities, conformal residual intervals.
+# --------------------------------------------------------------------------
+
+
+def q_ols2_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment regression (``functions.regression.ols2_by``): price
+    ~ quantity + discount fitted separately per return flag — the
+    per-segment-elasticity readout in ONE map-side-combinable moment
+    pass; the Cramer solve runs on group-count rows (metadata)."""
+    from polars_grouper_spark.functions.regression import ols2_by
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return ols2_by(
+        li, "l_returnflag", "l_quantity", "l_discount", "l_extendedprice",
+        q1=1, q2=100, qy=100,
+    )
+
+
+def _ols2_by_flag_sql() -> str:
+    from polars_grouper_spark.functions.regression import ols2_by_sql
+
+    return ols2_by_sql(
+        "SELECT l_returnflag AS grp, l_quantity AS x1, l_discount AS x2, "
+        "l_extendedprice AS y FROM lineitem",
+        q1=1, q2=100, qy=100,
+    )
+
+
+_CONF_QS = [0.5, 0.9, 0.95, 0.99]
+_CONF_HI = 100_000.0
+_CONF_BINS = 2048
+
+
+def q_conformal_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal interval widths, end to end: fit the closed-form
+    OLS (1-row broadcast of coefficients), score every row's absolute
+    residual IN THE SAME PLAN, and take deterministic histogram
+    quantiles — the |residual| quantile at level q IS the
+    distribution-free prediction-interval half-width.  Two scans total
+    (moments, then residual histogram); no model object ever leaves
+    the plan."""
+    from polars_grouper_spark.functions.regression import ols2
+    from polars_grouper_spark.functions.sketches import hist_quantiles
+
+    li = load_table(spark, "lineitem", sf_dir)
+    coef = ols2(
+        li, "l_quantity", "l_discount", "l_extendedprice", q1=1, q2=100,
+        qy=100,
+    ).select("b0", "b1", "b2")
+    resid = li.crossJoin(F.broadcast(coef)).select(
+        F.abs(
+            F.col("l_extendedprice")
+            - (
+                F.col("b0")
+                + F.col("b1") * F.col("l_quantity")
+                + F.col("b2") * F.col("l_discount")
+            )
+        ).alias("r")
+    )
+    return hist_quantiles(
+        resid, "r", _CONF_QS, lo=0.0, hi=_CONF_HI, bins=_CONF_BINS
+    )
+
+
+def _conformal_lineitem_sql() -> str:
+    from polars_grouper_spark.functions.regression import ols2_sql
+    from polars_grouper_spark.functions.sketches import hist_quantiles_sql
+
+    coef = ols2_sql(
+        "SELECT l_quantity AS x1, l_discount AS x2, l_extendedprice AS y "
+        "FROM lineitem",
+        q1=1, q2=100, qy=100,
+    )
+    resid = f"""
+SELECT abs(l_extendedprice
+           - (c.b0 + c.b1 * l_quantity + c.b2 * l_discount)) AS r
+FROM lineitem CROSS JOIN ({coef}) c
+"""
+    return hist_quantiles_sql(
+        resid, "r", _CONF_QS, lo=0.0, hi=_CONF_HI, bins=_CONF_BINS
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -9568,6 +9652,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 batch 18 ---
         "bowtie_users": q_bowtie_users,
         "percolation_sp": q_percolation_sp,
+        # --- round-5 batch 19 ---
+        "ols2_by_flag": q_ols2_by_flag,
+        "conformal_lineitem": q_conformal_lineitem,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -10040,4 +10127,6 @@ def oracle_sql() -> dict[str, str]:
         "redundant_edges_tasks": _redundant_edges_tasks_sql(),
         "bowtie_users": _bowtie_users_sql(),
         "percolation_sp": _percolation_sp_sql(),
+        "ols2_by_flag": _ols2_by_flag_sql(),
+        "conformal_lineitem": _conformal_lineitem_sql(),
     }

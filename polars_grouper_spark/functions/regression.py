@@ -338,3 +338,136 @@ SELECT n_i AS n,
        CASE WHEN det <> 0.0 THEN (b1q * c1 + b2q * c2) / sst END AS r2
 FROM sol
 """
+
+
+def ols2_by(
+    df: DataFrame,
+    group_col: str,
+    x1_col: str,
+    x2_col: str,
+    y_col: str,
+    *,
+    q1: int = 1,
+    q2: int = 1,
+    qy: int = 1,
+) -> DataFrame:
+    """Grouped two-feature OLS -> ``(grp, n, b0, b1, b2, r2)`` per
+    group — per-segment elasticities in ONE map-side-combinable pass:
+    the same nine exact quantized moments as :func:`ols2`, keyed by the
+    group, with the Cramer solve running per group row (group-count
+    rows, metadata-sized).  Collinear or undersized groups yield NULL
+    coefficients, never a crash."""
+    for name, q in (("q1", q1), ("q2", q2), ("qy", qy)):
+        if q < 1:
+            raise ValueError(f"{name} must be >= 1, got {q}")
+    qz = lambda c, q: F.round(F.col(c).cast("double") * q).cast(  # noqa: E731
+        "decimal(18,0)"
+    )
+    src = df.where(
+        F.col(group_col).isNotNull()
+        & F.col(x1_col).isNotNull()
+        & F.col(x2_col).isNotNull()
+        & F.col(y_col).isNotNull()
+    ).select(
+        F.col(group_col).cast("string").alias("grp"),
+        qz(x1_col, q1).alias("a"),
+        qz(x2_col, q2).alias("b"),
+        qz(y_col, qy).alias("y"),
+    )
+    s = lambda e: F.sum(e).cast("double")  # noqa: E731
+    agg = src.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_i"),
+        s(F.col("a")).alias("sa"),
+        s(F.col("b")).alias("sb"),
+        s(F.col("y")).alias("sy"),
+        s(F.col("a") * F.col("a")).alias("saa"),
+        s(F.col("b") * F.col("b")).alias("sbb"),
+        s(F.col("a") * F.col("b")).alias("sab"),
+        s(F.col("a") * F.col("y")).alias("say"),
+        s(F.col("b") * F.col("y")).alias("sby"),
+        s(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n_i").cast("double")
+    a11 = n * F.col("saa") - F.col("sa") * F.col("sa")
+    a22 = n * F.col("sbb") - F.col("sb") * F.col("sb")
+    a12 = n * F.col("sab") - F.col("sa") * F.col("sb")
+    c1 = n * F.col("say") - F.col("sa") * F.col("sy")
+    c2 = n * F.col("sby") - F.col("sb") * F.col("sy")
+    det = a11 * a22 - a12 * a12
+    b1q = (c1 * a22 - c2 * a12) / det
+    b2q = (c2 * a11 - c1 * a12) / det
+    sst = n * F.col("syy") - F.col("sy") * F.col("sy")
+    r2 = (b1q * c1 + b2q * c2) / sst
+    b1 = b1q * F.lit(float(q1)) / F.lit(float(qy))
+    b2 = b2q * F.lit(float(q2)) / F.lit(float(qy))
+    b0 = (
+        F.col("sy") / F.lit(float(qy))
+        - b1 * (F.col("sa") / F.lit(float(q1)))
+        - b2 * (F.col("sb") / F.lit(float(q2)))
+    ) / n
+    ok = (det != F.lit(0.0)) & (F.col("n_i") >= 3) & (sst > 0)
+    return agg.select(
+        "grp",
+        F.col("n_i").alias("n"),
+        F.when(ok, b0).alias("b0"),
+        F.when(ok, b1).alias("b1"),
+        F.when(ok, b2).alias("b2"),
+        F.when(ok, r2).alias("r2"),
+    )
+
+
+def ols2_by_sql(
+    src_sql: str, *, q1: int = 1, q2: int = 1, qy: int = 1
+) -> str:
+    """DuckDB oracle for :func:`ols2_by` — ``src_sql`` yields
+    (grp, x1, x2, y)."""
+    return f"""
+WITH src AS (
+  SELECT CAST(grp AS VARCHAR) AS grp,
+         CAST(ROUND(CAST(x1 AS DOUBLE) * {q1}) AS DECIMAL(18,0)) AS a,
+         CAST(ROUND(CAST(x2 AS DOUBLE) * {q2}) AS DECIMAL(18,0)) AS b,
+         CAST(ROUND(CAST(y AS DOUBLE) * {qy}) AS DECIMAL(18,0)) AS y
+  FROM ({src_sql})
+  WHERE grp IS NOT NULL AND x1 IS NOT NULL AND x2 IS NOT NULL
+    AND y IS NOT NULL
+),
+agg AS (
+  SELECT grp, count(*) AS n_i,
+         CAST(sum(a) AS DOUBLE) AS sa, CAST(sum(b) AS DOUBLE) AS sb,
+         CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(a * a) AS DOUBLE) AS saa, CAST(sum(b * b) AS DOUBLE) AS sbb,
+         CAST(sum(a * b) AS DOUBLE) AS sab, CAST(sum(a * y) AS DOUBLE) AS say,
+         CAST(sum(b * y) AS DOUBLE) AS sby, CAST(sum(y * y) AS DOUBLE) AS syy
+  FROM src GROUP BY grp
+),
+m AS (
+  SELECT grp, n_i, sa, sb, sy,
+         CAST(n_i AS DOUBLE) * saa - sa * sa AS a11,
+         CAST(n_i AS DOUBLE) * sbb - sb * sb AS a22,
+         CAST(n_i AS DOUBLE) * sab - sa * sb AS a12,
+         CAST(n_i AS DOUBLE) * say - sa * sy AS c1,
+         CAST(n_i AS DOUBLE) * sby - sb * sy AS c2,
+         CAST(n_i AS DOUBLE) * syy - sy * sy AS sst
+  FROM agg
+),
+sol AS (
+  SELECT grp, n_i, sa, sb, sy, c1, c2, sst,
+         a11 * a22 - a12 * a12 AS det,
+         (c1 * a22 - c2 * a12) / (a11 * a22 - a12 * a12) AS b1q,
+         (c2 * a11 - c1 * a12) / (a11 * a22 - a12 * a12) AS b2q
+  FROM m
+)
+SELECT grp, n_i AS n,
+       CASE WHEN det <> 0.0 AND n_i >= 3 AND sst > 0 THEN
+         (sy / {float(qy)!r}
+          - (b1q * {float(q1)!r} / {float(qy)!r}) * (sa / {float(q1)!r})
+          - (b2q * {float(q2)!r} / {float(qy)!r}) * (sb / {float(q2)!r}))
+         / CAST(n_i AS DOUBLE) END AS b0,
+       CASE WHEN det <> 0.0 AND n_i >= 3 AND sst > 0
+            THEN b1q * {float(q1)!r} / {float(qy)!r} END AS b1,
+       CASE WHEN det <> 0.0 AND n_i >= 3 AND sst > 0
+            THEN b2q * {float(q2)!r} / {float(qy)!r} END AS b2,
+       CASE WHEN det <> 0.0 AND n_i >= 3 AND sst > 0
+            THEN (b1q * c1 + b2q * c2) / sst END AS r2
+FROM sol
+"""
