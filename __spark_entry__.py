@@ -9429,6 +9429,29 @@ FROM lineitem CROSS JOIN ({coef}) c
     )
 
 
+# --------------------------------------------------------------------------
+# Round-5 batch 20: c-TF-IDF cluster labeling.
+# --------------------------------------------------------------------------
+
+
+def q_ctfidf_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c-TF-IDF cluster labeling (``functions.retrieval.ctfidf_terms``
+    — the BERTopic scorer): the 5 terms that CHARACTERIZE each language
+    class, from two count aggregations + a 1-row average; ln sees an
+    exact integer ratio and scores round to 6."""
+    from polars_grouper_spark.functions.retrieval import ctfidf_terms
+
+    docs = load_table(spark, "documents", sf_dir)
+    return ctfidf_terms(docs, "lang", "text", top_k=5, min_count=2)
+
+
+def _ctfidf_langs_sql() -> str:
+    from polars_grouper_spark.functions.retrieval import ctfidf_terms_sql
+
+    return ctfidf_terms_sql("documents", "lang", "text", top_k=5,
+                            min_count=2)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -9655,6 +9678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 batch 19 ---
         "ols2_by_flag": q_ols2_by_flag,
         "conformal_lineitem": q_conformal_lineitem,
+        # --- round-5 batch 20 ---
+        "ctfidf_langs": q_ctfidf_langs,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -10129,4 +10154,5 @@ def oracle_sql() -> dict[str, str]:
         "percolation_sp": _percolation_sp_sql(),
         "ols2_by_flag": _ols2_by_flag_sql(),
         "conformal_lineitem": _conformal_lineitem_sql(),
+        "ctfidf_langs": _ctfidf_langs_sql(),
     }

@@ -255,3 +255,107 @@ FROM postings p0 {' '.join(joins)}
 WHERE p0.tok = '{toks[0]}'
 GROUP BY p0.id
 """
+
+
+def ctfidf_terms(
+    df: DataFrame,
+    class_col: str,
+    text_col: str = "text",
+    *,
+    top_k: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Class-based TF-IDF (c-TF-IDF, the BERTopic cluster labeler) ->
+    top-``top_k`` ``(class, term, n, score)`` per class: what words
+    CHARACTERIZE each cluster/class, not just occur in it.
+
+    score(t, c) = tf(t, c) · ln(1 + A / tf(t)) with tf(t, c) the term's
+    count in the class, tf(t) its corpus count, and A the average
+    per-class token total — high when a term is frequent in the class
+    but rare overall.  Two count aggregations (class-term, term) plus a
+    1-row average; the ln argument is a ratio of exact integers (A kept
+    as an exact rational via n_tokens/n_classes), score rounds to 6.
+    The cut is (rounded score desc, term) per class — total order, no
+    float ties."""
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    from pyspark.sql import Window
+
+    from .text import tokens
+
+    toks = df.where(
+        F.col(class_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(
+        F.col(class_col).cast("string").alias("cls"),
+        F.explode(F.transform(tokens(F.col(text_col)), F.lower)).alias(
+            "term"
+        ),
+    )
+    ct = toks.groupBy("cls", "term").agg(F.count(F.lit(1)).alias("n"))
+    tot = toks.groupBy("term").agg(F.sum(F.lit(1)).alias("tf_all"))
+    tot = tot.where(F.col("tf_all") >= min_count)
+    avg_row = toks.agg(
+        (
+            F.count(F.lit(1)).cast("double")
+            / F.countDistinct("cls")
+        ).alias("_avg")
+    )
+    scored = (
+        ct.join(tot, "term")
+        .crossJoin(F.broadcast(avg_row))
+        .select(
+            "cls",
+            "term",
+            "n",
+            F.round(
+                F.col("n")
+                * F.log(F.lit(1.0) + F.col("_avg") / F.col("tf_all")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("cls").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= top_k)
+        .select(F.col("cls").alias("class"), "term", "n", "score")
+    )
+
+
+def ctfidf_terms_sql(
+    table: str,
+    class_expr: str,
+    text_col: str = "text",
+    *,
+    top_k: int = 5,
+    min_count: int = 2,
+) -> str:
+    """DuckDB oracle for :func:`ctfidf_terms`."""
+    return f"""
+WITH toks AS (
+  SELECT CAST({class_expr} AS VARCHAR) AS cls, lower(u.tok) AS term
+  FROM {table},
+       unnest(CASE WHEN trim({text_col}) = '' THEN []
+                   ELSE regexp_split_to_array(trim({text_col}), '\\s+')
+              END) AS u(tok)
+  WHERE {class_expr} IS NOT NULL AND {text_col} IS NOT NULL
+),
+ct AS (SELECT cls, term, count(*) AS n FROM toks GROUP BY 1, 2),
+tot AS (
+  SELECT term, count(*) AS tf_all FROM toks GROUP BY term
+  HAVING count(*) >= {min_count}
+),
+avg_row AS (
+  SELECT CAST(count(*) AS DOUBLE) / count(DISTINCT cls) AS a FROM toks
+),
+scored AS (
+  SELECT cls, term, n,
+         round(n * ln(1.0 + a / tf_all), 6) AS score
+  FROM ct JOIN tot USING (term) CROSS JOIN avg_row
+)
+SELECT cls AS class, term, n, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY cls
+         ORDER BY score DESC, term) AS rk
+  FROM scored
+) WHERE rk <= {top_k}
+"""
