@@ -9452,6 +9452,37 @@ def _ctfidf_langs_sql() -> str:
                             min_count=2)
 
 
+# --------------------------------------------------------------------------
+# Round-5 batch 21: binary-segmentation mean-shift split.
+# --------------------------------------------------------------------------
+
+
+def q_mean_split_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation changepoint (``operators.changepoint.
+    best_mean_split``): the split of the daily event-count series that
+    maximizes between-segment variance — CUSUM alarms, this LOCATES;
+    prefix sums via the bucketed carry-in, exact-integer gains, argmax
+    tie-broken to the earliest tick."""
+    from polars_grouper_spark.operators.changepoint import best_mean_split
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 86400).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return best_mean_split(daily, "day", "n_events")
+
+
+def _mean_split_events_sql() -> str:
+    from polars_grouper_spark.operators.changepoint import (
+        best_mean_split_sql,
+    )
+
+    return best_mean_split_sql(
+        "SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS t, "
+        "count(*) AS x FROM events GROUP BY 1"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -9680,6 +9711,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conformal_lineitem": q_conformal_lineitem,
         # --- round-5 batch 20 ---
         "ctfidf_langs": q_ctfidf_langs,
+        # --- round-5 batch 21 ---
+        "mean_split_events": q_mean_split_events,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -10155,4 +10188,5 @@ def oracle_sql() -> dict[str, str]:
         "ols2_by_flag": _ols2_by_flag_sql(),
         "conformal_lineitem": _conformal_lineitem_sql(),
         "ctfidf_langs": _ctfidf_langs_sql(),
+        "mean_split_events": _mean_split_events_sql(),
     }

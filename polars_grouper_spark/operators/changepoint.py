@@ -230,3 +230,94 @@ SELECT key, MIN(b) AS start_bucket, MAX(b) AS end_bucket,
        COUNT(*) AS n_buckets, MAX(c) AS peak, SUM(c) AS total
 FROM runs GROUP BY key, run
 """
+
+
+def best_mean_split(df: DataFrame, t_col: str, x_col: str) -> DataFrame:
+    """Binary-segmentation step -> ONE row ``(split_t, n_before,
+    n_after, mean_before, mean_after, gain)``: the single split point
+    that maximizes the between-segment variance of an integer-valued
+    series — the greedy changepoint primitive (apply recursively per
+    segment for multiple breaks; CUSUM alarms stream, this one
+    LOCATES).
+
+    gain(k) = S₁²/n₁ + S₂²/n₂ − S²/n over the prefix/suffix split at
+    time k.  Prefix sums come from the bucketed exclusive-prefix
+    carry-in (no data-sized single-partition window); every arithmetic
+    input is an exact integer, so the float gains are identical in both
+    engines and the argmax (gain desc, then earliest t) cannot drift.
+    Split semantics: ``split_t`` is the LAST tick of the left segment;
+    needs >= 2 ticks, else empty."""
+    from ..functions.experiment import _exclusive_prefix
+
+    src = df.select(
+        F.col(t_col).cast("long").alias("t"),
+        F.col(x_col).cast("long").alias("x"),
+    ).where(F.col("t").isNotNull() & F.col("x").isNotNull())
+    cum = _exclusive_prefix(src, "t", ["x"])
+    # inclusive prefix counts need a row index too: reuse the helper by
+    # summing a ones column.
+    cum = _exclusive_prefix(
+        cum.withColumn("_one", F.lit(1)), "t", ["_one"]
+    )
+    tot = src.agg(
+        F.count(F.lit(1)).alias("n_i"),
+        F.sum("x").cast("double").alias("s"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    n1 = (F.col("_pre__one") + F.lit(1)).cast("double")
+    s1 = (F.col("_pre_x") + F.col("x")).cast("double")
+    n = F.col("n_i").cast("double")
+    n2 = n - n1
+    s2 = F.col("s") - s1
+    gain = (
+        s1 * s1 / n1 + s2 * s2 / n2 - F.col("s") * F.col("s") / n
+    )
+    cand = j.where(n2 > 0).withColumn("_g", gain)
+    return (
+        cand.orderBy(F.col("_g").desc(), "t")
+        .limit(1)
+        .select(
+            F.col("t").alias("split_t"),
+            n1.cast("long").alias("n_before"),
+            n2.cast("long").alias("n_after"),
+            (s1 / n1).alias("mean_before"),
+            (s2 / n2).alias("mean_after"),
+            F.col("_g").alias("gain"),
+        )
+    )
+
+
+def best_mean_split_sql(series_sql: str) -> str:
+    """DuckDB oracle for :func:`best_mean_split` — ``series_sql``
+    yields (t, x)."""
+    return f"""
+WITH src AS (
+  SELECT CAST(t AS BIGINT) AS t, CAST(x AS BIGINT) AS x
+  FROM ({series_sql}) WHERE t IS NOT NULL AND x IS NOT NULL
+),
+cum AS (
+  SELECT t, x,
+         sum(x) OVER (ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1_i,
+         count(*) OVER (ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n1_i
+  FROM src
+),
+tot AS (SELECT count(*) AS n_i, CAST(sum(x) AS DOUBLE) AS s FROM src),
+cand AS (
+  SELECT t,
+         CAST(n1_i AS DOUBLE) AS n1, CAST(s1_i AS DOUBLE) AS s1,
+         CAST(n_i AS DOUBLE) - CAST(n1_i AS DOUBLE) AS n2,
+         s - CAST(s1_i AS DOUBLE) AS s2,
+         n_i, s
+  FROM cum CROSS JOIN tot
+  WHERE CAST(n_i AS DOUBLE) - CAST(n1_i AS DOUBLE) > 0
+)
+SELECT t AS split_t,
+       CAST(n1 AS BIGINT) AS n_before, CAST(n2 AS BIGINT) AS n_after,
+       s1 / n1 AS mean_before, s2 / n2 AS mean_after,
+       s1 * s1 / n1 + s2 * s2 / n2 - s * s / CAST(n_i AS DOUBLE) AS gain
+FROM cand
+ORDER BY gain DESC, t
+LIMIT 1
+"""
