@@ -9483,6 +9483,40 @@ def _mean_split_events_sql() -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# Round-5 batch 22: deterministic RANSAC robust line fit.
+# --------------------------------------------------------------------------
+
+
+def q_ransac_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic RANSAC (``functions.regression.ransac_line``):
+    robust price-per-unit line through (quantity, extendedprice) —
+    candidate lines from hash-sampled point pairs (distributed
+    TakeOrdered, never a global sort), ALL candidates scored in one
+    conditional-count pass, eps = 1000 currency units."""
+    from polars_grouper_spark.functions.regression import ransac_line
+
+    li = load_table(spark, "lineitem", sf_dir).withColumn(
+        "_rid",
+        F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber")),
+    )
+    return ransac_line(
+        li, "l_quantity", "l_extendedprice", "_rid",
+        n_candidates=16, eps=1000.0,
+    )
+
+
+def _ransac_lineitem_sql() -> str:
+    from polars_grouper_spark.functions.regression import ransac_line_sql
+
+    return ransac_line_sql(
+        "SELECT l_quantity AS x, l_extendedprice AS y, "
+        "concat_ws('|', l_orderkey, l_linenumber) AS id FROM lineitem",
+        n_candidates=16,
+        eps=1000.0,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -9713,6 +9747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ctfidf_langs": q_ctfidf_langs,
         # --- round-5 batch 21 ---
         "mean_split_events": q_mean_split_events,
+        # --- round-5 batch 22 ---
+        "ransac_lineitem": q_ransac_lineitem,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -10189,4 +10225,5 @@ def oracle_sql() -> dict[str, str]:
         "conformal_lineitem": _conformal_lineitem_sql(),
         "ctfidf_langs": _ctfidf_langs_sql(),
         "mean_split_events": _mean_split_events_sql(),
+        "ransac_lineitem": _ransac_lineitem_sql(),
     }

@@ -471,3 +471,160 @@ SELECT grp, n_i AS n,
             THEN (b1q * c1 + b2q * c2) / sst END AS r2
 FROM sol
 """
+
+
+def ransac_line(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    *,
+    n_candidates: int = 16,
+    eps: float = 1.0,
+    salt: str = "ransac",
+    portable: bool = True,
+) -> DataFrame:
+    """Deterministic RANSAC line fit -> ONE row ``(cand_id, slope,
+    intercept, n_inliers, n_total, inlier_frac)`` — the robust fit OLS
+    can't give you when a minority of points follows a different law:
+    propose candidate lines from point PAIRS, keep the one most points
+    agree with (within ``eps``).
+
+    Engineered for determinism and scale: the "random" sample is the
+    ``2·n_candidates`` rows with the SMALLEST salted hashes (a
+    distributed TakeOrdered, never a global sort), pair i matches rank
+    i with rank i+n; all candidates score in ONE pass over the data
+    (conditional count per candidate against a broadcast of n rows);
+    argmax ties break on candidate id.  Degenerate pairs (equal x)
+    drop; if every pair degenerates the result is empty."""
+    if n_candidates < 1:
+        raise ValueError(f"n_candidates must be >= 1, got {n_candidates}")
+    if eps <= 0:
+        raise ValueError(f"eps must be > 0, got {eps}")
+    from pyspark.sql import Window
+
+    from .hashing import portable_hash64
+
+    src = df.where(
+        F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+        & F.col(id_col).isNotNull()
+    ).select(
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+        F.col(id_col).cast("string").alias("id"),
+    )
+    h = portable_hash64(F.concat(F.lit(salt + "|"), F.col("id")),
+                        portable=portable)
+    sample = (
+        src.select("x", "y", "id", h.alias("_h"))
+        .orderBy("_h", "id")
+        .limit(2 * n_candidates)
+    )
+    w = Window.orderBy("_h", "id")
+    ranked = sample.select(
+        "x", "y", F.row_number().over(w).alias("_rk")
+    )
+    lo = ranked.where(F.col("_rk") <= n_candidates).select(
+        F.col("_rk").alias("cand_id"),
+        F.col("x").alias("_x1"),
+        F.col("y").alias("_y1"),
+    )
+    hi = ranked.where(F.col("_rk") > n_candidates).select(
+        (F.col("_rk") - n_candidates).alias("cand_id"),
+        F.col("x").alias("_x2"),
+        F.col("y").alias("_y2"),
+    )
+    cands = (
+        lo.join(hi, "cand_id")
+        .where(F.col("_x1") != F.col("_x2"))
+        .select(
+            "cand_id",
+            ((F.col("_y2") - F.col("_y1")) / (F.col("_x2") - F.col("_x1")))
+            .alias("slope"),
+            (
+                F.col("_y1")
+                - (F.col("_y2") - F.col("_y1"))
+                / (F.col("_x2") - F.col("_x1"))
+                * F.col("_x1")
+            ).alias("intercept"),
+        )
+    )
+    scored = (
+        src.crossJoin(F.broadcast(cands))
+        .groupBy("cand_id", "slope", "intercept")
+        .agg(
+            F.sum(
+                (
+                    F.abs(
+                        F.col("y")
+                        - (F.col("intercept") + F.col("slope") * F.col("x"))
+                    )
+                    <= F.lit(float(eps))
+                ).cast("long")
+            ).alias("n_inliers"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("n_inliers").desc(), "cand_id")
+        .limit(1)
+        .select(
+            "cand_id",
+            "slope",
+            "intercept",
+            "n_inliers",
+            "n_total",
+            (F.col("n_inliers").cast("double") / F.col("n_total")).alias(
+                "inlier_frac"
+            ),
+        )
+    )
+
+
+def ransac_line_sql(
+    src_sql: str,
+    *,
+    n_candidates: int = 16,
+    eps: float = 1.0,
+    salt: str = "ransac",
+) -> str:
+    """DuckDB oracle for :func:`ransac_line` — ``src_sql`` yields
+    (x, y, id)."""
+    from .hashing import portable_hash64_sql
+
+    h = portable_hash64_sql(f"'{salt}' || '|' || CAST(id AS VARCHAR)")
+    return f"""
+WITH src AS (
+  SELECT CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y,
+         CAST(id AS VARCHAR) AS id
+  FROM ({src_sql})
+  WHERE x IS NOT NULL AND y IS NOT NULL AND id IS NOT NULL
+),
+sample AS (
+  SELECT x, y, {h} AS h, id FROM src
+  ORDER BY h, id LIMIT {2 * n_candidates}
+),
+ranked AS (
+  SELECT x, y, row_number() OVER (ORDER BY h, id) AS rk FROM sample
+),
+cands AS (
+  SELECT lo.rk AS cand_id,
+         (hi.y - lo.y) / (hi.x - lo.x) AS slope,
+         lo.y - (hi.y - lo.y) / (hi.x - lo.x) * lo.x AS intercept
+  FROM ranked lo
+  JOIN ranked hi ON hi.rk = lo.rk + {n_candidates}
+  WHERE lo.rk <= {n_candidates} AND lo.x <> hi.x
+),
+scored AS (
+  SELECT c.cand_id, c.slope, c.intercept,
+         sum(CASE WHEN abs(s.y - (c.intercept + c.slope * s.x))
+                  <= {float(eps)!r} THEN 1 ELSE 0 END) AS n_inliers,
+         count(*) AS n_total
+  FROM src s CROSS JOIN cands c
+  GROUP BY 1, 2, 3
+)
+SELECT cand_id, slope, intercept, n_inliers, n_total,
+       CAST(n_inliers AS DOUBLE) / n_total AS inlier_frac
+FROM scored ORDER BY n_inliers DESC, cand_id LIMIT 1
+"""
