@@ -9291,8 +9291,13 @@ def q_percolation_sp(spark: SparkSession, sf_dir: str) -> DataFrame:
         components,
     )
     from polars_grouper_spark.functions.hashing import portable_hash64
+    from polars_grouper_spark.plans.iteration import truncate_lineage
 
-    edges = _sp_edges(spark, sf_dir).distinct()
+    # ONE distinct pass over the fact table; every level filters the
+    # checkpointed pair list instead of re-scanning lineitem (was 3
+    # re-scans + re-dedups -- 24.5s at sf0.1; now each level pays only
+    # its own CC rounds).
+    edges = truncate_lineage(_sp_edges(spark, sf_dir).distinct())
     all_nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -9304,7 +9309,7 @@ def q_percolation_sp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = []
     for k in _PERC_LEVELS:
-        sampled = edges.where(F.pmod(h, F.lit(4)) < k)
+        sampled = truncate_lineage(edges.where(F.pmod(h, F.lit(4)) < k))
         n_edges = sampled.count()
         if n_edges == 0:
             rows.append((int(k), 0, 0.0))
