@@ -359,3 +359,117 @@ SELECT cls AS class, term, n, score FROM (
   FROM scored
 ) WHERE rk <= {top_k}
 """
+
+
+def count_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_cos: float = 0.5,
+    max_df: int = 200,
+    top_k: int = 50,
+) -> DataFrame:
+    """Pairwise document cosine over COUNT vectors -> top-``top_k``
+    ``(id_a, id_b, dot, cos)`` pairs with cos >= ``min_cos`` — the
+    Elsayed/Lin/Oard pairwise-similarity pattern: candidates come ONLY
+    from an inverted-index self-join on shared terms, with terms of
+    document frequency above ``max_df`` dropped from candidate
+    GENERATION (a stop-word's postings list is the quadratic blowup;
+    dropping it bounds the join at the cost of missing pairs similar
+    ONLY through ubiquitous terms — the standard trade, stated).
+
+    Exactness: dot products and squared norms are integer sums over
+    term counts, so cos = dot / (|a|·|b|) divides exact numbers and
+    the threshold/top-k cut (rounded cos desc, id pair) cannot drift
+    between engines.  Norms use ALL terms (only candidate generation
+    is df-capped), so reported cosines are true cosines."""
+    if not 0 < min_cos <= 1:
+        raise ValueError(f"min_cos must be in (0, 1], got {min_cos}")
+    from pyspark.sql import Window  # noqa: F401
+
+    from .text import tokens
+
+    toks = df.where(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(
+        F.col(id_col).cast("long").alias("doc"),
+        F.explode(F.transform(tokens(F.col(text_col)), F.lower)).alias(
+            "term"
+        ),
+    )
+    tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    norms = tf.groupBy("doc").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("_n2")
+    )
+    rare = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df")).where(
+        F.col("_df") <= max_df
+    )
+    post = tf.join(rare.select("term"), "term")
+    a = post.select("term", F.col("doc").alias("id_a"), F.col("tf").alias("_ta"))
+    b = post.select("term", F.col("doc").alias("id_b"), F.col("tf").alias("_tb"))
+    dots = (
+        a.join(b, "term")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("_ta") * F.col("_tb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc").alias("id_a"), F.col("_n2").alias("_na"))
+    nb = norms.select(F.col("doc").alias("id_b"), F.col("_n2").alias("_nb"))
+    cos = F.col("dot") / (
+        F.sqrt(F.col("_na").cast("double"))
+        * F.sqrt(F.col("_nb").cast("double"))
+    )
+    scored = (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", "dot", F.round(cos, 6).alias("cos"))
+        .where(F.col("cos") >= min_cos)
+    )
+    return (
+        scored.orderBy(F.col("cos").desc(), "id_a", "id_b")
+        .limit(top_k)
+    )
+
+
+def count_cosine_pairs_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_cos: float = 0.5,
+    max_df: int = 200,
+    top_k: int = 50,
+) -> str:
+    """DuckDB oracle for :func:`count_cosine_pairs`."""
+    return f"""
+WITH toks AS (
+  SELECT CAST({id_col} AS BIGINT) AS doc, lower(u.tok) AS term
+  FROM {table},
+       unnest(CASE WHEN trim({text_col}) = '' THEN []
+                   ELSE regexp_split_to_array(trim({text_col}), '\\s+')
+              END) AS u(tok)
+  WHERE {id_col} IS NOT NULL AND {text_col} IS NOT NULL
+),
+tf AS (SELECT doc, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+norms AS (SELECT doc, sum(tf * tf) AS n2 FROM tf GROUP BY doc),
+rare AS (SELECT term FROM tf GROUP BY term HAVING count(*) <= {max_df}),
+post AS (SELECT tf.* FROM tf JOIN rare USING (term)),
+dots AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, sum(a.tf * b.tf) AS dot
+  FROM post a JOIN post b ON a.term = b.term AND a.doc < b.doc
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT id_a, id_b, dot,
+         round(dot / (sqrt(CAST(na.n2 AS DOUBLE))
+                      * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cos
+  FROM dots
+  JOIN norms na ON na.doc = id_a
+  JOIN norms nb ON nb.doc = id_b
+)
+SELECT id_a, id_b, dot, cos FROM scored
+WHERE cos >= {float(min_cos)!r}
+ORDER BY cos DESC, id_a, id_b
+LIMIT {top_k}
+"""
