@@ -9593,6 +9593,52 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# Round-5 batch 24: adjusted Rand index, WAPE seasonal backtest.
+# --------------------------------------------------------------------------
+
+
+def q_ari_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering agreement (``functions.evaluation.adjusted_rand``):
+    do language and source partition the corpus the same way?  Pure
+    pair counting off the contingency table — integer-exact doubled
+    pair counts, two final divisions; no row pair ever materializes."""
+    from polars_grouper_spark.functions.evaluation import adjusted_rand
+
+    docs = load_table(spark, "documents", sf_dir)
+    return adjusted_rand(docs, "lang", "source")
+
+
+def _ari_docs_sql() -> str:
+    from polars_grouper_spark.functions.evaluation import adjusted_rand_sql
+
+    return adjusted_rand_sql("SELECT lang AS a, source AS b FROM documents")
+
+
+def q_wape_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest (``functions.timeseries.
+    wape_backtest``): score x(t) = x(t-7) on daily event counts with
+    WAPE — a ratio of exact integer sums (no per-row float ratios, no
+    zero-day blowups); the baseline every forecaster must beat."""
+    from polars_grouper_spark.functions.timeseries import wape_backtest
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 86400).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return wape_backtest(daily, "day", "n_events", lag=7)
+
+
+def _wape_events_sql() -> str:
+    from polars_grouper_spark.functions.timeseries import wape_backtest_sql
+
+    return wape_backtest_sql(
+        "SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS t, "
+        "count(*) AS x FROM events GROUP BY 1",
+        lag=7,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -9828,6 +9874,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 batch 23 ---
         "cosine_pairs_docs": q_cosine_pairs_docs,
         "schema_evolution": q_schema_evolution,
+        # --- round-5 batch 24 ---
+        "ari_docs": q_ari_docs,
+        "wape_events": q_wape_events,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -10307,4 +10356,6 @@ def oracle_sql() -> dict[str, str]:
         "ransac_lineitem": _ransac_lineitem_sql(),
         "cosine_pairs_docs": _cosine_pairs_docs_sql(),
         "schema_evolution": _SCHEMA_EVOLUTION_SQL,
+        "ari_docs": _ari_docs_sql(),
+        "wape_events": _wape_events_sql(),
     }

@@ -965,3 +965,98 @@ SELECT bucket, n, n_pos,
          / CAST(n * GREATEST(SUM(n_pos) OVER (), 1) AS DOUBLE) AS lift
 FROM per
 """
+
+
+def adjusted_rand(
+    df: DataFrame, label_a: str, label_b: str
+) -> DataFrame:
+    """Clustering agreement -> ONE row ``(n, rand_index, ari)``: do two
+    partitions of the same rows (model clusters vs ground truth, two
+    independent labelers, language vs source) carve the data the same
+    way?  Rand index = pair-level agreement rate; ARI corrects it for
+    chance (0 ~ random, 1 = identical partitions).
+
+    Pure pair counting via the contingency table: every term is a sum
+    of integer C(x,2) values over the (tiny) contingency/marginal
+    tables — one (a,b) aggregation plus two marginal reductions, no
+    row pairs ever materialize.  The two final divisions run on exact
+    integers cast to double, so the oracle matches bit for bit."""
+    a = F.col(label_a).cast("string")
+    b = F.col(label_b).cast("string")
+    src = df.where(a.isNotNull() & b.isNotNull()).select(
+        a.alias("a"), b.alias("b")
+    )
+    ct = src.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ij"))
+    # T(x) = x(x-1) = 2*C(x,2): keeping the doubled form avoids any
+    # division before the final double arithmetic; products run in
+    # decimal so cell counts beyond 2^31 can't overflow.
+    t2 = lambda c: (  # noqa: E731
+        c.cast("decimal(19,0)") * (c.cast("decimal(19,0)") - F.lit(1))
+    ).cast("decimal(38,0)")
+    cell = ct.agg(F.sum(t2(F.col("n_ij"))).alias("t_ij"))
+    rows = (
+        ct.groupBy("a").agg(F.sum("n_ij").alias("n_i"))
+        .agg(F.sum(t2(F.col("n_i"))).alias("t_a"))
+    )
+    cols = (
+        ct.groupBy("b").agg(F.sum("n_ij").alias("n_j"))
+        .agg(F.sum(t2(F.col("n_j"))).alias("t_b"))
+    )
+    tot = src.agg(F.count(F.lit(1)).alias("n_i"))
+    j = (
+        cell.crossJoin(F.broadcast(rows))
+        .crossJoin(F.broadcast(cols))
+        .crossJoin(F.broadcast(tot))
+    )
+    n = F.col("n_i").cast("double")
+    tn = n * (n - F.lit(1.0))
+    tij = F.col("t_ij").cast("double")
+    ta = F.col("t_a").cast("double")
+    tb = F.col("t_b").cast("double")
+    rand = (tn + F.lit(2.0) * tij - ta - tb) / tn
+    expected = ta * tb / tn
+    ari = (tij - expected) / ((ta + tb) / F.lit(2.0) - expected)
+    ok = F.col("n_i") >= 2
+    return j.select(
+        F.col("n_i").alias("n"),
+        F.when(ok, rand).alias("rand_index"),
+        F.when(ok, ari).alias("ari"),
+    )
+
+
+def adjusted_rand_sql(src_sql: str) -> str:
+    """DuckDB oracle for :func:`adjusted_rand` — ``src_sql`` yields
+    (a, b)."""
+    return f"""
+WITH src AS (
+  SELECT CAST(a AS VARCHAR) AS a, CAST(b AS VARCHAR) AS b FROM ({src_sql})
+  WHERE a IS NOT NULL AND b IS NOT NULL
+),
+ct AS (SELECT a, b, count(*) AS n_ij FROM src GROUP BY 1, 2),
+cell AS (SELECT sum(CAST(CAST(n_ij AS DECIMAL(19,0))
+                 * (CAST(n_ij AS DECIMAL(19,0)) - 1) AS DECIMAL(38,0)))
+           AS t_ij FROM ct),
+ra AS (SELECT sum(CAST(CAST(n_i AS DECIMAL(19,0))
+               * (CAST(n_i AS DECIMAL(19,0)) - 1) AS DECIMAL(38,0))) AS t_a
+       FROM (SELECT sum(n_ij) AS n_i FROM ct GROUP BY a)),
+cb AS (SELECT sum(CAST(CAST(n_j AS DECIMAL(19,0))
+               * (CAST(n_j AS DECIMAL(19,0)) - 1) AS DECIMAL(38,0))) AS t_b
+       FROM (SELECT sum(n_ij) AS n_j FROM ct GROUP BY b)),
+tot AS (SELECT count(*) AS n_i FROM src)
+SELECT n_i AS n,
+       CASE WHEN n_i >= 2 THEN
+         (CAST(n_i AS DOUBLE) * (CAST(n_i AS DOUBLE) - 1.0)
+          + 2.0 * CAST(t_ij AS DOUBLE)
+          - CAST(t_a AS DOUBLE) - CAST(t_b AS DOUBLE))
+         / (CAST(n_i AS DOUBLE) * (CAST(n_i AS DOUBLE) - 1.0))
+       END AS rand_index,
+       CASE WHEN n_i >= 2 THEN
+         (CAST(t_ij AS DOUBLE)
+          - CAST(t_a AS DOUBLE) * CAST(t_b AS DOUBLE)
+            / (CAST(n_i AS DOUBLE) * (CAST(n_i AS DOUBLE) - 1.0)))
+         / ((CAST(t_a AS DOUBLE) + CAST(t_b AS DOUBLE)) / 2.0
+            - CAST(t_a AS DOUBLE) * CAST(t_b AS DOUBLE)
+              / (CAST(n_i AS DOUBLE) * (CAST(n_i AS DOUBLE) - 1.0)))
+       END AS ari
+FROM cell CROSS JOIN ra CROSS JOIN cb CROSS JOIN tot
+"""

@@ -534,3 +534,65 @@ SELECT lag, m AS n_pairs,
 FROM per CROSS JOIN base
 ORDER BY lag
 """
+
+
+def wape_backtest(
+    df: DataFrame, t_col: str, x_col: str, *, lag: int = 7
+) -> DataFrame:
+    """Seasonal-naive forecast backtest -> ONE row ``(n_days,
+    sum_abs_err, sum_actual, wape)``: forecast each tick with the value
+    ``lag`` ticks earlier and score WAPE = Σ|x−f| / Σx — the
+    denominator-summed form of MAPE that (a) never divides by a
+    zero-volume tick and (b) is a ratio of EXACT integer sums, so no
+    per-row float ratios accumulate in engine-chosen order.  The
+    baseline every real forecaster must beat; one equality self-join,
+    sparse ticks just drop pairs."""
+    if lag < 1:
+        raise ValueError(f"lag must be >= 1, got {lag}")
+    src = df.select(
+        F.col(t_col).cast("long").alias("t"),
+        F.col(x_col).cast("long").alias("x"),
+    ).where(F.col("t").isNotNull() & F.col("x").isNotNull())
+    fc = src.select((F.col("t") + lag).alias("t"), F.col("x").alias("f"))
+    j = src.join(fc, "t")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(dec(F.abs(F.col("x") - F.col("f")))).alias("sae_d"),
+        F.sum(dec(F.col("x"))).alias("sa_d"),
+    )
+    return agg.select(
+        "n_days",
+        F.col("sae_d").cast("long").alias("sum_abs_err"),
+        F.col("sa_d").cast("long").alias("sum_actual"),
+        F.when(
+            F.col("sa_d") > 0,
+            F.col("sae_d").cast("double") / F.col("sa_d").cast("double"),
+        ).alias("wape"),
+    )
+
+
+def wape_backtest_sql(series_sql: str, *, lag: int = 7) -> str:
+    """DuckDB oracle for :func:`wape_backtest` — ``series_sql`` yields
+    (t, x)."""
+    return f"""
+WITH src AS (
+  SELECT CAST(t AS BIGINT) AS t, CAST(x AS BIGINT) AS x FROM ({series_sql})
+  WHERE t IS NOT NULL AND x IS NOT NULL
+),
+j AS (
+  SELECT a.x AS x, b.x AS f
+  FROM src a JOIN src b ON a.t = b.t + {lag}
+),
+agg AS (
+  SELECT count(*) AS n_days,
+         sum(CAST(abs(x - f) AS DECIMAL(38,0))) AS sae_d,
+         sum(CAST(x AS DECIMAL(38,0))) AS sa_d
+  FROM j
+)
+SELECT n_days, CAST(sae_d AS BIGINT) AS sum_abs_err,
+       CAST(sa_d AS BIGINT) AS sum_actual,
+       CASE WHEN sa_d > 0
+            THEN CAST(sae_d AS DOUBLE) / CAST(sa_d AS DOUBLE) END AS wape
+FROM agg
+"""
