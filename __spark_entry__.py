@@ -9639,6 +9639,58 @@ def _wape_events_sql() -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# Round-5 batch 25: McNemar paired test, median-of-means.
+# --------------------------------------------------------------------------
+
+
+def q_mcnemar_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired comparison (``functions.experiment.
+    mcnemar_test``): two rule-based "models" predicting fulfilled
+    status on the SAME orders — only discordant pairs matter; the
+    accuracy-delta question a two-proportion test gets wrong."""
+    from polars_grouper_spark.functions.experiment import mcnemar_test
+
+    o = load_table(spark, "orders", sf_dir).select(
+        (F.col("o_totalprice") > 150000).alias("pa"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("pb"),
+        (F.col("o_orderstatus") == "F").alias("y"),
+    )
+    return mcnemar_test(o, "pa", "pb", "y")
+
+
+def _mcnemar_orders_sql() -> str:
+    from polars_grouper_spark.functions.experiment import mcnemar_test_sql
+
+    return mcnemar_test_sql(
+        "SELECT o_totalprice > 150000 AS a, "
+        "o_orderpriority IN ('1-URGENT', '2-HIGH') AS b, "
+        "o_orderstatus = 'F' AS y FROM orders"
+    )
+
+
+def q_mom_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-of-means robust mean (``functions.experiment.
+    median_of_means``) of order totals: 32 hash buckets, exact
+    quantized bucket means, lower-middle order statistic — the
+    heavy-tail-proof location estimate."""
+    from polars_grouper_spark.functions.experiment import median_of_means
+
+    o = load_table(spark, "orders", sf_dir)
+    return median_of_means(o, "o_totalprice", "o_orderkey", n_buckets=32)
+
+
+def _mom_orders_sql() -> str:
+    from polars_grouper_spark.functions.experiment import (
+        median_of_means_sql,
+    )
+
+    return median_of_means_sql(
+        "SELECT o_orderkey AS id, o_totalprice AS v FROM orders",
+        n_buckets=32,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -9877,6 +9929,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 batch 24 ---
         "ari_docs": q_ari_docs,
         "wape_events": q_wape_events,
+        # --- round-5 batch 25 ---
+        "mcnemar_orders": q_mcnemar_orders,
+        "mom_orders": q_mom_orders,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -10358,4 +10413,6 @@ def oracle_sql() -> dict[str, str]:
         "schema_evolution": _SCHEMA_EVOLUTION_SQL,
         "ari_docs": _ari_docs_sql(),
         "wape_events": _wape_events_sql(),
+        "mcnemar_orders": _mcnemar_orders_sql(),
+        "mom_orders": _mom_orders_sql(),
     }

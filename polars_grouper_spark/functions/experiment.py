@@ -713,3 +713,156 @@ SELECT n_i AS n,
                        / var_y, 6) END AS var_reduction_pct
 FROM m
 """
+
+
+def mcnemar_test(
+    df: DataFrame,
+    pred_a: str,
+    pred_b: str,
+    label_col: str,
+) -> DataFrame:
+    """McNemar's paired test -> ONE row ``(n, n01, n10, chi2)`` — is
+    model A actually better than model B ON THE SAME ROWS?  Only the
+    discordant pairs matter: n01 counts rows where A is wrong and B is
+    right, n10 the reverse; chi2 = (|n01 − n10| − 1)² / (n01 + n10)
+    (continuity-corrected).  The accuracy-delta-on-shared-eval-set
+    question a two-proportion test answers WRONG (it ignores pairing).
+
+    One conditional-count aggregation over the eval scan; chi2 divides
+    exact integers, NULL when no discordant pairs exist."""
+    a = F.col(pred_a).cast("boolean")
+    b = F.col(pred_b).cast("boolean")
+    y = F.col(label_col).cast("boolean")
+    src = df.where(a.isNotNull() & b.isNotNull() & y.isNotNull())
+    agg = src.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(((a != y) & (b == y)).cast("long")).alias("n01"),
+        F.sum(((a == y) & (b != y)).cast("long")).alias("n10"),
+    )
+    d = (
+        F.abs(F.col("n01") - F.col("n10")).cast("double") - F.lit(1.0)
+    )
+    chi2 = d * d / (F.col("n01") + F.col("n10")).cast("double")
+    return agg.select(
+        "n",
+        "n01",
+        "n10",
+        F.when(F.col("n01") + F.col("n10") > 0, chi2).alias("chi2"),
+    )
+
+
+def mcnemar_test_sql(src_sql: str) -> str:
+    """DuckDB oracle for :func:`mcnemar_test` — ``src_sql`` yields
+    (a, b, y) booleans."""
+    return f"""
+WITH src AS (
+  SELECT CAST(a AS BOOLEAN) AS a, CAST(b AS BOOLEAN) AS b,
+         CAST(y AS BOOLEAN) AS y
+  FROM ({src_sql}) WHERE a IS NOT NULL AND b IS NOT NULL AND y IS NOT NULL
+),
+agg AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN a <> y AND b = y THEN 1 ELSE 0 END) AS n01,
+         sum(CASE WHEN a = y AND b <> y THEN 1 ELSE 0 END) AS n10
+  FROM src
+)
+SELECT n, n01, n10,
+       CASE WHEN n01 + n10 > 0 THEN
+         (CAST(abs(n01 - n10) AS DOUBLE) - 1.0)
+         * (CAST(abs(n01 - n10) AS DOUBLE) - 1.0)
+         / CAST(n01 + n10 AS DOUBLE) END AS chi2
+FROM agg
+"""
+
+
+def median_of_means(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    *,
+    n_buckets: int = 32,
+    quant: int = 100,
+    salt: str = "mom",
+    portable: bool = True,
+) -> DataFrame:
+    """Median-of-means robust mean -> ONE row ``(n, n_buckets, mom)``:
+    hash rows into ``n_buckets`` groups, average each, take the median
+    of the bucket means — the estimator with exponential concentration
+    under heavy tails, where the plain mean is hostage to one extreme
+    row.
+
+    Deterministic: bucket assignment is the salted portable hash (a row
+    keeps its bucket across runs/engines/partitionings), bucket means
+    divide exact quantized sums, and the median is the lower-middle
+    order statistic of ``n_buckets`` doubles (index selection, no
+    averaging of two middles — keeps it an actual bucket mean)."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if quant < 1:
+        raise ValueError(f"quant must be >= 1, got {quant}")
+    h = portable_hash64(
+        F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")),
+        portable=portable,
+    )
+    src = df.where(
+        F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        F.pmod(h, F.lit(n_buckets)).alias("_bkt"),
+        F.round(F.col(value_col).cast("double") * quant)
+        .cast("decimal(38,0)")
+        .alias("_x"),
+    )
+    per = src.groupBy("_bkt").agg(
+        F.count(F.lit(1)).alias("_n"),
+        (
+            F.sum("_x").cast("double")
+            / F.count(F.lit(1))
+            / F.lit(float(quant))
+        ).alias("_mean"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("_mean", "_bkt")
+    ranked = per.select(
+        "_n", "_mean", F.row_number().over(w).alias("_rk")
+    )
+    tot = ranked.agg(
+        F.sum("_n").alias("n"), F.count(F.lit(1)).alias("n_buckets")
+    )
+    med = ranked.crossJoin(F.broadcast(tot)).where(
+        F.col("_rk") == F.floor((F.col("n_buckets") + 1) / 2)
+    )
+    return med.select("n", "n_buckets", F.col("_mean").alias("mom"))
+
+
+def median_of_means_sql(
+    src_sql: str,
+    *,
+    n_buckets: int = 32,
+    quant: int = 100,
+    salt: str = "mom",
+) -> str:
+    """DuckDB oracle for :func:`median_of_means` — ``src_sql`` yields
+    (id, v)."""
+    h = portable_hash64_sql(f"'{salt}' || '|' || CAST(id AS VARCHAR)")
+    return f"""
+WITH src AS (
+  SELECT {h} % {n_buckets} AS bkt,
+         CAST(ROUND(CAST(v AS DOUBLE) * {quant}) AS DECIMAL(38,0)) AS x
+  FROM ({src_sql}) WHERE v IS NOT NULL AND id IS NOT NULL
+),
+per AS (
+  SELECT bkt, count(*) AS n_b,
+         CAST(sum(x) AS DOUBLE) / count(*) / {float(quant)!r} AS mean_b
+  FROM src GROUP BY bkt
+),
+ranked AS (
+  SELECT n_b, mean_b,
+         row_number() OVER (ORDER BY mean_b, bkt) AS rk
+  FROM per
+),
+tot AS (SELECT sum(n_b) AS n, count(*) AS n_buckets FROM ranked)
+SELECT n, n_buckets, mean_b AS mom
+FROM ranked CROSS JOIN tot
+WHERE rk = (n_buckets + 1) // 2
+"""
