@@ -9691,6 +9691,121 @@ def _mom_orders_sql() -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# Round-5 batch 26: cohort LTV, regression reliability diagram.
+# --------------------------------------------------------------------------
+
+
+def q_cohort_ltv_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve (``operators.funnel.cohort_ltv``):
+    customers bucketed by first-order 28-day period, exact decimal
+    revenue per cohort x age, running cumulative LTV per customer —
+    the payback curve behind acquisition-spend decisions."""
+    from polars_grouper_spark.operators.funnel import cohort_ltv
+
+    o = load_table(spark, "orders", sf_dir)
+    return cohort_ltv(
+        o, "o_custkey", "o_orderdate", "o_totalprice",
+        period_days=28, max_offset=12,
+    )
+
+
+def _cohort_ltv_orders_sql() -> str:
+    from polars_grouper_spark.operators.funnel import cohort_ltv_sql
+
+    return cohort_ltv_sql(
+        "SELECT o_custkey AS key, o_orderdate AS ts, o_totalprice AS amount "
+        "FROM orders",
+        period_days=28,
+        max_offset=12,
+    )
+
+
+_RELIAB_BINS = 10
+
+
+def q_reg_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression reliability diagram: the closed-form OLS fit's
+    predictions, quantized per row (exact integer sums — no
+    engine-ordered float accumulation), binned into equal-width
+    prediction deciles with mean predicted vs mean actual per bin —
+    the calibration readout for a regressor (classifier calibration is
+    already in the suite)."""
+    from polars_grouper_spark.functions.regression import ols2
+
+    li = load_table(spark, "lineitem", sf_dir)
+    coef = ols2(
+        li, "l_quantity", "l_discount", "l_extendedprice", q1=1, q2=100,
+        qy=100,
+    ).select("b0", "b1", "b2")
+    pred = li.crossJoin(F.broadcast(coef)).select(
+        F.round(
+            (
+                F.col("b0")
+                + F.col("b1") * F.col("l_quantity")
+                + F.col("b2") * F.col("l_discount")
+            )
+            * 100
+        )
+        .cast("decimal(38,0)")
+        .alias("_pq"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("decimal(38,0)")
+        .alias("_yq"),
+    )
+    mm = pred.agg(F.min("_pq").alias("_lo"), F.max("_pq").alias("_hi"))
+    d = pred.crossJoin(F.broadcast(mm))
+    span = (F.col("_hi") - F.col("_lo")).cast("double")
+    width = F.when(span > 0, span / F.lit(_RELIAB_BINS)).otherwise(
+        F.lit(1.0)
+    )
+    b = F.least(
+        F.floor((F.col("_pq") - F.col("_lo")).cast("double") / width),
+        F.lit(_RELIAB_BINS - 1),
+    ).cast("int")
+    return (
+        d.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("_pq").cast("double") / F.count(F.lit(1)) / 100).alias(
+                "mean_pred"
+            ),
+            (F.sum("_yq").cast("double") / F.count(F.lit(1)) / 100).alias(
+                "mean_actual"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+def _reg_reliability_sql() -> str:
+    from polars_grouper_spark.functions.regression import ols2_sql
+
+    coef = ols2_sql(
+        "SELECT l_quantity AS x1, l_discount AS x2, l_extendedprice AS y "
+        "FROM lineitem",
+        q1=1, q2=100, qy=100,
+    )
+    return f"""
+WITH pred AS (
+  SELECT CAST(ROUND((c.b0 + c.b1 * l_quantity + c.b2 * l_discount) * 100)
+              AS DECIMAL(38,0)) AS pq,
+         CAST(ROUND(l_extendedprice * 100) AS DECIMAL(38,0)) AS yq
+  FROM lineitem CROSS JOIN ({coef}) c
+),
+mm AS (SELECT min(pq) AS lo, max(pq) AS hi FROM pred)
+SELECT CAST(least(floor(CAST(pq - lo AS DOUBLE)
+         / (CASE WHEN CAST(hi - lo AS DOUBLE) > 0
+                 THEN CAST(hi - lo AS DOUBLE) / {_RELIAB_BINS}
+                 ELSE 1.0 END)), {_RELIAB_BINS} - 1) AS INT) AS bin,
+       count(*) AS n,
+       CAST(sum(pq) AS DOUBLE) / count(*) / 100 AS mean_pred,
+       CAST(sum(yq) AS DOUBLE) / count(*) / 100 AS mean_actual
+FROM pred CROSS JOIN mm
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -9932,6 +10047,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 batch 25 ---
         "mcnemar_orders": q_mcnemar_orders,
         "mom_orders": q_mom_orders,
+        # --- round-5 batch 26 ---
+        "cohort_ltv_orders": q_cohort_ltv_orders,
+        "reg_reliability": q_reg_reliability,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -10415,4 +10533,6 @@ def oracle_sql() -> dict[str, str]:
         "wape_events": _wape_events_sql(),
         "mcnemar_orders": _mcnemar_orders_sql(),
         "mom_orders": _mom_orders_sql(),
+        "cohort_ltv_orders": _cohort_ltv_orders_sql(),
+        "reg_reliability": _reg_reliability_sql(),
     }

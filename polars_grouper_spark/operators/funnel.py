@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -219,4 +219,94 @@ SELECT cohort, p - cohort AS offset, count(*)::BIGINT AS n_users
 FROM active JOIN first USING (u)
 {cap}
 GROUP BY 1, 2
+"""
+
+
+def cohort_ltv(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    amount_col: str,
+    *,
+    period_days: int = 28,
+    max_offset: int = 12,
+) -> DataFrame:
+    """Cohort lifetime-value curve -> ``(cohort, age, n_cohort, revenue,
+    cum_ltv)``: customers bucketed by first-purchase period (fixed-width
+    epoch buckets — engine-portable arithmetic, no calendar functions),
+    per-(cohort, age) revenue in exact decimals, and the running
+    cumulative LTV per customer of the cohort — the payback-curve
+    readout behind every acquisition-spend decision.
+
+    Two map-side-combinable aggregations (first period per key,
+    revenue per cohort x age) + one key join; the cumulative window
+    runs over <= max_offset rows per cohort.  cum_ltv divides an exact
+    decimal running sum by the exact cohort size."""
+    if period_days < 1:
+        raise ValueError(f"period_days must be >= 1, got {period_days}")
+    if max_offset < 0:
+        raise ValueError(f"max_offset must be >= 0, got {max_offset}")
+    secs = period_days * 86400
+    src = df.where(
+        F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(amount_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("key"),
+        F.floor(F.unix_timestamp(F.col(ts_col)) / secs).alias("p"),
+        F.col(amount_col).cast("decimal(18,4)").alias("amt"),
+    )
+    first = src.groupBy("key").agg(F.min("p").alias("cohort"))
+    sizes = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    j = src.join(first, "key").withColumn(
+        "age", (F.col("p") - F.col("cohort")).cast("int")
+    ).where(F.col("age") <= max_offset)
+    rev = j.groupBy("cohort", "age").agg(F.sum("amt").alias("_rev"))
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = rev.join(sizes, "cohort").select(
+        "cohort",
+        "age",
+        "n_cohort",
+        F.col("_rev").cast("double").alias("revenue"),
+        (
+            F.sum("_rev").over(w).cast("double")
+            / F.col("n_cohort").cast("double")
+        ).alias("cum_ltv"),
+    )
+    return out
+
+
+def cohort_ltv_sql(
+    src_sql: str, *, period_days: int = 28, max_offset: int = 12
+) -> str:
+    """DuckDB oracle for :func:`cohort_ltv` — ``src_sql`` yields
+    (key, ts, amount)."""
+    secs = period_days * 86400
+    return f"""
+WITH src AS (
+  SELECT key, CAST(floor(epoch(ts) / {secs}) AS BIGINT) AS p,
+         CAST(amount AS DECIMAL(18,4)) AS amt
+  FROM ({src_sql})
+  WHERE key IS NOT NULL AND ts IS NOT NULL AND amount IS NOT NULL
+),
+first AS (SELECT key, min(p) AS cohort FROM src GROUP BY key),
+sizes AS (SELECT cohort, count(*) AS n_cohort FROM first GROUP BY cohort),
+j AS (
+  SELECT s.cohort AS cohort, CAST(src.p - s.cohort AS INT) AS age, src.amt
+  FROM src JOIN first s USING (key)
+  WHERE src.p - s.cohort <= {max_offset}
+),
+rev AS (SELECT cohort, age, sum(amt) AS rev FROM j GROUP BY 1, 2)
+SELECT rev.cohort, rev.age, sizes.n_cohort,
+       CAST(rev.rev AS DOUBLE) AS revenue,
+       CAST(sum(rev.rev) OVER (PARTITION BY rev.cohort ORDER BY rev.age
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       / CAST(sizes.n_cohort AS DOUBLE) AS cum_ltv
+FROM rev JOIN sizes USING (cohort)
 """
