@@ -9806,6 +9806,72 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Round-5 batch 27: difference-in-differences, trimmed mean.
+# --------------------------------------------------------------------------
+
+_DID_SPLIT = "1999-01-01"
+
+
+def q_did_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences (``functions.experiment.diff_in_diff``):
+    hash-assigned user halves as treatment/control, pre/post the 1999
+    boundary — the four cell means come from ONE conditional-sum pass
+    of exact quantized sums; DiD nets out the secular trend the naive
+    post-mean comparison conflates."""
+    from polars_grouper_spark.functions.experiment import (
+        assign_variant,
+        diff_in_diff,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        assign_variant("user_id", "did", n_variants=2).alias("g"),
+        (F.col("ts") >= F.lit(_DID_SPLIT).cast("timestamp_ntz"))
+        .cast("int")
+        .alias("p"),
+        F.col("value").alias("v"),
+    )
+    return diff_in_diff(ev, "g", "p", "v", quant=100)
+
+
+def _did_events_sql() -> str:
+    from polars_grouper_spark.functions.experiment import diff_in_diff_sql
+
+    h = portable_hash64_sql("'did' || '|' || CAST(user_id AS VARCHAR)")
+    return diff_in_diff_sql(
+        f"""SELECT CAST({h} % 2 AS INT) AS g,
+       CASE WHEN ts >= TIMESTAMP '{_DID_SPLIT}' THEN 1 ELSE 0 END AS p,
+       value AS v FROM events""",
+        quant=100,
+    )
+
+
+def q_trimmed_mean_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed mean of order totals (``functions.outliers.
+    trimmed_mean``): deterministic histogram-quantile cut points (both
+    engines trim the identical row set), exact quantized kept-set sums
+    — the robust location estimate that still uses 90% of the data."""
+    from polars_grouper_spark.functions.outliers import trimmed_mean
+
+    o = load_table(spark, "orders", sf_dir)
+    return trimmed_mean(
+        o, "o_totalprice", trim=0.05, lo=0.0, hi=600_000.0, bins=2048
+    )
+
+
+def _trimmed_mean_orders_sql() -> str:
+    from polars_grouper_spark.functions.outliers import trimmed_mean_sql
+
+    return trimmed_mean_sql(
+        "SELECT o_totalprice FROM orders",
+        "o_totalprice",
+        trim=0.05,
+        lo=0.0,
+        hi=600_000.0,
+        bins=2048,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -10050,6 +10116,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 batch 26 ---
         "cohort_ltv_orders": q_cohort_ltv_orders,
         "reg_reliability": q_reg_reliability,
+        # --- round-5 batch 27 ---
+        "did_events": q_did_events,
+        "trimmed_mean_orders": q_trimmed_mean_orders,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -10535,4 +10604,6 @@ def oracle_sql() -> dict[str, str]:
         "mom_orders": _mom_orders_sql(),
         "cohort_ltv_orders": _cohort_ltv_orders_sql(),
         "reg_reliability": _reg_reliability_sql(),
+        "did_events": _did_events_sql(),
+        "trimmed_mean_orders": _trimmed_mean_orders_sql(),
     }

@@ -866,3 +866,105 @@ SELECT n, n_buckets, mean_b AS mom
 FROM ranked CROSS JOIN tot
 WHERE rk = (n_buckets + 1) // 2
 """
+
+
+def diff_in_diff(
+    df: DataFrame,
+    group_col: str,
+    period_col: str,
+    value_col: str,
+    *,
+    quant: int = 100,
+) -> DataFrame:
+    """Difference-in-differences -> ONE row ``(n, mean_t_pre,
+    mean_t_post, mean_c_pre, mean_c_post, did)`` — the causal-effect
+    workhorse when randomization isn't available: the treatment
+    group's pre-to-post change minus the control group's (which
+    absorbs the secular trend).
+
+    ``group_col`` must be 0/1 (control/treatment), ``period_col`` 0/1
+    (pre/post).  One conditional-sum aggregation over the scan; the
+    four cell means are ratios of exact quantized sums, and DiD is
+    four such doubles combined identically in both engines."""
+    if quant < 1:
+        raise ValueError(f"quant must be >= 1, got {quant}")
+    g = F.col(group_col).cast("int")
+    p = F.col(period_col).cast("int")
+    x = F.round(F.col(value_col).cast("double") * quant).cast(
+        "decimal(38,0)"
+    )
+    src = df.where(
+        g.isin(0, 1) & p.isin(0, 1) & F.col(value_col).isNotNull()
+    ).select(g.alias("g"), p.alias("p"), x.alias("x"))
+
+    def cell(gv: int, pv: int, tag: str):
+        m = (F.col("g") == gv) & (F.col("p") == pv)
+        return [
+            F.sum(F.when(m, F.col("x")).otherwise(F.lit(0).cast(
+                "decimal(38,0)"))).alias(f"_s{tag}"),
+            F.sum(m.cast("long")).alias(f"_n{tag}"),
+        ]
+
+    agg = src.agg(
+        F.count(F.lit(1)).alias("n"),
+        *cell(1, 0, "t0"), *cell(1, 1, "t1"),
+        *cell(0, 0, "c0"), *cell(0, 1, "c1"),
+    )
+    q = F.lit(float(quant))
+
+    def mean(tag: str):
+        return (
+            F.col(f"_s{tag}").cast("double") / F.col(f"_n{tag}") / q
+        )
+
+    ok = (
+        (F.col("_nt0") > 0) & (F.col("_nt1") > 0)
+        & (F.col("_nc0") > 0) & (F.col("_nc1") > 0)
+    )
+    did = (mean("t1") - mean("t0")) - (mean("c1") - mean("c0"))
+    return agg.select(
+        "n",
+        F.when(ok, mean("t0")).alias("mean_t_pre"),
+        F.when(ok, mean("t1")).alias("mean_t_post"),
+        F.when(ok, mean("c0")).alias("mean_c_pre"),
+        F.when(ok, mean("c1")).alias("mean_c_post"),
+        F.when(ok, did).alias("did"),
+    )
+
+
+def diff_in_diff_sql(src_sql: str, *, quant: int = 100) -> str:
+    """DuckDB oracle for :func:`diff_in_diff` — ``src_sql`` yields
+    (g, p, v) with g/p in {0,1}."""
+    q = float(quant)
+    cells = {
+        "t0": ("1", "0"), "t1": ("1", "1"),
+        "c0": ("0", "0"), "c1": ("0", "1"),
+    }
+    sums = ", ".join(
+        f"sum(CASE WHEN g = {gv} AND p = {pv} THEN x "
+        f"ELSE CAST(0 AS DECIMAL(38,0)) END) AS s{tag}, "
+        f"sum(CASE WHEN g = {gv} AND p = {pv} THEN 1 ELSE 0 END) AS n{tag}"
+        for tag, (gv, pv) in cells.items()
+    )
+    m = {
+        tag: f"(CAST(s{tag} AS DOUBLE) / n{tag} / {q!r})" for tag in cells
+    }
+    ok = " AND ".join(f"n{tag} > 0" for tag in cells)
+    return f"""
+WITH src AS (
+  SELECT CAST(g AS INT) AS g, CAST(p AS INT) AS p,
+         CAST(ROUND(CAST(v AS DOUBLE) * {quant}) AS DECIMAL(38,0)) AS x
+  FROM ({src_sql})
+  WHERE CAST(g AS INT) IN (0, 1) AND CAST(p AS INT) IN (0, 1)
+    AND v IS NOT NULL
+),
+agg AS (SELECT count(*) AS n, {sums} FROM src)
+SELECT n,
+       CASE WHEN {ok} THEN {m['t0']} END AS mean_t_pre,
+       CASE WHEN {ok} THEN {m['t1']} END AS mean_t_post,
+       CASE WHEN {ok} THEN {m['c0']} END AS mean_c_pre,
+       CASE WHEN {ok} THEN {m['c1']} END AS mean_c_post,
+       CASE WHEN {ok} THEN ({m['t1']} - {m['t0']}) - ({m['c1']} - {m['c0']})
+       END AS did
+FROM agg
+"""

@@ -203,3 +203,103 @@ SELECT t.grp, t.total_w, hit.wmedian
 FROM (SELECT grp, SUM(w) AS total_w FROM per_val GROUP BY grp) t
 LEFT JOIN hit USING (grp)
 """
+
+
+def trimmed_mean(
+    df: DataFrame,
+    value_col: str,
+    *,
+    trim: float = 0.05,
+    lo: float,
+    hi: float,
+    bins: int = 2048,
+    quant: int = 100,
+) -> DataFrame:
+    """Trimmed mean -> ONE row ``(n, n_kept, cut_lo, cut_hi, tmean)``:
+    the mean of values between the ``trim`` and ``1-trim`` histogram
+    quantiles — the outlier-robust location estimate that, unlike the
+    median, still uses most of the data.
+
+    The cut points are DETERMINISTIC bucket edges (the repo's
+    histogram-quantile contract: left edge of the bucket holding the
+    ceil(q·n)-th value), so both engines trim the identical row set;
+    the kept-set mean is a ratio of exact quantized sums.  Two scans:
+    one histogram, one filtered aggregate."""
+    if not 0 < trim < 0.5:
+        raise ValueError(f"trim must be in (0, 0.5), got {trim}")
+    if quant < 1:
+        raise ValueError(f"quant must be >= 1, got {quant}")
+    from .sketches import hist_quantiles
+
+    qs = hist_quantiles(
+        df, value_col, [trim, 1.0 - trim], lo=lo, hi=hi, bins=bins
+    )
+    edges = qs.groupBy().pivot("q", [trim, 1.0 - trim]).agg(
+        F.first("value")
+    )
+    c_lo, c_hi = edges.columns  # pivot names contain dots; re-alias
+    edges = edges.select(
+        F.col(f"`{c_lo}`").alias("cut_lo"),
+        F.col(f"`{c_hi}`").alias("cut_hi"),
+    )
+    v = F.col(value_col).cast("double")
+    x = F.round(v * quant).cast("decimal(38,0)")
+    d = df.where(v.isNotNull()).crossJoin(F.broadcast(edges))
+    kept = d.where((v >= F.col("cut_lo")) & (v <= F.col("cut_hi")))
+    agg = kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(x).alias("_s"),
+        F.first("cut_lo").alias("cut_lo"),
+        F.first("cut_hi").alias("cut_hi"),
+    )
+    tot = df.where(v.isNotNull()).agg(F.count(F.lit(1)).alias("n"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "n_kept",
+        "cut_lo",
+        "cut_hi",
+        (
+            F.col("_s").cast("double")
+            / F.col("n_kept")
+            / F.lit(float(quant))
+        ).alias("tmean"),
+    )
+
+
+def trimmed_mean_sql(
+    src_sql: str,
+    expr: str,
+    *,
+    trim: float = 0.05,
+    lo: float,
+    hi: float,
+    bins: int = 2048,
+    quant: int = 100,
+) -> str:
+    """DuckDB oracle for :func:`trimmed_mean` — ``src_sql`` is the
+    source relation, ``expr`` the value expression."""
+    from .sketches import hist_quantiles_sql
+
+    q_sql = hist_quantiles_sql(
+        src_sql, expr, [trim, 1.0 - trim], lo=lo, hi=hi, bins=bins
+    )
+    return f"""
+WITH qs AS ({q_sql}),
+edges AS (
+  SELECT min(CASE WHEN q = {float(trim)!r} THEN value END) AS cut_lo,
+         min(CASE WHEN q = {float(1.0 - trim)!r} THEN value END) AS cut_hi
+  FROM qs
+),
+src AS (SELECT CAST({expr} AS DOUBLE) AS v FROM ({src_sql})
+        WHERE {expr} IS NOT NULL),
+kept AS (
+  SELECT CAST(ROUND(v * {quant}) AS DECIMAL(38,0)) AS x, cut_lo, cut_hi
+  FROM src CROSS JOIN edges
+  WHERE v >= cut_lo AND v <= cut_hi
+)
+SELECT (SELECT count(*) FROM src) AS n,
+       count(*) AS n_kept,
+       min(cut_lo) AS cut_lo, min(cut_hi) AS cut_hi,
+       CAST(sum(x) AS DOUBLE) / count(*) / {float(quant)!r} AS tmean
+FROM kept
+"""
