@@ -9872,6 +9872,144 @@ def _trimmed_mean_orders_sql() -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# Round-5 batch 28: order-total reconciliation audit, key-consistent
+# sampling estimate.
+# --------------------------------------------------------------------------
+
+
+def q_order_total_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation audit: does the order header total
+    agree with the sum of its lines?  Per-order relative deviation
+    (decimal-exact sums, double ratio) bucketed into magnitude bands —
+    the invariant-drift readout between a fact table and its rollup.
+    One join + two aggregations; the synthetic data's header totals are
+    independent of lines, so the audit SHOWS large deviations — the
+    point is the measurement, replayed exactly by the oracle."""
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(18,4)").alias("_t")
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    lines = li.groupBy("l_orderkey").agg(
+        F.sum(
+            dec("l_extendedprice")
+            * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+            * (F.lit(1).cast("decimal(18,4)") + dec("l_tax"))
+        ).alias("_ls")
+    )
+    j = o.join(lines, o["o_orderkey"] == lines["l_orderkey"])
+    rel_dev = F.abs(
+        F.col("_ls").cast("double") - F.col("_t").cast("double")
+    ) / F.col("_t").cast("double")
+    band = (
+        F.when(rel_dev <= 0.01, "<=1%")
+        .when(rel_dev <= 0.10, "<=10%")
+        .when(rel_dev <= 0.50, "<=50%")
+        .otherwise(">50%")
+    )
+    return j.groupBy(band.alias("deviation_band")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+_ORDER_TOTAL_AUDIT_SQL = """
+WITH lines AS (
+  SELECT l_orderkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,4))
+             * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+             * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4))))
+           AS ls
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT abs(CAST(ls AS DOUBLE)
+             - CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE))
+         / CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS rd
+  FROM orders JOIN lines ON o_orderkey = l_orderkey
+)
+SELECT CASE WHEN rd <= 0.01 THEN '<=1%'
+            WHEN rd <= 0.10 THEN '<=10%'
+            WHEN rd <= 0.50 THEN '<=50%'
+            ELSE '>50%' END AS deviation_band,
+       count(*) AS n_orders
+FROM j GROUP BY 1
+"""
+
+
+def q_keysample_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-consistent sampling estimate: take 1/8 of CUSTOMER KEYS by
+    salted hash (not 1/8 of rows!), push the SAME key predicate through
+    orders AND their lineitems (the join survives sampling intact —
+    row-Bernoulli would shred it), scale the sampled revenue by 8, and
+    report it against the true total with the relative error — the
+    query-estimation pattern that makes 100 TB explorable at 12 TB
+    cost.  All sums decimal-exact; the error ratio divides identical
+    doubles."""
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    # integer ten-thousandths of a currency unit: price cents x
+    # (100 - discount%) — an exact INTEGER, because a scale-8 decimal's
+    # double conversion rounds differently between engines (two-step in
+    # one, single-step in the other) while int -> double is correctly
+    # rounded everywhere.
+    rev_q = (
+        F.round(F.col("l_extendedprice") * 100).cast("decimal(19,0)")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100)).cast(
+            "decimal(19,0)"
+        )
+    ).cast("decimal(38,0)")
+    from polars_grouper_spark.functions.hashing import portable_hash64
+
+    h = portable_hash64(
+        F.concat(F.lit("ks|"), F.col("o_custkey").cast("string"))
+    )
+    keyed = orders.select(
+        "o_orderkey", F.pmod(h, F.lit(8)).alias("_b")
+    )
+    j = li.join(keyed, li["l_orderkey"] == keyed["o_orderkey"])
+    zero = F.lit(0).cast("decimal(38,0)")
+    agg = j.agg(
+        F.sum(rev_q).cast("double").alias("_tq"),
+        F.sum(F.when(F.col("_b") == 0, rev_q).otherwise(zero))
+        .cast("double")
+        .alias("_eq"),
+    )
+    t = F.col("_tq") / F.lit(10_000.0)
+    e = F.col("_eq") / F.lit(10_000.0) * F.lit(8.0)
+    return agg.select(
+        t.alias("true_revenue"),
+        e.alias("estimated_revenue"),
+        (F.abs(e - t) / t).alias("rel_error"),
+    )
+
+
+def _keysample_revenue_sql() -> str:
+    h = portable_hash64_sql("'ks|' || CAST(o_custkey AS VARCHAR)")
+    return f"""
+WITH keyed AS (
+  SELECT o_orderkey, {h} % 8 AS b FROM orders
+),
+j AS (
+  SELECT b,
+         CAST(CAST(ROUND(l_extendedprice * 100) AS DECIMAL(19,0))
+              * CAST(100 - ROUND(l_discount * 100) AS DECIMAL(19,0))
+              AS DECIMAL(38,0)) AS revq
+  FROM lineitem JOIN keyed ON l_orderkey = o_orderkey
+),
+agg AS (
+  SELECT CAST(sum(revq) AS DOUBLE) AS tq,
+         CAST(sum(CASE WHEN b = 0 THEN revq
+                  ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE) AS eq
+  FROM j
+)
+SELECT tq / 10000.0 AS true_revenue,
+       eq / 10000.0 * 8.0 AS estimated_revenue,
+       abs(eq / 10000.0 * 8.0 - tq / 10000.0) / (tq / 10000.0) AS rel_error
+FROM agg
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -10119,6 +10257,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 batch 27 ---
         "did_events": q_did_events,
         "trimmed_mean_orders": q_trimmed_mean_orders,
+        # --- round-5 batch 28 ---
+        "order_total_audit": q_order_total_audit,
+        "keysample_revenue": q_keysample_revenue,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -10606,4 +10747,6 @@ def oracle_sql() -> dict[str, str]:
         "reg_reliability": _reg_reliability_sql(),
         "did_events": _did_events_sql(),
         "trimmed_mean_orders": _trimmed_mean_orders_sql(),
+        "order_total_audit": _ORDER_TOTAL_AUDIT_SQL,
+        "keysample_revenue": _keysample_revenue_sql(),
     }
