@@ -10010,6 +10010,113 @@ FROM agg
 """
 
 
+# --------------------------------------------------------------------------
+# Round-5 batch 29: dedup ROI report, session gap-sensitivity sweep.
+# --------------------------------------------------------------------------
+
+
+def q_dedup_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup ROI report — the readout that justifies the dedup job:
+    from the MinHash-LSH near-dup clusters, how many documents would
+    be REMOVED (non-canonical members) and how many characters that
+    saves.  One aggregation over the cluster table joined to document
+    lengths; 'canonical' is each cluster's label (its minimum member),
+    matching the keep-list convention used across the dedup suite."""
+    clusters = q_dedup_clusters(spark, sf_dir)
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "n_chars"
+    )
+    j = clusters.join(docs, "doc_id")
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n_clustered"),
+        F.countDistinct("cluster").alias("n_clusters"),
+        F.sum(
+            F.when(F.col("doc_id") != F.col("cluster"), 1).otherwise(0)
+        ).alias("n_removed"),
+        F.sum(
+            F.when(
+                F.col("doc_id") != F.col("cluster"), F.col("n_chars")
+            ).otherwise(0)
+        ).alias("chars_removed"),
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return agg.crossJoin(F.broadcast(total)).select(
+        "n_docs", "n_clustered", "n_clusters", "n_removed", "chars_removed"
+    )
+
+
+def _dedup_yield_sql() -> str:
+    inner = _dedup_clusters_sql()
+    return f"""
+WITH cl AS ({inner}),
+j AS (
+  SELECT cl.doc_id, cl.cluster, d.n_chars
+  FROM cl JOIN documents d USING (doc_id)
+),
+agg AS (
+  SELECT count(*) AS n_clustered,
+         count(DISTINCT cluster) AS n_clusters,
+         sum(CASE WHEN doc_id <> cluster THEN 1 ELSE 0 END) AS n_removed,
+         sum(CASE WHEN doc_id <> cluster THEN n_chars ELSE 0 END)
+           AS chars_removed
+  FROM j
+)
+SELECT (SELECT count(*) FROM documents) AS n_docs,
+       n_clustered, n_clusters, n_removed, chars_removed
+FROM agg
+"""
+
+
+_GAP_SWEEP = (15, 30, 60)
+
+
+def q_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization parameter sweep: total sessions and bounce counts
+    at 15/30/60-minute inactivity gaps — the tuning readout before a
+    gap threshold is frozen into downstream metrics.  One user-keyed
+    window pass per gap over the reduced (user, ts, type, id)
+    projection; gaps are independent, so a cluster runs them in
+    parallel."""
+    from polars_grouper_spark.operators.sequences import session_entry_exit
+
+    ev = load_table(spark, "events", sf_dir)
+    parts = []
+    for g in _GAP_SWEEP:
+        s = session_entry_exit(
+            ev, "user_id", "ts", "event_type", "event_id", gap_minutes=g
+        )
+        parts.append(
+            s.agg(
+                F.lit(g).alias("gap_minutes"),
+                F.sum("n_sessions").alias("n_sessions"),
+                F.sum("n_bounces").alias("n_bounces"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def _session_gap_sweep_sql() -> str:
+    from polars_grouper_spark.operators.sequences import (
+        session_entry_exit_sql,
+    )
+
+    parts = []
+    for g in _GAP_SWEEP:
+        inner = session_entry_exit_sql(
+            "SELECT user_id AS u, ts, event_type AS et, event_id AS eid "
+            "FROM events",
+            gap_minutes=g,
+        )
+        parts.append(
+            f"SELECT {g} AS gap_minutes, sum(n_sessions) AS n_sessions, "
+            f"sum(n_bounces) AS n_bounces FROM ({inner})"
+        )
+    return " UNION ALL ".join(parts)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -10260,6 +10367,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 batch 28 ---
         "order_total_audit": q_order_total_audit,
         "keysample_revenue": q_keysample_revenue,
+        # --- round-5 batch 29 ---
+        "dedup_yield": q_dedup_yield,
+        "session_gap_sweep": q_session_gap_sweep,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -10749,4 +10859,6 @@ def oracle_sql() -> dict[str, str]:
         "trimmed_mean_orders": _trimmed_mean_orders_sql(),
         "order_total_audit": _ORDER_TOTAL_AUDIT_SQL,
         "keysample_revenue": _keysample_revenue_sql(),
+        "dedup_yield": _dedup_yield_sql(),
+        "session_gap_sweep": _session_gap_sweep_sql(),
     }
