@@ -10117,6 +10117,126 @@ def _session_gap_sweep_sql() -> str:
     return " UNION ALL ".join(parts)
 
 
+# --------------------------------------------------------------------------
+# Round-5 batch 30: funnel latency distribution, capture-recapture.
+# --------------------------------------------------------------------------
+
+
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, seconds from FIRST view
+    to the first purchase AFTER it, summarized as deterministic
+    histogram quantiles — the funnel's latency readout (conversion
+    RATE is funnel's job; this is how long conversion takes).  Two
+    min-aggregations + one join + the fixed-bin histogram; integer
+    second deltas, bucket-edge quantiles (both engines cut
+    identically)."""
+    from polars_grouper_spark.functions.sketches import hist_quantiles
+
+    ev = load_table(spark, "events", sf_dir)
+    views = ev.where(F.col("event_type") == "view").groupBy(
+        "user_id"
+    ).agg(F.min(F.unix_timestamp("ts")).alias("_tv"))
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_timestamp("ts").alias("_tb")
+    )
+    first_buy_after = (
+        buys.join(views, "user_id")
+        .where(F.col("_tb") >= F.col("_tv"))
+        .groupBy("user_id")
+        .agg(F.min(F.col("_tb") - F.col("_tv")).alias("delta_s"))
+    )
+    return hist_quantiles(
+        first_buy_after,
+        "delta_s",
+        [0.5, 0.9, 0.99],
+        lo=0.0,
+        hi=100_000_000.0,
+        bins=4096,
+    )
+
+
+def _funnel_latency_sql() -> str:
+    from polars_grouper_spark.functions.sketches import hist_quantiles_sql
+
+    deltas = """
+WITH views AS (
+  SELECT user_id, min(CAST(epoch(ts) AS BIGINT)) AS tv
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+buys AS (
+  SELECT user_id, CAST(epoch(ts) AS BIGINT) AS tb
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT b.user_id, min(b.tb - v.tv) AS delta_s
+FROM buys b JOIN views v USING (user_id)
+WHERE b.tb >= v.tv
+GROUP BY b.user_id
+"""
+    return hist_quantiles_sql(
+        deltas, "delta_s", [0.5, 0.9, 0.99],
+        lo=0.0, hi=100_000_000.0, bins=4096,
+    )
+
+
+_CR_W1 = "1999-01-04"
+_CR_W2 = "1999-01-11"
+_CR_W3 = "1999-01-18"
+
+
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture (Lincoln-Petersen) population estimate: users
+    active in week 1 are the marked sample, week 2 the recapture —
+    N̂ = n1·n2/m estimates the TOTAL active population including users
+    seen in neither week (the census trick for populations you can't
+    enumerate).  Three distinct-sets + one intersection count, all
+    exact integers; NULL when no overlap."""
+    ev = load_table(spark, "events", sf_dir)
+    t = F.col("ts")
+    w1 = ev.where(
+        (t >= F.lit(_CR_W1).cast("timestamp_ntz"))
+        & (t < F.lit(_CR_W2).cast("timestamp_ntz"))
+    ).select("user_id").distinct()
+    w2 = ev.where(
+        (t >= F.lit(_CR_W2).cast("timestamp_ntz"))
+        & (t < F.lit(_CR_W3).cast("timestamp_ntz"))
+    ).select("user_id").distinct()
+    n1 = w1.agg(F.count(F.lit(1)).alias("n1"))
+    n2 = w2.agg(F.count(F.lit(1)).alias("n2"))
+    m = w1.join(w2, "user_id").agg(F.count(F.lit(1)).alias("m"))
+    j = n1.crossJoin(n2).crossJoin(m)
+    est = (
+        F.col("n1").cast("double")
+        * F.col("n2").cast("double")
+        / F.col("m").cast("double")
+    )
+    return j.select(
+        "n1", "n2", "m",
+        F.when(F.col("m") > 0, est).alias("population_est"),
+    )
+
+
+def _capture_recapture_sql() -> str:
+    return f"""
+WITH w1 AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE ts >= TIMESTAMP '{_CR_W1}' AND ts < TIMESTAMP '{_CR_W2}'
+),
+w2 AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE ts >= TIMESTAMP '{_CR_W2}' AND ts < TIMESTAMP '{_CR_W3}'
+),
+c AS (
+  SELECT (SELECT count(*) FROM w1) AS n1,
+         (SELECT count(*) FROM w2) AS n2,
+         (SELECT count(*) FROM w1 JOIN w2 USING (user_id)) AS m
+)
+SELECT n1, n2, m,
+       CASE WHEN m > 0 THEN CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+            / CAST(m AS DOUBLE) END AS population_est
+FROM c
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -10370,6 +10490,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 batch 29 ---
         "dedup_yield": q_dedup_yield,
         "session_gap_sweep": q_session_gap_sweep,
+        # --- round-5 batch 30 ---
+        "funnel_latency": q_funnel_latency,
+        "capture_recapture": q_capture_recapture,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -10861,4 +10984,6 @@ def oracle_sql() -> dict[str, str]:
         "keysample_revenue": _keysample_revenue_sql(),
         "dedup_yield": _dedup_yield_sql(),
         "session_gap_sweep": _session_gap_sweep_sql(),
+        "funnel_latency": _funnel_latency_sql(),
+        "capture_recapture": _capture_recapture_sql(),
     }
