@@ -10237,6 +10237,85 @@ FROM c
 """
 
 
+# --------------------------------------------------------------------------
+# Round-5 batch 31: ABC (Pareto) classification.
+# --------------------------------------------------------------------------
+
+
+def q_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification: parts ranked by revenue,
+    class A while the cumulative share is within 80%, B to 95%, C the
+    tail — the classic stock-policy segmentation.  Revenue reduces per
+    part in exact decimals (one fact shuffle); the cumulative window
+    runs over the PART-sized aggregate ordered totally (revenue desc,
+    partkey), and the class cut compares a ratio of exact decimal
+    running sums — engine-identical boundaries.  Output is the
+    per-class summary (n_parts, revenue share), not the part list."""
+    li = load_table(spark, "lineitem", sf_dir)
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            dec("l_extendedprice")
+            * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+        ).alias("_r")
+    )
+    w = (
+        Window.orderBy(F.col("_r").desc(), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = rev.agg(F.sum("_r").alias("_t"))
+    ranked = rev.crossJoin(F.broadcast(tot)).select(
+        "_r",
+        "_t",
+        (
+            F.sum("_r").over(w).cast("double") / F.col("_t").cast("double")
+        ).alias("_cum_share"),
+    )
+    cls = (
+        F.when(F.col("_cum_share") <= 0.80, "A")
+        .when(F.col("_cum_share") <= 0.95, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.groupBy(cls.alias("abc_class"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            (
+                F.sum("_r").cast("double")
+                / F.first(F.col("_t")).cast("double")
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+_ABC_PARTS_SQL = """
+WITH rev AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,4))
+             * (CAST(1 AS DECIMAL(18,4))
+                - CAST(l_discount AS DECIMAL(18,4)))) AS r
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT sum(r) AS t FROM rev),
+ranked AS (
+  SELECT r,
+         CAST(sum(r) OVER (ORDER BY r DESC, l_partkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / CAST(t AS DOUBLE) AS cum_share,
+         t
+  FROM rev CROSS JOIN tot
+)
+SELECT CASE WHEN cum_share <= 0.80 THEN 'A'
+            WHEN cum_share <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class,
+       count(*) AS n_parts,
+       CAST(sum(r) AS DOUBLE) / CAST(min(t) AS DOUBLE) AS revenue_share
+FROM ranked
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -10493,6 +10572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 batch 30 ---
         "funnel_latency": q_funnel_latency,
         "capture_recapture": q_capture_recapture,
+        # --- round-5 batch 31 ---
+        "abc_parts": q_abc_parts,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -10986,4 +11067,5 @@ def oracle_sql() -> dict[str, str]:
         "session_gap_sweep": _session_gap_sweep_sql(),
         "funnel_latency": _funnel_latency_sql(),
         "capture_recapture": _capture_recapture_sql(),
+        "abc_parts": _ABC_PARTS_SQL,
     }
