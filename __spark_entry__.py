@@ -10316,6 +10316,130 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Round-5 batch 32: Herfindahl concentration, neighbor-degree curve.
+# --------------------------------------------------------------------------
+
+
+def q_hhi_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per nation: how
+    concentrated is supplier revenue within each nation?  HHI =
+    Σ rᵢ² / (Σ rᵢ)² computed as ONE division of two exact decimal
+    sums (never a per-supplier share squared and float-summed in
+    engine-chosen order) — 1/n for perfect competition, 1.0 for
+    monopoly.  Two keyed aggregations; revenue quantized to integer
+    ten-thousandths (the scale-0-decimal-only conversion contract)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_nationkey"
+    )
+    rev_q = (
+        F.round(F.col("l_extendedprice") * 100).cast("decimal(19,0)")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100)).cast(
+            "decimal(19,0)"
+        )
+    ).cast("decimal(38,0)")
+    per_supp = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(F.sum(rev_q).alias("_r"))
+    )
+    # r is an exact integer-valued decimal; r^2 must stay exact too:
+    # cast down to (19,0) (fits: sf-bounded revenue) before squaring.
+    r19 = F.col("_r").cast("decimal(19,0)")
+    agg = per_supp.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(r19 * r19).alias("_sq"),
+        F.sum("_r").alias("_s"),
+    )
+    hhi = F.col("_sq").cast("double") / (
+        F.col("_s").cast("double") * F.col("_s").cast("double")
+    )
+    return agg.select(
+        F.col("s_nationkey").cast("int").alias("nationkey"),
+        "n_suppliers",
+        hhi.alias("hhi"),
+    )
+
+
+_HHI_NATIONS_SQL = """
+WITH per_supp AS (
+  SELECT s_nationkey, s_suppkey,
+         sum(CAST(CAST(ROUND(l_extendedprice * 100) AS DECIMAL(19,0))
+             * CAST(100 - ROUND(l_discount * 100) AS DECIMAL(19,0))
+             AS DECIMAL(38,0))) AS r
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT s_nationkey, count(*) AS n_suppliers,
+         sum(CAST(r AS DECIMAL(19,0)) * CAST(r AS DECIMAL(19,0))) AS sq,
+         sum(r) AS s
+  FROM per_supp GROUP BY 1
+)
+SELECT CAST(s_nationkey AS INT) AS nationkey, n_suppliers,
+       CAST(sq AS DOUBLE) / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) AS hhi
+FROM agg
+"""
+
+
+def q_knn_curve_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-neighbor-degree curve k_nn(k) of the part co-purchase
+    graph: for nodes of degree k, the mean degree of their neighbors —
+    rising k_nn(k) = assortative hubs-with-hubs, falling =
+    hub-and-spoke (the curve form of the assortativity scalar already
+    in the suite).  Degrees join onto the symmetric edge list once;
+    the per-k mean is a ratio of exact integer sums."""
+    from polars_grouper_spark.operators.degree_stats import _degrees
+
+    edges = _part_co_edges(spark, sf_dir)
+    deg = _degrees(edges, "src", "dst", False)
+    s = F.col("src").cast("string")
+    d = F.col("dst").cast("string")
+    e = (
+        edges.where(s.isNotNull() & d.isNotNull() & (s != d))
+        .select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
+        .distinct()
+    )
+    sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("_du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("_dv"))
+    j = sym.join(du, "u").join(dv, "v")
+    return (
+        j.groupBy(F.col("_du").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_ends"),
+            (
+                F.sum("_dv").cast("double") / F.count(F.lit(1))
+            ).alias("knn"),
+        )
+        .orderBy("k")
+    )
+
+
+def _knn_curve_parts_sql() -> str:
+    return f"""
+WITH raw AS ({_PART_CO_EDGE_SQL}),
+e AS (
+  SELECT DISTINCT least(CAST(src AS VARCHAR), CAST(dst AS VARCHAR)) AS a,
+         greatest(CAST(src AS VARCHAR), CAST(dst AS VARCHAR)) AS b
+  FROM raw WHERE src IS NOT NULL AND dst IS NOT NULL
+    AND CAST(src AS VARCHAR) <> CAST(dst AS VARCHAR)
+),
+sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT u AS node, count(*)::BIGINT AS degree FROM sym GROUP BY u)
+SELECT du.degree AS k, count(*) AS n_ends,
+       CAST(sum(dv.degree) AS DOUBLE) / count(*) AS knn
+FROM sym
+JOIN deg du ON du.node = sym.u
+JOIN deg dv ON dv.node = sym.v
+GROUP BY du.degree
+ORDER BY k
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -10574,6 +10698,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "capture_recapture": q_capture_recapture,
         # --- round-5 batch 31 ---
         "abc_parts": q_abc_parts,
+        # --- round-5 batch 32 ---
+        "hhi_nations": q_hhi_nations,
+        "knn_curve_parts": q_knn_curve_parts,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -11068,4 +11195,6 @@ def oracle_sql() -> dict[str, str]:
         "funnel_latency": _funnel_latency_sql(),
         "capture_recapture": _capture_recapture_sql(),
         "abc_parts": _ABC_PARTS_SQL,
+        "hhi_nations": _HHI_NATIONS_SQL,
+        "knn_curve_parts": _knn_curve_parts_sql(),
     }
