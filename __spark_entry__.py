@@ -10440,6 +10440,66 @@ ORDER BY k
 """
 
 
+# --------------------------------------------------------------------------
+# Round-5 batch 33: adapted TPC-H Q9 (the last expressible TPC-H query).
+# --------------------------------------------------------------------------
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit), adapted: the schema has no
+    partsupp, so supply cost becomes the part's retail price —
+    profit = extprice·(1−discount) − retailprice·quantity, summed per
+    supplier nation per order year over STANDARD-type parts.  The
+    snowflake shape: part and the supplier→nation leg broadcast, the
+    only data-sized shuffles are the fact joins; profit stays decimal
+    until the final cast (quantity is integer-valued, so the cost term
+    is exact)."""
+    part = load_table(spark, "part", sf_dir).where(
+        F.col("p_type") == "STANDARD"
+    ).select("p_partkey", "p_retailprice")
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate"
+    )
+    supp = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, "nation", sf_dir)
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    profit = dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,4)") - dec("l_discount")
+    ) - dec("p_retailprice") * F.col("l_quantity").cast("decimal(18,4)")
+    j = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return j.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    ).agg(F.sum(profit).cast("double").alias("sum_profit"))
+
+
+_TPCH_Q9_SQL = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                - CAST(p_retailprice AS DECIMAL(18,4))
+                  * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+         AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -10701,6 +10761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 batch 32 ---
         "hhi_nations": q_hhi_nations,
         "knn_curve_parts": q_knn_curve_parts,
+        # --- round-5 batch 33 ---
+        "tpch_q9": q_tpch_q9,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -11197,4 +11259,5 @@ def oracle_sql() -> dict[str, str]:
         "abc_parts": _ABC_PARTS_SQL,
         "hhi_nations": _HHI_NATIONS_SQL,
         "knn_curve_parts": _knn_curve_parts_sql(),
+        "tpch_q9": _TPCH_Q9_SQL,
     }

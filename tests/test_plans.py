@@ -265,3 +265,14 @@ def test_tpch_batch5_plan_shapes(spark):
     m = re.search(r"ReadSchema: struct<([^>]*)>", p6)
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert cols == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}, cols
+
+
+def test_tpch_q9_broadcasts_snowflake(spark):
+    """Adapted Q9: part/supplier/nation broadcast; no sort-merge or
+    cartesian anywhere."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["tpch_q9"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
