@@ -10500,6 +10500,103 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# Round-5 batch 34: graph growth delta, peak-rate audit.
+# --------------------------------------------------------------------------
+
+_GG_SPLIT = "1999-01-01"
+
+
+def q_graph_growth_sp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal graph growth: the supplier-part graph restricted to
+    orders before the 1999 boundary vs the full graph — edges added,
+    brand-new nodes, and the growth ratio.  Pure distinct-set algebra
+    (anti-joins on the canonical pair), one row out; the
+    snapshot-over-snapshot readout for any evolving relationship
+    graph."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate"
+    )
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    pair = lambda d: d.select(  # noqa: E731
+        F.concat(F.lit("S"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("P"), F.col("l_partkey")).alias("dst"),
+    ).distinct()
+    cut = F.lit(_GG_SPLIT).cast("timestamp_ntz")
+    old = pair(j.where(F.col("o_orderdate") < cut))
+    full = pair(j)
+    new_edges = full.join(old, ["src", "dst"], "left_anti")
+    nodes = lambda d: d.select(F.col("src").alias("n")).union(  # noqa: E731
+        d.select(F.col("dst").alias("n"))
+    ).distinct()
+    new_nodes = nodes(full).join(nodes(old), "n", "left_anti")
+    a = old.agg(F.count(F.lit(1)).alias("n_edges_old"))
+    b = new_edges.agg(F.count(F.lit(1)).alias("n_edges_new"))
+    c = new_nodes.agg(F.count(F.lit(1)).alias("n_nodes_new"))
+    out = a.crossJoin(b).crossJoin(c)
+    return out.select(
+        "n_edges_old",
+        "n_edges_new",
+        "n_nodes_new",
+        (
+            F.col("n_edges_new").cast("double") / F.col("n_edges_old")
+        ).alias("edge_growth_ratio"),
+    )
+
+
+def _graph_growth_sp_sql() -> str:
+    return f"""
+WITH j AS (
+  SELECT 'S' || l_suppkey AS src, 'P' || l_partkey AS dst, o_orderdate
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+old_e AS (SELECT DISTINCT src, dst FROM j
+          WHERE o_orderdate < TIMESTAMP '{_GG_SPLIT}'),
+full_e AS (SELECT DISTINCT src, dst FROM j),
+new_e AS (SELECT * FROM full_e ANTI JOIN old_e USING (src, dst)),
+old_n AS (SELECT src AS n FROM old_e UNION SELECT dst FROM old_e),
+full_n AS (SELECT src AS n FROM full_e UNION SELECT dst FROM full_e),
+new_n AS (SELECT * FROM full_n ANTI JOIN old_n USING (n))
+SELECT (SELECT count(*) FROM old_e) AS n_edges_old,
+       (SELECT count(*) FROM new_e) AS n_edges_new,
+       (SELECT count(*) FROM new_n) AS n_nodes_new,
+       CAST((SELECT count(*) FROM new_e) AS DOUBLE)
+       / (SELECT count(*) FROM old_e) AS edge_growth_ratio
+"""
+
+
+def q_peak_rate_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key peak-rate audit (abuse/bot detection's first cut): each
+    user's maximum events-per-minute, top 20 by (peak desc, user) —
+    one minute-bucketed aggregation + one max per user, both map-side
+    combinable; the burst detector for rate-limit policy design."""
+    ev = load_table(spark, "events", sf_dir)
+    per_min = ev.groupBy(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 60).alias("_m"),
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        per_min.groupBy("user_id")
+        .agg(F.max("_n").alias("peak_per_minute"))
+        .orderBy(F.col("peak_per_minute").desc(), "user_id")
+        .limit(20)
+    )
+
+
+_PEAK_RATE_USERS_SQL = """
+WITH per_min AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 60) AS BIGINT) AS m,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, max(n) AS peak_per_minute
+FROM per_min GROUP BY user_id
+ORDER BY peak_per_minute DESC, user_id
+LIMIT 20
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -10763,6 +10860,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_curve_parts": q_knn_curve_parts,
         # --- round-5 batch 33 ---
         "tpch_q9": q_tpch_q9,
+        # --- round-5 batch 34 ---
+        "graph_growth_sp": q_graph_growth_sp,
+        "peak_rate_users": q_peak_rate_users,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -11260,4 +11360,6 @@ def oracle_sql() -> dict[str, str]:
         "hhi_nations": _HHI_NATIONS_SQL,
         "knn_curve_parts": _knn_curve_parts_sql(),
         "tpch_q9": _TPCH_Q9_SQL,
+        "graph_growth_sp": _graph_growth_sp_sql(),
+        "peak_rate_users": _PEAK_RATE_USERS_SQL,
     }
