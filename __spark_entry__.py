@@ -10597,6 +10597,46 @@ LIMIT 20
 """
 
 
+# --------------------------------------------------------------------------
+# Round-5 batch 35: earth-mover price drift.
+# --------------------------------------------------------------------------
+
+
+def q_emd_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein drift (``functions.drift.emd_1d``) between pre-
+    and post-1999 order price distributions — the order-aware
+    complement to the PSI drift already in the suite (mass moving one
+    bin costs less than mass moving ten).  Exact integer CDFs over a
+    shared fixed histogram; the bounded |ΔCDF| fold is order-pinned."""
+    from polars_grouper_spark.functions.drift import emd_1d
+
+    o = load_table(spark, "orders", sf_dir)
+    cut = F.lit("1999-01-01").cast("timestamp_ntz")
+    return emd_1d(
+        o.where(F.col("o_orderdate") < cut),
+        o.where(F.col("o_orderdate") >= cut),
+        "o_totalprice",
+        lo=0.0,
+        hi=600_000.0,
+        bins=256,
+    )
+
+
+def _emd_price_drift_sql() -> str:
+    from polars_grouper_spark.functions.drift import emd_1d_sql
+
+    return emd_1d_sql(
+        "SELECT o_totalprice FROM orders "
+        "WHERE o_orderdate < TIMESTAMP '1999-01-01'",
+        "SELECT o_totalprice FROM orders "
+        "WHERE o_orderdate >= TIMESTAMP '1999-01-01'",
+        "o_totalprice",
+        lo=0.0,
+        hi=600_000.0,
+        bins=256,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -10863,6 +10903,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 batch 34 ---
         "graph_growth_sp": q_graph_growth_sp,
         "peak_rate_users": q_peak_rate_users,
+        # --- round-5 batch 35 ---
+        "emd_price_drift": q_emd_price_drift,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -11362,4 +11404,5 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q9": _TPCH_Q9_SQL,
         "graph_growth_sp": _graph_growth_sp_sql(),
         "peak_rate_users": _PEAK_RATE_USERS_SQL,
+        "emd_price_drift": _emd_price_drift_sql(),
     }

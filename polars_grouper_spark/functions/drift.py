@@ -329,3 +329,141 @@ SELECT MAX(n_a) AS n_a, MAX(n_b) AS n_b,
          / CAST(MAX(n_a) * MAX(n_b) AS DOUBLE) AS ks
 FROM cum
 """
+
+
+def emd_1d(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+) -> DataFrame:
+    """1-D earth-mover (Wasserstein-1) distance between two samples ->
+    ONE row ``(n_a, n_b, emd)`` over a shared fixed-width histogram —
+    the mass-transport drift metric that, unlike PSI, is robust to
+    empty bins and respects ORDER (shifting mass one bin costs less
+    than shifting it ten).
+
+    W1 = Σ_bins |CDF_a − CDF_b| · bin_width with CDFs as exact integer
+    cumulative counts over each side's total — the per-bin |ΔCDF| terms
+    are rationals of exact integers evaluated identically, and the
+    final sum runs over the ORDERED bounded bin table (at most ``bins``
+    rows, deterministic order on both engines via the ordered
+    aggregation below).  Each side reduces to its histogram in one
+    map-side-combinable pass."""
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    if hi <= lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    width = (hi - lo) / bins
+
+    def hist(d: DataFrame, tag: str) -> DataFrame:
+        v = F.col(value_col).cast("double")
+        b = F.greatest(
+            F.lit(0),
+            F.least(F.lit(bins - 1), F.floor((v - F.lit(lo)) / F.lit(width))),
+        ).cast("int")
+        return (
+            d.where(v.isNotNull())
+            .groupBy(b.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias(f"n_{tag}"))
+        )
+    ha, hb = hist(df_a, "a"), hist(df_b, "b")
+    merged = ha.join(hb, "bucket", "full").select(
+        "bucket",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    w_lead = Window.orderBy("bucket")
+    tot = merged.agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    )
+    # CDFs are piecewise-constant between PRESENT buckets, so each
+    # |dCDF| term is weighted by the gap to the next present bucket —
+    # absent bins in between carry the same CDF difference.  (The last
+    # bucket's gap is irrelevant: both CDFs are 1 there, dCDF = 0.)
+    cum = merged.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "ta",
+        "tb",
+        (F.sum("n_a").over(w).cast("double") / F.col("ta")).alias("_ca"),
+        (F.sum("n_b").over(w).cast("double") / F.col("tb")).alias("_cb"),
+        F.coalesce(
+            F.lead("bucket", 1).over(w_lead) - F.col("bucket"), F.lit(1)
+        ).cast("double").alias("_gap"),
+    )
+    # the weighted |dCDF| sum runs over <= bins rows; fold it in bucket
+    # order via a sorted-array aggregate so float summation is pinned.
+    folded = cum.agg(
+        F.first("ta").alias("n_a"),
+        F.first("tb").alias("n_b"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("bucket", "_ca", "_cb", "_gap"))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + F.abs(x["_ca"] - x["_cb"]) * x["_gap"] * F.lit(width),
+        ).alias("emd"),
+    )
+    return folded.select("n_a", "n_b", F.round("emd", 9).alias("emd"))
+
+
+def emd_1d_sql(
+    a_sql: str,
+    b_sql: str,
+    expr: str,
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+) -> str:
+    """DuckDB oracle for :func:`emd_1d` — the fold replays in the same
+    bucket order via list_aggregate over the sorted struct list."""
+    width = (hi - lo) / bins
+
+    def hist(src: str, tag: str) -> str:
+        return f"""
+h_{tag} AS (
+  SELECT CAST(greatest(0, least({bins - 1},
+           floor((CAST({expr} AS DOUBLE) - {lo!r}) / {width!r}))) AS INT)
+           AS bucket,
+         count(*) AS n_{tag}
+  FROM ({src}) WHERE {expr} IS NOT NULL GROUP BY 1
+)"""
+
+    return f"""
+WITH {hist(a_sql, 'a').lstrip()},
+{hist(b_sql, 'b').lstrip()},
+merged AS (
+  SELECT coalesce(h_a.bucket, h_b.bucket) AS bucket,
+         coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+  FROM h_a FULL JOIN h_b USING (bucket)
+),
+tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM merged),
+cum AS (
+  SELECT bucket, ta, tb,
+         CAST(sum(n_a) OVER (ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / ta AS ca,
+         CAST(sum(n_b) OVER (ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / tb AS cb,
+         CAST(coalesce(lead(bucket) OVER (ORDER BY bucket) - bucket, 1)
+              AS DOUBLE) AS gap
+  FROM merged CROSS JOIN tot
+)
+SELECT min(ta) AS n_a, min(tb) AS n_b,
+       round(list_aggregate(
+         list_transform(
+           list_sort(list(struct_pack(b := bucket,
+                                      d := abs(ca - cb) * gap))),
+           x -> x.d * {width!r}
+         ), 'sum'), 9) AS emd
+FROM cum
+"""
