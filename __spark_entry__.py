@@ -10637,6 +10637,41 @@ def _emd_price_drift_sql() -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# Round-5 batch 36: weekday seasonal strength.
+# --------------------------------------------------------------------------
+
+
+def q_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonal strength: how much of daily event-volume
+    variance does day-of-week explain?  One-way ANOVA (the suite's
+    exact-moment kernel) over (dow, daily count) — η² IS the seasonal
+    strength; F says whether it's signal.  Day-of-week from pure epoch
+    arithmetic (engine dow conventions never enter)."""
+    from polars_grouper_spark.functions.experiment import anova_oneway
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 86400).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    dowed = daily.select(
+        ((F.col("day") + 3) % 7).alias("dow"), "n_events"
+    )
+    return anova_oneway(dowed, "dow", "n_events", quant=1)
+
+
+def _seasonal_strength_sql() -> str:
+    from polars_grouper_spark.functions.experiment import anova_oneway_sql
+
+    return anova_oneway_sql(
+        """SELECT (d + 3) % 7 AS g, x AS v FROM (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d, count(*) AS x
+  FROM events GROUP BY 1
+)""",
+        quant=1,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected-component sizes over two graphs — the
     supplier-part graph (one dense component) unioned with the
@@ -10905,6 +10940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "peak_rate_users": q_peak_rate_users,
         # --- round-5 batch 35 ---
         "emd_price_drift": q_emd_price_drift,
+        # --- round-5 batch 36 ---
+        "seasonal_strength": q_seasonal_strength,
         # --- driver-verified in CORRECTNESS_r01..r04 (all green) ---
         "top_bigrams": q_top_bigrams,
         "doc_chunks": q_doc_chunks,
@@ -11405,4 +11442,5 @@ def oracle_sql() -> dict[str, str]:
         "graph_growth_sp": _graph_growth_sp_sql(),
         "peak_rate_users": _PEAK_RATE_USERS_SQL,
         "emd_price_drift": _emd_price_drift_sql(),
+        "seasonal_strength": _seasonal_strength_sql(),
     }
