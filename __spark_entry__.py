@@ -7032,8 +7032,8 @@ WITH cell AS (
   FROM events GROUP BY 1, 2
 )
 SELECT e.dow, e.hour, COUNT(*) AS n_events,
-       SUM(CASE WHEN e.value > 2 * c.cell_mean THEN 1 ELSE 0 END)
-         AS n_anomalies
+       CAST(SUM(CASE WHEN e.value > 2 * c.cell_mean THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_anomalies
 FROM (SELECT CAST(date_part('isodow', ts) - 1 AS BIGINT) AS dow,
              CAST(date_part('hour', ts) AS BIGINT) AS hour, value
       FROM events) e
@@ -7082,7 +7082,8 @@ def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROLLUP_ORDERS_SQL = """
 SELECT o_orderpriority AS priority, o_orderstatus AS status,
        COUNT(*) AS n_orders,
-       SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS revenue_cents
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
 FROM orders
 GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """
@@ -7114,7 +7115,8 @@ def q_pivot_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pivot_user_events_sql() -> str:
     cols = ", ".join(
-        f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}"
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS n_{t}"
         for t in _EVENT_TYPES
     )
     return f"SELECT user_id, {cols} FROM events GROUP BY user_id"
@@ -8976,7 +8978,8 @@ def _kfold_orders_sql() -> str:
     h = portable_hash64_sql("'kfold' || '|' || CAST(o_orderkey AS VARCHAR)")
     return f"""
 SELECT CAST({h} % 5 AS INT) AS fold, count(*) AS n_rows,
-       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_pos
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pos
 FROM orders GROUP BY 1
 """
 
@@ -9146,8 +9149,10 @@ def _rendezvous_docs_sql() -> str:
     return f"""
 WITH a8 AS ({a8}), a7 AS ({a7})
 SELECT a7.shard AS shard,
-       sum(CASE WHEN a8.shard = a7.shard THEN 1 ELSE 0 END) AS n_stayed,
-       sum(CASE WHEN a8.shard <> a7.shard THEN 1 ELSE 0 END) AS n_moved_in
+       CAST(sum(CASE WHEN a8.shard = a7.shard THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_stayed,
+       CAST(sum(CASE WHEN a8.shard <> a7.shard THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_moved_in
 FROM a8 JOIN a7 USING (id)
 GROUP BY a7.shard
 """
@@ -9587,7 +9592,8 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SCHEMA_EVOLUTION_SQL = """
 SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
             ELSE '<pre-evolution>' END AS priority,
-       o_orderstatus, count(*) AS n_orders, sum(o_orderkey) AS key_sum
+       o_orderstatus, count(*) AS n_orders,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
 FROM orders
 GROUP BY 1, 2
 """
@@ -10062,7 +10068,8 @@ agg AS (
   FROM j
 )
 SELECT (SELECT count(*) FROM documents) AS n_docs,
-       n_clustered, n_clusters, n_removed, chars_removed
+       n_clustered, n_clusters, CAST(n_removed AS BIGINT) AS n_removed,
+       CAST(chars_removed AS BIGINT) AS chars_removed
 FROM agg
 """
 
@@ -10111,8 +10118,9 @@ def _session_gap_sweep_sql() -> str:
             gap_minutes=g,
         )
         parts.append(
-            f"SELECT {g} AS gap_minutes, sum(n_sessions) AS n_sessions, "
-            f"sum(n_bounces) AS n_bounces FROM ({inner})"
+            f"SELECT {g} AS gap_minutes, "
+            f"CAST(sum(n_sessions) AS BIGINT) AS n_sessions, "
+            f"CAST(sum(n_bounces) AS BIGINT) AS n_bounces FROM ({inner})"
         )
     return " UNION ALL ".join(parts)
 
@@ -10690,18 +10698,49 @@ def entry(spark: SparkSession) -> DataFrame:
     return sp.unionByName(orders)
 
 
+def _green_driver_verified() -> "set[str]":
+    """Names with a fully-green driver CORRECTNESS row (rows + schema +
+    hash all matched) in any shipped ``CORRECTNESS_r*.json``.  Red rows
+    (hash mismatch) do NOT count — those queries must re-enter the
+    window until a green row lands."""
+    import json
+    from pathlib import Path
+
+    out: "set[str]" = set()
+    here = Path(__file__).resolve().parent
+    for p in sorted(here.glob("CORRECTNESS_r*.json")):
+        try:
+            recs = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, rec in recs.items():
+            if (
+                isinstance(rec, dict)
+                and rec.get("rows_match")
+                and rec.get("schema_match")
+                and rec.get("hash_match", True)
+            ):
+                out.add(name)
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE ordering contract: the driver's correctness gate covers the FIRST
     # ~50 entries of this dict, so queries that do not yet have a green
     # driver-recorded CORRECTNESS row are listed FIRST (rotated each round
-    # until every query has one on record).  Round 5: the 18 round-4 tail
-    # queries with no CORRECTNESS_r01..r04 row lead, then round-5 batch-1
+    # until every query has one on record).  Since round 6 the rotation is
+    # AUTOMATIC: the literal below is the stable authoring order, and the
+    # return statement reorders it against the shipped CORRECTNESS files —
+    # never-verified (and red-row) queries first, green-verified last — so
+    # each round's window is spent only on queries that still need a row.
+    # Historical note (round 5 manual order): the 18 round-4 tail
+    # queries with no CORRECTNESS_r01..r04 row led, then round-5 batch-1
     # queries (together exactly filling the 50-slot window), then the
     # round-5 batch-2 additions (lpa_parts .. attrib_outer — rotate these
     # INTO the window in round 6 once CORRECTNESS_r05 lands green rows for
     # the current first 50), then everything already driver-verified
     # (union of r01-r04 = 100/118 green rows).
-    return {
+    base = {
         # --- no driver CORRECTNESS row yet (all pass scripts/check_oracle.py) ---
         "hits_sp": q_hits_sp,
         "price_quantiles_by_status": q_price_quantiles_by_status,
@@ -11044,6 +11083,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "super_merger_weighted_orders": q_super_merger_weighted_orders,
         "token_counts": q_token_counts,
     }
+    # Automatic window rotation: queries still lacking a green driver row
+    # (never checked, or checked red) come first so the ~50-slot
+    # correctness window is never spent re-verifying green queries.
+    green = _green_driver_verified()
+    ordered = {k: v for k, v in base.items() if k not in green}
+    ordered.update({k: v for k, v in base.items() if k in green})
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

@@ -137,7 +137,9 @@ per AS (
 )
 SELECT bucket, cnt_a, cnt_b, contrib FROM per
 UNION ALL
-SELECT -1, sum(cnt_a), sum(cnt_b), round(sum(contrib), 6) FROM per
+SELECT -1, CAST(sum(cnt_a) AS BIGINT), CAST(sum(cnt_b) AS BIGINT),
+       round(sum(contrib), 6)
+FROM per
 """
 
 
@@ -324,7 +326,7 @@ merged AS (
          SUM(ca) OVER () AS n_a, SUM(cb) OVER () AS n_b
   FROM merged
 )
-SELECT MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+SELECT CAST(MAX(n_a) AS BIGINT) AS n_a, CAST(MAX(n_b) AS BIGINT) AS n_b,
        MAX(ABS(cum_a * n_b - cum_b * n_a))
          / CAST(MAX(n_a) * MAX(n_b) AS DOUBLE) AS ks
 FROM cum
@@ -458,7 +460,7 @@ cum AS (
               AS DOUBLE) AS gap
   FROM merged CROSS JOIN tot
 )
-SELECT min(ta) AS n_a, min(tb) AS n_b,
+SELECT CAST(min(ta) AS BIGINT) AS n_a, CAST(min(tb) AS BIGINT) AS n_b,
        round(list_aggregate(
          list_transform(
            list_sort(list(struct_pack(b := bucket,

@@ -119,7 +119,7 @@ WITH per_score AS (
            AS neg_below
   FROM per_score
 )
-SELECT {kpfx}SUM(p) AS n_pos, SUM(n) AS n_neg,
+SELECT {kpfx}CAST(SUM(p) AS BIGINT) AS n_pos, CAST(SUM(n) AS BIGINT) AS n_neg,
        CASE WHEN SUM(p) > 0 AND SUM(n) > 0 THEN
          (2 * SUM(p * neg_below) + SUM(p * n))
          / (2.0 * SUM(p) * SUM(n))
@@ -192,7 +192,7 @@ WITH ranked AS (
          SUM(CAST({label_expr} AS INT)) OVER ({part}{order} {frame}) AS cp
   FROM ({rel_sql})
 )
-SELECT {kpfx}SUM(l) AS n_pos, COUNT(*) AS n,
+SELECT {kpfx}CAST(SUM(l) AS BIGINT) AS n_pos, COUNT(*) AS n,
        CASE WHEN SUM(l) > 0 THEN
          SUM(CASE WHEN l = 1 THEN
                CAST(ROUND(cp / CAST(k AS DOUBLE) * 1e8) AS BIGINT)
@@ -338,7 +338,7 @@ WITH binned AS (
          CAST({label_expr} AS INT) AS l
   FROM ({rel_sql})
 )
-SELECT bin, COUNT(*) AS n, SUM(l) AS n_pos,
+SELECT bin, COUNT(*) AS n, CAST(SUM(l) AS BIGINT) AS n_pos,
        SUM(CAST(ROUND(s * 1e8) AS BIGINT)) / 1e8 / COUNT(*) AS mean_score,
        SUM(l) / CAST(COUNT(*) AS DOUBLE) AS pos_rate
 FROM binned GROUP BY bin
@@ -399,7 +399,7 @@ WITH ranked AS (
            ASC) AS i
   FROM ({rel_sql})
 )
-SELECT {kpfx}COUNT(*) AS n, SUM(x) AS total,
+SELECT {kpfx}COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS total,
        CASE WHEN SUM(x) > 0 THEN
          (2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x))
          / CAST(COUNT(*) * SUM(x) AS DOUBLE)
@@ -470,7 +470,7 @@ WITH pairs AS (
     JOIN (SELECT b AS c, COUNT(*) AS cb FROM pairs GROUP BY b) mb
     USING (c)
 )
-SELECT n, n_agree,
+SELECT n, CAST(n_agree AS BIGINT) AS n_agree,
        CASE WHEN n * n <> pe THEN
          (n * n_agree - pe) / CAST(n * n - pe AS DOUBLE)
        END AS kappa
@@ -533,7 +533,7 @@ WITH counts AS (
               AS BIGINT) AS t
   FROM counts
 )
-SELECT {kpfx}SUM(c) AS n, COUNT(*) AS n_distinct,
+SELECT {kpfx}CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS n_distinct,
        SUM(t) / 1e8 AS entropy
 FROM termed {grp}
 """
@@ -868,8 +868,8 @@ best AS (
   ORDER BY k DESC LIMIT 1
 )
 SELECT best.s AS threshold,
-       COALESCE(best.k, 0) AS n_kept,
-       COALESCE(best.cp, 0) AS n_pos_kept,
+       CAST(COALESCE(best.k, 0) AS BIGINT) AS n_kept,
+       CAST(COALESCE(best.cp, 0) AS BIGINT) AS n_pos_kept,
        CASE WHEN best.k IS NOT NULL
             THEN best.cp / CAST(best.k AS DOUBLE) END AS precision,
        CASE WHEN best.k IS NOT NULL AND tot.np > 0
@@ -953,11 +953,11 @@ per AS (
          COUNT(*) AS n, SUM(l) AS n_pos
   FROM ranked CROSS JOIN nn GROUP BY 1
 )
-SELECT bucket, n, n_pos,
-       SUM(n) OVER (ORDER BY bucket
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
-       SUM(n_pos) OVER (ORDER BY bucket
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+SELECT bucket, n, CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(SUM(n) OVER (ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+       CAST(SUM(n_pos) OVER (ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos,
        SUM(n_pos) OVER (ORDER BY bucket
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          / CAST(GREATEST(SUM(n_pos) OVER (), 1) AS DOUBLE) AS capture_rate,

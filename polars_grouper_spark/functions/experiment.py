@@ -418,7 +418,7 @@ agg AS (
              AS DECIMAL(38,0))) AS ties_d
   FROM cum
 )
-SELECT na_i AS n_a, nb_i AS n_b,
+SELECT CAST(na_i AS BIGINT) AS n_a, CAST(nb_i AS BIGINT) AS n_b,
        CAST(twou_d AS DOUBLE) / 2.0 AS u_a,
        (CAST(twou_d AS DOUBLE) / 2.0
         - CAST(na_i AS DOUBLE) * CAST(nb_i AS DOUBLE) / 2.0)
@@ -601,7 +601,7 @@ agg AS (
          sum(s_g * s_g / n_g) AS sb_part
   FROM per
 )
-SELECT k_i AS k, n_i AS n,
+SELECT k_i AS k, CAST(n_i AS BIGINT) AS n,
        CASE WHEN k_i >= 2 AND n_i > k_i
              AND (ss - s * s / CAST(n_i AS DOUBLE)) > 0 THEN
          round(((sb_part - s * s / CAST(n_i AS DOUBLE))
@@ -766,7 +766,7 @@ agg AS (
          sum(CASE WHEN a = y AND b <> y THEN 1 ELSE 0 END) AS n10
   FROM src
 )
-SELECT n, n01, n10,
+SELECT n, CAST(n01 AS BIGINT) AS n01, CAST(n10 AS BIGINT) AS n10,
        CASE WHEN n01 + n10 > 0 THEN
          (CAST(abs(n01 - n10) AS DOUBLE) - 1.0)
          * (CAST(abs(n01 - n10) AS DOUBLE) - 1.0)
@@ -861,7 +861,8 @@ ranked AS (
          row_number() OVER (ORDER BY mean_b, bkt) AS rk
   FROM per
 ),
-tot AS (SELECT sum(n_b) AS n, count(*) AS n_buckets FROM ranked)
+tot AS (SELECT CAST(sum(n_b) AS BIGINT) AS n, count(*) AS n_buckets
+        FROM ranked)
 SELECT n, n_buckets, mean_b AS mom
 FROM ranked CROSS JOIN tot
 WHERE rk = (n_buckets + 1) // 2

@@ -780,7 +780,7 @@ tot AS (SELECT sum(n_pos) AS tp, sum(n_neg) AS tn FROM binned)
 SELECT bin,
        round(lo + bin * (CASE WHEN hi > lo
              THEN (hi - lo) / {n_bins} ELSE 1.0 END), {decimals}) AS lo,
-       n_pos, n_neg,
+       CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
        round(ln(((n_pos + 0.5) * tn) / ((n_neg + 0.5) * tp)), {decimals})
          AS woe,
        round((CAST(n_pos AS DOUBLE) / tp - CAST(n_neg AS DOUBLE) / tn)

@@ -200,7 +200,8 @@ WITH per_val AS (
   FROM cum WHERE total_w > 0 AND 2 * cumw >= total_w GROUP BY grp
 )
 SELECT t.grp, t.total_w, hit.wmedian
-FROM (SELECT grp, SUM(w) AS total_w FROM per_val GROUP BY grp) t
+FROM (SELECT grp, CAST(SUM(w) AS BIGINT) AS total_w
+      FROM per_val GROUP BY grp) t
 LEFT JOIN hit USING (grp)
 """
 

@@ -624,7 +624,7 @@ scored AS (
   FROM src s CROSS JOIN cands c
   GROUP BY 1, 2, 3
 )
-SELECT cand_id, slope, intercept, n_inliers, n_total,
-       CAST(n_inliers AS DOUBLE) / n_total AS inlier_frac
+SELECT cand_id, slope, intercept, CAST(n_inliers AS BIGINT) AS n_inliers,
+       n_total, CAST(n_inliers AS DOUBLE) / n_total AS inlier_frac
 FROM scored ORDER BY n_inliers DESC, cand_id LIMIT 1
 """

@@ -456,7 +456,8 @@ norms AS (SELECT doc, sum(tf * tf) AS n2 FROM tf GROUP BY doc),
 rare AS (SELECT term FROM tf GROUP BY term HAVING count(*) <= {max_df}),
 post AS (SELECT tf.* FROM tf JOIN rare USING (term)),
 dots AS (
-  SELECT a.doc AS id_a, b.doc AS id_b, sum(a.tf * b.tf) AS dot
+  SELECT a.doc AS id_a, b.doc AS id_b,
+         CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
   FROM post a JOIN post b ON a.term = b.term AND a.doc < b.doc
   GROUP BY 1, 2
 ),

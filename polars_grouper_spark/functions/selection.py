@@ -208,9 +208,10 @@ def budget_select_sql(
 WITH ranked AS (
   SELECT {id_expr} AS id, CAST({score_expr} AS DOUBLE) AS score,
          CAST({cost_expr} AS BIGINT) AS cost,
-         SUM(CAST({cost_expr} AS BIGINT)) OVER (
+         CAST(SUM(CAST({cost_expr} AS BIGINT)) OVER (
            ORDER BY CAST({score_expr} AS DOUBLE) DESC, {id_expr} ASC
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cost
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_cost
   FROM ({rel_sql})
 )
 SELECT id, score, cost, cum_cost FROM ranked WHERE cum_cost <= {budget}

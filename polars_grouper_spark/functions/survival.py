@@ -103,9 +103,11 @@ per_t AS (
   FROM clean GROUP BY t
 ),
 at_risk AS (
+  -- CAST: DuckDB sum(BIGINT) widens to HUGEINT, which round-trips
+  -- differently than int64 through Arrow; Spark emits BIGINT here.
   SELECT t, n_death, n_censor,
-         sum(n_at) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
-                         AND UNBOUNDED FOLLOWING) AS n_risk
+         CAST(sum(n_at) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                              AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
   FROM per_t
 ),
 curve AS (

@@ -889,8 +889,8 @@ cks AS (SELECT CAST(u.i AS INT) AS checkpoint,
                  AS id_threshold
         FROM mm, unnest(range(1, {n_checkpoints} + 1)) AS u(i))
 SELECT c.checkpoint, c.id_threshold,
-       (SELECT sum(n_tok) FROM per_doc WHERE doc <= c.id_threshold)
-         AS n_tokens,
+       (SELECT CAST(sum(n_tok) AS BIGINT) FROM per_doc
+        WHERE doc <= c.id_threshold) AS n_tokens,
        (SELECT count(*) FROM first WHERE first_doc <= c.id_threshold)
          AS vocab
 FROM cks c ORDER BY c.checkpoint

@@ -367,7 +367,7 @@ WITH base AS (
              - CAST(FLOOR(epoch(ts)) AS BIGINT), 0) AS dur
   FROM base
 )
-SELECT k AS key, COUNT(*) AS n_obs, SUM(dur) AS total_secs,
+SELECT k AS key, COUNT(*) AS n_obs, CAST(SUM(dur) AS BIGINT) AS total_secs,
        CASE WHEN SUM(dur) > 0
             THEN SUM(vi * dur) / 1e8 / SUM(dur) END AS twap
 FROM timed GROUP BY k

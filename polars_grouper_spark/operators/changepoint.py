@@ -227,7 +227,7 @@ WITH buckets AS (
   FROM hot
 )
 SELECT key, MIN(b) AS start_bucket, MAX(b) AS end_bucket,
-       COUNT(*) AS n_buckets, MAX(c) AS peak, SUM(c) AS total
+       COUNT(*) AS n_buckets, MAX(c) AS peak, CAST(SUM(c) AS BIGINT) AS total
 FROM runs GROUP BY key, run
 """
 

@@ -296,6 +296,7 @@ gains AS (
            _s))) AS _gain
   FROM clean
 )
-SELECT {gsel}sum(_gain) AS covered, count(*)::BIGINT AS n_intervals
+SELECT {gsel}CAST(sum(_gain) AS BIGINT) AS covered,
+       count(*)::BIGINT AS n_intervals
 FROM gains {ggrp}
 """

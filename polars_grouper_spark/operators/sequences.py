@@ -260,6 +260,6 @@ per AS (
   FROM sess GROUP BY u, sid
 )
 SELECT entry_type, exit_type, count(*) AS n_sessions,
-       sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS n_bounces
+       CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces
 FROM per GROUP BY 1, 2
 """

@@ -306,7 +306,8 @@ def column_change_stats_sql(
         for c in cols
     )
     arms = " UNION ALL ".join(
-        f"SELECT '{c}' AS column, n_compared, ch_{c} AS n_changed, "
+        f"SELECT '{c}' AS column, n_compared, "
+        f"CAST(ch_{c} AS BIGINT) AS n_changed, "
         f"ch_{c} / CAST(n_compared AS DOUBLE) AS change_rate FROM wide"
         for c in cols
     )

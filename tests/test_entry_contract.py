@@ -44,14 +44,25 @@ def test_driver_window_is_spent_on_unverified_queries():
     """The driver's correctness gate covers the first ~50 entries, so the
     dict must list every driver-unverified query BEFORE any verified one
     (VERDICT r3 task #1: rotate until all have a green row on record).
-    With more than 50 unverified queries the overflow rotates next
-    round; what is never allowed is a verified query occupying a window
-    slot an unverified one needs."""
+    Since round 6, "verified" means a fully-GREEN row (rows + schema +
+    hash all matched): a red row means the query must re-enter the
+    window until a green row lands.  With more than 50 unverified
+    queries the overflow rotates next round; what is never allowed is a
+    verified query occupying a window slot an unverified one needs.
+    queries() enforces this automatically via _green_driver_verified();
+    this test guards the helper."""
     import json
 
     verified = set()
     for path in REPO.glob("CORRECTNESS_r*.json"):
-        verified |= set(json.loads(path.read_text()))
+        for name, rec in json.loads(path.read_text()).items():
+            if (
+                isinstance(rec, dict)
+                and rec.get("rows_match")
+                and rec.get("schema_match")
+                and rec.get("hash_match", True)
+            ):
+                verified.add(name)
     order = list(entry_mod.queries())
     seen_verified_at = None
     for i, q in enumerate(order):
