@@ -4433,10 +4433,23 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     (candidate volume ∝ corpus²·n_probe/n_cells) finer cells dominate
     more probes, so the graph path now probes 32 of 128 cells:
     recall@10 = 0.868 at probe-4-equivalent cost (see the constants
-    comment and tests/test_similarity.py)."""
+    comment and tests/test_similarity.py).
+
+    Assignment runs the Arrow batch kernel: at 128 cells the interpreted
+    HOF argmin is 4 corpus-wide passes and dominated wall time (28.8 s
+    vs 16.6 s at sf0.1).  Output verified bit-identical to the "expr"
+    path at sf0.001/0.01/0.1 — and the DuckDB oracle replays Lloyd with
+    its OWN float summation order anyway, so neither path is order-
+    matched to the oracle; both match because inter-cell distance gaps
+    dwarf float noise on real embeddings."""
     emb = load_table(spark, "embeddings", sf_dir)
     out = sim.ivf_topk(
-        emb, emb, k=_TOPK_K, n_cells=_KNN_GRAPH_CELLS, n_probe=_KNN_GRAPH_PROBE
+        emb,
+        emb,
+        k=_TOPK_K,
+        n_cells=_KNN_GRAPH_CELLS,
+        n_probe=_KNN_GRAPH_PROBE,
+        assign="arrow",
     )
     return out.select(
         "query_id",
