@@ -184,3 +184,48 @@ def test_incremental_components_touches_component_graph_not_v(spark):
     # 500 two-node components; the batch merges exactly two of them
     n_comps = out.select("component").distinct().count()
     assert n_comps == 499
+
+def test_chained_incremental_over_nested_slices_equals_full_per_level(spark):
+    """The percolation composition (round-6): for NESTED edge subsets
+    E1 ⊂ E2 ⊂ E3, chaining incremental_components over the deltas must
+    equal a full components() run on each cumulative slice — for random
+    graphs, not just the entry's supplier-part data.  This is the
+    invariant that lets percolation_sp replace 3 full CC runs with
+    1 full + 2 delta merges."""
+    import random
+
+    from polars_grouper_spark.operators.connected_components import (
+        components,
+        incremental_components,
+    )
+
+    for seed in (11, 29, 47):
+        rng = random.Random(seed)
+        edges = [
+            (f"v{rng.randrange(60)}", f"v{rng.randrange(60)}")
+            for _ in range(150)
+        ]
+        # nested slices by deterministic position: first 50, 100, 150
+        cuts = (50, 100, 150)
+        df = lambda rows: spark.createDataFrame(  # noqa: E731
+            rows, "`from` string, `to` string"
+        )
+        labels = None
+        prev = 0
+        for cut in cuts:
+            delta = edges[prev:cut]
+            prev = cut
+            if labels is None:
+                labels = components(df(delta)).select("node", "component")
+            else:
+                labels = incremental_components(labels, df(delta))
+            got = sorted(map(tuple, labels.collect()))
+            want = sorted(
+                map(
+                    tuple,
+                    components(df(edges[:cut]))
+                    .select("node", "component")
+                    .collect(),
+                )
+            )
+            assert got == want, f"seed={seed} cut={cut}"
