@@ -3,10 +3,19 @@ and its oracle_sql() on DuckDB at sf0.01, compare row multisets with
 columns sorted by name.
 
 Usage: PYTHONPATH=/root/repo python scripts/check_oracle.py [sf_dir] [query ...]
+
+Env:
+  HOSTILE_SESSION=1 — build a bare driver-style SparkSession instead of
+  the package's get_spark(): default confs (200 shuffle partitions, no
+  AQE tuning), session timezone America/New_York.  A query that only
+  passes under get_spark()'s confs is a latent driver-red row — this
+  sweep exists to flush out partitioning/timezone-dependent results
+  (the class behind the round-5 hash mismatches).
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -41,7 +50,19 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    spark = get_spark("oracle-check")
+    if os.environ.get("HOSTILE_SESSION") == "1":
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("oracle-check-hostile")
+            .master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
+            .config("spark.sql.session.timeZone", "America/New_York")
+            .config("spark.ui.enabled", "false")
+            .config("spark.driver.memory", "8g")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("oracle-check")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:

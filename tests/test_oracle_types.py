@@ -3,9 +3,10 @@
 Root cause of the round-5 driver hash mismatches (`user_survival`,
 `psi_drift_events`, `user_coverage`): DuckDB widens ``sum(BIGINT)`` /
 ``sum(INT)`` to HUGEINT (int128).  The local gate's ``fetchall()``
-converts HUGEINT to a Python int — invisible — but an Arrow-side fetch
-(what the driver hashes) surfaces it as decimal128, which hash-compares
-differently from Spark's int64 even when every value is equal.  The
+converts HUGEINT to a Python int — invisible — but a pandas-side fetch
+(``.df()``, the driver's path) converts HUGEINT to float64, so the
+value renders ``300.0`` where Spark's int64 renders ``300`` — a
+guaranteed hash mismatch even when every value is equal.  The
 correlation was exact: every driver-checked oracle emitting HUGEINT was
 red, every one without was green (DECIMAL outputs pass — two green
 driver rows — so only HUGEINT is banned).
