@@ -46,6 +46,10 @@ from polars_grouper_spark.functions import scrub
 from polars_grouper_spark.functions import similarity as sim
 from polars_grouper_spark.functions import text as tx
 from polars_grouper_spark.functions.hashing import hash_pair64_sql, portable_hash64_sql
+from polars_grouper_spark.functions.timeutil import (
+    epoch_us_ntz,
+    trunc_epoch_s_ntz,
+)
 from polars_grouper_spark.functions.outliers import robust_outliers_sql
 from polars_grouper_spark.functions.features import (
     class_centroids_sql,
@@ -1617,7 +1621,10 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     return (
         ev.groupBy(
-            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+            # trunc_epoch_s_ntz, not unix_timestamp(date_trunc(...)):
+            # date_trunc on NTZ returns LTZ via the session zone, making
+            # hour_epoch timezone-dependent (round-6 hostile sweep)
+            trunc_epoch_s_ntz(F.col("ts"), 3600).alias("hour_epoch"),
             "event_type",
         )
         .agg(
@@ -3339,15 +3346,15 @@ def q_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts", "value"
     )
     out = asof_join(purchases, clicks, on="ts", by="user_id")
-    # unix_micros rejects TIMESTAMP_NTZ (the driver's parquet decodes ts as
-    # NTZ); session tz is pinned UTC so the cast is instant-preserving.
+    # epoch_us_ntz: absolute epochs reach the output, so the naive ts
+    # must read as UTC under ANY session zone (round-6 hostile sweep)
     return out.select(
         "event_id",
         "user_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        epoch_us_ntz(F.col("ts")).alias("ts_us"),
         "value",
         "click_value",
-        F.unix_micros(F.col("ts_right").cast("timestamp")).alias("click_ts_us"),
+        epoch_us_ntz(F.col("ts_right")).alias("click_ts_us"),
     )
 
 
@@ -3387,10 +3394,10 @@ def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id",
         "user_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        epoch_us_ntz(F.col("ts")).alias("ts_us"),
         "value",
         "click_value",
-        F.unix_micros(F.col("ts_right").cast("timestamp")).alias("click_ts_us"),
+        epoch_us_ntz(F.col("ts_right")).alias("click_ts_us"),
     )
 
 

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .timeutil import epoch_s_ntz
+
 
 def ewma(
     df: DataFrame,
@@ -394,7 +396,9 @@ def gaps_report(
     """
     if step_s < 1:
         raise ValueError(f"step_s must be >= 1, got {step_s}")
-    b = F.floor(F.unix_timestamp(F.col(ts_col).cast("timestamp")) / step_s)
+    # epoch_s_ntz: first/last_bucket surface in the output — they must
+    # not ride the session timezone (round-6 hostile-session finding)
+    b = F.floor(epoch_s_ntz(F.col(ts_col)) / step_s)
     per_bucket = df.select(
         F.col(key_col).alias("key"), b.alias("_b")
     ).distinct()

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import epoch_s_ntz, epoch_us_ntz
+
 
 def cusum_alarms(
     df: DataFrame,
@@ -53,7 +55,8 @@ def cusum_alarms(
         & F.col(value_col).isNotNull()
     ).select(
         F.col(key_col).cast("string").alias("key"),
-        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
+        # session-TZ-independent epoch (alarm ts_us reaches the output)
+        epoch_us_ntz(F.col(ts_col)).alias("ts_us"),
         F.col(value_col).cast("long").alias("value_q"),
     )
 
@@ -152,9 +155,9 @@ def burst_runs(
     buckets = (
         df.select(
             F.col(key_col).alias("key"),
-            F.floor(
-                F.unix_timestamp(F.col(ts_col).cast("timestamp")) / step_s
-            ).alias("b"),
+            # epoch_s_ntz, not unix_timestamp(cast): bucket ids surface
+            # in the output and must not ride the session timezone
+            F.floor(epoch_s_ntz(F.col(ts_col)) / step_s).alias("b"),
         )
         .groupBy("key", "b")
         .agg(F.count(F.lit(1)).alias("c"))

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import epoch_us_ntz
+
 
 def debounce(
     df: DataFrame,
@@ -54,7 +56,10 @@ def debounce(
     ).select(
         F.col(key_col).cast("string").alias("key"),
         F.col(id_col).cast("long").alias("id"),
-        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
+        # session-TZ-independent epoch: ts_us reaches the OUTPUT, so the
+        # naive timestamp must read as UTC under any session zone
+        # (functions.timeutil; round-6 hostile-session sweep finding)
+        epoch_us_ntz(F.col(ts_col)).alias("ts_us"),
     )
 
     def scan(pdf):

@@ -29,6 +29,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import epoch_us_ntz
 from ..plans.iteration import truncate_lineage
 
 _BROADCAST_FRONTIER_ROWS = 1_000_000
@@ -56,7 +57,8 @@ def temporal_reachability(
         raise ValueError(f"max_hops must be >= 0, got {max_hops}")
     s = F.col(src).cast("string")
     d = F.col(dst).cast("string")
-    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    # session-TZ-independent: earliest_arrival surfaces in the output
+    t = epoch_us_ntz(F.col(ts_col))
     edges = truncate_lineage(
         df.where(s.isNotNull() & d.isNotNull() & F.col(ts_col).isNotNull())
         .select(s.alias("u"), d.alias("v"), t.alias("t"))
@@ -126,8 +128,16 @@ def temporal_reachability(
         )
         frontier = improved
 
+    # timestampadd over an NTZ base, not timestamp_micros: the latter
+    # returns LTZ, which RENDERS in the session zone — the output column
+    # itself must be zone-free (matches the oracle's naive
+    # make_timestamp).
     return dist.select(
-        "node", F.timestamp_micros(F.col("arr")).alias("earliest_arrival")
+        "node",
+        F.expr(
+            "timestampadd(MICROSECOND, arr, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        ).alias("earliest_arrival"),
     )
 
 

@@ -27,6 +27,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import date_trunc_ntz
+
 _VALID = {"minute", "hour", "day", "week", "month", "quarter", "year"}
 
 
@@ -51,8 +53,12 @@ def time_rollup(
     if not resolutions:
         raise ValueError("need at least one resolution")
 
+    # date_trunc_ntz, not F.date_trunc: the built-in returns LTZ by
+    # interpreting the naive wall clock in the SESSION zone, making
+    # bucket_start (and epochs derived from it) timezone-dependent —
+    # round-6 hostile-session sweep finding.
     trunc_cols = [
-        F.date_trunc(r, F.col(ts_col)).alias(f"__t_{r}") for r in resolutions
+        date_trunc_ntz(r, F.col(ts_col)).alias(f"__t_{r}") for r in resolutions
     ]
     base = df.select(*df.columns, *trunc_cols)
 
@@ -74,7 +80,7 @@ def time_rollup(
     # Each output row belongs to exactly one grouping set: its resolution
     # is the one whose trunc column was grouped (grouping = 0).
     res_label = F.lit(None).cast("string")
-    bucket = F.lit(None).cast("timestamp")
+    bucket = F.lit(None).cast("timestamp_ntz")
     for r in resolutions:
         is_this = F.col(f"__g_{r}") == 0
         res_label = F.when(is_this, F.lit(r)).otherwise(res_label)

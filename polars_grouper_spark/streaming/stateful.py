@@ -18,6 +18,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..functions.timeutil import epoch_us_ntz
+
 RUNNING_SCHEMA = "user_id long, n_events long, sum_value double"
 STATE_SCHEMA = "n long, s double"
 
@@ -240,7 +242,9 @@ def streaming_debounce(
     ).select(
         F.col(key_col).cast("string").alias("key"),
         F.col(id_col).cast("long").alias("id"),
-        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
+        # session-TZ-independent epoch: ts_us reaches the output
+        # (functions.timeutil; round-6 hostile-session sweep finding)
+        epoch_us_ntz(F.col(ts_col)).alias("ts_us"),
     )
     return slim.groupBy("key").applyInPandasWithState(
         _update,
