@@ -22,6 +22,14 @@ driver materialization.
 Variance control: every query runs $SPARK_GRAFT_BENCH_REPS times
 (default 2) and reports the per-query MINIMUM — the run least polluted by
 GC pauses / compilation / OS noise, the standard steady-state estimator.
+
+Session-wear control (round-6): the SparkContext is fully recycled every
+$SPARK_GRAFT_BENCH_RECYCLE queries (default 75; restart + re-warm time is
+excluded from timings), and after the main loop the known regressor set
+(FRESH_RECHECK) re-runs in a brand-new session — the summary's "fresh"
+map records {benched, fresh} per query so harness wear and real
+regressions are separated by the artifact itself, not argued.
+Disable the referee pass with SPARK_GRAFT_BENCH_FRESH=0.
 """
 
 from __future__ import annotations
