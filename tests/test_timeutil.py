@@ -6,6 +6,8 @@ depended on ``spark.sql.session.timeZone``."""
 
 import duckdb
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from polars_grouper_spark.functions.timeutil import (
@@ -88,3 +90,46 @@ def test_epoch_us_ntz_equals_unix_micros_under_utc(spark):
         ).alias("eq")
     )
     assert all(r["eq"] for r in df.collect())
+
+
+
+# Random wall clocks across years (incl. DST transition windows) as
+# microsecond offsets from 2000-01-01; one Spark job evaluates a whole
+# batch, so examples stay cheap.
+_OFFSETS = st.lists(
+    st.integers(min_value=0, max_value=50 * 365 * 86400 * 1_000_000),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(_OFFSETS)
+def test_epoch_us_ntz_matches_duckdb_for_random_timestamps(spark, offsets):
+    """Property: for arbitrary naive wall clocks, epoch_us_ntz under a
+    FOREIGN session zone equals DuckDB epoch_us (naive-as-UTC)."""
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        df = spark.createDataFrame([(o,) for o in offsets], "off long").select(
+            "off",
+            epoch_us_ntz(
+                F.expr(
+                    "timestampadd(MICROSECOND, off, "
+                    "TIMESTAMP_NTZ '2000-01-01 00:00:00')"
+                )
+            ).alias("us"),
+        )
+        got = {r["off"]: r["us"] for r in df.collect()}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    base = 946_684_800_000_000  # 2000-01-01 epoch micros
+    for off in offsets:
+        assert got[off] == base + off, off
