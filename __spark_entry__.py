@@ -10761,7 +10761,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # though a green row exists.  Remove a name once a fresh green row lands.
 #   knn_graph: round-6 quantization switch (16,2) -> (128,32); green r04
 #   row predates the change.
-_STALE_VERIFIED = {"knn_graph"}
+#   temporal_reach_users: round-6 TZ fix changed the OUTPUT TYPE of
+#   earliest_arrival from TIMESTAMP (LTZ) to TIMESTAMP_NTZ after the
+#   green r04 row (eec406e).  Round-7 audit of the other 8 TZ-fixed
+#   queries with pre-existing green rows (events_rollup, events_hourly,
+#   asof_clicks, asof_nearest, debounce_events, stream_debounce,
+#   cusum_users, gaps/burst never-verified): all emit LONG epochs whose
+#   values are pinned identical under UTC (tests/test_timeutil.py), so
+#   their rows stay valid — only the type change invalidates.
+_STALE_VERIFIED = {"knn_graph", "temporal_reach_users"}
 
 
 def _green_driver_verified() -> "set[str]":
@@ -11153,8 +11161,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Automatic window rotation: queries still lacking a green driver row
     # (never checked, or checked red) come first so the ~50-slot
     # correctness window is never spent re-verifying green queries.
+    # Stale-verified names lead outright (r6 judge advice): their old
+    # green row hides a semantics change, so re-verification is MORE
+    # urgent than a first row for a never-checked query — authored-late
+    # names must not wait out multiple 50-slot rounds.
     green = _green_driver_verified()
-    ordered = {k: v for k, v in base.items() if k not in green}
+    ordered = {k: base[k] for k in sorted(_STALE_VERIFIED) if k in base}
+    ordered.update({k: v for k, v in base.items() if k not in green})
     ordered.update({k: v for k, v in base.items() if k in green})
     return ordered
 

