@@ -5918,11 +5918,14 @@ _DAG_EDGE_SQL = (
 
 def q_topo_levels_tasks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topological level assignment (``operators.toposort`` — Kahn
-    source peeling): longest-path depth over a ~15-level dependency DAG
-    — each level is a parallel execution wave.  One aggregation + two
-    anti joins per round over a SHRINKING edge set (the k-core posture);
-    cycles raise rather than returning a partial layering.  The oracle
-    is a deduplicating recursive longest-path CTE."""
+    in-degree peeling): longest-path depth over a ~15-level dependency
+    DAG — each level is a parallel execution wave.  Two-tier plan: the
+    distinct edge set reduces DISTRIBUTED (the scale work), then the
+    peel runs driver-local under the ``max_local_edges`` guard (a
+    deduplicated dependency DAG is tiny next to its fact table) with a
+    blocked distributed peel as the large-DAG fallback; cycles raise
+    rather than returning a partial layering.  The oracle is a
+    deduplicating recursive longest-path CTE."""
     from polars_grouper_spark.operators.toposort import topological_levels
 
     return topological_levels(_dag_edges(spark, sf_dir), "src", "dst")

@@ -38,6 +38,25 @@ def test_self_loop_raises(spark):
         topological_levels(edges)
 
 
+def test_distributed_path_matches_local(spark):
+    # max_local_edges=0 forces the distributed block peel; same answers.
+    edges = spark.createDataFrame(
+        [("a", "d"), ("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        ["from", "to"],
+    )
+    want = _lv(topological_levels(edges))
+    got = _lv(topological_levels(edges, max_local_edges=0, block=2))
+    assert got == want == {"a": 0, "b": 1, "x": 0, "y": 1, "c": 2, "d": 3}
+
+
+def test_distributed_path_cycle_raises(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")], ["from", "to"]
+    )
+    with pytest.raises(ValueError, match="cycle"):
+        topological_levels(edges, max_local_edges=0, block=3)
+
+
 def test_composes_with_condensation(spark):
     from polars_grouper_spark.operators.scc import condensation
 
