@@ -350,6 +350,102 @@ def _cell_col_arrow(
     return df.mapInPandas(assign, schema).select(*in_cols, out)
 
 
+def _probe_cell_arrow(
+    df: DataFrame,
+    vec_col: str,
+    cents: list[list[float]],
+    n_probe: int,
+    *,
+    cell_out: str = "cell",
+    probes_out: str = "probes",
+    norm_out: str = "nrm",
+) -> DataFrame:
+    """Arrow-batched probe selection: one batch matmul yields, per row,
+    the vector's L2 norm, its nearest cell (= ``probes[0]``) and the
+    ``n_probe`` nearest cells in distance order.  Tie-break matches the
+    expression path: stable argsort on squared distance → equal
+    distances resolve to the lower cell id.  This replaces the
+    crossJoin + 128-wide interpreted HOF transform + array_sort on the
+    query side — the dominant cost of :func:`ivf_topk` at high cell
+    counts."""
+    import numpy as np
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast([list(map(float, c)) for c in cents])
+    n_probe = min(n_probe, len(cents))
+    in_cols = df.columns
+    schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"{norm_out} double", f"{cell_out} int", f"{probes_out} array<int>"]
+    )
+
+    def kernel(batches):
+        C = np.asarray(bc.value, dtype=np.float64)
+        c_sq = (C * C).sum(axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf[norm_out] = np.array([], dtype="float64")
+                pdf[cell_out] = np.array([], dtype="int32")
+                pdf[probes_out] = []
+                yield pdf
+                continue
+            X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            x_sq = (X * X).sum(axis=1)
+            d = x_sq[:, None] - 2.0 * (X @ C.T) + c_sq[None, :]
+            order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+            pdf[norm_out] = np.sqrt(x_sq)
+            pdf[cell_out] = order[:, 0].astype("int32")
+            pdf[probes_out] = [row.astype("int32").tolist() for row in order]
+            yield pdf
+
+    return df.mapInPandas(kernel, schema).select(
+        *in_cols, norm_out, cell_out, probes_out
+    )
+
+
+def _score_pairs_arrow(joined: DataFrame, k: int) -> DataFrame:
+    """Arrow-batched candidate scoring + per-query top-k.  Input columns:
+    (query_id, qv, qn, neighbor_id, cv, cn); output
+    (query_id, neighbor_id, cosine, rank).  The row-wise dot is one
+    vectorized multiply-sum per batch instead of a per-element JVM HOF
+    fold per pair; the top-k stays a window (shuffle on query_id) so the
+    ranking semantics — cosine desc, neighbor_id asc — are byte-identical
+    to the expression path."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf[["query_id", "neighbor_id"]].assign(
+                    cosine=np.array([], dtype="float64")
+                )
+                continue
+            Q = np.asarray(list(pdf["qv"]), dtype=np.float64)
+            C = np.asarray(list(pdf["cv"]), dtype=np.float64)
+            dot = (Q * C).sum(axis=1)
+            cos = dot / (
+                pdf["qn"].to_numpy(dtype="float64")
+                * pdf["cn"].to_numpy(dtype="float64")
+            )
+            out = pdf[["query_id", "neighbor_id"]].copy()
+            out["cosine"] = cos
+            yield out
+
+    qid_t = dict(joined.dtypes)["query_id"]
+    nid_t = dict(joined.dtypes)["neighbor_id"]
+    scored = joined.mapInPandas(
+        kernel, f"query_id {qid_t}, neighbor_id {nid_t}, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
 def ivf_build(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -415,23 +511,38 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     assign: str = "expr",
+    broadcast_queries: bool | None = None,
 ) -> DataFrame:
     """IVF-pruned cosine top-k: score only vectors in the query's
     ``n_probe`` nearest cells.
 
-    The corpus side is scan → row-wise cell map → broadcast-join with the
-    (bounded) probe set: its only shuffle is the final per-query top-k
-    window over candidates.  Norms are computed once per row on each side,
-    never per candidate pair.  ``assign="arrow"`` routes every corpus-wide
-    cell argmin (Lloyd rounds AND the search-time map — the dominant cost
-    at high dim) through the numpy batch kernel; scoring of the pruned
-    candidates stays JVM-side either way.
+    The corpus side is scan → row-wise cell map → join with the probe
+    set on cell id; the only unavoidable shuffle is the final per-query
+    top-k window over candidates.  Norms are computed once per row on
+    each side, never per candidate pair.  ``broadcast_queries`` defaults
+    to True for a genuinely small query set and is FORCED off when the
+    queries frame IS the corpus (the k-NN-graph case): broadcasting
+    corpus × n_probe exploded probe rows is the backwards join — the
+    probe side is n_probe× LARGER than the corpus there, so it shuffles
+    instead and AQE picks the strategy.
+
+    ``assign="arrow"`` routes the whole hot path through numpy batch
+    kernels: cell argmin (Lloyd rounds AND the search-time map), the
+    per-query probe selection (previously a crossJoin + interpreted
+    128-wide HOF transform + array_sort per row — the dominant cost at
+    high cell counts), and candidate scoring (one vectorized
+    multiply-sum per Arrow batch instead of a per-element JVM fold per
+    pair).  Ranking semantics are identical (cosine desc, neighbor id
+    asc; stable distance argsort ties to the lower cell id); float
+    summation ORDER differs from the expression fold, so near-exact
+    ties can differ — hence opt-in, with the default path remaining
+    bit-compatible with the SQL oracle.
 
     **Use ``assign="arrow"`` for production runs** — measured 6.1× on a
     200k×32-dim corpus with identical assignments (parity-tested; see
-    README "ANN: which cell-assignment path to use").  The ``"expr"``
-    default exists so DuckDB-oracle replays are bit-compatible without
-    flags.
+    README "ANN: which cell-assignment path to use").  When the queries
+    frame IS the corpus, the assignment/probe kernel additionally runs
+    ONCE and is shared by both join sides.
 
     Tuning (measured, SCALE.md round-6): at a fixed candidate budget
     (scan fraction ∝ ``n_probe / n_cells``) finer quantization dominates
@@ -443,7 +554,66 @@ def ivf_topk(
     """
     _, centroids = ivf_build(corpus, id_col, vec_col, n_cells, assign=assign)
     cents = [cv for _, cv in centroids]
+    shared = queries is corpus
+    if broadcast_queries is None:
+        broadcast_queries = not shared
 
+    if assign == "arrow":
+        if shared:
+            both = _probe_cell_arrow(
+                corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+                "v",
+                cents,
+                n_probe,
+            ).cache()
+            c = both.select(
+                F.col("id").alias("neighbor_id"),
+                F.col("v").alias("cv"),
+                F.col("nrm").alias("cn"),
+                "cell",
+            )
+            q = both.select(
+                F.col("id").alias("query_id"),
+                F.col("v").alias("qv"),
+                F.col("nrm").alias("qn"),
+                F.explode("probes").alias("cell"),
+            )
+        else:
+            q = (
+                _probe_cell_arrow(
+                    queries.select(
+                        F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("qv"),
+                    ),
+                    "qv",
+                    cents,
+                    n_probe,
+                )
+                .select(
+                    "query_id",
+                    "qv",
+                    F.col("nrm").alias("qn"),
+                    F.explode("probes").alias("cell"),
+                )
+            )
+            c = _probe_cell_arrow(
+                corpus.select(
+                    F.col(id_col).alias("neighbor_id"),
+                    F.col(vec_col).alias("cv"),
+                ),
+                "cv",
+                cents,
+                1,
+            ).select("neighbor_id", "cv", F.col("nrm").alias("cn"), "cell")
+        joined = c.join(
+            F.broadcast(q) if broadcast_queries else q, "cell"
+        ).where(F.col("query_id") != F.col("neighbor_id"))
+        return _score_pairs_arrow(
+            joined.select("query_id", "qv", "qn", "neighbor_id", "cv", "cn"),
+            k,
+        )
+
+    # Expression path (bit-compatible with the DuckDB oracle replay).
     # Per-query probe cells: sort (distance, cell) structs in-array and
     # slice the first n_probe — row-wise, no window.  ``probes`` is
     # projected as its own column before exploding (generator rule: an
@@ -474,7 +644,7 @@ def ivf_topk(
         .select("query_id", "qv", "qn", F.col("p.cell").alias("cell"))
     )
 
-    c = (_cell_col_arrow if assign == "arrow" else _cell_col)(
+    c = _cell_col(
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("cv"),
@@ -483,9 +653,9 @@ def ivf_topk(
         "cv",
         cents,
     )
-    joined = c.join(F.broadcast(q), "cell").where(
-        F.col("query_id") != F.col("neighbor_id")
-    )
+    joined = c.join(
+        F.broadcast(q) if broadcast_queries else q, "cell"
+    ).where(F.col("query_id") != F.col("neighbor_id"))
     scored = joined.select(
         "query_id",
         "neighbor_id",
