@@ -24,6 +24,15 @@ HASH_HEX_DIGITS = 15  # 60 bits -> non-negative long, matches the SQL template
 HASH_SPACE = 1 << 60
 
 
+def portable_hash64_py(s: str) -> int:
+    """Driver-side Python mirror of :func:`portable_hash64` (portable
+    form) — bit-identical, so guarded local solves of iterative graph
+    operators reproduce the distributed path's hash priorities exactly."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:HASH_HEX_DIGITS], 16)
+
+
 def portable_hash64(col: Column | str, *, portable: bool = True) -> Column:
     """60-bit non-negative hash of a string column, reproducible in SQL."""
     c = F.col(col) if isinstance(col, str) else col

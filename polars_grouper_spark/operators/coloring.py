@@ -32,9 +32,50 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import portable_hash64_sql
 from ..plans.iteration import truncate_lineage
-from .mis import maximal_independent_set
+from ..functions.hashing import portable_hash64_sql
+from .mis import _mis_local, maximal_independent_set
+
+
+def _coloring_local(
+    edge_pairs: list[tuple[str, str]],
+    seed: int,
+    max_colors: int,
+    mis_max_rounds: int,
+) -> dict[str, int]:
+    """Driver-local mirror of the distributed color loop: per color,
+    Luby-MIS on the residual edges (seed + color, identical hash
+    priorities via :func:`_mis_local`) plus the residual-isolated
+    nodes; chosen nodes and their edges leave the graph."""
+    nodes = {a for a, _ in edge_pairs} | {b for _, b in edge_pairs}
+    remaining = set(nodes)
+    residual = list(edge_pairs)
+    out: dict[str, int] = {}
+    for color in range(1, max_colors + 1):
+        if not remaining:
+            break
+        if not residual:
+            for n in remaining:
+                out[n] = color
+            remaining = set()
+            break
+        flags = _mis_local(residual, seed + color, mis_max_rounds)
+        edge_nodes = {a for a, _ in residual} | {b for _, b in residual}
+        chosen = {n for n, in_mis in flags.items() if in_mis} | (
+            remaining - edge_nodes
+        )
+        for n in chosen:
+            out[n] = color
+        remaining -= chosen
+        residual = [
+            (a, b) for a, b in residual if a not in chosen and b not in chosen
+        ]
+    if remaining:
+        raise ValueError(
+            f"greedy_coloring exhausted max_colors={max_colors} — "
+            "pathological degree or raise the cap"
+        )
+    return out
 
 
 def greedy_coloring(
@@ -45,11 +86,19 @@ def greedy_coloring(
     seed: int = 0,
     max_colors: int = 64,
     mis_max_rounds: int = 60,
+    max_local_edges: int = 2_000_000,
 ) -> DataFrame:
     """Proper coloring -> ``(node, color)`` (colors 1-based, count
     <= max-degree + 1 by MIS maximality).  Undirected simple-graph
     semantics (nulls/self-loops drop).  Raises if ``max_colors`` is
-    exhausted — never returns a partial coloring."""
+    exhausted — never returns a partial coloring.
+
+    Two-tier: the distinct canonical edge reduction stays distributed;
+    a deduplicated graph within ``max_local_edges`` colors driver-local
+    with bit-identical MIS hash priorities (colors × O(log n) MIS
+    rounds × multiple shuffles each is the single heaviest stage-count
+    in the repo otherwise).  Larger graphs take the distributed loop
+    below."""
     s = F.col(src).cast("string")
     d = F.col(dst).cast("string")
     edges = truncate_lineage(
@@ -57,6 +106,16 @@ def greedy_coloring(
         .select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
         .distinct()
     )
+    if edges.count() <= max_local_edges:
+        colors = _coloring_local(
+            [(r["a"], r["b"]) for r in edges.collect()],
+            seed,
+            max_colors,
+            mis_max_rounds,
+        )
+        return df.sparkSession.createDataFrame(
+            sorted(colors.items()), "node string, color long"
+        )
     remaining = truncate_lineage(
         edges.select(F.col("a").alias("node"))
         .union(edges.select("b"))

@@ -23,8 +23,54 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import portable_hash64, portable_hash64_sql
+from ..functions.hashing import (
+    portable_hash64,
+    portable_hash64_py,
+    portable_hash64_sql,
+)
 from ..plans.iteration import truncate_lineage
+
+
+def _mis_local(
+    edge_pairs: list[tuple[str, str]], seed: int, max_rounds: int
+) -> dict[str, bool]:
+    """Driver-local Luby mirror over a deduplicated canonical edge list:
+    identical priorities (``portable_hash64_py`` == the distributed
+    path's md5 hash bit-for-bit), identical win rule (priority strictly
+    below every ACTIVE neighbor's), identical deactivation — so the
+    guarded local tier returns the same set as the distributed loop."""
+    from collections import defaultdict
+
+    nbrs: dict[str, set] = defaultdict(set)
+    nodes: set = set()
+    for a, b in edge_pairs:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+        nodes.add(a)
+        nodes.add(b)
+    pri = {n: portable_hash64_py(f"{n}|{seed}") for n in nodes}
+    active = set(nodes)
+    mis: set = set()
+    rounds = 0
+    while active:
+        if rounds >= max_rounds:
+            raise RuntimeError(
+                f"MIS did not converge within max_rounds={max_rounds}"
+            )
+        winners = [
+            n
+            for n in active
+            if all(
+                pri[n] < pri[m] for m in nbrs[n] if m in active
+            )
+        ]
+        mis.update(winners)
+        killed = set(winners)
+        for n in winners:
+            killed |= nbrs[n] & active
+        active -= killed
+        rounds += 1
+    return {n: (n in mis) for n in nodes}
 
 
 def maximal_independent_set(
@@ -35,6 +81,7 @@ def maximal_independent_set(
     seed: int = 0,
     max_rounds: int = 60,
     portable: bool = True,
+    max_local_edges: int = 2_000_000,
 ) -> DataFrame:
     """MIS membership -> ``(node, in_mis)`` for every node of the cleaned
     undirected simple graph (self-loops and nulls drop; isolated nodes —
@@ -44,6 +91,14 @@ def maximal_independent_set(
     strictly below the min priority of their active neighbors; ``in``
     plus its neighborhood deactivates.  The active set only shrinks and
     the loop raises if ``max_rounds`` is hit (never silently partial).
+
+    Two-tier (the toposort/betweenness posture): the distinct canonical
+    edge reduction is the distributed scale work; when the deduplicated
+    graph fits ``max_local_edges`` the O(log n)-round Luby loop runs
+    driver-local with BIT-IDENTICAL hash priorities instead of paying
+    ~2 joins + an aggregation of shuffle stages per round.  Only the
+    portable-hash form has a Python mirror, so ``portable=False``
+    always takes the distributed loop.
     """
     s = F.col(src).cast("string")
     d = F.col(dst).cast("string")
@@ -52,6 +107,13 @@ def maximal_independent_set(
         .select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
         .distinct()
     )
+    if portable and edges.count() <= max_local_edges:
+        flags = _mis_local(
+            [(r["a"], r["b"]) for r in edges.collect()], seed, max_rounds
+        )
+        return df.sparkSession.createDataFrame(
+            sorted(flags.items()), "node string, in_mis boolean"
+        )
     sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )

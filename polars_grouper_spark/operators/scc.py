@@ -76,12 +76,73 @@ def _clean_edges(df: DataFrame, src: str, dst: str) -> "tuple[DataFrame, DataFra
     return edges, names
 
 
+def _scc_local(pairs: "list[tuple[int, int]]") -> "dict[int, int]":
+    """Driver-local iterative Tarjan over a deduplicated edge list that
+    passed the ``max_local_edges`` guard -> node id → component
+    representative.  The representative is traversal-order-dependent,
+    but the OUTPUT label (min member name per component) is a pure
+    function of the membership partition — identical to the distributed
+    FW-BW result by construction."""
+    from collections import defaultdict
+
+    adj: dict = defaultdict(list)
+    nodes: set = set()
+    for u, v in pairs:
+        adj[u].append(v)
+        nodes.add(u)
+        nodes.add(v)
+    index: dict = {}
+    low: dict = {}
+    onstk: set = set()
+    stk: list = []
+    comp: dict = {}
+    counter = 0
+    for root in nodes:
+        if root in index:
+            continue
+        index[root] = low[root] = counter
+        counter += 1
+        stk.append(root)
+        onstk.add(root)
+        work = [(root, iter(adj.get(root, ())))]
+        while work:
+            n, it = work[-1]
+            pushed = False
+            for m in it:
+                if m not in index:
+                    index[m] = low[m] = counter
+                    counter += 1
+                    stk.append(m)
+                    onstk.add(m)
+                    work.append((m, iter(adj.get(m, ()))))
+                    pushed = True
+                    break
+                if m in onstk and index[m] < low[n]:
+                    low[n] = index[m]
+            if pushed:
+                continue
+            work.pop()
+            if work:
+                p = work[-1][0]
+                if low[n] < low[p]:
+                    low[p] = low[n]
+            if low[n] == index[n]:
+                while True:
+                    m = stk.pop()
+                    onstk.discard(m)
+                    comp[m] = n
+                    if m == n:
+                        break
+    return comp
+
+
 def strongly_connected_components(
     df: DataFrame,
     src: str = "from",
     dst: str = "to",
     *,
     max_rounds: int = 100,
+    max_local_edges: int = 2_000_000,
 ) -> DataFrame:
     """SCC membership -> ``(node, scc)`` where ``scc`` is the minimum
     member name (string order) of the node's strongly connected
@@ -90,6 +151,13 @@ def strongly_connected_components(
     ``max_rounds`` bounds each fixpoint loop (trim, forward, backward,
     outer pivot rounds); exceeding it raises rather than looping
     silently.
+
+    Two-tier (toposort/betweenness/MIS posture): dedup + interning stay
+    distributed; a deduplicated graph within ``max_local_edges`` solves
+    driver-local via iterative Tarjan — the component LABEL (min member
+    name) is partition-pure, so both tiers agree exactly.  Larger
+    graphs take the distributed FW-BW loop, whose nested fixpoints are
+    the right trade only when the edge set cannot sit on one node.
 
     >>> edges = spark.createDataFrame(
     ...     [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"),
@@ -109,6 +177,19 @@ def strongly_connected_components(
     spark = df.sparkSession
     edges, names = _clean_edges(df, src, dst)
     edges = truncate_lineage(edges)
+
+    if edges.count() <= max_local_edges:
+        comp = _scc_local([(r["u"], r["v"]) for r in edges.collect()])
+        id2name = {r["id"]: r["node"] for r in names.collect()}
+        best: dict = {}
+        for nid, rep in comp.items():
+            nm = id2name[nid]
+            if rep not in best or nm < best[rep]:
+                best[rep] = nm
+        return spark.createDataFrame(
+            sorted((id2name[nid], best[rep]) for nid, rep in comp.items()),
+            "node string, scc string",
+        )
 
     active = truncate_lineage(
         edges.select(F.col("u").alias("id"))
@@ -349,12 +430,66 @@ WHERE lu.scc <> lv.scc
 """
 
 
+def _bowtie_local(spark, edge_rows) -> DataFrame:
+    """Driver-local mirror of :func:`bowtie_decomposition` over the
+    deduplicated (u, v) string pairs: Tarjan SCC, min-name component
+    labels, giant = largest-then-lexicographically-first component,
+    forward/backward BFS closures from the core."""
+    from collections import Counter, defaultdict, deque
+
+    pairs = [(r["u"], r["v"]) for r in edge_rows]
+    if not pairs:
+        return spark.createDataFrame([], "node string, region string")
+    comp = _scc_local(pairs)
+    label: dict = {}
+    for n, rep in comp.items():
+        if rep not in label or n < label[rep]:
+            label[rep] = n
+    sccname = {n: label[rep] for n, rep in comp.items()}
+    sizes = Counter(sccname.values())
+    giant = min(sizes, key=lambda lb: (-sizes[lb], lb))
+    core = {n for n, lb in sccname.items() if lb == giant}
+
+    fwd_adj: dict = defaultdict(list)
+    bwd_adj: dict = defaultdict(list)
+    for u, v in pairs:
+        fwd_adj[u].append(v)
+        bwd_adj[v].append(u)
+
+    def closure(adj) -> set:
+        seen = set(core)
+        queue = deque(core)
+        while queue:
+            n = queue.popleft()
+            for m in adj.get(n, ()):
+                if m not in seen:
+                    seen.add(m)
+                    queue.append(m)
+        return seen
+
+    fwd = closure(fwd_adj)
+    bwd = closure(bwd_adj)
+    rows = []
+    for n in sccname:
+        if n in core:
+            region = "SCC"
+        elif n in bwd:
+            region = "IN"
+        elif n in fwd:
+            region = "OUT"
+        else:
+            region = "OTHER"
+        rows.append((n, region))
+    return spark.createDataFrame(sorted(rows), "node string, region string")
+
+
 def bowtie_decomposition(
     df: DataFrame,
     src: str = "from",
     dst: str = "to",
     *,
     max_rounds: int = 60,
+    max_local_edges: int = 2_000_000,
 ) -> DataFrame:
     """Web-graph bow-tie structure (Broder et al. 2000) -> ``(node,
     region)`` with region ∈ {SCC, IN, OUT, OTHER}: the giant strongly
@@ -369,7 +504,13 @@ def bowtie_decomposition(
     round ONE join + ONE anti-join over a shrinking frontier, lineage
     truncated; raises past ``max_rounds``.  Because the core is
     strongly connected, reaching ANY member is reaching ALL, so the
-    oracle's closure can test against the single min-name pivot."""
+    oracle's closure can test against the single min-name pivot.
+
+    Two-tier like :func:`strongly_connected_components`: dedup stays
+    distributed; under ``max_local_edges`` the SCC + giant pick + both
+    BFS closures run driver-local (every decision — min-name labels,
+    size-then-name giant tie-break, reachability — is partition-pure,
+    so the tiers agree exactly)."""
     s = F.col(src).cast("string")
     d = F.col(dst).cast("string")
     edges = truncate_lineage(
@@ -377,6 +518,8 @@ def bowtie_decomposition(
         .select(s.alias("u"), d.alias("v"))
         .distinct()
     )
+    if edges.count() <= max_local_edges:
+        return _bowtie_local(df.sparkSession, edges.collect())
     scc = truncate_lineage(
         strongly_connected_components(edges, "u", "v")
     )

@@ -80,6 +80,31 @@ def test_mis_duckdb_parity_and_determinism(spark):
     assert a == want
 
 
+def test_mis_local_and_distributed_tiers_identical(spark):
+    """The guarded local Luby mirror must equal the distributed loop
+    bit-for-bit (same md5 priorities, same win rule)."""
+    edges = [(f"m{(7 * i) % 23}", f"m{(11 * i + 1) % 23}") for i in range(45)]
+    df = spark.createDataFrame(edges, ["from", "to"])
+    loc = sorted(tuple(r) for r in maximal_independent_set(df).collect())
+    dist = sorted(
+        tuple(r)
+        for r in maximal_independent_set(df, max_local_edges=0).collect()
+    )
+    assert loc == dist
+
+
+def test_coloring_local_and_distributed_tiers_identical(spark):
+    from polars_grouper_spark.operators.coloring import greedy_coloring
+
+    edges = [(f"c{(5 * i) % 19}", f"c{(3 * i + 2) % 19}") for i in range(40)]
+    df = spark.createDataFrame(edges, ["from", "to"])
+    loc = sorted(tuple(r) for r in greedy_coloring(df).collect())
+    dist = sorted(
+        tuple(r) for r in greedy_coloring(df, max_local_edges=0).collect()
+    )
+    assert loc == dist
+
+
 # --- intervals ---------------------------------------------------------------
 
 def test_peak_closed_interval_tie_rule(spark):

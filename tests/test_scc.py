@@ -97,8 +97,10 @@ def test_max_rounds_guard(spark):
     edges = spark.createDataFrame(
         [(f"n{i}", f"n{i + 1}") for i in range(20)], ["from", "to"]
     )
+    # max_local_edges=0 forces the distributed loop: the local Tarjan
+    # tier has no round bound to trip.
     with pytest.raises(RuntimeError, match="max_rounds"):
-        strongly_connected_components(edges, max_rounds=2)
+        strongly_connected_components(edges, max_rounds=2, max_local_edges=0)
 
 
 def test_condensation_contracts_cycles(spark):
@@ -136,3 +138,55 @@ def test_condensation_is_acyclic_on_random_graph(spark):
                 if indeg[b] == 0:
                     queue.append(b)
     assert seen == len(nodes), "condensation produced a cycle"
+
+
+def test_scc_local_and_distributed_tiers_identical(spark):
+    """The guarded local Tarjan must equal the distributed FW-BW loop
+    exactly — the min-member-name label is partition-pure."""
+    from polars_grouper_spark.operators.scc import (
+        strongly_connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(f"n{(3 * i) % 13}", f"n{(5 * i + 2) % 13}") for i in range(30)]
+        + [("x1", "x2"), ("x2", "x1"), ("x2", "y")],
+        ["from", "to"],
+    )
+    loc = sorted(
+        tuple(r) for r in strongly_connected_components(edges).collect()
+    )
+    dist = sorted(
+        tuple(r)
+        for r in strongly_connected_components(
+            edges, max_local_edges=0
+        ).collect()
+    )
+    assert loc == dist
+
+
+def test_bowtie_local_and_distributed_tiers_identical(spark):
+    from polars_grouper_spark.operators.scc import bowtie_decomposition
+
+    # core cycle {c0,c1,c2}, IN chain, OUT chain, disconnected pair
+    edges = spark.createDataFrame(
+        [
+            ("c0", "c1"), ("c1", "c2"), ("c2", "c0"),
+            ("i0", "i1"), ("i1", "c0"),
+            ("c1", "o0"), ("o0", "o1"),
+            ("z0", "z1"),
+        ],
+        ["from", "to"],
+    )
+    loc = sorted(tuple(r) for r in bowtie_decomposition(edges).collect())
+    dist = sorted(
+        tuple(r)
+        for r in bowtie_decomposition(edges, max_local_edges=0).collect()
+    )
+    assert loc == dist
+    got = dict(loc)
+    assert got == {
+        "c0": "SCC", "c1": "SCC", "c2": "SCC",
+        "i0": "IN", "i1": "IN",
+        "o0": "OUT", "o1": "OUT",
+        "z0": "OTHER", "z1": "OTHER",
+    }
