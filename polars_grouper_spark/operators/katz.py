@@ -36,6 +36,36 @@ from pyspark.sql import functions as F
 from ..plans.iteration import truncate_lineage
 
 
+def _katz_local(
+    pairs: "list[tuple[str, str]]", m: int, iters: int
+) -> "list[tuple[str, int, float]]":
+    """Driver-local mirror of the scaled integer recursion — integer
+    sums are aggregation-order-independent, so this is exact by
+    construction.  Same 62-bit overflow raise as the distributed
+    aggregation."""
+    from collections import defaultdict
+
+    incoming: dict = defaultdict(list)
+    nodes: set = set()
+    for u, v in pairs:
+        incoming[v].append(u)
+        nodes.add(u)
+        nodes.add(v)
+    y = {n: 1 for n in nodes}
+    for t in range(1, iters + 1):
+        bump = m**t
+        y = {
+            n: sum(y[u] for u in incoming.get(n, ())) + bump for n in nodes
+        }
+        if any(v > (1 << 62) for v in y.values()):
+            raise ValueError(
+                "Katz scores overflow 62-bit integers -- reduce iters "
+                "or raise m"
+            )
+    scale = float(m**iters)
+    return sorted((n, v, v / scale) for n, v in y.items())
+
+
 def katz_centrality(
     df: DataFrame,
     src: str = "from",
@@ -43,10 +73,16 @@ def katz_centrality(
     *,
     m: int = 4,
     iters: int = 4,
+    max_local_edges: int = 2_000_000,
 ) -> DataFrame:
     """Katz scores with ``alpha = 1/m`` after ``iters`` rounds ->
     ``(node, raw, katz)`` where ``raw = m^iters * x_iters`` is the
-    exact integer scaled score and ``katz = raw / m^iters``."""
+    exact integer scaled score and ``katz = raw / m^iters``.
+
+    Two-tier: the distinct edge reduction stays distributed; a
+    deduplicated graph within ``max_local_edges`` runs the integer
+    recursion driver-local (bit-exact — integer sums have no order
+    sensitivity), larger graphs take the per-round join loop."""
     if m < 2:
         raise ValueError(f"m must be >= 2 (alpha = 1/m < 1), got {m}")
     if iters < 1:
@@ -58,6 +94,13 @@ def katz_centrality(
         .select(s.alias("u"), d.alias("v"))
         .distinct()
     )
+    if edges.count() <= max_local_edges:
+        rows = _katz_local(
+            [(r["u"], r["v"]) for r in edges.collect()], m, iters
+        )
+        return df.sparkSession.createDataFrame(
+            rows, "node string, raw long, katz double"
+        )
     nodes = truncate_lineage(
         edges.select(F.col("u").alias("node"))
         .union(edges.select(F.col("v").alias("node")))

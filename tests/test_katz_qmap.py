@@ -70,3 +70,18 @@ def test_quantile_map_empty_raises(spark):
         quantile_map(src, empty, "v", "id")
     with pytest.raises(ValueError, match="empty"):
         quantile_map(empty, src, "v", "id")
+
+
+def test_katz_local_and_distributed_tiers_identical(spark):
+    from polars_grouper_spark.operators.katz import katz_centrality
+
+    edges = spark.createDataFrame(
+        [(f"k{(3 * i) % 11}", f"k{(7 * i + 1) % 11}") for i in range(25)],
+        ["from", "to"],
+    )
+    loc = sorted(tuple(r) for r in katz_centrality(edges).collect())
+    dist = sorted(
+        tuple(r)
+        for r in katz_centrality(edges, max_local_edges=0).collect()
+    )
+    assert loc == dist
