@@ -41,6 +41,48 @@ _MAX_ROUNDS = 200
 _BROADCAST_FRONTIER_ROWS = 1_000_000
 
 
+def _dijkstra_local(
+    edge_rows,
+    sources: "list[str]",
+    directed: bool,
+    q_max: "int | None",
+) -> "list[tuple[str, str, float]]":
+    """Driver-local mirror of the relaxation loop over the already
+    min-collapsed, already-mirrored (u, v, q) edge list: one integer
+    Dijkstra per source.  Quantized integer distances are the unique
+    shortest-path minima — partition/order-pure — so this tier is exact
+    by construction.  Caller guarantees q >= 0 (Dijkstra's premise;
+    negative weights take the distributed Bellman-Ford-style loop)."""
+    import heapq
+    from collections import defaultdict
+
+    adj: dict = defaultdict(list)
+    for u, v, q in edge_rows:
+        adj[u].append((v, q))
+    out: list = []
+    for s in sources:
+        dist = {s: 0}
+        heap = [(0, s)]
+        while heap:
+            d, n = heapq.heappop(heap)
+            if d != dist.get(n):
+                continue
+            for v, q in adj.get(n, ()):
+                nd = d + q
+                if q_max is not None and nd > q_max:
+                    continue
+                if nd < dist.get(v, nd + 1):
+                    dist[v] = nd
+                    heapq.heappush(heap, (nd, v))
+        for n, d in dist.items():
+            if n == s:
+                continue
+            if not directed and not (s < n):
+                continue
+            out.append((s, n, d / 1000.0))
+    return out
+
+
 def calculate_shortest_path(
     df: DataFrame,
     from_col: str = "from",
@@ -49,11 +91,20 @@ def calculate_shortest_path(
     directed: bool = False,
     sources: Sequence[str] | None = None,
     max_distance: float | None = None,
+    max_local_edges: int = 2_000_000,
+    max_local_work: int = 20_000_000,
 ) -> DataFrame:
     """Table function → ``(from string, to string, distance double)``.
 
     ``sources``: optional subset of source node names to bound the O(V²)
     output at scale; ``None`` mirrors the reference (all pairs).
+
+    Two-tier: the min-collapse of parallel edges stays distributed; when
+    the collapsed graph fits ``max_local_edges``, every weight is
+    non-negative, and ``|sources| × |edges|`` fits ``max_local_work``,
+    the relaxation runs driver-local as one integer Dijkstra per source
+    (quantized integer distances are unique minima, so the tiers agree
+    exactly); otherwise the distributed multi-source loop below runs.
 
     ``max_distance``: optional cutoff — pairs farther apart are omitted
     (exact for the pairs kept: any prefix of a shortest path within the
@@ -102,6 +153,22 @@ def calculate_shortest_path(
         src_nodes = nodes.where(F.col("node").isin(list(sources)))
     else:
         src_nodes = nodes
+
+    n_edges = edges.count()
+    if n_edges <= max_local_edges:
+        edge_rows = [(r["u"], r["v"], r["q"]) for r in edges.collect()]
+        if all(q >= 0 for _, _, q in edge_rows):
+            src_list = sorted(r["node"] for r in src_nodes.collect())
+            if len(src_list) * max(n_edges, 1) <= max_local_work:
+                q_cut = (
+                    int(max_distance * 1000.0)
+                    if max_distance is not None
+                    else None
+                )
+                return df.sparkSession.createDataFrame(
+                    _dijkstra_local(edge_rows, src_list, directed, q_cut),
+                    "from string, to string, distance double",
+                )
 
     # dist state: (s, n, d) — shortest known quantized distance from s to n.
     dist = truncate_lineage(src_nodes.select(F.col("node").alias("s"), F.col("node").alias("n"), F.lit(0).cast("long").alias("d")))

@@ -182,3 +182,61 @@ def test_closeness_disconnected_penalizes_small_component(spark):
     got = {r["node"]: r for r in closeness_centrality(edges).collect()}
     assert got["x"]["n_reachable"] == 2
     assert got["b"]["closeness"] > got["x"]["closeness"]
+
+
+def test_local_and_distributed_tiers_identical(spark):
+    """Guarded local Dijkstra == distributed relaxation, including the
+    bounded-sources + cutoff + directed combinations."""
+    from polars_grouper_spark.operators.shortest_path import (
+        calculate_shortest_path,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            (f"n{(3 * i) % 9}", f"n{(5 * i + 1) % 9}", (i % 4) + 0.25)
+            for i in range(25)
+        ],
+        ["from", "to", "weight"],
+    )
+    for kwargs in (
+        {},
+        {"directed": True},
+        {"sources": ["n0", "n3"]},
+        {"max_distance": 1.5},
+        {"directed": True, "sources": ["n1"], "max_distance": 2.0},
+    ):
+        loc = sorted(
+            tuple(r) for r in calculate_shortest_path(edges, **kwargs).collect()
+        )
+        dist = sorted(
+            tuple(r)
+            for r in calculate_shortest_path(
+                edges, max_local_edges=0, **kwargs
+            ).collect()
+        )
+        assert loc == dist, f"tier divergence for {kwargs}"
+
+
+def test_negative_weights_take_distributed_tier(spark):
+    """Dijkstra's premise fails on negative weights: the local tier must
+    decline and both paths still agree (Bellman-Ford handles it)."""
+    from polars_grouper_spark.operators.shortest_path import (
+        calculate_shortest_path,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b", 2.0), ("b", "c", -0.5), ("a", "c", 3.0)],
+        ["from", "to", "weight"],
+    )
+    loc = sorted(
+        tuple(r)
+        for r in calculate_shortest_path(edges, directed=True).collect()
+    )
+    dist = sorted(
+        tuple(r)
+        for r in calculate_shortest_path(
+            edges, directed=True, max_local_edges=0
+        ).collect()
+    )
+    assert loc == dist
+    assert ("a", "c", 1.5) in loc
