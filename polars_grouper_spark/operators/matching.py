@@ -24,8 +24,48 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import portable_hash64, portable_hash64_sql
+from ..functions.hashing import (
+    portable_hash64,
+    portable_hash64_py,
+    portable_hash64_sql,
+)
 from ..plans.iteration import truncate_lineage
+
+
+def _matching_local(
+    pairs: "list[tuple[str, str]]", seed: int, max_rounds: int
+) -> "list[tuple[str, str]]":
+    """Driver-local mirror of the locally-dominant-edge loop over the
+    deduplicated canonical pairs: identical unique priority string
+    (fixed-width hex of the portable hash + canonical key), identical
+    strict-min win rule per endpoint — the tiers agree exactly."""
+    active = [
+        (a, b, f"{portable_hash64_py(f'{a}|{b}|{seed}'):015x}|{a}|{b}")
+        for a, b in pairs
+    ]
+    matched: list = []
+    rounds = 0
+    while active:
+        if rounds >= max_rounds:
+            raise RuntimeError(
+                f"matching did not converge within max_rounds={max_rounds}"
+            )
+        vmin: dict = {}
+        for a, b, p in active:
+            if a not in vmin or p < vmin[a]:
+                vmin[a] = p
+            if b not in vmin or p < vmin[b]:
+                vmin[b] = p
+        winners = [
+            (a, b) for a, b, p in active if vmin[a] == p and vmin[b] == p
+        ]
+        matched.extend(winners)
+        gone = {n for e in winners for n in e}
+        active = [
+            (a, b, p) for a, b, p in active if a not in gone and b not in gone
+        ]
+        rounds += 1
+    return matched
 
 
 def greedy_matching(
@@ -36,6 +76,7 @@ def greedy_matching(
     seed: int = 0,
     max_rounds: int = 60,
     portable: bool = True,
+    max_local_edges: int = 2_000_000,
 ) -> DataFrame:
     """Maximal matching -> ``(a, b)`` canonical matched pairs over the
     cleaned undirected simple graph (self-loops/nulls drop, parallel
@@ -52,6 +93,11 @@ def greedy_matching(
     hash prefixed to the canonical edge key — so two edges incident to
     the same node can never both be locally dominant (a bare-hash tie
     would have matched the shared node twice).
+
+    Two-tier (MIS posture): dedup stays distributed; under
+    ``max_local_edges`` the round loop runs driver-local with identical
+    priorities (``portable=False`` has no Python hash mirror, so it
+    always takes the distributed loop).
     """
     s = F.col(src).cast("string")
     d = F.col(dst).cast("string")
@@ -80,6 +126,17 @@ def greedy_matching(
         )
     )
     spark = df.sparkSession
+    if portable and edges.count() <= max_local_edges:
+        return spark.createDataFrame(
+            sorted(
+                _matching_local(
+                    [(r["a"], r["b"]) for r in edges.collect()],
+                    seed,
+                    max_rounds,
+                )
+            ),
+            "a string, b string",
+        )
     matched = spark.createDataFrame([], "a string, b string")
     # Matched-node sets are at most 2x the round's winners; broadcast
     # them into the anti-joins while they fit (same guard as MIS —

@@ -37,6 +37,31 @@ from ..plans.iteration import truncate_lineage
 from .connected_components import components
 
 
+def _kruskal_local(rows) -> "list[tuple[str, str, float]]":
+    """Driver-local Kruskal over the already min-collapsed canonical
+    (a, b, wq) list: with the total key ``(wq, a, b)`` the MSF is
+    unique, so Kruskal here == Borůvka there == the oracle's cycle
+    rule."""
+    rows = sorted(rows, key=lambda t: (t[2], t[0], t[1]))
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    out = []
+    for a, b, wq in rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+            out.append((a, b, wq / 1000.0))
+    return out
+
+
 def minimum_spanning_forest(
     df: DataFrame,
     src: str = "from",
@@ -44,6 +69,7 @@ def minimum_spanning_forest(
     weight: str = "weight",
     *,
     max_rounds: int = 40,
+    max_local_edges: int = 2_000_000,
 ) -> DataFrame:
     """Minimum spanning forest -> ``(edge_a, edge_b, weight)`` with
     ``edge_a < edge_b`` (canonical pair) and ``weight = wq / 1000.0``.
@@ -55,6 +81,11 @@ def minimum_spanning_forest(
     forest hasn't stabilized after ``max_rounds`` (Borůvka needs at most
     ``log2(V)`` — 40 covers any practical graph; hitting the cap means
     pathological input, not a truncation to silently return).
+
+    Two-tier: the canonical min-collapse stays distributed; a collapsed
+    graph within ``max_local_edges`` solves driver-local via Kruskal —
+    the total key ``(wq, a, b)`` makes the forest unique, so the tiers
+    agree exactly.  Larger graphs run the Borůvka rounds below.
     """
     s = F.col(src).cast("string")
     d = F.col(dst).cast("string")
@@ -69,6 +100,16 @@ def minimum_spanning_forest(
         .groupBy("a", "b")
         .agg(F.min("wq").alias("wq"))
     )
+    if edges.count() <= max_local_edges:
+        return df.sparkSession.createDataFrame(
+            sorted(
+                _kruskal_local(
+                    [(r["a"], r["b"], r["wq"]) for r in edges.collect()]
+                )
+            ),
+            "edge_a string, edge_b string, weight double",
+        )
+
     comp = truncate_lineage(
         edges.select(F.col("a").alias("node"))
         .union(edges.select("b"))

@@ -215,3 +215,37 @@ def test_target_encode_drops_nulls(spark):
         "id int, cat string, y double",
     )
     assert target_encode(df, "cat", "y", "id").count() == 1
+
+
+def test_mst_local_and_distributed_tiers_identical(spark):
+    from polars_grouper_spark.operators.mst import minimum_spanning_forest
+
+    edges = spark.createDataFrame(
+        [
+            (f"v{(3 * i) % 12}", f"v{(7 * i + 2) % 12}", (i % 5) + 0.5)
+            for i in range(30)
+        ],
+        ["from", "to", "weight"],
+    )
+    loc = sorted(
+        tuple(r) for r in minimum_spanning_forest(edges).collect()
+    )
+    dist = sorted(
+        tuple(r)
+        for r in minimum_spanning_forest(edges, max_local_edges=0).collect()
+    )
+    assert loc == dist
+
+
+def test_matching_local_and_distributed_tiers_identical(spark):
+    from polars_grouper_spark.operators.matching import greedy_matching
+
+    edges = spark.createDataFrame(
+        [(f"w{(5 * i) % 14}", f"w{(9 * i + 3) % 14}") for i in range(35)],
+        ["from", "to"],
+    )
+    loc = sorted(tuple(r) for r in greedy_matching(edges).collect())
+    dist = sorted(
+        tuple(r) for r in greedy_matching(edges, max_local_edges=0).collect()
+    )
+    assert loc == dist
