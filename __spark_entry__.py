@@ -9322,6 +9322,9 @@ def _bowtie_users_sql() -> str:
 
 
 _PERC_LEVELS = (1, 2, 4)  # keep-fractions k/4 of edges
+# Pair-list guard for the local union-find tier; tests force the
+# incremental-CC composition path by patching this to 0.
+_PERC_LOCAL_MAX_EDGES = 2_000_000
 
 
 def q_percolation_sp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9340,17 +9343,67 @@ def q_percolation_sp(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental result is provably identical to the full recompute the
     DuckDB oracle performs per level — this query doubles as an
     oracle-backed proof of ``incremental_components``.  Fractions over
-    the FULL node set so isolated survivors count as singletons."""
+    the FULL node set so isolated survivors count as singletons.
+
+    Round-7 two-tier: giant-fraction only needs the membership
+    PARTITION (partition-pure), and the sampling hash has a bit-exact
+    Python mirror (``portable_hash64_py``, parity-pinned by
+    tests/test_hashing.py) — so under the pair-list guard all three
+    nested levels solve driver-local with one incremental union-find
+    pass; above it the incremental-CC composition runs (and stays the
+    at-scale path the 10M-edge probes cover)."""
     from polars_grouper_spark.operators.connected_components import (
         components,
         incremental_components,
     )
-    from polars_grouper_spark.functions.hashing import portable_hash64
+    from polars_grouper_spark.functions.hashing import (
+        portable_hash64,
+        portable_hash64_py,
+    )
     from polars_grouper_spark.plans.iteration import truncate_lineage
 
     # ONE distinct pass over the fact table; every level filters the
     # checkpointed pair list instead of re-scanning lineitem.
     edges = truncate_lineage(_sp_edges(spark, sf_dir).distinct())
+    if edges.count() <= _PERC_LOCAL_MAX_EDGES:
+        pairs = [(r["src"], r["dst"]) for r in edges.collect()]
+        nodes = {n for e in pairs for n in e}
+        n_total = len(nodes)
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        by_bucket: dict = {b: [] for b in range(4)}
+        for s, d in pairs:
+            by_bucket[portable_hash64_py(f"{s}|{d}|perc") % 4].append((s, d))
+        size = {n: 1 for n in nodes}
+        rows = []
+        n_edges = 0
+        prev_k = 0
+        for k in _PERC_LEVELS:
+            for b in range(prev_k, k):
+                for s, d in by_bucket[b]:
+                    n_edges += 1
+                    rs, rd = find(s), find(d)
+                    if rs != rd:
+                        if size[rs] < size[rd]:
+                            rs, rd = rd, rs
+                        parent[rd] = rs
+                        size[rs] += size[rd]
+            prev_k = k
+            giant = max(size[find(n)] for n in nodes) if n_edges else 0
+            rows.append(
+                (int(k), int(n_edges), (float(giant) / n_total) if n_edges else 0.0)
+            )
+        return spark.createDataFrame(
+            rows, "k int, n_edges bigint, giant_frac double"
+        )
     all_nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))

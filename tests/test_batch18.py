@@ -55,3 +55,15 @@ def test_percolation_monotone_on_fixture(spark):
     assert rows[1].n_edges < rows[2].n_edges < rows[4].n_edges
     assert rows[1].giant_frac <= rows[2].giant_frac <= rows[4].giant_frac
     assert 0.0 < rows[4].giant_frac <= 1.0
+
+
+def test_percolation_tiers_identical(spark, monkeypatch):
+    """Local union-find tier == the incremental-CC composition path
+    (forced by zeroing the pair-list guard) on the same real data."""
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    loc = sorted(tuple(r) for r in em.queries()["percolation_sp"](spark, sf).collect())
+    monkeypatch.setattr(em, "_PERC_LOCAL_MAX_EDGES", 0)
+    dist = sorted(tuple(r) for r in em.queries()["percolation_sp"](spark, sf).collect())
+    assert loc == dist
