@@ -178,9 +178,20 @@ def components(
     to_col: str = "to",
     verify_injective: bool = False,
     skew_safe: bool = False,
+    max_local_edges: int = 2_000_000,
 ) -> DataFrame:
     """Light table function: ``(node string, component string)`` — one row
     per distinct node, ``component`` = min node name in the component.
+
+    Two-tier (round 7): the min-name label is a pure function of the
+    membership partition, so when the RAW edge frame fits
+    ``max_local_edges`` (one map-only count, no shuffle) the partition
+    comes from a driver-local union-find — no hashing, no star rounds —
+    and is exact by construction.  Pass ``max_local_edges=0`` to skip
+    the probing count on petabyte scans where it would be a wasted
+    pass; the guard counts RAW rows (conservative: never collects a
+    frame whose deduplicated size it underestimated).  The star loop
+    below is unchanged and remains the at-scale path.
 
     Skips the first-appearance numbering machinery entirely; labels are
     content-derived, so use this when reference intern-order numbering is
@@ -200,6 +211,34 @@ def components(
         F.col(from_col).cast("string").alias("u"),
         F.col(to_col).cast("string").alias("v"),
     ).where(F.col("u").isNotNull() & F.col("v").isNotNull())
+    if max_local_edges and edges.count() <= max_local_edges:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        node_set: set = set()
+        for r in edges.collect():
+            u, v = r["u"], r["v"]
+            node_set.add(u)
+            node_set.add(v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[rv] = ru
+        best: dict = {}
+        for n in node_set:
+            rt = find(n)
+            if rt not in best or n < best[rt]:
+                best[rt] = n
+        return df.sparkSession.createDataFrame(
+            sorted((n, best[find(n)]) for n in node_set),
+            "node string, component string",
+        )
     nodes = edges.select(F.explode(F.array("u", "v")).alias("node")).distinct()
     nodes = nodes.select("node", F.xxhash64("node").alias("id"))
     if verify_injective:

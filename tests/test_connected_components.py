@@ -229,3 +229,21 @@ def test_chained_incremental_over_nested_slices_equals_full_per_level(spark):
                 )
             )
             assert got == want, f"seed={seed} cut={cut}"
+
+
+def test_components_local_and_distributed_tiers_identical(spark):
+    """Light-variant min-name labels are partition-pure: the local
+    union-find tier must equal the star loop exactly (self-loops,
+    duplicates, singleton coalescing included)."""
+    from polars_grouper_spark.operators.connected_components import components
+
+    edges = spark.createDataFrame(
+        [(f"n{(3 * i) % 15}", f"n{(7 * i + 1) % 15}") for i in range(25)]
+        + [("solo", "solo"), ("a", "b"), ("a", "b")],
+        ["from", "to"],
+    )
+    loc = sorted(tuple(r) for r in components(edges).collect())
+    dist = sorted(
+        tuple(r) for r in components(edges, max_local_edges=0).collect()
+    )
+    assert loc == dist
