@@ -779,3 +779,57 @@ def test_ewma_matches_brute_force(spark, vals, alpha, lookback):
             num = num * alpha + x
         den = (1.0 - alpha ** len(frame)) / (1.0 - alpha)
         assert got[i] == _pytest.approx(num / den, abs=1e-6), i
+
+
+@given(edges=EDGES)
+@_SETTINGS
+def test_tier_equality_mis_scc_matching(spark, edges):
+    """Round-7 two-tier invariant on randomized structure (cycles,
+    self-loops, duplicates): driver-local mirror == distributed loop
+    for the hash-priority and partition-pure operator families."""
+    from polars_grouper_spark.operators.matching import greedy_matching
+    from polars_grouper_spark.operators.mis import maximal_independent_set
+    from polars_grouper_spark.operators.scc import (
+        strongly_connected_components,
+    )
+
+    df = _df(spark, edges)
+    clean = [(str(a), str(b)) for a, b in edges if a != b]
+    for op in (
+        maximal_independent_set,
+        greedy_matching,
+        strongly_connected_components,
+    ):
+        if not clean and op is strongly_connected_components:
+            continue  # empty cleaned graph: both tiers return empty
+        loc = sorted(tuple(r) for r in op(df).collect())
+        dist = sorted(
+            tuple(r) for r in op(df, max_local_edges=0).collect()
+        )
+        assert loc == dist, f"tier divergence in {op.__name__}"
+
+
+@given(
+    edges=st.lists(
+        st.tuples(NODE, NODE, st.integers(min_value=0, max_value=9)),
+        min_size=1,
+        max_size=12,
+    )
+)
+@_SETTINGS
+def test_tier_equality_mst_and_sp(spark, edges):
+    from polars_grouper_spark.operators.mst import minimum_spanning_forest
+    from polars_grouper_spark.operators.shortest_path import (
+        calculate_shortest_path as csp,
+    )
+
+    df = spark.createDataFrame(
+        [(str(a), str(b), w / 2.0) for a, b, w in edges],
+        schema="`from` string, `to` string, weight double",
+    ).coalesce(1)
+    for op, kwargs in ((minimum_spanning_forest, {}), (csp, {})):
+        loc = sorted(tuple(r) for r in op(df, **kwargs).collect())
+        dist = sorted(
+            tuple(r) for r in op(df, max_local_edges=0, **kwargs).collect()
+        )
+        assert loc == dist, f"tier divergence in {op.__name__}"
