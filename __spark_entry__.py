@@ -9366,7 +9366,8 @@ def q_percolation_sp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpointed pair list instead of re-scanning lineitem.
     edges = truncate_lineage(_sp_edges(spark, sf_dir).distinct())
     if edges.count() <= _PERC_LOCAL_MAX_EDGES:
-        pairs = [(r["src"], r["dst"]) for r in edges.collect()]
+        _pdf = edges.toPandas()  # Arrow transfer ≫ Row-object collect
+        pairs = list(zip(_pdf["src"], _pdf["dst"]))
         nodes = {n for e in pairs for n in e}
         n_total = len(nodes)
         parent: dict = {}

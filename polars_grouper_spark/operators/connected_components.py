@@ -178,7 +178,7 @@ def components(
     to_col: str = "to",
     verify_injective: bool = False,
     skew_safe: bool = False,
-    max_local_edges: int = 2_000_000,
+    max_local_edges: int = 500_000,
 ) -> DataFrame:
     """Light table function: ``(node string, component string)`` — one row
     per distinct node, ``component`` = min node name in the component.
@@ -211,6 +211,11 @@ def components(
         F.col(from_col).cast("string").alias("u"),
         F.col(to_col).cast("string").alias("v"),
     ).where(F.col("u").isNotNull() & F.col("v").isNotNull())
+    # One lazy checkpoint materialized by the guard count: the input
+    # lineage (often a join pipeline) evaluates ONCE, and whichever tier
+    # runs reads the checkpoint instead of re-deriving it (the node
+    # table and the hashed edge list are both derived from `edges`).
+    edges = truncate_lineage(edges, cache=False)
     if max_local_edges and edges.count() <= max_local_edges:
         parent: dict = {}
 
@@ -222,9 +227,9 @@ def components(
                 parent[x], x = r, parent[x]
             return r
 
+        pdf = edges.toPandas()  # Arrow transfer ≫ Row-object collect
         node_set: set = set()
-        for r in edges.collect():
-            u, v = r["u"], r["v"]
+        for u, v in zip(pdf["u"], pdf["v"]):
             node_set.add(u)
             node_set.add(v)
             ru, rv = find(u), find(v)

@@ -92,7 +92,7 @@ def calculate_shortest_path(
     sources: Sequence[str] | None = None,
     max_distance: float | None = None,
     max_local_edges: int = 2_000_000,
-    max_local_work: int = 20_000_000,
+    max_local_work: int = 2_000_000,
 ) -> DataFrame:
     """Table function → ``(from string, to string, distance double)``.
 
@@ -156,10 +156,17 @@ def calculate_shortest_path(
 
     n_edges = edges.count()
     if n_edges <= max_local_edges:
-        edge_rows = [(r["u"], r["v"], r["q"]) for r in edges.collect()]
-        if all(q >= 0 for _, _, q in edge_rows):
+        # Check the work bound BEFORE collecting anything sized — a
+        # wasted |E|- or |V|-sized collect on the decline path is real
+        # money (round-7 bench finding on the bounded supplier-part
+        # query, which collected 1.18M rows only to take the
+        # distributed loop anyway).
+        n_src = src_nodes.count()
+        if n_src * max(n_edges, 1) <= max_local_work:
             src_list = sorted(r["node"] for r in src_nodes.collect())
-            if len(src_list) * max(n_edges, 1) <= max_local_work:
+            pdf = edges.toPandas()  # Arrow transfer ≫ Row-object collect
+            edge_rows = list(zip(pdf["u"], pdf["v"], (int(q) for q in pdf["q"])))
+            if all(q >= 0 for _, _, q in edge_rows):
                 q_cut = (
                     int(max_distance * 1000.0)
                     if max_distance is not None
