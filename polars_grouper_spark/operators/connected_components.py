@@ -178,7 +178,7 @@ def components(
     to_col: str = "to",
     verify_injective: bool = False,
     skew_safe: bool = False,
-    max_local_edges: int = 500_000,
+    max_local_edges: int = 2_000_000,
 ) -> DataFrame:
     """Light table function: ``(node string, component string)`` — one row
     per distinct node, ``component`` = min node name in the component.
@@ -186,8 +186,11 @@ def components(
     Two-tier (round 7): the min-name label is a pure function of the
     membership partition, so when the RAW edge frame fits
     ``max_local_edges`` (one map-only count, no shuffle) the partition
-    comes from a driver-local union-find — no hashing, no star rounds —
-    and is exact by construction.  Pass ``max_local_edges=0`` to skip
+    comes from a driver-local vectorized union-find (numpy pointer
+    jumping over factorized int codes — ~10 ms per million edges per
+    sweep, so the 2M default costs well under a second beyond the Arrow
+    transfer) — no hashing, no star rounds — and is exact by
+    construction.  Pass ``max_local_edges=0`` to skip
     the probing count on petabyte scans where it would be a wasted
     pass; the guard counts RAW rows (conservative: never collects a
     frame whose deduplicated size it underestimated).  The star loop
@@ -211,39 +214,53 @@ def components(
         F.col(from_col).cast("string").alias("u"),
         F.col(to_col).cast("string").alias("v"),
     ).where(F.col("u").isNotNull() & F.col("v").isNotNull())
-    # One lazy checkpoint materialized by the guard count: the input
-    # lineage (often a join pipeline) evaluates ONCE, and whichever tier
-    # runs reads the checkpoint instead of re-deriving it (the node
-    # table and the hashed edge list are both derived from `edges`).
-    edges = truncate_lineage(edges, cache=False)
+    # The guard counts the RAW frame and the local tier Arrow-collects the
+    # RAW frame: collecting through a localCheckpoint is ~3x slower (the
+    # blocks deserialize to Java rows before Arrow re-encodes them;
+    # measured 7.1 s vs 2.4 s on the 1.2M-edge doubled supplier-part
+    # graph), so the local path re-evaluates the input lineage once for
+    # the count instead — the count scan is column-pruned and cheap next
+    # to that penalty.  The distributed star loop below still checkpoints
+    # (it re-reads `edges` every round).
     if max_local_edges and edges.count() <= max_local_edges:
-        parent: dict = {}
-
-        def find(x):
-            r = x
-            while parent.get(r, r) != r:
-                r = parent[r]
-            while parent.get(x, x) != r:
-                parent[x], x = r, parent[x]
-            return r
+        import numpy as np
+        import pandas as pd
 
         pdf = edges.toPandas()  # Arrow transfer ≫ Row-object collect
-        node_set: set = set()
-        for u, v in zip(pdf["u"], pdf["v"]):
-            node_set.add(u)
-            node_set.add(v)
-            ru, rv = find(u), find(v)
-            if ru != rv:
-                parent[rv] = ru
-        best: dict = {}
-        for n in node_set:
-            rt = find(n)
-            if rt not in best or n < best[rt]:
-                best[rt] = n
+        # Vectorized hook-to-min union-find: factorize names to dense int
+        # codes (hash-based, no sort), then alternate full pointer-jump
+        # compression with a min-root hook per edge.  Each sweep is a
+        # handful of numpy gathers over |E|; rounds are O(log V) because
+        # every round at least halves the number of live roots on any
+        # path.  The root choice (min CODE) is arbitrary — the returned
+        # label is recomputed as the min NAME per membership group, which
+        # is partition-pure, so this tier stays bit-identical to the
+        # distributed star loop above any root-picking order.
+        codes, names = pd.factorize(
+            pd.concat([pdf["u"], pdf["v"]], ignore_index=True)
+        )
+        m = len(pdf)
+        eu, ev = codes[:m], codes[m:]
+        parent = np.arange(len(names), dtype=np.int64)
+        while True:
+            while True:  # full path compression (pointer jumping)
+                gp = parent[parent]
+                if np.array_equal(gp, parent):
+                    break
+                parent = gp
+            ru, rv = parent[eu], parent[ev]
+            if np.array_equal(ru, rv):
+                break
+            lo = np.minimum(ru, rv)
+            hi = np.maximum(ru, rv)
+            np.minimum.at(parent, hi, lo)
+        out = pd.DataFrame({"node": names, "_root": parent})
+        out["component"] = out.groupby("_root")["node"].transform("min")
         return df.sparkSession.createDataFrame(
-            sorted((n, best[find(n)]) for n in node_set),
+            out[["node", "component"]].sort_values("node"),
             "node string, component string",
         )
+    edges = truncate_lineage(edges, cache=False)
     nodes = edges.select(F.explode(F.array("u", "v")).alias("node")).distinct()
     nodes = nodes.select("node", F.xxhash64("node").alias("id"))
     if verify_injective:

@@ -833,3 +833,51 @@ def test_tier_equality_mst_and_sp(spark, edges):
             tuple(r) for r in op(df, max_local_edges=0, **kwargs).collect()
         )
         assert loc == dist, f"tier divergence in {op.__name__}"
+
+
+@given(
+    wedges=st.lists(
+        st.tuples(NODE, NODE, st.sampled_from([0.5, 1.0, 1.5, 2.5])),
+        min_size=1,
+        max_size=12,
+    ),
+    cutoff=st.sampled_from([1.0, 2.0, 3.5]),
+    directed=st.booleans(),
+)
+@_SETTINGS
+def test_tier_equality_sp_dial_and_bfs(spark, wedges, cutoff, directed):
+    """All four shortest-path execution tiers must agree row-for-row:
+    distributed relaxation, scalar Dijkstra, the vectorized Dial kernel
+    (forced by starving max_local_work with a cutoff set), and — when
+    weights are uniform — the vectorized CSR BFS.  Quantized integer
+    distances are unique minima, so any divergence is a tier bug."""
+    from polars_grouper_spark.operators.shortest_path import (
+        calculate_shortest_path as csp,
+    )
+
+    df = spark.createDataFrame(
+        [(str(a), str(b), float(w)) for a, b, w in wedges],
+        schema="`from` string, `to` string, weight double",
+    ).coalesce(1)
+    kw = dict(directed=directed, max_distance=cutoff)
+    dist = sorted(
+        tuple(r) for r in csp(df, max_local_edges=0, **kw).collect()
+    )
+    scalar = sorted(tuple(r) for r in csp(df, **kw).collect())
+    dial = sorted(
+        tuple(r)
+        for r in csp(df, max_local_work=0, max_local_bfs_work=10**9, **kw).collect()
+    )
+    assert scalar == dist, "scalar Dijkstra tier diverged"
+    assert dial == dist, "vectorized Dial tier diverged"
+
+    # Uniform weights additionally route through the CSR BFS tier.
+    dfu = spark.createDataFrame(
+        [(str(a), str(b), 1.0) for a, b, _ in wedges],
+        schema="`from` string, `to` string, weight double",
+    ).coalesce(1)
+    bfs = sorted(tuple(r) for r in csp(dfu, **kw).collect())
+    distu = sorted(
+        tuple(r) for r in csp(dfu, max_local_edges=0, **kw).collect()
+    )
+    assert bfs == distu, "CSR BFS tier diverged"

@@ -45,10 +45,10 @@ def test_cc_skew_safe_parity_and_plan_on_hub_graph(spark, monkeypatch):
 
     monkeypatch.setattr(cc_mod, "truncate_lineage", spy_truncate)
 
-    default = {r["node"]: r["component"] for r in components(df).collect()}
+    default = {r["node"]: r["component"] for r in components(df, max_local_edges=0).collect()}
     default_plans, round_plans = round_plans, []
     safe = {
-        r["node"]: r["component"] for r in components(df, skew_safe=True).collect()
+        r["node"]: r["component"] for r in components(df, skew_safe=True, max_local_edges=0).collect()
     }
     safe_plans = round_plans
 
@@ -62,7 +62,7 @@ def test_cc_skew_safe_parity_and_plan_on_hub_graph(spark, monkeypatch):
 
     # the skew-safe label-recovery plan (returned DF) is window-free too
     final_plan = (
-        components(df, skew_safe=True)._jdf.queryExecution().executedPlan().toString()
+        components(df, skew_safe=True, max_local_edges=0)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" not in final_plan
 
