@@ -240,3 +240,52 @@ def test_negative_weights_take_distributed_tier(spark):
     )
     assert loc == dist
     assert ("a", "c", 1.5) in loc
+
+
+def test_dial_meter_trips_to_distributed(spark):
+    """A starved gather meter must make the Dial tier return None and the
+    operator fall back to the distributed loop with identical results —
+    the bounded-wasted-work contract for cutoff queries whose ball
+    volume exceeds the budget."""
+    from polars_grouper_spark.operators.shortest_path import (
+        _dial_local,
+        calculate_shortest_path,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b", 0.5), ("b", "c", 0.5), ("c", "d", 0.5), ("a", "d", 2.0)],
+        ["from", "to", "weight"],
+    )
+    # max_local_work=0 starves the scalar tier; max_local_bfs_work=1
+    # starves the dial meter, so the distributed loop must run.
+    starved = sorted(
+        tuple(r)
+        for r in calculate_shortest_path(
+            edges,
+            max_distance=1.5,
+            max_local_work=0,
+            max_local_bfs_work=1,
+        ).collect()
+    )
+    reference = sorted(
+        tuple(r)
+        for r in calculate_shortest_path(
+            edges, max_distance=1.5, max_local_edges=0
+        ).collect()
+    )
+    assert starved == reference
+    assert ("a", "c", 1.0) in reference
+
+    # And the kernel itself reports the trip as None, not a partial result.
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "u": ["a", "b", "c", "a", "b", "c", "d", "d"],
+            "v": ["b", "c", "d", "d", "a", "b", "c", "a"],
+            "q": [500, 500, 500, 2000, 500, 500, 500, 2000],
+        }
+    )
+    assert (
+        _dial_local(pdf, ["a"], False, 1500, max_gather=1) is None
+    )
