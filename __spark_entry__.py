@@ -9346,65 +9346,83 @@ def q_percolation_sp(spark: SparkSession, sf_dir: str) -> DataFrame:
     the FULL node set so isolated survivors count as singletons.
 
     Round-7 two-tier: giant-fraction only needs the membership
-    PARTITION (partition-pure), and the sampling hash has a bit-exact
-    Python mirror (``portable_hash64_py``, parity-pinned by
+    PARTITION (partition-pure), and the sampling bucket is computed
+    JVM-side with the same ``pmod(portable_hash64, 4)`` expression the
+    distributed filters use (three-way parity-pinned by
     tests/test_hashing.py) — so under the pair-list guard all three
-    nested levels solve driver-local with one incremental union-find
-    pass; above it the incremental-CC composition runs (and stays the
-    at-scale path the 10M-edge probes cover)."""
+    nested levels solve driver-local with one vectorized incremental
+    union-find; above it the incremental-CC composition runs (and stays
+    the at-scale path the 10M-edge probes cover)."""
     from polars_grouper_spark.operators.connected_components import (
         components,
         incremental_components,
     )
-    from polars_grouper_spark.functions.hashing import (
-        portable_hash64,
-        portable_hash64_py,
-    )
+    from polars_grouper_spark.functions.hashing import portable_hash64
     from polars_grouper_spark.plans.iteration import truncate_lineage
 
-    # ONE distinct pass over the fact table; every level filters the
-    # checkpointed pair list instead of re-scanning lineitem.
-    edges = truncate_lineage(_sp_edges(spark, sf_dir).distinct())
-    if edges.count() <= _PERC_LOCAL_MAX_EDGES:
-        _pdf = edges.toPandas()  # Arrow transfer ≫ Row-object collect
-        pairs = list(zip(_pdf["src"], _pdf["dst"]))
-        nodes = {n for e in pairs for n in e}
-        n_total = len(nodes)
-        parent: dict = {}
+    # Local-tier probe counts the RAW pair stream (map-only, no shuffle)
+    # and Arrow-collects it with the sampling bucket computed JVM-SIDE
+    # (``pmod(portable_hash64, 4)`` — the exact expression the
+    # distributed path filters on, three-way parity-pinned by
+    # tests/test_hashing.py): no per-pair Python md5 loop, and no
+    # localCheckpoint on the collect path (the checkpointed collect tax
+    # is ~3x — see SCALE.md round-7b).  Dedup happens locally; the raw
+    # count conservatively upper-bounds the distinct count.
+    h4 = F.pmod(
+        portable_hash64(
+            F.concat(F.col("src"), F.lit("|"), F.col("dst"), F.lit("|perc"))
+        ),
+        F.lit(4),
+    )
+    base = _sp_edges(spark, sf_dir).select("src", "dst", h4.alias("b"))
+    if base.count() <= _PERC_LOCAL_MAX_EDGES:
+        import numpy as np
+        import pandas as pd
 
-        def find(x):
-            r = x
-            while parent.get(r, r) != r:
-                r = parent[r]
-            while parent.get(x, x) != r:
-                parent[x], x = r, parent[x]
-            return r
-
-        by_bucket: dict = {b: [] for b in range(4)}
-        for s, d in pairs:
-            by_bucket[portable_hash64_py(f"{s}|{d}|perc") % 4].append((s, d))
-        size = {n: 1 for n in nodes}
+        pdf = base.toPandas().drop_duplicates(["src", "dst"], ignore_index=True)
+        codes, names = pd.factorize(
+            pd.concat([pdf["src"], pdf["dst"]], ignore_index=True)
+        )
+        m = len(pdf)
+        eu, ev = codes[:m], codes[m:]
+        buckets = pdf["b"].to_numpy()
+        n_total = len(names)
+        parent = np.arange(n_total, dtype=np.int64)
         rows = []
         n_edges = 0
         prev_k = 0
         for k in _PERC_LEVELS:
-            for b in range(prev_k, k):
-                for s, d in by_bucket[b]:
-                    n_edges += 1
-                    rs, rd = find(s), find(d)
-                    if rs != rd:
-                        if size[rs] < size[rd]:
-                            rs, rd = rd, rs
-                        parent[rd] = rs
-                        size[rs] += size[rd]
+            sel = (buckets >= prev_k) & (buckets < k)
             prev_k = k
-            giant = max(size[find(n)] for n in nodes) if n_edges else 0
-            rows.append(
-                (int(k), int(n_edges), (float(giant) / n_total) if n_edges else 0.0)
-            )
+            n_edges += int(sel.sum())
+            if n_edges == 0:
+                rows.append((int(k), 0, 0.0))
+                continue
+            du, dv = eu[sel], ev[sel]
+            # Vectorized hook-to-min union-find over the delta slice;
+            # parent carries across the nested levels.  The membership
+            # partition (hence the giant fraction) is root-choice-pure.
+            while True:
+                while True:  # full pointer-jump compression
+                    gp = parent[parent]
+                    if np.array_equal(gp, parent):
+                        break
+                    parent = gp
+                ru, rv = parent[du], parent[dv]
+                if np.array_equal(ru, rv):
+                    break
+                lo = np.minimum(ru, rv)
+                hi = np.maximum(ru, rv)
+                np.minimum.at(parent, hi, lo)
+            giant = int(np.bincount(parent).max())
+            rows.append((int(k), int(n_edges), float(giant) / n_total))
         return spark.createDataFrame(
             rows, "k int, n_edges bigint, giant_frac double"
         )
+    # Distributed composition: ONE distinct pass over the fact table;
+    # every level filters the checkpointed pair list instead of
+    # re-scanning lineitem.
+    edges = truncate_lineage(_sp_edges(spark, sf_dir).distinct())
     all_nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
