@@ -49,6 +49,7 @@ def lpa_communities(
     *,
     rounds: int = 4,
     directed: bool = False,
+    max_local_edges: int = 2_000_000,
 ) -> DataFrame:
     """Run ``rounds`` synchronous LPA rounds -> ``(node, community)``
     for every node with at least one edge (isolated nodes never appear
@@ -57,16 +58,70 @@ def lpa_communities(
 
     Nodes are coerced to string (SURVEY.md §1.2); null endpoints drop
     the edge; self-loops are ignored (a node's own label does not vote).
+
+    Two-tier (round 7): synchronous LPA with the (count desc, label asc)
+    total order is a pure function of the edge set, so when the RAW edge
+    frame fits ``max_local_edges`` the rounds run driver-local as
+    vectorized numpy group-argmax sweeps (codes from sorted
+    ``np.unique``, so code order == label string order and the tiebreak
+    is bit-identical); ``max_local_edges=0`` skips the probing count.
+    The local tier mirrors every distributed quirk, including the
+    directed-graph fact that a node with no in-edges leaves the label
+    state after round 1.
     """
     if rounds < 0:
         raise ValueError(f"rounds must be >= 0, got {rounds}")
     s = F.col(src).cast("string")
     d = F.col(dst).cast("string")
-    edges = (
-        df.where(s.isNotNull() & d.isNotNull() & (s != d))
-        .select(s.alias("u"), d.alias("v"))
-        .distinct()
+    base = df.where(s.isNotNull() & d.isNotNull() & (s != d)).select(
+        s.alias("u"), d.alias("v")
     )
+    mirror = 1 if directed else 2
+    if max_local_edges and base.count() * mirror <= max_local_edges:
+        import numpy as np
+        import pandas as pd
+
+        pdf = base.toPandas()  # raw collect: see SCALE.md round-7b
+        if not directed:
+            pdf = pd.concat(
+                [pdf, pdf.rename(columns={"u": "v", "v": "u"})],
+                ignore_index=True,
+            )
+        pdf = pdf.drop_duplicates(["u", "v"], ignore_index=True)
+        schema = "node string, community string"
+        if not len(pdf):
+            return df.sparkSession.createDataFrame([], schema)
+        names, inv = np.unique(
+            pd.concat([pdf["u"], pdf["v"]], ignore_index=True).to_numpy(),
+            return_inverse=True,
+        )
+        m = len(pdf)
+        eu, ev = inv[:m], inv[m:]
+        n_nodes = len(names)
+        lab = np.full(n_nodes, -1, dtype=np.int64)
+        src_nodes = np.unique(eu)
+        lab[src_nodes] = src_nodes
+        for _ in range(rounds):
+            live = lab[eu] >= 0
+            tu, tv = eu[live], ev[live]
+            newlab = np.full(n_nodes, -1, dtype=np.int64)
+            if len(tu):
+                key = tv * n_nodes + lab[tu]
+                uk, counts = np.unique(key, return_counts=True)
+                knode, klab = uk // n_nodes, uk % n_nodes
+                order = np.lexsort((klab, -counts, knode))
+                ks, ls = knode[order], klab[order]
+                first = np.ones(len(ks), dtype=bool)
+                first[1:] = ks[1:] != ks[:-1]
+                newlab[ks[first]] = ls[first]
+            lab = newlab
+        keep = lab >= 0
+        out = pd.DataFrame(
+            {"node": names[keep], "community": names[lab[keep]]}
+        )
+        return df.sparkSession.createDataFrame(out, schema)
+
+    edges = base.distinct()
     if not directed:
         edges = edges.union(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))

@@ -881,3 +881,25 @@ def test_tier_equality_sp_dial_and_bfs(spark, wedges, cutoff, directed):
         tuple(r) for r in csp(dfu, max_local_edges=0, **kw).collect()
     )
     assert bfs == distu, "CSR BFS tier diverged"
+
+
+@given(edges=EDGES, directed=st.booleans(), rounds=st.sampled_from([1, 3]))
+@_SETTINGS
+def test_tier_equality_lpa(spark, edges, directed, rounds):
+    """Synchronous LPA's local numpy tier must equal the distributed
+    loop on random graphs — including the directed drop-out quirk
+    (a node with no in-edges leaves the label state after round 1)."""
+    from polars_grouper_spark.operators.communities import lpa_communities
+
+    df = _df(spark, edges)
+    loc = sorted(
+        tuple(r)
+        for r in lpa_communities(df, rounds=rounds, directed=directed).collect()
+    )
+    dist = sorted(
+        tuple(r)
+        for r in lpa_communities(
+            df, rounds=rounds, directed=directed, max_local_edges=0
+        ).collect()
+    )
+    assert loc == dist
