@@ -33,6 +33,69 @@ from ..functions.sketches import _alpha, _HASH_BITS
 from ..plans.iteration import truncate_lineage
 
 
+_BALL_LOCAL_MAX_CELLS = 128 * 1024 * 1024
+
+
+def _ball_local(spark, base, directed, radius, b):
+    """Driver-local mirror of the HLL ball hop-merge: dense (V, 2^b)
+    int8 register matrix, one synchronous ``np.maximum.at`` scatter per
+    hop (max-merge is order-pure, so this tier is exact up to the
+    round-to-4 estimate).  Returns None when the matrix would exceed
+    ``_BALL_LOCAL_MAX_CELLS`` — bounded wasted collect, same contract as
+    the other guarded tiers."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.hashing import portable_hash64_py
+    from ..functions.sketches import _HASH_BITS, _alpha
+
+    pdf = base.toPandas()
+    if not directed:
+        pdf = pd.concat(
+            [pdf, pdf.rename(columns={"u": "v", "v": "u"})], ignore_index=True
+        )
+    pdf = pdf.drop_duplicates(["u", "v"], ignore_index=True)
+    m = 1 << b
+    if not len(pdf):
+        return spark.createDataFrame([], "node string, estimate double")
+    codes, names = pd.factorize(
+        pd.concat([pdf["u"], pdf["v"]], ignore_index=True)
+    )
+    n_nodes = len(names)
+    if n_nodes * m > _BALL_LOCAL_MAX_CELLS:
+        return None
+    ne = len(pdf)
+    eu, ev = codes[:ne], codes[ne:]
+    rest_bits = _HASH_BITS - b
+    regs = np.zeros((n_nodes, m), dtype=np.int8)
+    for i, name in enumerate(names):
+        h = portable_hash64_py(name)
+        rest = h % (1 << rest_bits)
+        rho = (rest_bits + 1) if rest == 0 else rest_bits - rest.bit_length() + 1
+        regs[i, h >> rest_bits] = rho
+    for _ in range(radius):
+        nxt = regs.copy()
+        np.maximum.at(nxt, eu, regs[ev])
+        regs = nxt
+    mask = regs > 0
+    shifted = np.where(mask, np.ldexp(1.0, -regs.astype(np.int64)), 0.0)
+    ssum = shifted.sum(axis=1)
+    nonempty = mask.sum(axis=1)
+    empty = float(m) - nonempty.astype(np.float64)
+    with np.errstate(divide="ignore"):
+        raw = (_alpha(m) * m * m) / (ssum + empty)
+        lc = -float(m) * np.log(empty / float(m))
+    est = np.where((raw <= 2.5 * m) & (empty > 0), lc, raw)
+    # Spark's round() is decimal HALF_UP; np.round is half-to-even —
+    # mirror the former (estimates are non-negative).
+    est4 = np.floor(est * 1e4 + 0.5) / 1e4
+    out = pd.DataFrame({"node": names, "estimate": est4})
+    assert math.isfinite(out["estimate"].sum())
+    return spark.createDataFrame(out, "node string, estimate double")
+
+
 def hll_ball_size(
     df: DataFrame,
     src: str = "from",
@@ -42,6 +105,7 @@ def hll_ball_size(
     b: int = 8,
     directed: bool = False,
     portable: bool = True,
+    max_local_edges: int = 2_000_000,
 ) -> DataFrame:
     """Per-node HLL estimate of ``|{u : dist(node, u) <= radius}|``
     (including the node itself) -> ``(node, estimate double)``.
@@ -57,11 +121,26 @@ def hll_ball_size(
         raise ValueError(f"b must be in [4, 18], got {b}")
     s = F.col(src).cast("string")
     d = F.col(dst).cast("string")
-    edges = (
-        df.where(s.isNotNull() & d.isNotNull())
-        .select(s.alias("u"), d.alias("v"))
-        .distinct()
+    base = df.where(s.isNotNull() & d.isNotNull()).select(
+        s.alias("u"), d.alias("v")
     )
+    # Two-tier (round 7): register state is an integer max-merge —
+    # partition/order-pure — and the node hash has a bit-exact Python
+    # mirror, so under the raw-count guard the hop merges run as numpy
+    # 2-D scatter-max sweeps over a dense (V, 2^b) register matrix
+    # (declined when that matrix would exceed ~128M cells; the estimate
+    # tail mirrors the Spark formula, whose round-to-4 output absorbs
+    # float-order noise by many orders of magnitude).
+    mirror = 1 if directed else 2
+    if (
+        max_local_edges
+        and portable
+        and base.count() * mirror <= max_local_edges
+    ):
+        out = _ball_local(df.sparkSession, base, directed, radius, b)
+        if out is not None:
+            return out
+    edges = base.distinct()
     if not directed:
         edges = edges.union(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))

@@ -903,3 +903,25 @@ def test_tier_equality_lpa(spark, edges, directed, rounds):
         ).collect()
     )
     assert loc == dist
+
+
+@given(edges=EDGES, directed=st.booleans(), radius=st.sampled_from([0, 1, 2]))
+@_SETTINGS
+def test_tier_equality_hll_ball(spark, edges, directed, radius):
+    """The HLL ball local tier (dense numpy scatter-max) must equal the
+    distributed hop-merge loop — register state is an integer max-merge,
+    so any divergence is a kernel bug, not float noise."""
+    from polars_grouper_spark.operators.neighborhood import hll_ball_size
+
+    df = _df(spark, edges)
+    loc = sorted(
+        tuple(r)
+        for r in hll_ball_size(df, radius=radius, b=6, directed=directed).collect()
+    )
+    dist = sorted(
+        tuple(r)
+        for r in hll_ball_size(
+            df, radius=radius, b=6, directed=directed, max_local_edges=0
+        ).collect()
+    )
+    assert loc == dist
