@@ -37,12 +37,63 @@ def _degrees(edges: DataFrame) -> DataFrame:
     )
 
 
+def _k_core_local(spark, cleaned, k: int, max_iter: int):
+    """Driver-local synchronous peel over the collected distinct edge
+    set.  The k-core is the unique maximal subgraph with min degree
+    >= k — order-independent — and the synchronous remove-all-below-k
+    round structure here is the same as the distributed loop's, so the
+    round bound (``max_iter``) and the convergence error carry over
+    verbatim."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = cleaned.toPandas()
+    schema = "node string, core_deg long"
+    if not len(pdf):
+        return spark.createDataFrame([], schema)
+    su, sd = pdf["s"].to_numpy(), pdf["d"].to_numpy()
+    canon = pd.DataFrame(
+        {"a": np.where(su < sd, su, sd), "b": np.where(su < sd, sd, su)}
+    ).drop_duplicates(ignore_index=True)
+    codes, names = pd.factorize(
+        pd.concat([canon["a"], canon["b"]], ignore_index=True)
+    )
+    m = len(canon)
+    ea, eb = codes[:m], codes[m:]
+    n_nodes = len(names)
+    mask = np.ones(m, dtype=bool)
+    for _ in range(max_iter):
+        deg = np.bincount(
+            np.concatenate([ea[mask], eb[mask]]), minlength=n_nodes
+        )
+        ok = deg >= k
+        new_mask = mask & ok[ea] & ok[eb]
+        if np.array_equal(new_mask, mask):
+            keep = np.nonzero(mask)[0]
+            if not len(keep):
+                return spark.createDataFrame([], schema)
+            core_nodes = np.unique(np.concatenate([ea[keep], eb[keep]]))
+            out = pd.DataFrame(
+                {
+                    "node": np.asarray(names)[core_nodes],
+                    "core_deg": deg[core_nodes],
+                }
+            )
+            return spark.createDataFrame(out, schema)
+        mask = new_mask
+    raise RuntimeError(
+        f"k_core did not converge within max_iter={max_iter} peeling rounds; "
+        "raise max_iter (adversarial long-chain graphs peel O(V) rounds)"
+    )
+
+
 def k_core(
     df: DataFrame,
     k: int,
     src: str = "from",
     dst: str = "to",
     max_iter: int = 100,
+    max_local_edges: int = 2_000_000,
 ) -> DataFrame:
     """Nodes of the k-core with their within-core degree ->
     ``(node, core_deg)``; empty result if the k-core is empty.
@@ -61,6 +112,18 @@ def k_core(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    # Two-tier (round 7): the k-core is the UNIQUE maximal subgraph with
+    # min degree >= k (order-independent), so under the raw-count guard
+    # the synchronous peel runs driver-local as numpy bincount/mask
+    # sweeps — bit-identical output by uniqueness, same round semantics.
+    if max_local_edges:
+        s = F.col(src).cast("string")
+        d = F.col(dst).cast("string")
+        cleaned = df.where(s.isNotNull() & d.isNotNull() & (s != d)).select(
+            s.alias("s"), d.alias("d")
+        )
+        if cleaned.count() <= max_local_edges:
+            return _k_core_local(df.sparkSession, cleaned, k, max_iter)
     edges, names = _interned_edges(df, src, dst)
     # CC's loop pattern: lazy checkpoint per round, with the one-job
     # (count, bit_xor) fingerprint as BOTH the materializing action and

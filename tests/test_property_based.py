@@ -925,3 +925,19 @@ def test_tier_equality_hll_ball(spark, edges, directed, radius):
         ).collect()
     )
     assert loc == dist
+
+
+@given(edges=EDGES, k=st.sampled_from([1, 2, 3]))
+@_SETTINGS
+def test_tier_equality_kcore(spark, edges, k):
+    """The k-core is the unique maximal subgraph with min degree >= k,
+    so the local numpy peel and the distributed semi-join peel must
+    agree exactly (nodes AND within-core degrees)."""
+    from polars_grouper_spark.operators.kcore import k_core
+
+    df = _df(spark, edges)
+    loc = sorted(tuple(r) for r in k_core(df, k).collect())
+    dist = sorted(
+        tuple(r) for r in k_core(df, k, max_local_edges=0).collect()
+    )
+    assert loc == dist
