@@ -33,12 +33,65 @@ from pyspark.sql import functions as F
 from ..plans.iteration import truncate_lineage
 
 
+def _hits_local(spark, base, iters: int):
+    """Driver-local mirror of the integer HITS recursion: int64
+    ``np.add.at`` scatter-sums (associative integers — order-pure).
+    Declines (returns None) when any half-round's float-estimated max
+    exceeds 2^61 — half the distributed raise threshold, so int64 can
+    never wrap here and the over-threshold cases keep the distributed
+    tier's exact decimal guard and error message."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = base.toPandas().drop_duplicates(["u", "v"], ignore_index=True)
+    schema = (
+        "node string, authority long, hub long, "
+        "auth_norm double, hub_norm double"
+    )
+    if not len(pdf):
+        return spark.createDataFrame([], schema)
+    codes, names = pd.factorize(
+        pd.concat([pdf["u"], pdf["v"]], ignore_index=True)
+    )
+    m = len(pdf)
+    eu, ev = codes[:m], codes[m:]
+    n_nodes = len(names)
+    lim = float(1 << 61)
+    hub = np.ones(n_nodes, dtype=np.int64)
+    auth = np.zeros(n_nodes, dtype=np.int64)
+    for _ in range(iters):
+        if np.bincount(ev, weights=hub[eu].astype(np.float64), minlength=n_nodes).max() > lim:
+            return None
+        auth = np.zeros(n_nodes, dtype=np.int64)
+        np.add.at(auth, ev, hub[eu])
+        if np.bincount(eu, weights=auth[ev].astype(np.float64), minlength=n_nodes).max() > lim:
+            return None
+        hub = np.zeros(n_nodes, dtype=np.int64)
+        np.add.at(hub, eu, auth[ev])
+    ma, mh = max(int(auth.max()), 1), max(int(hub.max()), 1)
+
+    def _round9(x):  # Spark round() is decimal HALF_UP (non-negative here)
+        return np.floor(x * 1e9 + 0.5) / 1e9
+
+    out = pd.DataFrame(
+        {
+            "node": names,
+            "authority": auth,
+            "hub": hub,
+            "auth_norm": _round9(auth / float(ma)),
+            "hub_norm": _round9(hub / float(mh)),
+        }
+    )
+    return spark.createDataFrame(out, schema)
+
+
 def hits(
     df: DataFrame,
     src: str = "from",
     dst: str = "to",
     *,
     iters: int = 3,
+    max_local_edges: int = 2_000_000,
 ) -> DataFrame:
     """Hub/authority scores ->
     ``(node, authority, hub, auth_norm, hub_norm)``: exact integer raw
@@ -49,11 +102,18 @@ def hits(
         raise ValueError(f"iters must be >= 1, got {iters}")
     s = F.col(src).cast("string")
     d = F.col(dst).cast("string")
-    edges = truncate_lineage(
-        df.where(s.isNotNull() & d.isNotNull())
-        .select(s.alias("u"), d.alias("v"))
-        .distinct()
+    base = df.where(s.isNotNull() & d.isNotNull()).select(
+        s.alias("u"), d.alias("v")
     )
+    # Two-tier (round 7): the recursion is integer-exact (associative
+    # sums — aggregation-order-pure), so under the raw-count guard it
+    # runs driver-local; scores estimated above 2^61 decline to the
+    # distributed tier, which owns the exact decimal overflow guard.
+    if max_local_edges and base.count() <= max_local_edges:
+        local = _hits_local(df.sparkSession, base, iters)
+        if local is not None:
+            return local
+    edges = truncate_lineage(base.distinct())
     nodes = truncate_lineage(
         edges.select(F.col("u").alias("node"))
         .union(edges.select(F.col("v").alias("node")))

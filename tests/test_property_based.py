@@ -941,3 +941,19 @@ def test_tier_equality_kcore(spark, edges, k):
         tuple(r) for r in k_core(df, k, max_local_edges=0).collect()
     )
     assert loc == dist
+
+
+@given(edges=EDGES, iters=st.sampled_from([1, 3]))
+@_SETTINGS
+def test_tier_equality_hits(spark, edges, iters):
+    """HITS integer recursion: int64 scatter-sum local tier must equal
+    the distributed decimal-guarded loop on random graphs (raw scores
+    AND the round-9 max-normalized columns)."""
+    from polars_grouper_spark.operators.hits import hits
+
+    df = _df(spark, edges)
+    loc = sorted(tuple(r) for r in hits(df, iters=iters).collect())
+    dist = sorted(
+        tuple(r) for r in hits(df, iters=iters, max_local_edges=0).collect()
+    )
+    assert loc == dist
