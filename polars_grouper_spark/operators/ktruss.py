@@ -73,12 +73,108 @@ def _edge_support(edges: DataFrame) -> DataFrame:
     )
 
 
+def _k_truss_local(spark, cleaned, min_support: int, max_iter: int):
+    """Driver-local synchronous support peel.  The k-truss is the unique
+    maximal subgraph in which every edge closes >= k-2 triangles —
+    order-independent, like the k-core — so any correct peel order gives
+    the identical edge set and within-truss supports.  Per round: a CSR
+    wedge enumeration (the same ragged-gather trick as the BFS kernel),
+    a sorted-key membership probe to close triangles, and one
+    ``np.add.at`` support scatter per triangle corner."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = cleaned.toPandas()
+    schema = "src string, dst string, support long"
+    su, sd = pdf["s"].to_numpy(), pdf["d"].to_numpy()
+    canon = pd.DataFrame(
+        {"a": np.where(su < sd, su, sd), "b": np.where(su < sd, sd, su)}
+    ).drop_duplicates(ignore_index=True)
+    if not len(canon):
+        return spark.createDataFrame([], schema)
+    codes, names = pd.factorize(
+        pd.concat([canon["a"], canon["b"]], ignore_index=True)
+    )
+    m0 = len(canon)
+    n_nodes = len(names)
+    # Canonical integer pair keys (lo * N + hi in CODE order — any total
+    # order works: triangle counts are orientation-invariant).
+    ea0, eb0 = codes[:m0], codes[m0:]
+    lo = np.minimum(ea0, eb0).astype(np.int64)
+    hi = np.maximum(ea0, eb0).astype(np.int64)
+    keys = np.sort(lo * n_nodes + hi)
+
+    def _supports(keys):
+        """Triangle support per edge key (aligned with ``keys``)."""
+        a, b = keys // n_nodes, keys % n_nodes
+        # Degree-orient every edge toward the higher (deg, code) — the
+        # node-iterator bound: each triangle has exactly ONE corner with
+        # out-edges to both others, so it is enumerated exactly once and
+        # out-degrees stay O(sqrt E) on skewed graphs.
+        deg = np.bincount(np.concatenate([a, b]), minlength=n_nodes)
+        fwd = (deg[a] < deg[b]) | ((deg[a] == deg[b]) & (a < b))
+        uu = np.where(fwd, a, b)
+        vv = np.where(fwd, b, a)
+        order = np.lexsort((vv, uu))
+        dst_sorted = vv[order]
+        lens = np.bincount(uu, minlength=n_nodes)
+        indptr = np.zeros(n_nodes + 1, dtype=np.int64)
+        indptr[1:] = np.cumsum(lens)
+        # Wedge pairs from OUT-neighbors (sorted adjacency): each CSR
+        # slot p pairs its neighbor with every LATER neighbor of the
+        # same node — each unordered pair generated once.
+        pos = np.arange(len(dst_sorted), dtype=np.int64)
+        li = pos - np.repeat(indptr[:-1], lens)
+        cnt = np.repeat(lens, lens) - 1 - li
+        total = int(cnt.sum())
+        support = np.zeros(len(keys), dtype=np.int64)
+        if total:
+            v1 = np.repeat(dst_sorted, cnt)
+            off = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+            idx2 = np.repeat(pos + 1, cnt) + (np.arange(total) - np.repeat(off, cnt))
+            v2 = dst_sorted[idx2]
+            w_u = np.repeat(np.repeat(np.arange(n_nodes, dtype=np.int64), lens), cnt)
+            wkey = v1 * n_nodes + v2
+            ins = np.searchsorted(keys, wkey)
+            ins[ins >= len(keys)] = 0  # safe probe; mismatch filtered below
+            closed = keys[ins] == wkey
+            if closed.any():
+                tu, t1, t2 = w_u[closed], v1[closed], v2[closed]
+                for x, y in ((tu, t1), (tu, t2), (t1, t2)):
+                    ek = np.minimum(x, y) * n_nodes + np.maximum(x, y)
+                    np.add.at(support, np.searchsorted(keys, ek), 1)
+        return support
+
+    for _ in range(max_iter):
+        support = _supports(keys)
+        keep = support >= min_support
+        if keep.all():
+            a, b = keys // n_nodes, keys % n_nodes
+            na, nb = np.asarray(names)[a], np.asarray(names)[b]
+            out = pd.DataFrame(
+                {
+                    "src": np.where(na < nb, na, nb),
+                    "dst": np.where(na < nb, nb, na),
+                    "support": support,
+                }
+            )
+            return spark.createDataFrame(out, schema)
+        keys = keys[keep]
+        if not len(keys):
+            return spark.createDataFrame([], schema)
+    raise RuntimeError(
+        f"k_truss did not converge within max_iter={max_iter} peeling rounds; "
+        "raise max_iter (adversarial triangle chains peel O(E) rounds)"
+    )
+
+
 def k_truss(
     df: DataFrame,
     k: int,
     src: str = "from",
     dst: str = "to",
     max_iter: int = 100,
+    max_local_edges: int = 2_000_000,
 ) -> DataFrame:
     """Edges of the k-truss with their within-truss support ->
     ``(src, dst, support)`` (endpoint names, src < dst in string order);
@@ -99,6 +195,20 @@ def k_truss(
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     min_support = k - 2
+    # Two-tier (round 7): the k-truss is the unique maximal subgraph
+    # with edge support >= k-2 (order-independent), so under the
+    # raw-count guard the peel runs driver-local as vectorized CSR wedge
+    # sweeps — bit-identical output by uniqueness.
+    if max_local_edges:
+        s = F.col(src).cast("string")
+        d = F.col(dst).cast("string")
+        cleaned = df.where(s.isNotNull() & d.isNotNull() & (s != d)).select(
+            s.alias("s"), d.alias("d")
+        )
+        if cleaned.count() <= max_local_edges:
+            return _k_truss_local(
+                df.sparkSession, cleaned, min_support, max_iter
+            )
     edges, names = _interned_edges(df, src, dst)
     edges = truncate_lineage(edges, cache=False)
     prev = fingerprint(edges, "a", "b")

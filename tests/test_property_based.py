@@ -957,3 +957,19 @@ def test_tier_equality_hits(spark, edges, iters):
         tuple(r) for r in hits(df, iters=iters, max_local_edges=0).collect()
     )
     assert loc == dist
+
+
+@given(edges=EDGES, k=st.sampled_from([2, 3, 4]))
+@_SETTINGS
+def test_tier_equality_ktruss(spark, edges, k):
+    """The k-truss is the unique maximal subgraph with edge support
+    >= k-2, so the local CSR wedge peel and the distributed
+    support-peel loop must agree exactly (edges AND supports)."""
+    from polars_grouper_spark.operators.ktruss import k_truss
+
+    df = _df(spark, edges)
+    loc = sorted(tuple(r) for r in k_truss(df, k).collect())
+    dist = sorted(
+        tuple(r) for r in k_truss(df, k, max_local_edges=0).collect()
+    )
+    assert loc == dist
