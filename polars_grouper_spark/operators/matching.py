@@ -38,34 +38,51 @@ def _matching_local(
     """Driver-local mirror of the locally-dominant-edge loop over the
     deduplicated canonical pairs: identical unique priority string
     (fixed-width hex of the portable hash + canonical key), identical
-    strict-min win rule per endpoint — the tiers agree exactly."""
-    active = [
-        (a, b, f"{portable_hash64_py(f'{a}|{b}|{seed}'):015x}|{a}|{b}")
-        for a, b in pairs
-    ]
-    matched: list = []
+    strict-min win rule per endpoint — the tiers agree exactly.
+
+    Vectorized (round 7): priorities reduce to integer RANKS (one
+    argsort over the unique priority strings — strict-min on ranks ==
+    strict-min on strings), then each round is two ``np.minimum.at``
+    node-min scatters and three boolean masks.  The round structure —
+    and therefore the ``max_rounds`` non-maximality raise — is
+    unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    if not pairs:
+        return []
+    prio = np.asarray(
+        [f"{portable_hash64_py(f'{a}|{b}|{seed}'):015x}|{a}|{b}" for a, b in pairs]
+    )
+    rank = np.empty(len(prio), dtype=np.int64)
+    rank[np.argsort(prio)] = np.arange(len(prio))
+    pa = np.asarray([a for a, _ in pairs])
+    pb = np.asarray([b for _, b in pairs])
+    codes, names = pd.factorize(np.concatenate([pa, pb]))
+    m = len(pairs)
+    ea, eb = codes[:m], codes[m:]
+    n_nodes = len(names)
+    inf = np.iinfo(np.int64).max
+    alive = np.ones(m, dtype=bool)
+    matched_mask = np.zeros(m, dtype=bool)
     rounds = 0
-    while active:
+    while alive.any():
         if rounds >= max_rounds:
             raise RuntimeError(
                 f"matching did not converge within max_rounds={max_rounds}"
             )
-        vmin: dict = {}
-        for a, b, p in active:
-            if a not in vmin or p < vmin[a]:
-                vmin[a] = p
-            if b not in vmin or p < vmin[b]:
-                vmin[b] = p
-        winners = [
-            (a, b) for a, b, p in active if vmin[a] == p and vmin[b] == p
-        ]
-        matched.extend(winners)
-        gone = {n for e in winners for n in e}
-        active = [
-            (a, b, p) for a, b, p in active if a not in gone and b not in gone
-        ]
+        vmin = np.full(n_nodes, inf, dtype=np.int64)
+        np.minimum.at(vmin, ea[alive], rank[alive])
+        np.minimum.at(vmin, eb[alive], rank[alive])
+        win = alive & (vmin[ea] == rank) & (vmin[eb] == rank)
+        matched_mask |= win
+        gone = np.zeros(n_nodes, dtype=bool)
+        gone[ea[win]] = True
+        gone[eb[win]] = True
+        alive &= ~(gone[ea] | gone[eb])
         rounds += 1
-    return matched
+    idx = np.nonzero(matched_mask)[0]
+    return [(pa[i], pb[i]) for i in idx]
 
 
 def greedy_matching(
@@ -101,10 +118,27 @@ def greedy_matching(
     """
     s = F.col(src).cast("string")
     d = F.col(dst).cast("string")
+    cleaned = df.where(s.isNotNull() & d.isNotNull() & (s != d)).select(
+        F.least(s, d).alias("a"), F.greatest(s, d).alias("b")
+    )
+    spark = df.sparkSession
+    # Local tier probes and collects the RAW canonical pairs (dedup in
+    # pandas) — no checkpoint, no Spark-side priority column (the local
+    # kernel computes identical priorities via the Python hash mirror).
+    if portable and max_local_edges and cleaned.count() <= max_local_edges:
+        import pandas as pd
+
+        pdf = cleaned.toPandas().drop_duplicates(ignore_index=True)
+        return spark.createDataFrame(
+            sorted(
+                _matching_local(
+                    list(zip(pdf["a"], pdf["b"])), seed, max_rounds
+                )
+            ),
+            "a string, b string",
+        )
     edges = truncate_lineage(
-        df.where(s.isNotNull() & d.isNotNull() & (s != d))
-        .select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
-        .distinct()
+        cleaned.distinct()
         .select(
             "a",
             "b",
@@ -125,18 +159,6 @@ def greedy_matching(
             ).alias("p"),
         )
     )
-    spark = df.sparkSession
-    if portable and edges.count() <= max_local_edges:
-        return spark.createDataFrame(
-            sorted(
-                _matching_local(
-                    [(r["a"], r["b"]) for r in edges.collect()],
-                    seed,
-                    max_rounds,
-                )
-            ),
-            "a string, b string",
-        )
     matched = spark.createDataFrame([], "a string, b string")
     # Matched-node sets are at most 2x the round's winners; broadcast
     # them into the anti-joins while they fit (same guard as MIS —
