@@ -10834,17 +10834,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # Queries whose SEMANTICS changed after their last green driver row —
 # their recorded verification is stale, so they re-enter the window even
 # though a green row exists.  Remove a name once a fresh green row lands.
-#   knn_graph: round-6 quantization switch (16,2) -> (128,32); green r04
-#   row predates the change.
-#   temporal_reach_users: round-6 TZ fix changed the OUTPUT TYPE of
-#   earliest_arrival from TIMESTAMP (LTZ) to TIMESTAMP_NTZ after the
-#   green r04 row (eec406e).  Round-7 audit of the other 8 TZ-fixed
-#   queries with pre-existing green rows (events_rollup, events_hourly,
-#   asof_clicks, asof_nearest, debounce_events, stream_debounce,
-#   cusum_users, gaps/burst never-verified): all emit LONG epochs whose
-#   values are pinned identical under UTC (tests/test_timeutil.py), so
-#   their rows stay valid — only the type change invalidates.
-_STALE_VERIFIED = {"knn_graph", "temporal_reach_users"}
+# History: knn_graph (r6 quantization switch) and temporal_reach_users
+# (r6 TZ output-type change) were listed through round 7; both landed
+# fresh fully-green rows in CORRECTNESS_r07.json, so the set is empty
+# again as of round 8.  The round-7 audit of the other 8 TZ-fixed
+# queries (events_rollup, events_hourly, asof_clicks, asof_nearest,
+# debounce_events, stream_debounce, cusum_users, gaps/burst) stands:
+# all emit LONG epochs pinned value-identical under UTC
+# (tests/test_timeutil.py), so their older rows remain valid.
+_STALE_VERIFIED: "set[str]" = set()
 
 
 def _green_driver_verified() -> "set[str]":

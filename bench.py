@@ -166,8 +166,15 @@ def _select_recheck(
         key=lambda q: timings[q],
         reverse=True,
     )[:5]
+    # Priority order matters against the cap: the 5 slowest-of-run and the
+    # regressors are the queries whose fresh steady-state numbers answer the
+    # wear-vs-regression question, so they reserve their slots FIRST; the
+    # static watch-list fills whatever remains.  (Round-8 fix: the previous
+    # static-first ordering evicted the run's slowest query — exactly the
+    # one the referee block exists to adjudicate — whenever static +
+    # regressors filled the cap.)
     out: list[str] = []
-    for q in list(FRESH_RECHECK) + regressed + slowest:
+    for q in slowest + regressed + list(FRESH_RECHECK):
         if q in qs and q not in failed and q not in out:
             out.append(q)
     return out[:cap]

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..plans.iteration import truncate_lineage
+from ..plans.tiering import resolve_max_local_edges
 from ..functions.hashing import portable_hash64_sql
 from .mis import _mis_local, maximal_independent_set
 
@@ -86,7 +87,7 @@ def greedy_coloring(
     seed: int = 0,
     max_colors: int = 64,
     mis_max_rounds: int = 60,
-    max_local_edges: int = 2_000_000,
+    max_local_edges: int | None = None,
 ) -> DataFrame:
     """Proper coloring -> ``(node, color)`` (colors 1-based, count
     <= max-degree + 1 by MIS maximality).  Undirected simple-graph
@@ -106,7 +107,8 @@ def greedy_coloring(
         .select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
         .distinct()
     )
-    if edges.count() <= max_local_edges:
+    max_local_edges = resolve_max_local_edges(df.sparkSession, max_local_edges)
+    if max_local_edges and edges.count() <= max_local_edges:
         colors = _coloring_local(
             [(r["a"], r["b"]) for r in edges.collect()],
             seed,

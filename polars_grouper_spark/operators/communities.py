@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..plans.iteration import truncate_lineage
+from ..plans.tiering import resolve_max_local_edges
 
 
 def lpa_communities(
@@ -49,7 +50,7 @@ def lpa_communities(
     *,
     rounds: int = 4,
     directed: bool = False,
-    max_local_edges: int = 2_000_000,
+    max_local_edges: int | None = None,
 ) -> DataFrame:
     """Run ``rounds`` synchronous LPA rounds -> ``(node, community)``
     for every node with at least one edge (isolated nodes never appear
@@ -77,6 +78,7 @@ def lpa_communities(
         s.alias("u"), d.alias("v")
     )
     mirror = 1 if directed else 2
+    max_local_edges = resolve_max_local_edges(df.sparkSession, max_local_edges)
     if max_local_edges and base.count() * mirror <= max_local_edges:
         import numpy as np
         import pandas as pd

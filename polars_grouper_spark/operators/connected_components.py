@@ -56,6 +56,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from polars_grouper_spark.plans.iteration import fingerprint, truncate_lineage
+from polars_grouper_spark.plans.tiering import resolve_max_local_edges
 
 _MAX_ROUNDS = 50
 
@@ -178,7 +179,7 @@ def components(
     to_col: str = "to",
     verify_injective: bool = False,
     skew_safe: bool = False,
-    max_local_edges: int = 2_000_000,
+    max_local_edges: int | None = None,
 ) -> DataFrame:
     """Light table function: ``(node string, component string)`` — one row
     per distinct node, ``component`` = min node name in the component.
@@ -222,6 +223,19 @@ def components(
     # the count instead — the count scan is column-pruned and cheap next
     # to that penalty.  The distributed star loop below still checkpoints
     # (it re-reads `edges` every round).
+    #
+    # CAVEAT (applies to every raw-count-guarded tier: components, hits,
+    # lpa, k-core, k-truss, matching, scc, toposort): evaluating the
+    # lineage twice means a NON-DETERMINISTIC input plan (rand()-derived
+    # or sampled edges) can yield a collected frame that differs from the
+    # counted one, so the guard decision and the collected data may
+    # disagree by a few rows.  The guard is a resource bound, not a
+    # semantic one — a small mismatch only shifts WHERE the fixpoint
+    # runs, never its result for the frame actually collected — but
+    # callers with non-deterministic edges who need plan-stable results
+    # should localCheckpoint/cache the frame themselves first (or pass
+    # max_local_edges=0).
+    max_local_edges = resolve_max_local_edges(df.sparkSession, max_local_edges)
     if max_local_edges and edges.count() <= max_local_edges:
         import numpy as np
         import pandas as pd

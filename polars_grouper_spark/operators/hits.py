@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..plans.iteration import truncate_lineage
+from ..plans.tiering import resolve_max_local_edges
 
 
 def _hits_local(spark, base, iters: int):
@@ -91,7 +92,7 @@ def hits(
     dst: str = "to",
     *,
     iters: int = 3,
-    max_local_edges: int = 2_000_000,
+    max_local_edges: int | None = None,
 ) -> DataFrame:
     """Hub/authority scores ->
     ``(node, authority, hub, auth_norm, hub_norm)``: exact integer raw
@@ -109,6 +110,7 @@ def hits(
     # sums — aggregation-order-pure), so under the raw-count guard it
     # runs driver-local; scores estimated above 2^61 decline to the
     # distributed tier, which owns the exact decimal overflow guard.
+    max_local_edges = resolve_max_local_edges(df.sparkSession, max_local_edges)
     if max_local_edges and base.count() <= max_local_edges:
         local = _hits_local(df.sparkSession, base, iters)
         if local is not None:

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..plans.iteration import truncate_lineage
+from ..plans.tiering import resolve_max_local_edges
 
 
 def _katz_local(
@@ -73,7 +74,7 @@ def katz_centrality(
     *,
     m: int = 4,
     iters: int = 4,
-    max_local_edges: int = 2_000_000,
+    max_local_edges: int | None = None,
 ) -> DataFrame:
     """Katz scores with ``alpha = 1/m`` after ``iters`` rounds ->
     ``(node, raw, katz)`` where ``raw = m^iters * x_iters`` is the
@@ -94,7 +95,8 @@ def katz_centrality(
         .select(s.alias("u"), d.alias("v"))
         .distinct()
     )
-    if edges.count() <= max_local_edges:
+    max_local_edges = resolve_max_local_edges(df.sparkSession, max_local_edges)
+    if max_local_edges and edges.count() <= max_local_edges:
         rows = _katz_local(
             [(r["u"], r["v"]) for r in edges.collect()], m, iters
         )

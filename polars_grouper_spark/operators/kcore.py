@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..plans.iteration import fingerprint, truncate_lineage
+from ..plans.tiering import resolve_max_local_edges
 from .triangles import _interned_edges
 
 
@@ -93,7 +94,7 @@ def k_core(
     src: str = "from",
     dst: str = "to",
     max_iter: int = 100,
-    max_local_edges: int = 2_000_000,
+    max_local_edges: int | None = None,
 ) -> DataFrame:
     """Nodes of the k-core with their within-core degree ->
     ``(node, core_deg)``; empty result if the k-core is empty.
@@ -116,6 +117,7 @@ def k_core(
     # min degree >= k (order-independent), so under the raw-count guard
     # the synchronous peel runs driver-local as numpy bincount/mask
     # sweeps — bit-identical output by uniqueness, same round semantics.
+    max_local_edges = resolve_max_local_edges(df.sparkSession, max_local_edges)
     if max_local_edges:
         s = F.col(src).cast("string")
         d = F.col(dst).cast("string")

@@ -30,6 +30,7 @@ from ..functions.hashing import (
     portable_hash64_sql,
 )
 from ..plans.iteration import truncate_lineage
+from ..plans.tiering import resolve_max_local_edges
 
 
 def _matching_local(
@@ -93,7 +94,7 @@ def greedy_matching(
     seed: int = 0,
     max_rounds: int = 60,
     portable: bool = True,
-    max_local_edges: int = 2_000_000,
+    max_local_edges: int | None = None,
 ) -> DataFrame:
     """Maximal matching -> ``(a, b)`` canonical matched pairs over the
     cleaned undirected simple graph (self-loops/nulls drop, parallel
@@ -125,6 +126,7 @@ def greedy_matching(
     # Local tier probes and collects the RAW canonical pairs (dedup in
     # pandas) — no checkpoint, no Spark-side priority column (the local
     # kernel computes identical priorities via the Python hash mirror).
+    max_local_edges = resolve_max_local_edges(df.sparkSession, max_local_edges)
     if portable and max_local_edges and cleaned.count() <= max_local_edges:
         import pandas as pd
 

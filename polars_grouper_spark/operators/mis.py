@@ -29,6 +29,7 @@ from ..functions.hashing import (
     portable_hash64_sql,
 )
 from ..plans.iteration import truncate_lineage
+from ..plans.tiering import resolve_max_local_edges
 
 
 def _mis_local(
@@ -81,7 +82,7 @@ def maximal_independent_set(
     seed: int = 0,
     max_rounds: int = 60,
     portable: bool = True,
-    max_local_edges: int = 2_000_000,
+    max_local_edges: int | None = None,
 ) -> DataFrame:
     """MIS membership -> ``(node, in_mis)`` for every node of the cleaned
     undirected simple graph (self-loops and nulls drop; isolated nodes —
@@ -107,7 +108,8 @@ def maximal_independent_set(
         .select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
         .distinct()
     )
-    if portable and edges.count() <= max_local_edges:
+    max_local_edges = resolve_max_local_edges(df.sparkSession, max_local_edges)
+    if portable and max_local_edges and edges.count() <= max_local_edges:
         flags = _mis_local(
             [(r["a"], r["b"]) for r in edges.collect()], seed, max_rounds
         )

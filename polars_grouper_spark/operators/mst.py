@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..plans.iteration import truncate_lineage
+from ..plans.tiering import resolve_max_local_edges
 from .connected_components import components
 
 
@@ -69,7 +70,7 @@ def minimum_spanning_forest(
     weight: str = "weight",
     *,
     max_rounds: int = 40,
-    max_local_edges: int = 2_000_000,
+    max_local_edges: int | None = None,
 ) -> DataFrame:
     """Minimum spanning forest -> ``(edge_a, edge_b, weight)`` with
     ``edge_a < edge_b`` (canonical pair) and ``weight = wq / 1000.0``.
@@ -100,7 +101,8 @@ def minimum_spanning_forest(
         .groupBy("a", "b")
         .agg(F.min("wq").alias("wq"))
     )
-    if edges.count() <= max_local_edges:
+    max_local_edges = resolve_max_local_edges(df.sparkSession, max_local_edges)
+    if max_local_edges and edges.count() <= max_local_edges:
         return df.sparkSession.createDataFrame(
             sorted(
                 _kruskal_local(

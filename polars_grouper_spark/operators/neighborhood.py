@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import portable_hash64, portable_hash64_sql
 from ..functions.sketches import _alpha, _HASH_BITS
 from ..plans.iteration import truncate_lineage
+from ..plans.tiering import resolve_max_local_edges
 
 
 _BALL_LOCAL_MAX_CELLS = 128 * 1024 * 1024
@@ -75,9 +76,17 @@ def _ball_local(spark, base, directed, radius, b):
         rest = h % (1 << rest_bits)
         rho = (rest_bits + 1) if rest == 0 else rest_bits - rest.bit_length() + 1
         regs[i, h >> rest_bits] = rho
+    # The hop gather ``regs[ev]`` materializes an (E_slice, 2^b) int8
+    # temporary; unchunked that is E*m bytes (~8 GB at the 2M-edge guard
+    # with b=12), dwarfing the guarded register matrix.  Max-merge is
+    # order-independent, so slicing the scatter over edge chunks is
+    # exact — each temporary is bounded by the same cell budget as regs.
+    edge_chunk = max(1, _BALL_LOCAL_MAX_CELLS // m)
     for _ in range(radius):
         nxt = regs.copy()
-        np.maximum.at(nxt, eu, regs[ev])
+        for s0 in range(0, ne, edge_chunk):
+            sl = slice(s0, s0 + edge_chunk)
+            np.maximum.at(nxt, eu[sl], regs[ev[sl]])
         regs = nxt
     mask = regs > 0
     shifted = np.where(mask, np.ldexp(1.0, -regs.astype(np.int64)), 0.0)
@@ -105,7 +114,7 @@ def hll_ball_size(
     b: int = 8,
     directed: bool = False,
     portable: bool = True,
-    max_local_edges: int = 2_000_000,
+    max_local_edges: int | None = None,
 ) -> DataFrame:
     """Per-node HLL estimate of ``|{u : dist(node, u) <= radius}|``
     (including the node itself) -> ``(node, estimate double)``.
@@ -131,6 +140,7 @@ def hll_ball_size(
     # (declined when that matrix would exceed ~128M cells; the estimate
     # tail mirrors the Spark formula, whose round-to-4 output absorbs
     # float-order noise by many orders of magnitude).
+    max_local_edges = resolve_max_local_edges(df.sparkSession, max_local_edges)
     mirror = 1 if directed else 2
     if (
         max_local_edges

@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..plans.iteration import fingerprint, truncate_lineage
+from ..plans.tiering import resolve_max_local_edges
 
 
 def _clean_edges(df: DataFrame, src: str, dst: str) -> "tuple[DataFrame, DataFrame]":
@@ -142,7 +143,7 @@ def strongly_connected_components(
     dst: str = "to",
     *,
     max_rounds: int = 100,
-    max_local_edges: int = 2_000_000,
+    max_local_edges: int | None = None,
 ) -> DataFrame:
     """SCC membership -> ``(node, scc)`` where ``scc`` is the minimum
     member name (string order) of the node's strongly connected
@@ -178,7 +179,8 @@ def strongly_connected_components(
     edges, names = _clean_edges(df, src, dst)
     edges = truncate_lineage(edges)
 
-    if edges.count() <= max_local_edges:
+    max_local_edges = resolve_max_local_edges(df.sparkSession, max_local_edges)
+    if max_local_edges and edges.count() <= max_local_edges:
         comp = _scc_local([(r["u"], r["v"]) for r in edges.collect()])
         id2name = {r["id"]: r["node"] for r in names.collect()}
         best: dict = {}
@@ -489,7 +491,7 @@ def bowtie_decomposition(
     dst: str = "to",
     *,
     max_rounds: int = 60,
-    max_local_edges: int = 2_000_000,
+    max_local_edges: int | None = None,
 ) -> DataFrame:
     """Web-graph bow-tie structure (Broder et al. 2000) -> ``(node,
     region)`` with region ∈ {SCC, IN, OUT, OTHER}: the giant strongly
@@ -518,7 +520,8 @@ def bowtie_decomposition(
         .select(s.alias("u"), d.alias("v"))
         .distinct()
     )
-    if edges.count() <= max_local_edges:
+    max_local_edges = resolve_max_local_edges(df.sparkSession, max_local_edges)
+    if max_local_edges and edges.count() <= max_local_edges:
         return _bowtie_local(df.sparkSession, edges.collect())
     scc = truncate_lineage(
         strongly_connected_components(edges, "u", "v")

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..plans.iteration import truncate_lineage
+from ..plans.tiering import resolve_max_local_edges
 
 
 def _kahn_local(spark, edge_rows, max_rounds: int) -> DataFrame:
@@ -78,7 +79,7 @@ def topological_levels(
     *,
     max_rounds: int = 200,
     block: int = 8,
-    max_local_edges: int = 5_000_000,
+    max_local_edges: int | None = None,
 ) -> DataFrame:
     """Level assignment -> ``(node, level)`` for every node of the DAG
     (level 0 = sources; level(v) = longest-path depth from a source).
@@ -107,6 +108,11 @@ def topological_levels(
     instead of being anti-joined down each round.
     """
     spark = df.sparkSession
+    # None defers to spark.polars_grouper.maxLocalEdges, else 5M (the
+    # Kahn peel is lighter per edge than the numpy fixpoint tiers' 2M).
+    max_local_edges = resolve_max_local_edges(
+        spark, max_local_edges, default=5_000_000
+    )
     s = F.col(src).cast("string")
     d = F.col(dst).cast("string")
     edges = truncate_lineage(
@@ -114,11 +120,12 @@ def topological_levels(
         .select(s.alias("u"), d.alias("v"))
         .distinct()
     )
-    n_edges = edges.count()
-    if n_edges == 0:
-        return spark.createDataFrame([], "node string, level int")
-    if n_edges <= max_local_edges:
-        return _kahn_local(spark, edges.collect(), max_rounds)
+    if max_local_edges:
+        n_edges = edges.count()
+        if n_edges == 0:
+            return spark.createDataFrame([], "node string, level int")
+        if n_edges <= max_local_edges:
+            return _kahn_local(spark, edges.collect(), max_rounds)
     # state = one row per node: surviving in-degree + assigned level
     # (null until the node is peeled; deg==0 & level null = the CURRENT
     # level's sources).
