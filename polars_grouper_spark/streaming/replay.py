@@ -37,9 +37,21 @@ def write_time_ordered_chunks(
 ) -> int:
     """Split ``df`` into ``n_chunks`` equal-width event-time ranges and
     write them as single-file parquet chunks in ascending time order
-    (sequential ``coalesce(1)`` writes, so file modification time — the
-    file source's processing order — matches event time).  Returns the
-    number of non-empty chunks written."""
+    (file modification time — the file source's processing order —
+    matches event time).  Returns the number of non-empty chunks written.
+
+    One Spark job writes every chunk (round-8; previously min/max +
+    distinct + one sequential ``coalesce(1)`` write per chunk — 2 + N
+    jobs over a cached pass): the frame is hash-repartitioned on the
+    chunk id and written ``partitionBy("_chunk")``, which yields exactly
+    one parquet file per non-empty chunk (each chunk's rows live in one
+    task), then the driver renames the partition directories to the
+    ``c0000..`` layout and stamps strictly ascending mtimes so the file
+    source's oldest-first order equals event-time order regardless of
+    write scheduling."""
+    import os
+    import time
+
     lohi = df.agg(
         F.min(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("lo"),
         F.max(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("hi"),
@@ -58,19 +70,29 @@ def write_time_ordered_chunks(
             ),
             F.lit(n_chunks - 1),
         ).cast("int"),
-    ).cache()
-    try:
-        # one pass finds the non-empty chunks (vs a per-chunk isEmpty job)
-        present = sorted(
-            r["_chunk"]
-            for r in bucketed.select("_chunk").distinct().collect()
-        )
-        for j, i in enumerate(present):
-            bucketed.where(F.col("_chunk") == i).drop("_chunk").coalesce(
-                1
-            ).write.mode("overwrite").parquet(f"{out_dir}/c{j:04d}")
-    finally:
-        bucketed.unpersist()
+    ).where(F.col("_chunk").isNotNull())  # null ts rows drop (as before)
+    stage = os.path.join(out_dir, "_stage")
+    (
+        bucketed.repartition(n_chunks, "_chunk")
+        .write.mode("overwrite")
+        .partitionBy("_chunk")
+        .parquet(stage)
+    )
+    present = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(stage)
+        if d.startswith("_chunk=")
+    )
+    base = time.time()
+    for j, i in enumerate(present):
+        chunk_dir = os.path.join(out_dir, f"c{j:04d}")
+        os.rename(os.path.join(stage, f"_chunk={i}"), chunk_dir)
+        for f in os.listdir(chunk_dir):
+            if f.endswith(".parquet"):
+                os.utime(
+                    os.path.join(chunk_dir, f), (base + j, base + j)
+                )
+    shutil.rmtree(stage, ignore_errors=True)
     return len(present)
 
 
