@@ -165,13 +165,17 @@ def greedy_matching(
     # Matched-node sets are at most 2x the round's winners; broadcast
     # them into the anti-joins while they fit (same guard as MIS —
     # checkpointed frames give AQE no size estimate to make this call).
-    bcast_ok = None
+    # Re-evaluated EVERY round (round-8): local-min matching removes a
+    # large fraction of edges per round, so a graph entering above the
+    # budget drops under it within a round or two — the frozen round-0
+    # decision left every later round on 4 sort-merge shuffles of the
+    # edge set (10M-edge probe: 907 s frozen; see SCALE.md round-8).
+    # n_edges is exact (counted for termination anyway), so the
+    # per-round re-check costs nothing.
 
     for rnd in range(max_rounds + 1):
         n_edges = edges.count()
-        if bcast_ok is None:
-            bcast_ok = n_edges <= 5_000_000
-        bc = F.broadcast if bcast_ok else (lambda x: x)
+        bc = F.broadcast if n_edges <= 5_000_000 else (lambda x: x)
         if n_edges == 0:
             break
         if rnd == max_rounds:

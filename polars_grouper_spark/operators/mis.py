@@ -134,13 +134,16 @@ def maximal_independent_set(
     # the two symmetric-edge joins keeps the O(E) edge side un-shuffled
     # every round (checkpointed frames have no size estimate — AQE cannot
     # make this call).  Past the broadcast budget fall back to shuffles.
-    bcast_ok = None
+    # Re-evaluated EVERY round (round-8): Luby removes a constant
+    # fraction of edges per round, so a graph entering above the budget
+    # falls under it within a few rounds — freezing the decision at
+    # round 0 left every later round on sort-merge shuffles of the edge
+    # set for no reason.  n_active is exact (counted for termination
+    # anyway), so the per-round re-check costs nothing.
 
     for rnd in range(max_rounds + 1):
         n_active = active.count()
-        if bcast_ok is None:
-            bcast_ok = n_active <= 5_000_000
-        bc = F.broadcast if bcast_ok else (lambda d: d)
+        bc = F.broadcast if n_active <= 5_000_000 else (lambda d: d)
         if n_active == 0:
             break
         if rnd == max_rounds:
