@@ -25,7 +25,11 @@ from .connected_components import components
 
 
 def bipartite_check(
-    df: DataFrame, src: str = "from", dst: str = "to"
+    df: DataFrame,
+    src: str = "from",
+    dst: str = "to",
+    *,
+    max_local_edges: int | None = None,
 ) -> DataFrame:
     """-> ``(node, comp, side, is_bipartite)`` for every node: ``comp``
     the canonical (min-name) component label of the ORIGINAL graph,
@@ -47,7 +51,9 @@ def bipartite_check(
             F.concat(F.col("v"), F.lit("#0")).alias("dst"),
         )
     )
-    cc = components(doubled, "src", "dst")
+    # max_local_edges forwards into the inner CC so per-call 0 disables
+    # its local tier/count probe transitively (conf route also works)
+    cc = components(doubled, "src", "dst", max_local_edges=max_local_edges)
     split = cc.select(
         F.expr("substring(node, 1, length(node) - 2)").alias("node"),
         F.substring(F.col("node"), -1, 1).alias("_tag"),

@@ -136,7 +136,16 @@ def greedy_coloring(
             remaining = truncate_lineage(remaining.limit(0), cache=False)
             break
         mis = maximal_independent_set(
-            residual, "a", "b", seed=seed + color, max_rounds=mis_max_rounds
+            residual,
+            "a",
+            "b",
+            seed=seed + color,
+            max_rounds=mis_max_rounds,
+            # Forward the RESOLVED guard so a per-call max_local_edges=0
+            # disables the local tier transitively (r8 ADVICE): without
+            # this the inner MIS re-resolves from the session conf and
+            # could still probe/collect once the residual shrinks.
+            max_local_edges=max_local_edges,
         )
         edge_nodes = (
             residual.select(F.col("a").alias("node"))

@@ -86,12 +86,13 @@ def link_scores(
     """
     edges, names = _interned_edges(df, src, dst)
 
-    # Broadcast guard (one cheap count over the checkpointed edge set):
-    # under it, pin the small tables once and hint them broadcast; above
-    # it, leave the original sort-merge plan to AQE.
+    # Broadcast guard: _interned_edges already returns an EAGERLY
+    # checkpointed edge frame, so count it directly — no extra
+    # localCheckpoint wrap (r8 ADVICE: the above-guard path must pay
+    # only this one count over materialized rows, keeping the
+    # "100 TB path unchanged" claim honest).
     small = False
     if max_broadcast_edges:
-        edges = truncate_lineage(edges, cache=False)
         small = edges.count() <= max_broadcast_edges
 
     # Symmetric adjacency and per-node degree (distinct-neighbor count).

@@ -153,6 +153,12 @@ def minimum_spanning_forest(
             chosen.select(F.col("ca").alias("cu"), F.col("cb").alias("cv")),
             "cu",
             "cv",
+            # forward the RESOLVED guard so per-call max_local_edges=0
+            # disables the inner CC local tier too (r8 ADVICE) — the
+            # component graph shrinks below the guard long before the
+            # Borůvka loop ends, so without forwarding an explicit 0
+            # would still trigger count probes + Arrow collects here
+            max_local_edges=max_local_edges,
         ).select(F.col("node").alias("comp"), F.col("component").alias("newc"))
         comp = truncate_lineage(
             comp.join(merged, "comp", "left").select(

@@ -372,6 +372,7 @@ def condensation(
     dst: str = "to",
     *,
     max_rounds: int = 100,
+    max_local_edges: int | None = None,
 ) -> DataFrame:
     """Condensation DAG -> distinct ``(src_scc, dst_scc)`` edges between
     DIFFERENT strongly connected components (each labelled by its min
@@ -395,7 +396,9 @@ def condensation(
     +-------+-------+
     <BLANKLINE>
     """
-    labels = strongly_connected_components(df, src, dst, max_rounds=max_rounds)
+    labels = strongly_connected_components(
+        df, src, dst, max_rounds=max_rounds, max_local_edges=max_local_edges
+    )
     s = F.col(src).cast("string")
     d = F.col(dst).cast("string")
     edges = (
@@ -524,7 +527,9 @@ def bowtie_decomposition(
     if max_local_edges and edges.count() <= max_local_edges:
         return _bowtie_local(df.sparkSession, edges.collect())
     scc = truncate_lineage(
-        strongly_connected_components(edges, "u", "v")
+        # forward the RESOLVED guard (r8 ADVICE): per-call 0 must disable
+        # the inner SCC count probe too, not just this function's tier
+        strongly_connected_components(edges, "u", "v", max_local_edges=max_local_edges)
     )
     giant_row = (
         scc.groupBy("scc")

@@ -60,17 +60,23 @@ def write_time_ordered_chunks(
         return 0
     lo, hi = int(lohi["lo"]), int(lohi["hi"])
     span = max(hi - lo + 1, 1)
-    bucketed = df.withColumn(
-        "_chunk",
-        F.least(
-            F.floor(
-                (F.unix_micros(F.col(ts_col).cast("timestamp")) - F.lit(lo))
-                * F.lit(n_chunks)
-                / F.lit(span)
-            ),
-            F.lit(n_chunks - 1),
-        ).cast("int"),
-    ).where(F.col("_chunk").isNotNull())  # null ts rows drop (as before)
+    # Drop null-timestamp rows on the timestamp itself: F.least SKIPS
+    # nulls, so `_chunk` is never null (a null ts would otherwise land
+    # silently in the LAST chunk with a null event time).
+    bucketed = (
+        df.where(F.unix_micros(F.col(ts_col).cast("timestamp")).isNotNull())
+        .withColumn(
+            "_chunk",
+            F.least(
+                F.floor(
+                    (F.unix_micros(F.col(ts_col).cast("timestamp")) - F.lit(lo))
+                    * F.lit(n_chunks)
+                    / F.lit(span)
+                ),
+                F.lit(n_chunks - 1),
+            ).cast("int"),
+        )
+    )
     stage = os.path.join(out_dir, "_stage")
     (
         bucketed.repartition(n_chunks, "_chunk")
@@ -83,6 +89,12 @@ def write_time_ordered_chunks(
         for d in os.listdir(stage)
         if d.startswith("_chunk=")
     )
+    # Re-running into a previously used out_dir must keep the old
+    # per-chunk overwrite semantics: os.rename onto an existing
+    # non-empty directory raises, so clear stale c* dirs first.
+    for d in os.listdir(out_dir):
+        if d.startswith("c") and d[1:].isdigit():
+            shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
     base = time.time()
     for j, i in enumerate(present):
         chunk_dir = os.path.join(out_dir, f"c{j:04d}")

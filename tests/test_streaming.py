@@ -590,3 +590,40 @@ def test_interval_join_left_outer_batch_and_stream(spark, tmp_path):
     # Row 101 sits AT the watermark frontier: withheld or matched-only —
     # never a premature null-and-match duplicate.
     assert got.get(101, None) in (None, 901)
+
+
+def test_replay_chunks_drop_null_ts_and_rerun_safely(spark, tmp_path):
+    """r8 ADVICE regressions: (1) null-timestamp rows must DROP (F.least
+    skips nulls, so the old _chunk.isNotNull filter was dead and null-ts
+    rows landed silently in the LAST chunk); (2) re-running into a
+    previously used out_dir must overwrite stale chunk dirs, not raise
+    on os.rename."""
+    import os
+
+    from polars_grouper_spark.streaming.replay import write_time_ordered_chunks
+
+    out = str(tmp_path / "chunks")
+    os.makedirs(out)
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00"),
+            (2, "2024-01-01 06:00:00"),
+            (3, None),
+            (4, "2024-01-01 23:00:00"),
+        ],
+        "id long, ts string",
+    )
+    n = write_time_ordered_chunks(df, "ts", out, 4)
+    assert n >= 1
+    back = spark.read.option("pathGlobFilter", "*.parquet").parquet(f"{out}/c*")
+    assert sorted(r["id"] for r in back.collect()) == [1, 2, 4]
+
+    # Re-run into the same directory with FEWER chunks: the stale c* dirs
+    # from the first run must not break the rename, and the readback must
+    # reflect only the new layout.
+    n2 = write_time_ordered_chunks(df.where("id <> 4"), "ts", out, 1)
+    assert n2 == 1
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("c") and d[1:].isdigit())
+    assert dirs == ["c0000"]
+    back2 = spark.read.option("pathGlobFilter", "*.parquet").parquet(f"{out}/c*")
+    assert sorted(r["id"] for r in back2.collect()) == [1, 2]

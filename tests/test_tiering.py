@@ -171,3 +171,68 @@ def test_conf_zero_respected_across_operators(conf_guard, monkeypatch):
     dist = run_all()
     assert collects == [], "a local tier engaged despite conf=0"
     assert dist == local
+
+
+def test_per_call_zero_transitive_through_composites(conf_guard, monkeypatch):
+    """Per-call ``max_local_edges=0`` must disable the local tier
+    TRANSITIVELY (r8 ADVICE): composite operators forward the resolved
+    guard into the operators they call (coloring -> MIS, Borůvka ->
+    components, bowtie/condensation -> SCC, bipartite -> components), so
+    an explicit 0 means zero Arrow collects end to end — without relying
+    on the session conf."""
+    spark = conf_guard
+    from polars_grouper_spark.operators.bipartite import bipartite_check
+    from polars_grouper_spark.operators.coloring import greedy_coloring
+    from polars_grouper_spark.operators.mst import minimum_spanning_forest
+    from polars_grouper_spark.operators.scc import bowtie_decomposition, condensation
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")], ["from", "to"]
+    )
+    wedges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 2.0), ("a", "c", 3.0), ("c", "d", 1.0)],
+        ["from", "to", "w"],
+    )
+    digraph = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "d"), ("d", "c")],
+        ["from", "to"],
+    )
+
+    def run_all(guard):
+        return {
+            "coloring": sorted(
+                map(tuple, greedy_coloring(edges, max_local_edges=guard).collect())
+            ),
+            "mst": sorted(
+                map(
+                    tuple,
+                    minimum_spanning_forest(
+                        wedges, weight="w", max_local_edges=guard
+                    ).collect(),
+                )
+            ),
+            "bowtie": sorted(
+                map(
+                    tuple,
+                    bowtie_decomposition(
+                        digraph, max_local_edges=guard
+                    ).collect(),
+                )
+            ),
+            "bipartite": sorted(
+                map(tuple, bipartite_check(edges, max_local_edges=guard).collect())
+            ),
+            "condensation": sorted(
+                map(tuple, condensation(digraph, max_local_edges=guard).collect())
+            ),
+        }
+
+    local = run_all(None)  # default guard: local tiers engage
+    counts, collects = _instrument(monkeypatch)
+    dist = run_all(0)  # explicit per-call 0, conf untouched
+    # Distributed loops legitimately COUNT for loop control (MIS's
+    # termination count doubles as its broadcast re-evaluation input),
+    # so the transitive contract asserted here is zero Arrow collects:
+    # no inner operator fell back to a driver-local tier.
+    assert collects == [], "an inner local tier engaged despite per-call 0"
+    assert dist == local
