@@ -291,6 +291,60 @@ def _warmup(spark, sf_dir: str) -> None:
         ["transaction_id", "item_id", "frequency"],
     )
     graph_association_rules(tx, min_support=0.0, min_confidence=0.0).count()
+    _warmup_streaming(spark, sf_dir)
+
+
+def _warmup_streaming(spark, sf_dir: str) -> None:
+    """One tiny stateful streaming query per session (excluded from
+    timings).  Measured on this host: the FIRST applyInPandasWithState
+    query in a session costs ~10 s more than every later one (streaming
+    engine + state-store + stateful Python worker path + codegen are
+    per-session one-time costs: 13.7 / 4.1 / 3.4 s for three identical
+    back-to-back runs at sf0.01).  Warming it here means per-query
+    numbers measure each stateful query's MARGINAL cost instead of
+    charging whichever stream_* query happens to run first after a
+    session (re)start.  Best-effort: a warmup failure must never fail
+    the bench."""
+    import uuid
+
+    try:
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        region = os.path.join(sf_dir, "region.parquet")
+        schema = spark.read.parquet(region).schema
+
+        def touch(key, pdfs, state):
+            n = sum(len(p) for p in pdfs)
+            state.update((int(state.get[0]) + n if state.exists else n,))
+            yield pd.DataFrame({"k": [key[0]], "n": [n]})
+
+        sink = f"_warm_sstate_{uuid.uuid4().hex[:8]}"
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(region)
+            .groupBy("r_regionkey")
+            .applyInPandasWithState(
+                touch,
+                "k long, n long",
+                "c long",
+                "append",
+                GroupStateTimeout.NoTimeout,
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        try:
+            q.stop()
+        except Exception:  # noqa: BLE001
+            pass
+        spark.catalog.dropTempView(sink)
+    except Exception:  # noqa: BLE001
+        pass
 
 
 def main() -> None:
