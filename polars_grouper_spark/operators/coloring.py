@@ -43,16 +43,31 @@ def _coloring_local(
     seed: int,
     max_colors: int,
     mis_max_rounds: int,
+    *,
+    start_color: int = 1,
+    extra_nodes: "tuple[str, ...] | list[str]" = (),
 ) -> dict[str, int]:
     """Driver-local mirror of the distributed color loop: per color,
     Luby-MIS on the residual edges (seed + color, identical hash
     priorities via :func:`_mis_local`) plus the residual-isolated
-    nodes; chosen nodes and their edges leave the graph."""
-    nodes = {a for a, _ in edge_pairs} | {b for _, b in edge_pairs}
+    nodes; chosen nodes and their edges leave the graph.
+
+    ``start_color``/``extra_nodes`` let the distributed loop hand over a
+    partially colored graph mid-run (round-9 per-color tier
+    re-evaluation): the continuation colors from ``start_color`` with
+    the same seed-per-color priorities, so the switch is exact —
+    ``extra_nodes`` carries remaining nodes whose edges already vanished
+    (they take the next color as residual-isolated, same as the
+    distributed branch)."""
+    nodes = (
+        {a for a, _ in edge_pairs}
+        | {b for _, b in edge_pairs}
+        | set(extra_nodes)
+    )
     remaining = set(nodes)
     residual = list(edge_pairs)
     out: dict[str, int] = {}
-    for color in range(1, max_colors + 1):
+    for color in range(start_color, max_colors + 1):
         if not remaining:
             break
         if not residual:
@@ -127,12 +142,43 @@ def greedy_coloring(
     spark = df.sparkSession
     out = spark.createDataFrame([], "node string, color int")
     for color in range(1, max_colors + 1):
-        if remaining.isEmpty():
+        # count() instead of isEmpty(): same one job per probe, but the
+        # counts double as the per-color tier re-evaluation inputs
+        # (round-9, the matching/MIS r8 pattern).
+        n_rem = remaining.count()
+        if n_rem == 0:
             break
-        if residual.isEmpty():
+        n_res = residual.count()
+        if n_res == 0:
             out = out.unionAll(
                 remaining.select("node", F.lit(color).cast("int").alias("color"))
             )
+            remaining = truncate_lineage(remaining.limit(0), cache=False)
+            break
+        # Mid-loop local finish: each color costs a full Luby MIS (many
+        # shuffle stages); once the residual fits the guard (node bound
+        # mirrors the entry tier's nodes <= 2 * edges), the remaining
+        # colors run driver-local with bit-identical seed-per-color MIS
+        # priorities — exact continuation, same exhaustion error.
+        if (
+            max_local_edges
+            and n_res <= max_local_edges
+            and n_rem <= 2 * max_local_edges
+        ):
+            pairs = [(r["a"], r["b"]) for r in residual.collect()]
+            rem_nodes = [r["node"] for r in remaining.collect()]
+            tail = _coloring_local(
+                pairs,
+                seed,
+                max_colors,
+                mis_max_rounds,
+                start_color=color,
+                extra_nodes=rem_nodes,
+            )
+            tail_df = df.sparkSession.createDataFrame(
+                sorted(tail.items()), "node string, color int"
+            )
+            out = out.unionAll(tail_df)
             remaining = truncate_lineage(remaining.limit(0), cache=False)
             break
         mis = maximal_independent_set(

@@ -38,13 +38,38 @@ def _degrees(edges: DataFrame) -> DataFrame:
     )
 
 
+def _peel_arrays(ea, eb, n_nodes: int, k: int, max_iter: int):
+    """Synchronous numpy peel over factorized edge arrays -> (core node
+    codes, their core degrees).  The k-core is the unique maximal
+    subgraph with min degree >= k — order-independent — so this kernel
+    is exact regardless of which tier (or which round of the distributed
+    loop) hands it the edges."""
+    import numpy as np
+
+    mask = np.ones(len(ea), dtype=bool)
+    for _ in range(max_iter):
+        deg = np.bincount(
+            np.concatenate([ea[mask], eb[mask]]), minlength=n_nodes
+        )
+        ok = deg >= k
+        new_mask = mask & ok[ea] & ok[eb]
+        if np.array_equal(new_mask, mask):
+            keep = np.nonzero(mask)[0]
+            if not len(keep):
+                return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+            core_nodes = np.unique(np.concatenate([ea[keep], eb[keep]]))
+            return core_nodes, deg[core_nodes]
+        mask = new_mask
+    raise RuntimeError(
+        f"k_core did not converge within max_iter={max_iter} peeling rounds; "
+        "raise max_iter (adversarial long-chain graphs peel O(V) rounds)"
+    )
+
+
 def _k_core_local(spark, cleaned, k: int, max_iter: int):
     """Driver-local synchronous peel over the collected distinct edge
-    set.  The k-core is the unique maximal subgraph with min degree
-    >= k — order-independent — and the synchronous remove-all-below-k
-    round structure here is the same as the distributed loop's, so the
-    round bound (``max_iter``) and the convergence error carry over
-    verbatim."""
+    set; same round structure as the distributed loop, so the round
+    bound (``max_iter``) and the convergence error carry over verbatim."""
     import numpy as np
     import pandas as pd
 
@@ -60,31 +85,45 @@ def _k_core_local(spark, cleaned, k: int, max_iter: int):
         pd.concat([canon["a"], canon["b"]], ignore_index=True)
     )
     m = len(canon)
-    ea, eb = codes[:m], codes[m:]
-    n_nodes = len(names)
-    mask = np.ones(m, dtype=bool)
-    for _ in range(max_iter):
-        deg = np.bincount(
-            np.concatenate([ea[mask], eb[mask]]), minlength=n_nodes
-        )
-        ok = deg >= k
-        new_mask = mask & ok[ea] & ok[eb]
-        if np.array_equal(new_mask, mask):
-            keep = np.nonzero(mask)[0]
-            if not len(keep):
-                return spark.createDataFrame([], schema)
-            core_nodes = np.unique(np.concatenate([ea[keep], eb[keep]]))
-            out = pd.DataFrame(
-                {
-                    "node": np.asarray(names)[core_nodes],
-                    "core_deg": deg[core_nodes],
-                }
-            )
-            return spark.createDataFrame(out, schema)
-        mask = new_mask
-    raise RuntimeError(
-        f"k_core did not converge within max_iter={max_iter} peeling rounds; "
-        "raise max_iter (adversarial long-chain graphs peel O(V) rounds)"
+    core_nodes, core_deg = _peel_arrays(codes[:m], codes[m:], len(names), k, max_iter)
+    if not len(core_nodes):
+        return spark.createDataFrame([], schema)
+    out = pd.DataFrame(
+        {"node": np.asarray(names)[core_nodes], "core_deg": core_deg}
+    )
+    return spark.createDataFrame(out, schema)
+
+
+def _k_core_finish_local(spark, edges, k: int, max_iter: int, names):
+    """Finish a partially peeled DISTRIBUTED run driver-local: ``edges``
+    is the residual (a, b) long-id frame (distinct canonical pairs) once
+    its count fell under the guard, ``names`` the id->node map.  Exact by
+    k-core uniqueness — the core of the residual IS the core of the
+    original graph, whichever round the tiers switch at."""
+    import pandas as pd
+
+    schema = "node string, core_deg long"
+    pdf = edges.toPandas()
+    if not len(pdf):
+        return spark.createDataFrame([], schema)
+    codes, ids = pd.factorize(
+        pd.concat([pdf["a"], pdf["b"]], ignore_index=True)
+    )
+    m = len(pdf)
+    core_nodes, core_deg = _peel_arrays(codes[:m], codes[m:], len(ids), k, max_iter)
+    if not len(core_nodes):
+        return spark.createDataFrame([], schema)
+    import numpy as np
+
+    out = pd.DataFrame(
+        {
+            "nid": np.asarray(ids)[core_nodes].astype("int64"),
+            "core_deg": core_deg.astype("int64"),
+        }
+    )
+    core = spark.createDataFrame(out, "nid long, core_deg long")
+    return names.join(core, names["id"] == core["nid"]).select(
+        "node", "core_deg"
     )
 
 
@@ -148,6 +187,17 @@ def k_core(
             core = _degrees(edges).select("nid", F.col("deg").alias("core_deg"))
             return names.join(core, names["id"] == core["nid"]).select(
                 "node", "core_deg"
+            )
+        # Per-round tier re-evaluation (round-9, the matching/MIS r8
+        # pattern): the fingerprint already counts the shrunken residual,
+        # so once it fits the guard the remaining peel rounds finish
+        # driver-local in one Arrow collect — exact by k-core uniqueness.
+        # This converts the adversarial O(V)-round long-chain case from
+        # O(V) Spark jobs into however many rounds it takes the residual
+        # to fall under the guard, plus one numpy sweep.
+        if max_local_edges and cur[0] <= max_local_edges:
+            return _k_core_finish_local(
+                df.sparkSession, new_edges, k, max_iter, names
             )
         edges, prev = new_edges, cur
     raise RuntimeError(

@@ -173,3 +173,25 @@ def test_running_user_stats_on_real_stream(spark, tmp_path):
         for r in running_user_stats(ev).collect()
     }
     assert got == want
+
+
+def test_coloring_midloop_local_finish_matches_both_tiers(spark):
+    """Round-9 per-color tier re-evaluation: a coloring run that starts
+    distributed must hand the residual to the driver-local continuation
+    (same seed-per-color MIS priorities) once it fits the guard, and the
+    full coloring must be bit-identical to the pure-local and
+    pure-distributed tiers."""
+    from polars_grouper_spark.operators.coloring import greedy_coloring
+
+    edges = [(f"a{i}", f"a{i + 1}") for i in range(30)] + [
+        ("h", f"a{i}") for i in range(0, 30, 3)
+    ]
+    df = spark.createDataFrame(edges, ["from", "to"])
+    full_local = sorted(map(tuple, greedy_coloring(df).collect()))
+    distributed = sorted(
+        map(tuple, greedy_coloring(df, max_local_edges=0).collect())
+    )
+    mid_switch = sorted(
+        map(tuple, greedy_coloring(df, max_local_edges=20).collect())
+    )
+    assert full_local == distributed == mid_switch

@@ -182,3 +182,26 @@ def test_triangle_and_kcore_agree_on_clique_membership(spark):
     }
     assert core == set(nodes)
     assert tri == set(nodes)
+
+
+def test_kcore_midloop_local_finish_matches_both_tiers(spark):
+    """Round-9 per-round tier re-evaluation: a run that STARTS
+    distributed (raw count above a small guard) must switch to the
+    driver-local peel once the residual shrinks under the guard, and the
+    result must match both the pure-local and pure-distributed tiers —
+    exact by k-core uniqueness.  Chain + triangle peels the chain away
+    over many rounds, exercising the switch mid-peel."""
+    chain = spark.createDataFrame(
+        [(str(i), str(i + 1)) for i in range(60)]
+        + [("x0", "x1"), ("x1", "x2"), ("x2", "x0")],
+        ["from", "to"],
+    )
+    want = [("x0", 2), ("x1", 2), ("x2", 2)]
+    full_local = sorted(map(tuple, k_core(chain, 2, max_iter=200).collect()))
+    distributed = sorted(
+        map(tuple, k_core(chain, 2, max_iter=200, max_local_edges=0).collect())
+    )
+    mid_switch = sorted(
+        map(tuple, k_core(chain, 2, max_iter=200, max_local_edges=55).collect())
+    )
+    assert full_local == distributed == mid_switch == want
