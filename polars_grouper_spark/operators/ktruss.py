@@ -29,13 +29,26 @@ from .triangles import _interned_edges
 _WEDGE_CHUNK = 8_000_000
 
 
-def _edge_support(edges: DataFrame) -> DataFrame:
+def _edge_support(edges: DataFrame, *, broadcast_small: bool = False) -> DataFrame:
     """Triangle support per canonical edge -> (a, b, support).
 
     Degree-ordered wedge enumeration (see triangles.triangle_count);
     every triangle (u, v1, v2) contributes support to its three edges
     {u,v1}, {u,v2}, {v1,v2}.
+
+    ``broadcast_small`` (round-9, set per peel round from the edge count
+    the loop already takes): the wedge set is the data-sized
+    intermediate — sum(out_deg²)/2 rows, orders of magnitude larger than
+    E — yet the plan's default shape SHUFFLES it twice (once to close
+    triangles against the edge table, once into the support
+    aggregation's exchange).  When the edge set fits the broadcast
+    budget, hinting the E- and V-sized tables broadcast keeps the wedge
+    stream entirely map-side: it is generated, closed and
+    partially-aggregated inside one stage and only triangle corners
+    (bounded by 3 × triangle count after partial agg) ever hit a
+    shuffle.  Above the budget the sort-merge shape stands unchanged.
     """
+    bc = F.broadcast if broadcast_small else (lambda d: d)
     deg = (
         edges.select(F.col("a").alias("nid"))
         .unionAll(edges.select(F.col("b").alias("nid")))
@@ -44,7 +57,7 @@ def _edge_support(edges: DataFrame) -> DataFrame:
     )
     da = deg.select(F.col("nid").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("nid").alias("b"), F.col("deg").alias("deg_b"))
-    ranked = edges.join(da, "a").join(db, "b")
+    ranked = edges.join(bc(da), "a").join(bc(db), "b")
     lower_first = (F.col("deg_a") < F.col("deg_b")) | (
         (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
     )
@@ -56,7 +69,7 @@ def _edge_support(edges: DataFrame) -> DataFrame:
     e2 = oriented.select(F.col("u"), F.col("v").alias("v2"))
     wedges = e1.join(e2, "u").where(F.col("v1") < F.col("v2"))
     triangles = wedges.join(
-        edges, (F.col("v1") == F.col("a")) & (F.col("v2") == F.col("b"))
+        bc(edges), (F.col("v1") == F.col("a")) & (F.col("v2") == F.col("b"))
     ).select("u", "v1", "v2")
     tri_edges = (
         triangles.select(
@@ -73,7 +86,7 @@ def _edge_support(edges: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("support")
     )
     return (
-        edges.join(support, ["a", "b"], "left")
+        edges.join(bc(support), ["a", "b"], "left")
         .select("a", "b", F.coalesce("support", F.lit(0)).alias("support"))
     )
 
@@ -108,6 +121,28 @@ def _k_truss_local(spark, cleaned, min_support: int, max_iter: int):
     lo = np.minimum(ea0, eb0).astype(np.int64)
     hi = np.maximum(ea0, eb0).astype(np.int64)
     keys = np.sort(lo * n_nodes + hi)
+    keys, support = _truss_peel_keys(keys, n_nodes, min_support, max_iter)
+    if not len(keys):
+        return spark.createDataFrame([], schema)
+    a, b = keys // n_nodes, keys % n_nodes
+    na, nb = np.asarray(names)[a], np.asarray(names)[b]
+    out = pd.DataFrame(
+        {
+            "src": np.where(na < nb, na, nb),
+            "dst": np.where(na < nb, nb, na),
+            "support": support,
+        }
+    )
+    return spark.createDataFrame(out, schema)
+
+
+def _truss_peel_keys(keys, n_nodes: int, min_support: int, max_iter: int):
+    """Synchronous numpy support peel over SORTED integer pair keys ->
+    ``(surviving keys, aligned within-truss support)``.  Shared by the
+    entry local tier and the round-9 mid-loop finish — exact for any
+    handoff point by k-truss uniqueness (the truss of a partially peeled
+    residual is the truss of the original graph)."""
+    import numpy as np
 
     def _supports(keys):
         """Triangle support per edge key (aligned with ``keys``)."""
@@ -175,22 +210,60 @@ def _k_truss_local(spark, cleaned, min_support: int, max_iter: int):
         support = _supports(keys)
         keep = support >= min_support
         if keep.all():
-            a, b = keys // n_nodes, keys % n_nodes
-            na, nb = np.asarray(names)[a], np.asarray(names)[b]
-            out = pd.DataFrame(
-                {
-                    "src": np.where(na < nb, na, nb),
-                    "dst": np.where(na < nb, nb, na),
-                    "support": support,
-                }
-            )
-            return spark.createDataFrame(out, schema)
+            return keys, support
         keys = keys[keep]
         if not len(keys):
-            return spark.createDataFrame([], schema)
+            return keys, np.empty(0, dtype=np.int64)
     raise RuntimeError(
         f"k_truss did not converge within max_iter={max_iter} peeling rounds; "
         "raise max_iter (adversarial triangle chains peel O(E) rounds)"
+    )
+
+
+def _k_truss_finish_local(spark, edges, min_support: int, max_iter: int, names):
+    """Finish a partially peeled DISTRIBUTED run driver-local (round-9,
+    the k-core pattern): ``edges`` is the residual (a, b) long-id frame
+    once its count fell under the guard, ``names`` the id->node map.
+    Factorizes the long ids, runs the shared numpy peel, and joins the
+    name map back for the (src, dst, support) output."""
+    import numpy as np
+    import pandas as pd
+
+    schema = "src string, dst string, support long"
+    pdf = edges.toPandas()
+    if not len(pdf):
+        return spark.createDataFrame([], schema)
+    codes, ids = pd.factorize(
+        pd.concat([pdf["a"], pdf["b"]], ignore_index=True)
+    )
+    m = len(pdf)
+    n_nodes = len(ids)
+    ea, eb = codes[:m], codes[m:]
+    lo = np.minimum(ea, eb).astype(np.int64)
+    hi = np.maximum(ea, eb).astype(np.int64)
+    keys = np.sort(lo * n_nodes + hi)
+    keys, support = _truss_peel_keys(keys, n_nodes, min_support, max_iter)
+    if not len(keys):
+        return spark.createDataFrame([], schema)
+    ids_arr = np.asarray(ids)
+    out = pd.DataFrame(
+        {
+            "ia": ids_arr[keys // n_nodes].astype("int64"),
+            "ib": ids_arr[keys % n_nodes].astype("int64"),
+            "support": support.astype("int64"),
+        }
+    )
+    truss = spark.createDataFrame(out, "ia long, ib long, support long")
+    na = names.select(F.col("id").alias("ia"), F.col("node").alias("n_a"))
+    nb = names.select(F.col("id").alias("ib"), F.col("node").alias("n_b"))
+    return (
+        truss.join(na, "ia")
+        .join(nb, "ib")
+        .select(
+            F.least("n_a", "n_b").alias("src"),
+            F.greatest("n_a", "n_b").alias("dst"),
+            "support",
+        )
     )
 
 
@@ -201,10 +274,18 @@ def k_truss(
     dst: str = "to",
     max_iter: int = 100,
     max_local_edges: int | None = None,
+    max_broadcast_edges: int = 2_000_000,
 ) -> DataFrame:
     """Edges of the k-truss with their within-truss support ->
     ``(src, dst, support)`` (endpoint names, src < dst in string order);
     empty result if the k-truss is empty.
+
+    ``max_broadcast_edges``: per-round broadcast budget for the support
+    pipeline's E/V-sized tables (re-evaluated every peel round from the
+    termination fingerprint's count — zero extra jobs).  Under it the
+    data-sized wedge stream stays map-side end to end; above it the
+    sort-merge shape is unchanged.  Raise it on clusters with roomy
+    executors when peeling graphs in the 2M-30M edge range.
 
     >>> edges = spark.createDataFrame(
     ...     [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")], ["from", "to"])
@@ -240,10 +321,25 @@ def k_truss(
     edges = truncate_lineage(edges, cache=False)
     prev = fingerprint(edges, "a", "b")
     for _ in range(max_iter):
-        sup = _edge_support(edges)
+        # Per-round broadcast re-evaluation (round-9, the matching/MIS r8
+        # pattern): prev[0] IS this round's edge count (taken for
+        # termination anyway).  Under the budget the E/V-sized tables
+        # broadcast and the data-sized wedge stream never shuffles; the
+        # residual only shrinks, so a graph entering above the budget
+        # falls under it as it peels.
+        sup = _edge_support(
+            edges, broadcast_small=prev[0] <= max_broadcast_edges
+        )
         new_edges = sup.where(F.col("support") >= min_support).select("a", "b")
         new_edges = truncate_lineage(new_edges, cache=False)
         cur = fingerprint(new_edges, "a", "b")
+        if cur != prev and max_local_edges and cur[0] <= max_local_edges:
+            # Mid-loop local finish (round-9): once the residual fits the
+            # guard, the remaining peel rounds run driver-local in one
+            # Arrow collect — exact by k-truss uniqueness.
+            return _k_truss_finish_local(
+                df.sparkSession, new_edges, min_support, max_iter, names
+            )
         if cur == prev:
             # fixpoint: new_edges == edges, so sup IS the final support
             # table (equal fingerprint count ⇒ nothing was filtered)

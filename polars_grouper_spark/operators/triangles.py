@@ -85,7 +85,11 @@ def _interned_edges(
 
 
 def triangle_count(
-    df: DataFrame, src: str = "from", dst: str = "to"
+    df: DataFrame,
+    src: str = "from",
+    dst: str = "to",
+    *,
+    max_broadcast_edges: int = 2_000_000,
 ) -> DataFrame:
     """Per-node triangle counts -> ``(node, n_triangles)``.
 
@@ -108,6 +112,18 @@ def triangle_count(
     """
     edges, names = _interned_edges(df, src, dst)
 
+    # Broadcast guard (round-9, mirrors ktruss._edge_support): the wedge
+    # stream is the data-sized intermediate; under the budget (one cheap
+    # count over the eagerly checkpointed edges) the E/V-sized tables
+    # broadcast and the wedges are generated, closed and
+    # partially-aggregated map-side in one stage.  Above it, sort-merge
+    # + AQE unchanged.
+    bc = (
+        F.broadcast
+        if max_broadcast_edges and edges.count() <= max_broadcast_edges
+        else (lambda d: d)
+    )
+
     # Total order by (degree, id): bounds out-degree by O(sqrt(E)).
     deg = (
         edges.select(F.col("a").alias("nid"))
@@ -117,7 +133,7 @@ def triangle_count(
     )
     da = deg.select(F.col("nid").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("nid").alias("b"), F.col("deg").alias("deg_b"))
-    ranked = edges.join(da, "a").join(db, "b")
+    ranked = edges.join(bc(da), "a").join(bc(db), "b")
     lower_first = (F.col("deg_a") < F.col("deg_b")) | (
         (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
     )
@@ -134,7 +150,7 @@ def triangle_count(
     e2 = oriented.select(F.col("u"), F.col("v").alias("v2"))
     wedges = e1.join(e2, "u").where(F.col("v1") < F.col("v2"))
     triangles = wedges.join(
-        edges, (F.col("v1") == F.col("a")) & (F.col("v2") == F.col("b"))
+        bc(edges), (F.col("v1") == F.col("a")) & (F.col("v2") == F.col("b"))
     ).select("u", "v1", "v2")
 
     per_node = (

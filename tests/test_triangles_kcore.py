@@ -205,3 +205,32 @@ def test_kcore_midloop_local_finish_matches_both_tiers(spark):
         map(tuple, k_core(chain, 2, max_iter=200, max_local_edges=55).collect())
     )
     assert full_local == distributed == mid_switch == want
+
+
+def test_ktruss_midloop_and_broadcast_shapes_agree(spark):
+    """Round-9: the k-truss closure-join broadcast guard and the
+    mid-loop local finish must not change results.  Four shapes on one
+    graph: entry local tier, pure distributed sort-merge
+    (max_broadcast_edges=0), pure distributed broadcast, and a
+    distributed start that switches to the local peel mid-run."""
+    from polars_grouper_spark.operators.ktruss import k_truss
+
+    nodes = [f"v{i}" for i in range(6)]
+    k6 = [(x, y) for x in nodes for y in nodes if x < y]
+    extra = [("v0", f"t{i}") for i in range(30)] + [
+        (f"t{i}", f"t{i+1}") for i in range(29)
+    ]
+    df = spark.createDataFrame(k6 + extra, ["from", "to"])
+    want = sorted(map(tuple, k_truss(df, 4).collect()))
+    dist_smj = sorted(
+        map(
+            tuple,
+            k_truss(df, 4, max_local_edges=0, max_broadcast_edges=0).collect(),
+        )
+    )
+    dist_bc = sorted(
+        map(tuple, k_truss(df, 4, max_local_edges=0).collect())
+    )
+    mid = sorted(map(tuple, k_truss(df, 4, max_local_edges=40).collect()))
+    assert want == dist_smj == dist_bc == mid
+    assert {(r[0], r[1]) for r in want} == {(x, y) for x, y in k6}
