@@ -534,7 +534,10 @@ def main() -> None:
     # for FUTURE runs — monotone non-increasing per query, so a transient
     # stall (or two in a row) can never ratchet it upward.
     best_known = dict(prev_best)
-    for q, t in timings.items():
+    fresh_ok = {
+        q: v for q, v in fresh.items() if isinstance(v, (int, float))
+    }
+    for q, t in list(timings.items()) + list(fresh_ok.items()):
         if t == t and q not in failed:
             cur = best_known.get(q)
             if not isinstance(cur, (int, float)) or t < cur:
