@@ -276,3 +276,24 @@ def test_tpch_q9_broadcasts_snowflake(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_triangle_closure_broadcasts_under_guard(spark):
+    """Round-9: under max_broadcast_edges the wedge-closure pipeline must
+    join its E/V-sized tables as broadcast-hash (the data-sized wedge
+    stream stays map-side); with the budget at 0 the closure join must
+    NOT broadcast (the at-scale sort-merge shape)."""
+    from polars_grouper_spark.operators.triangles import triangle_count
+
+    li = load_table(spark, "lineitem", SF_DIR)
+    edges = li.select(
+        F.concat(F.lit("S"), "l_suppkey").alias("from"),
+        F.concat(F.lit("P"), "l_partkey").alias("to"),
+    )
+    p_small = plan_str(triangle_count(edges))
+    assert "BroadcastHashJoin" in p_small, p_small
+
+    p_big = plan_str(triangle_count(edges, max_broadcast_edges=0))
+    # AQE may still broadcast tiny sides at runtime, but the static plan
+    # must not carry our hint: the closure join stays sort-merge.
+    assert "SortMergeJoin" in p_big, p_big
