@@ -4426,6 +4426,34 @@ SELECT doc_id, lang, n_chars FROM (
 """
 
 
+_MIXTURE_TARGETS = {"en": 0.5, "zh": 0.2, "de": 0.15, "fr": 0.15}
+
+
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional data-mixing plan + realization
+    (``functions.sampling.mixture_waterfill``): the largest deterministic
+    subsample whose language composition matches the target shares
+    exactly (water-filling — the binding language passes whole, the rest
+    downsample; es is untargeted and drops).  The per-language plan and
+    the realized hash-sampled counts in one row each — the sizing step a
+    training-data pipeline runs before committing to a mix."""
+    docs = load_table(spark, "documents", sf_dir)
+    return smp.mixture_waterfill(
+        docs, _MIXTURE_TARGETS, "lang", "n_chars", "doc_id", salt="mixplan"
+    )
+
+
+def _mixture_plan_sql() -> str:
+    return smp.mixture_waterfill_sql(
+        "SELECT * FROM documents",
+        _MIXTURE_TARGETS,
+        "lang",
+        "n_chars",
+        "doc_id",
+        salt="mixplan",
+    )
+
+
 def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric k-NN graph over the whole embeddings table (every vector
     is a query) via the same IVF machinery as ``ivf_topk`` — the
@@ -11177,6 +11205,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_parts": q_bloom_parts,
         "hll_union_custkeys": q_hll_union,
         "domain_mix_docs": q_domain_mix,
+        # --- new in round 9 (rotation puts never-verified first) ---
+        "mixture_plan_docs": q_mixture_plan,
         "knn_graph": q_knn_graph,
         "user_journeys": q_user_journeys,
         "pagerank_weighted": q_pagerank_weighted,
@@ -11528,6 +11558,7 @@ def oracle_sql() -> dict[str, str]:
             12,
         ),
         "domain_mix_docs": _domain_mix_sql(),
+        "mixture_plan_docs": _mixture_plan_sql(),
         "knn_graph": _ivf_topk_sql(
             "TRUE", n_probe=_KNN_GRAPH_PROBE, n_cells=_KNN_GRAPH_CELLS
         ),

@@ -508,3 +508,138 @@ SELECT stratum, n_rows, round(stdv, 6) AS std,
        ELSE 0 END AS alloc
 FROM scored CROSS JOIN tot
 """
+
+
+def mixture_waterfill(
+    df: DataFrame,
+    targets: "dict[str, float]",
+    group_col: str,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "mixture",
+    *,
+    portable: bool = True,
+) -> DataFrame:
+    """Plan (and realize) the LARGEST deterministic subsample whose group
+    composition matches ``targets`` exactly — proportional data mixing,
+    the companion of :func:`token_budget_mix`'s absolute budgets.
+
+    Water-filling: with normalized shares ``p_g`` and available weight
+    ``T_g`` per group, the binding group caps the total at
+    ``S = min_g T_g / p_g``; group ``g`` then keeps rate
+    ``S * p_g / T_g`` of its weight (the binding group passes whole, the
+    rest downsample so the realized mix is exactly ``p``).  Rows are
+    kept by the same salted-hash Bernoulli as :func:`stratified_sample`
+    (row-local, engine-portable; re-rolls with the salt).  Groups not in
+    ``targets`` drop and do not appear in the output.
+
+    One row per target group: ``(group_col, available_w, target_share,
+    rate, planned_w, kept_rows, kept_w)``.  All rates/shares are
+    exactly-rounded IEEE doubles from integer sums and embedded literal
+    shares, so the DuckDB oracle replays the plan bit for bit; outputs
+    are rounded for display only.
+
+    Scale: one map-side-combinable sum per group + a broadcast of the
+    k-row plan back onto the scan — nothing data-sized leaves its
+    partition.
+    """
+    if not targets:
+        raise ValueError("targets must name at least one group")
+    if any(float(w) <= 0 for w in targets.values()):
+        raise ValueError("every target share must be positive")
+    norm = float(sum(targets.values()))
+    shares = sorted((g, float(w) / norm) for g, w in targets.items())
+    spark = df.sparkSession
+    tot = df.groupBy(group_col).agg(
+        F.sum(F.col(weight_col).cast("long")).alias("available_w")
+    )
+    share_df = spark.createDataFrame(
+        shares, f"{group_col} string, _share double"
+    )
+    plan = tot.join(F.broadcast(share_df), group_col)
+    cap = plan.select(
+        F.min(
+            F.col("available_w").cast("double") / F.col("_share")
+        ).alias("_S")
+    )
+    rated = plan.crossJoin(F.broadcast(cap)).select(
+        group_col,
+        "available_w",
+        "_share",
+        F.least(
+            F.lit(1.0),
+            F.col("_S") * F.col("_share") / F.col("available_w").cast("double"),
+        ).alias("_rate"),
+        (F.col("_S") * F.col("_share")).alias("_planned"),
+    )
+    b = _bucket(id_col, salt, portable=portable)
+    kept = (
+        df.join(F.broadcast(rated.select(group_col, "_rate")), group_col)
+        .where(b.cast("double") < F.col("_rate") * N_BUCKETS)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("kept_rows"),
+            F.sum(F.col(weight_col).cast("long")).alias("kept_w"),
+        )
+    )
+    return (
+        rated.join(kept, group_col, "left")
+        .select(
+            group_col,
+            "available_w",
+            F.round(F.col("_share"), 6).alias("target_share"),
+            F.round(F.col("_rate"), 6).alias("rate"),
+            F.round(F.col("_planned"), 3).alias("planned_w"),
+            F.coalesce("kept_rows", F.lit(0)).cast("long").alias("kept_rows"),
+            F.coalesce("kept_w", F.lit(0)).cast("long").alias("kept_w"),
+        )
+    )
+
+
+def mixture_waterfill_sql(
+    table_sql: str,
+    targets: "dict[str, float]",
+    group_expr: str,
+    weight_expr: str,
+    id_expr: str,
+    salt: str = "mixture",
+) -> str:
+    """DuckDB oracle replaying :func:`mixture_waterfill` — identical
+    integer sums, literal shares, and IEEE-exact divisions, so the rates
+    (and therefore the realized keep decisions) match bit for bit."""
+    norm = float(sum(targets.values()))
+    shares = sorted((g, float(w) / norm) for g, w in targets.items())
+    # CAST the share literals: bare 0.15 parses as DECIMAL in DuckDB,
+    # which would silently switch the whole plan to decimal arithmetic.
+    values = ", ".join(f"('{g}', CAST({s!r} AS DOUBLE))" for g, s in shares)
+    bucket = _bucket_sql(id_expr, salt)
+    return f"""
+WITH base AS ({table_sql}),
+tot AS (
+  SELECT {group_expr} AS g, SUM(CAST({weight_expr} AS BIGINT)) AS available_w
+  FROM base GROUP BY 1
+),
+shares(g, share) AS (VALUES {values}),
+plan AS (SELECT t.g, t.available_w, s.share FROM tot t JOIN shares s USING (g)),
+cap AS (SELECT MIN(CAST(available_w AS DOUBLE) / share) AS s FROM plan),
+rated AS (
+  SELECT g, available_w, share,
+         least(1.0, (SELECT s FROM cap) * share / CAST(available_w AS DOUBLE)) AS rate,
+         (SELECT s FROM cap) * share AS planned
+  FROM plan
+),
+kept AS (
+  SELECT {group_expr} AS g, count(*) AS kept_rows,
+         SUM(CAST({weight_expr} AS BIGINT)) AS kept_w
+  FROM base b JOIN rated r ON {group_expr} = r.g
+  WHERE CAST({bucket} AS DOUBLE) < r.rate * {N_BUCKETS}
+  GROUP BY 1
+)
+SELECT r.g AS {group_expr}, r.available_w,
+       round(r.share, 6) AS target_share,
+       round(r.rate, 6) AS rate,
+       round(r.planned, 3) AS planned_w,
+       coalesce(k.kept_rows, 0) AS kept_rows,
+       coalesce(k.kept_w, 0) AS kept_w
+FROM rated r LEFT JOIN kept k USING (g)
+"""

@@ -227,3 +227,47 @@ def test_weighted_sample_topk_skips_nonpositive(spark):
     )
     got = [r["doc_id"] for r in weighted_sample_topk(df, 10, "w").collect()]
     assert got == [4]
+
+
+def test_mixture_waterfill_plan_and_realization(spark):
+    """Water-filling semantics: the binding group keeps rate 1.0, the
+    others downsample so planned weights realize the target shares
+    exactly; untargeted groups drop; plan arithmetic is integer-sum +
+    literal-share IEEE ops (oracle-replayable)."""
+    from polars_grouper_spark.functions.sampling import mixture_waterfill
+
+    rows = (
+        [(f"a{i}", "A", 10) for i in range(100)]   # avail 1000
+        + [(f"b{i}", "B", 10) for i in range(20)]  # avail 200  <- binding for share .5
+        + [(f"c{i}", "C", 10) for i in range(50)]  # untargeted
+    )
+    df = spark.createDataFrame(rows, "doc_id string, grp string, w long")
+    plan = {
+        r["grp"]: r
+        for r in mixture_waterfill(
+            df, {"A": 0.5, "B": 0.5}, "grp", "w", "doc_id"
+        ).collect()
+    }
+    assert set(plan) == {"A", "B"}  # C dropped
+    # S = min(1000/.5, 200/.5) = 400 -> planned 200 each
+    assert plan["B"]["rate"] == 1.0 and plan["B"]["planned_w"] == 200.0
+    assert plan["A"]["rate"] == 0.2 and plan["A"]["planned_w"] == 200.0
+    assert plan["B"]["kept_rows"] == 20 and plan["B"]["kept_w"] == 200
+    # realized A is the hash-Bernoulli draw around the plan, never above
+    # availability and reproducibly identical run to run
+    again = {
+        r["grp"]: r
+        for r in mixture_waterfill(
+            df, {"A": 0.5, "B": 0.5}, "grp", "w", "doc_id"
+        ).collect()
+    }
+    assert {g: (r["kept_rows"], r["kept_w"]) for g, r in plan.items()} == {
+        g: (r["kept_rows"], r["kept_w"]) for g, r in again.items()
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mixture_waterfill(df, {}, "grp", "w", "doc_id")
+    with _pytest.raises(ValueError):
+        mixture_waterfill(df, {"A": -1.0, "B": 1.0}, "grp", "w", "doc_id")
