@@ -44,10 +44,13 @@ the baseline (r8 judge + advice).  Disable with SPARK_GRAFT_BENCH_HEAL=0.
 Stall-robust companion metric (round-9): alongside wall-clock, every
 query records the delta of cumulative executor TASK time (AppStatusStore
 ``executorList().totalDuration`` — populated with the UI off) for its
-best rep.  Task time is insensitive to the host's multi-minute stall
-windows (a stalled executor accrues no task milliseconds), so
+best rep.  Task time excludes driver/scheduler gaps — the stall mode
+this host actually exhibits (measured: a ktruss_parts rep stalled to
+6.84 s wall recorded 2.2 s task time, matching its steady state) — so
 round-over-round comparisons can be adjudicated from ``task_times`` in
-the sidecar without re-running anything.
+the sidecar without re-running anything.  (A stall that throttles a
+RUNNING task would still inflate its duration; observed stalls here are
+between-job windows, which the metric ignores.)
 """
 
 from __future__ import annotations
