@@ -44,6 +44,13 @@ def build_session() -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "true")
+        # Many-stage iterative loops (coloring = colors x MIS rounds x
+        # stages) overflow the default retained-stage cap and EVICT
+        # completed stages, making the ShuffleMeter's cumulative snapshot
+        # go backwards (observed r9b: negative deltas).  Retain enough
+        # for any probe in this suite.
+        .config("spark.ui.retainedStages", "100000")
+        .config("spark.ui.retainedJobs", "100000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse")
         .getOrCreate()
