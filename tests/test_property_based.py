@@ -973,3 +973,52 @@ def test_tier_equality_ktruss(spark, edges, k):
         tuple(r) for r in k_truss(df, k, max_local_edges=0).collect()
     )
     assert loc == dist
+
+
+ROWS = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B", "C", "D"]),
+        st.integers(min_value=1, max_value=500),
+    ),
+    min_size=1,
+    max_size=25,
+)
+TARGETS = st.dictionaries(
+    st.sampled_from(["A", "B", "C"]),
+    st.floats(min_value=0.05, max_value=1.0, allow_nan=False),
+    min_size=1,
+    max_size=3,
+)
+
+
+@given(rows=ROWS, targets=TARGETS)
+@_SETTINGS
+def test_mixture_waterfill_invariants(spark, rows, targets):
+    """For ANY data/targets: only groups present in both data and targets
+    appear; kept never exceeds available; the binding group keeps rate
+    1.0 and passes whole; planned weights realize the target proportions
+    exactly (planned_g / S == share_g by construction)."""
+    from polars_grouper_spark.functions.sampling import mixture_waterfill
+
+    df = spark.createDataFrame(
+        [(f"id{i}", g, w) for i, (g, w) in enumerate(rows)],
+        "doc_id string, grp string, w long",
+    ).coalesce(1)
+    out = mixture_waterfill(df, targets, "grp", "w", "doc_id").collect()
+    present = {g for g, _ in rows}
+    assert {r["grp"] for r in out} == present & set(targets)
+    if not out:
+        return
+    norm = sum(targets.values())
+    s_cap = min(r["available_w"] / (targets[r["grp"]] / norm) for r in out)
+    for r in out:
+        share = targets[r["grp"]] / norm
+        assert r["kept_w"] <= r["available_w"]
+        assert r["kept_rows"] >= 0
+        assert 0.0 <= r["rate"] <= 1.0
+        assert abs(r["planned_w"] - s_cap * share) <= 0.002
+        if r["rate"] == 1.0:
+            # a rate-1 group passes through whole
+            assert r["kept_w"] == r["available_w"]
+    # the binding group exists and keeps everything
+    assert any(r["rate"] == 1.0 for r in out)
