@@ -425,7 +425,12 @@ FROM m
 
 
 def edge_embeddedness(
-    df: DataFrame, src: str = "from", dst: str = "to", *, decimals: int = 6
+    df: DataFrame,
+    src: str = "from",
+    dst: str = "to",
+    *,
+    decimals: int = 6,
+    max_broadcast_edges: int = 2_000_000,
 ) -> DataFrame:
     """Per-edge embeddedness -> ``(a, b, n_common, strength)``: how many
     common neighbors each edge's endpoints share, plus the neighborhood
@@ -438,9 +443,17 @@ def edge_embeddedness(
     adjacency with itself on the shared endpoint, semi-joined back to
     the edge set — the same wedge-bounded shape as the triangle
     counter, never an all-pairs neighborhood comparison; degrees attach
-    by two broadcast-size joins."""
+    by two broadcast-size joins.  Under ``max_broadcast_edges`` (round-9,
+    the triangle/k-truss pattern; one cheap count of the checkpointed
+    edges) the edge filter broadcasts and runs BEFORE the pair
+    aggregation, so the data-sized wedge stream is generated, closed and
+    partially aggregated map-side in one stage; above the budget the
+    original aggregate-then-join order stands (same shuffle either way,
+    and the pre-aggregation keeps its duplicate compression)."""
     edges = _canonical_edges(df, src, dst)
     edges = truncate_lineage(edges)
+    bc_small = bool(max_broadcast_edges) and edges.count() <= max_broadcast_edges
+    bc = F.broadcast if bc_small else (lambda d: d)
     sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
@@ -449,13 +462,23 @@ def edge_embeddedness(
     # (x, y); keep only pairs that ARE edges (semi via inner join).
     w1 = sym.select(F.col("v").alias("w"), F.col("u").alias("x"))
     w2 = sym.select(F.col("v").alias("w"), F.col("u").alias("y"))
-    common = (
-        w1.join(w2, "w")
-        .where(F.col("x") < F.col("y"))
-        .groupBy(F.col("x").alias("a"), F.col("y").alias("b"))
-        .agg(F.count(F.lit(1)).alias("nc"))
-        .join(edges, ["a", "b"])
+    wedge_pairs = w1.join(w2, "w").where(F.col("x") < F.col("y")).select(
+        F.col("x").alias("a"), F.col("y").alias("b")
     )
+    if bc_small:
+        # close-first: only wedges that land on an actual edge reach the
+        # aggregation (map-side filter against the broadcast edge table)
+        common = (
+            wedge_pairs.join(bc(edges), ["a", "b"])
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("nc"))
+        )
+    else:
+        common = (
+            wedge_pairs.groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("nc"))
+            .join(edges, ["a", "b"])
+        )
     nc = F.coalesce("nc", F.lit(0))
     # |N(a) ∪ N(b) \ {a,b}| = deg(a) + deg(b) − 2 − n_common (the edge
     # itself contributes b to N(a) and a to N(b); common neighbors are
@@ -465,9 +488,9 @@ def edge_embeddedness(
         union_sz > 0, F.round(nc.cast("double") / union_sz, decimals)
     ).otherwise(F.lit(0.0))
     return (
-        edges.join(common, ["a", "b"], "left")
-        .join(deg.select(F.col("u").alias("a"), F.col("deg").alias("_da")), "a")
-        .join(deg.select(F.col("u").alias("b"), F.col("deg").alias("_db")), "b")
+        edges.join(bc(common), ["a", "b"], "left")
+        .join(bc(deg.select(F.col("u").alias("a"), F.col("deg").alias("_da"))), "a")
+        .join(bc(deg.select(F.col("u").alias("b"), F.col("deg").alias("_db"))), "b")
         .select("a", "b", nc.alias("n_common"), strength.alias("strength"))
     )
 
