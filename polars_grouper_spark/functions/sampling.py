@@ -635,11 +635,12 @@ kept AS (
   WHERE CAST({bucket} AS DOUBLE) < r.rate * {N_BUCKETS}
   GROUP BY 1
 )
-SELECT r.g AS {group_expr}, r.available_w,
+SELECT r.g AS {group_expr},
+       CAST(r.available_w AS BIGINT) AS available_w,
        round(r.share, 6) AS target_share,
        round(r.rate, 6) AS rate,
        round(r.planned, 3) AS planned_w,
-       coalesce(k.kept_rows, 0) AS kept_rows,
-       coalesce(k.kept_w, 0) AS kept_w
+       CAST(coalesce(k.kept_rows, 0) AS BIGINT) AS kept_rows,
+       CAST(coalesce(k.kept_w, 0) AS BIGINT) AS kept_w
 FROM rated r LEFT JOIN kept k USING (g)
 """
