@@ -1490,6 +1490,47 @@ WHERE d.dot / (na.nrm * nb.nrm) >= {_NEAR_DUP_COS}
 """
 
 
+def q_semdedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (``similarity.semdedup``): k-means cells + within-cell
+    cosine pruning; drop a doc when a lower-id same-cell doc is within
+    cosine >= threshold.  One row per embedding: keep flag + max dup
+    cosine (the cluster assignment is ivf_build's, replayed by the
+    oracle's shared ``_ivf_assign_prefix``)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = sim.semdedup(emb, threshold=_NEAR_DUP_COS, n_cells=_IVF_CELLS)
+    return out.select(
+        F.col("id").alias("vec_id"),
+        "cell",
+        "keep",
+        F.round("max_dup_cos", 6).alias("max_dup_cos"),
+    )
+
+
+def _semdedup_docs_sql() -> str:
+    return f"""{_ivf_assign_prefix()},
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+pdots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(ea.x * eb.x) AS dot
+  FROM a3 a JOIN a3 b ON b.cell = a.cell AND a.vec_id < b.vec_id
+  JOIN ex ea ON ea.vec_id = a.vec_id
+  JOIN ex eb ON eb.vec_id = b.vec_id AND eb.i = ea.i
+  GROUP BY 1, 2
+),
+dup AS (
+  SELECT id_b, max(cos) AS max_dup_cos FROM (
+    SELECT p.id_b, p.dot / (na.nrm * nb.nrm) AS cos
+    FROM pdots p
+    JOIN norms na ON na.vec_id = p.id_a
+    JOIN norms nb ON nb.vec_id = p.id_b
+  ) WHERE cos >= {_NEAR_DUP_COS}
+  GROUP BY id_b
+)
+SELECT a.vec_id, a.cell, d.id_b IS NULL AS keep,
+       round(d.max_dup_cos, 6) AS max_dup_cos
+FROM a3 a LEFT JOIN dup d ON d.id_b = a.vec_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # relational / windowed queries (host-engine capabilities the reference
 # delegates — SURVEY.md §2 preamble)
@@ -11237,6 +11278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "lsh_topk": q_lsh_topk,
         "dedup_embedding": q_dedup_embedding,
+        "semdedup_docs": q_semdedup_docs,
         "ivf_topk": q_ivf_topk,
         "tpch_q1": q_tpch_q1,
         "revenue_by_segment": q_revenue_by_segment,
@@ -11323,6 +11365,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": _COSINE_TOPK_SQL,
         "lsh_topk": _lsh_topk_sql(),
         "dedup_embedding": _dedup_embedding_sql(),
+        "semdedup_docs": _semdedup_docs_sql(),
         "ivf_topk": _ivf_topk_sql(),
         "tpch_q1": _TPCH_Q1_SQL,
         "revenue_by_segment": _REVENUE_BY_SEGMENT_SQL,

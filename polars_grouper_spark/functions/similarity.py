@@ -274,6 +274,71 @@ def embedding_near_dup(
     ).where(F.col("cosine") >= F.lit(threshold))
 
 
+def semdedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    assign: str = "expr",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    k-means clustering + within-cluster cosine pruning → one row per
+    input ``(id, cell, keep, max_dup_cos)``.
+
+    The corpus is bucketed by :func:`ivf_build`'s deterministic k-means
+    (lowest-id seeding, two Lloyd rounds — the same assignment the SQL
+    oracle replays); a doc is DROPPED (``keep = false``) when some
+    lower-id doc in the SAME cell has cosine >= ``threshold`` — the
+    paper's keep-one-representative rule with priority = id order, so
+    the result is deterministic and engine-portable.  ``max_dup_cos``
+    is the max cosine to a lower-id same-cell doc (null when none, i.e.
+    for every kept doc that had no candidate).
+
+    Scale: candidate pairs are same-cell only, so the pairwise cost is
+    Σ|cell|² — grow ``n_cells`` ∝ N (the paper's regime: cell size
+    stays ~constant, total cost ~linear in N, and each cell's pair
+    block is an equality-partitioned self-join, never a global product).
+    ``assign="arrow"`` routes cell assignment through the numpy batch
+    kernel for production corpora.
+    """
+    assignments, _ = ivf_build(df, id_col, vec_col, n_cells, assign=assign)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    ).join(assignments, "id")
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), "cell",
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), "cell",
+    )
+    dup = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_b",
+            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
+        )
+        .where(F.col("cos") >= F.lit(threshold))
+        .groupBy("id_b")
+        .agg(F.max("cos").alias("max_dup_cos"))
+    )
+    return (
+        base.select("id", "cell")
+        .join(dup, F.col("id") == F.col("id_b"), "left")
+        .select(
+            "id",
+            "cell",
+            F.col("max_dup_cos").isNull().alias("keep"),
+            "max_dup_cos",
+        )
+    )
+
+
 def _sq_dist(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))

@@ -273,3 +273,32 @@ def test_ann_recall_on_clustered_data(spark):
     assert r_mp1 >= 0.75, f"multi-probe h=1 recall@{k} = {r_mp1:.3f}"
     assert r_mp2 >= 0.95, f"multi-probe h=2 recall@{k} = {r_mp2:.3f}"
     assert r_mp2 >= r_mp1 > r_lsh, "probing wider must not lose recall"
+
+
+def test_semdedup_drops_lower_priority_near_dups(spark):
+    # Two tight pairs ((0,1) cos~0.994, (2,3) cos~0.999) plus singles.
+    # With one cell everything is a candidate: 1 and 3 drop (their
+    # lower-id twin survives), everyone else keeps.
+    df = _vectors(spark)
+    out = {r["id"]: r for r in sim.semdedup(df, threshold=0.9, n_cells=1).collect()}
+    assert {i for i, r in out.items() if not r["keep"]} == {1, 3}
+    assert all(out[i]["max_dup_cos"] is None for i in (0, 2, 4, 5))
+    assert math.isclose(out[1]["max_dup_cos"], 0.9 / math.sqrt(0.82), rel_tol=1e-6)
+    # drop rule is one-sided: a kept doc never records a dup cosine
+    assert out[3]["max_dup_cos"] is not None
+
+
+def test_semdedup_candidates_are_same_cell_only(spark):
+    # threshold = -1 makes EVERY same-cell lower-id doc a "dup", so the
+    # survivors are exactly the min-id doc of each cell — if cross-cell
+    # pairs were ever compared, only the global min id would survive.
+    df = _vectors(spark)
+    rows = sim.semdedup(df, threshold=-1.0, n_cells=4).collect()
+    assert len(rows) == 6 and all(r["cell"] is not None for r in rows)
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    assert len(by_cell) > 1  # the orthogonal axes actually separate
+    for members in by_cell.values():
+        kept = {r["id"] for r in members if r["keep"]}
+        assert kept == {min(r["id"] for r in members)}
