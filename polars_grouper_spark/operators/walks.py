@@ -40,8 +40,197 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import portable_hash64, portable_hash64_sql
+from ..functions.hashing import portable_hash64, portable_hash64_py, portable_hash64_sql
 from ..plans.iteration import truncate_lineage
+from ..plans.tiering import resolve_max_local_edges
+
+# Driver-side hash draws (walk-steps) the local tier will do.  Each draw
+# is one md5 (~2 µs), so the worst case is a few seconds of driver time
+# replacing walk_length sequential shuffle-join jobs + checkpoints —
+# the same trade the k-core/coloring tiers made (SCALE.md round 9b).
+# node2vec additionally pays O(deg) per draw for the α weighting, so its
+# eligibility divides the budget by the average out-degree.
+_LOCAL_DRAW_BUDGET = 2_000_000
+
+
+def _local_start_walks(
+    graph_nodes: set, starts, max_walks: "int | None", reps: int
+) -> "list[tuple[str, str]] | None":
+    """Local mirror of :func:`_start_nodes` × replicas -> [(walk_id, node)].
+
+    Returns None when ``starts`` is a DataFrame — the start set is then
+    potentially unbounded and the local tier declines rather than
+    collecting it (the distributed path's semi-join handles it).
+    """
+    if starts is not None:
+        if isinstance(starts, DataFrame):
+            return None
+        nodes = sorted(graph_nodes & {str(x) for x in starts})
+    else:
+        nodes = sorted(graph_nodes)
+    if max_walks is not None:
+        if max_walks < 1:
+            raise ValueError(f"max_walks must be >= 1, got {max_walks}")
+        nodes = nodes[:max_walks]
+    return [(f"{n}#{r}", n) for n in nodes for r in range(reps)]
+
+
+def _local_adjacency(pdf, weight: bool = False):
+    """Name-ordered CSR-ish adjacency from a collected edge frame.
+
+    Returns (slot dict node->i, first offsets, deg, nbrs array[, cum_hi,
+    total]) with neighbors sorted by name inside each segment — the same
+    order the distributed ``row_number`` window produces (UTF-8 byte
+    order == codepoint order, so pandas string sort matches Spark's
+    binary comparison).
+    """
+    import numpy as np
+
+    cols = ["cur", "nbr"] + (["q"] if weight else [])
+    pdf = pdf[cols].sort_values(["cur", "nbr"], kind="mergesort").reset_index(drop=True)
+    curs = pdf["cur"].to_numpy()
+    nbrs = pdf["nbr"].to_numpy()
+    uniq, first = np.unique(curs, return_index=True)
+    first = np.append(first, len(curs))
+    slot = {n: i for i, n in enumerate(uniq)}
+    if not weight:
+        return slot, first, nbrs, None, None
+    q = pdf["q"].to_numpy(dtype=np.int64)
+    cum = np.cumsum(q)
+    # per-segment cumulative: subtract the running total before each segment
+    if len(uniq):
+        seg_base = np.repeat(cum[first[:-1]] - q[first[:-1]], np.diff(first))
+    else:
+        seg_base = np.zeros(0, dtype=np.int64)
+    cum_hi = cum - seg_base
+    total = {i: int(cum_hi[first[i + 1] - 1]) for i in range(len(uniq))}
+    return slot, first, nbrs, cum_hi, total
+
+
+def _walks_frame(spark, rows):
+    """(walk_id, step, node) rows -> DataFrame with the distributed schema."""
+    return spark.createDataFrame(rows, schema="walk_id string, step int, node string")
+
+
+def _collect_for_local(edges: DataFrame, guard: int):
+    """Tier probe: checkpoint + count the cleaned edge frame; collect it
+    when it fits.  Returns (pandas frame | None, checkpointed edges) —
+    on fallback the distributed loop reuses the checkpoint (the probe's
+    materialization is E-sized, never wasted)."""
+    edges = truncate_lineage(edges)
+    if edges.count() <= guard:
+        return edges.toPandas(), edges
+    return None, edges
+
+
+def _uniform_walks_local(
+    spark, pdf, walk_length: int, reps: int, seed: int, starts, max_walks
+):
+    """Driver-local :func:`random_walks` — bit-identical draws
+    (``portable_hash64_py`` mirrors the column hash exactly)."""
+    slot, first, nbrs, _, _ = _local_adjacency(pdf)
+    graph_nodes = set(slot) | set(nbrs.tolist())
+    walks = _local_start_walks(graph_nodes, starts, max_walks, reps)
+    rows = [(w, 0, c) for w, c in walks]
+    alive = walks
+    for step in range(1, walk_length + 1):
+        nxt = []
+        for w, c in alive:
+            i = slot.get(c)
+            if i is None:
+                continue
+            lo, hi = int(first[i]), int(first[i + 1])
+            j = portable_hash64_py(f"{w}|{c}|{step}|{seed}") % (hi - lo)
+            n = nbrs[lo + j]
+            nxt.append((w, n))
+            rows.append((w, step, n))
+        alive = nxt
+    return _walks_frame(spark, rows)
+
+
+def _weighted_walks_local(
+    spark, pdf, walk_length: int, reps: int, seed: int, starts, max_walks
+):
+    """Driver-local :func:`weighted_random_walks`: the draw falls into a
+    neighbor's cumulative milli-quantized interval via one searchsorted
+    per step (identical to the distributed range predicate)."""
+    import numpy as np
+
+    slot, first, nbrs, cum_hi, total = _local_adjacency(pdf, weight=True)
+    graph_nodes = set(slot) | set(nbrs.tolist())
+    walks = _local_start_walks(graph_nodes, starts, max_walks, reps)
+    rows = [(w, 0, c) for w, c in walks]
+    alive = walks
+    for step in range(1, walk_length + 1):
+        nxt = []
+        for w, c in alive:
+            i = slot.get(c)
+            if i is None:
+                continue
+            lo, hi = int(first[i]), int(first[i + 1])
+            draw = portable_hash64_py(f"{w}|{c}|{step}|{seed}") % total[i]
+            j = int(np.searchsorted(cum_hi[lo:hi], draw, side="right"))
+            n = nbrs[lo + j]
+            nxt.append((w, n))
+            rows.append((w, step, n))
+        alive = nxt
+    return _walks_frame(spark, rows)
+
+
+def _node2vec_walks_local(
+    spark, pdf, walk_length: int, reps: int, seed: int, starts, max_walks,
+    a_ret: int, a_stay: int, a_expl: int
+):
+    """Driver-local :func:`node2vec_walks`: per step the candidate α
+    weights cumulate in neighbor-name order (the adjacency is already
+    name-sorted) and the draw picks the containing interval — integer
+    arithmetic end to end, like the distributed window."""
+    slot, first, nbrs, _, _ = _local_adjacency(pdf)
+    graph_nodes = set(slot) | set(nbrs.tolist())
+    walks = _local_start_walks(graph_nodes, starts, max_walks, reps)
+    nbr_sets: dict = {}
+
+    def neighbors_of(n):
+        s = nbr_sets.get(n)
+        if s is None:
+            i = slot.get(n)
+            s = set(nbrs[int(first[i]): int(first[i + 1])]) if i is not None else frozenset()
+            nbr_sets[n] = s
+        return s
+
+    rows = [(w, 0, c) for w, c in walks]
+    alive = [(w, c, c) for w, c in walks]  # (walk_id, prev, cur)
+    for step in range(1, walk_length + 1):
+        nxt = []
+        for w, prev, cur in alive:
+            i = slot.get(cur)
+            if i is None:
+                continue
+            cands = nbrs[int(first[i]): int(first[i + 1])]
+            prev_nbrs = neighbors_of(prev)
+            tot = 0
+            ws = []
+            for x in cands:
+                a = a_ret if x == prev else (a_stay if x in prev_nbrs else a_expl)
+                tot += a
+                ws.append(tot)
+            draw = portable_hash64_py(f"{w}|{prev}|{cur}|{step}|{seed}") % tot
+            for x, hi in zip(cands, ws):
+                if draw < hi:
+                    nxt.append((w, cur, x))
+                    rows.append((w, step, x))
+                    break
+        alive = nxt
+    return _walks_frame(spark, rows)
+
+
+def _local_draws(pdf, walk_length: int, reps: int, starts, max_walks) -> int:
+    """Upper bound on the driver hash draws a local run would do."""
+    n_nodes = len(set(pdf["cur"]) | set(pdf["nbr"]))
+    n_start = n_nodes if starts is None else min(n_nodes, len({str(x) for x in starts}))
+    if max_walks is not None:
+        n_start = min(n_start, max_walks)
+    return n_start * reps * walk_length
 
 
 def _start_nodes(
@@ -87,6 +276,7 @@ def random_walks(
     portable: bool = True,
     starts: "DataFrame | list | None" = None,
     max_walks: "int | None" = None,
+    max_local_edges: int | None = None,
 ) -> DataFrame:
     """Hash-deterministic random walks -> ``(walk_id, step, node)``.
 
@@ -95,6 +285,16 @@ def random_walks(
     walk survives (a walk standing at a node with no out-neighbors ends
     early).  ``portable=False`` swaps the md5-derived hash for xxhash64
     (faster; forfeits cross-engine replay).
+
+    Guarded local tier (``max_local_edges``, resolved through
+    ``plans.tiering``): when the distinct edge set fits the guard AND
+    the draw count (walks × steps) fits the driver budget, the whole
+    walk runs driver-local with bit-identical md5 draws
+    (``portable_hash64_py``) instead of ``walk_length`` sequential
+    shuffle-join jobs.  Declines for ``portable=False`` (the local
+    mirror is md5-only) and for DataFrame ``starts`` (unbounded start
+    set); on fallback the distributed loop reuses the probe's
+    checkpointed edge frame.
 
     >>> edges = spark.createDataFrame(
     ...     [("a", "b"), ("b", "c"), ("c", "a")], ["from", "to"])
@@ -121,6 +321,18 @@ def random_walks(
         .select(s.alias("cur"), d.alias("nbr"))
         .distinct()
     )
+
+    guard = resolve_max_local_edges(df.sparkSession, max_local_edges)
+    if guard and portable and not isinstance(starts, DataFrame):
+        pdf, edges = _collect_for_local(edges, guard)
+        if pdf is not None and _local_draws(
+            pdf, walk_length, walks_per_node, starts, max_walks
+        ) <= _LOCAL_DRAW_BUDGET:
+            return _uniform_walks_local(
+                df.sparkSession, pdf, walk_length, walks_per_node, seed,
+                starts, max_walks,
+            )
+
     # Node-name-ordered neighbor index + outdegree, carried on each row so
     # the per-step join needs no second lookup.
     w = Window.partitionBy("cur").orderBy("nbr")
@@ -224,6 +436,7 @@ def weighted_random_walks(
     portable: bool = True,
     starts: "DataFrame | list | None" = None,
     max_walks: "int | None" = None,
+    max_local_edges: int | None = None,
 ) -> DataFrame:
     """Weight-biased deterministic walks -> ``(walk_id, step, node)``:
     the transition probability to each neighbor is proportional to the
@@ -241,6 +454,9 @@ def weighted_random_walks(
     edges sum their weights.  Each step is one equality-join of the
     frontier against the indexed adjacency with a range predicate on the
     cumulative interval.
+
+    Same guarded local tier as :func:`random_walks` (the local draw is
+    one searchsorted into the identical cumulative intervals).
     """
     if walk_length < 0:
         raise ValueError(f"walk_length must be >= 0, got {walk_length}")
@@ -257,6 +473,18 @@ def weighted_random_walks(
         .agg(F.sum("q").alias("q"))
         .where(F.col("q") > 0)
     )
+
+    guard = resolve_max_local_edges(df.sparkSession, max_local_edges)
+    if guard and portable and not isinstance(starts, DataFrame):
+        pdf, edges = _collect_for_local(edges, guard)
+        if pdf is not None and _local_draws(
+            pdf, walk_length, walks_per_node, starts, max_walks
+        ) <= _LOCAL_DRAW_BUDGET:
+            return _weighted_walks_local(
+                df.sparkSession, pdf, walk_length, walks_per_node, seed,
+                starts, max_walks,
+            )
+
     w = Window.partitionBy("cur").orderBy("nbr")
     wt = Window.partitionBy("cur")
     adj = truncate_lineage(
@@ -368,6 +596,7 @@ def node2vec_walks(
     portable: bool = True,
     starts: "DataFrame | list | None" = None,
     max_walks: "int | None" = None,
+    max_local_edges: int | None = None,
 ) -> DataFrame:
     """Second-order biased walks (node2vec — Grover & Leskovec 2016) ->
     ``(walk_id, step, node)``: from state (prev, cur), neighbor ``x``
@@ -409,6 +638,21 @@ def node2vec_walks(
         .select(s.alias("cur"), d.alias("nbr"))
         .distinct()
     )
+
+    guard = resolve_max_local_edges(df.sparkSession, max_local_edges)
+    if guard and portable and not isinstance(starts, DataFrame):
+        pdf, edges = _collect_for_local(edges, guard)
+        if pdf is not None:
+            # the α weighting is O(deg) per draw — scale eligibility by
+            # the average out-degree so the driver work stays budgeted
+            avg_deg = max(1, len(pdf) // max(1, len(set(pdf["cur"]))))
+            draws = _local_draws(pdf, walk_length, walks_per_node, starts, max_walks)
+            if draws * avg_deg <= _LOCAL_DRAW_BUDGET:
+                return _node2vec_walks_local(
+                    df.sparkSession, pdf, walk_length, walks_per_node, seed,
+                    starts, max_walks, a_ret, a_stay, a_expl,
+                )
+
     adj = truncate_lineage(edges)
     # Edge-existence probe table for the prev -> x test.
     exist = adj.select(F.col("cur").alias("pe"), F.col("nbr").alias("xe"))

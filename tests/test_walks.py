@@ -294,3 +294,90 @@ def test_skipgram_duckdb_parity(spark):
     want = sorted(duckdb.sql(skipgram_pairs_sql(
         f"SELECT * FROM (VALUES {vals}) t(walk_id, step, node)", 2)).fetchall())
     assert got == want
+
+
+# --- guarded local tier (round 9): bit-identical to the distributed loop ---
+
+
+def _rand_graph(spark, n_edges=400, n_nodes=60, weighted=False):
+    from pyspark.sql import functions as F
+
+    e = spark.range(n_edges).select(
+        F.concat(F.lit("v"), F.pmod(F.xxhash64("id"), F.lit(n_nodes))).alias("from"),
+        F.concat(F.lit("v"), F.pmod(F.xxhash64("id", F.lit(3)), F.lit(n_nodes))).alias("to"),
+    )
+    if weighted:
+        e = e.withColumn(
+            "weight", (F.pmod(F.xxhash64("from", "to"), F.lit(50)) + 1) / 10.0
+        )
+    return e
+
+
+def test_uniform_local_tier_matches_distributed(spark):
+    e = _rand_graph(spark)
+    local = rows(random_walks(e, walk_length=4, walks_per_node=2, seed=5))
+    dist = rows(
+        random_walks(e, walk_length=4, walks_per_node=2, seed=5, max_local_edges=0)
+    )
+    assert local == dist and len(local) > 100
+
+
+def test_weighted_local_tier_matches_distributed(spark):
+    from polars_grouper_spark.operators.walks import weighted_random_walks
+
+    e = _rand_graph(spark, weighted=True)
+    local = rows(weighted_random_walks(e, walk_length=4, walks_per_node=2, seed=9))
+    dist = rows(
+        weighted_random_walks(
+            e, walk_length=4, walks_per_node=2, seed=9, max_local_edges=0
+        )
+    )
+    assert local == dist and len(local) > 100
+
+
+def test_node2vec_local_tier_matches_distributed(spark):
+    from polars_grouper_spark.operators.walks import node2vec_walks
+
+    e = _rand_graph(spark)
+    local = rows(node2vec_walks(e, p=0.5, q=2.0, walk_length=3, seed=2))
+    dist = rows(
+        node2vec_walks(e, p=0.5, q=2.0, walk_length=3, seed=2, max_local_edges=0)
+    )
+    assert local == dist and len(local) > 50
+
+
+def test_local_tier_respects_starts_and_max_walks(spark):
+    e = _rand_graph(spark)
+    kw = dict(walk_length=3, seed=7, starts=["v1", "v2", "v999"], max_walks=2)
+    local = rows(random_walks(e, **kw))
+    dist = rows(random_walks(e, **kw, max_local_edges=0))
+    assert local == dist
+    assert {r[0].split("#")[0] for r in local} <= {"v1", "v2"}
+
+
+def test_local_tier_declines_dataframe_starts(spark):
+    # DataFrame starts -> the tier must decline (no collect of the start
+    # set); output still correct via the distributed path.
+    e = _rand_graph(spark)
+    starts = spark.createDataFrame([("v1",), ("v2",)], ["node"])
+    got = rows(random_walks(e, walk_length=2, seed=1, starts=starts))
+    want = rows(random_walks(e, walk_length=2, seed=1, starts=["v1", "v2"]))
+    assert got == want
+
+
+def test_walks_conf_zero_never_probes(spark, monkeypatch):
+    # session kill switch: the probe/collect helper must never run
+    # (the distributed build's own eager adj checkpoint still does)
+    from polars_grouper_spark.operators import walks as walks_mod
+    from polars_grouper_spark.plans.tiering import MAX_LOCAL_EDGES_CONF
+
+    def boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("tier probe ran with the conf set to 0")
+
+    monkeypatch.setattr(walks_mod, "_collect_for_local", boom)
+    e = _rand_graph(spark)
+    spark.conf.set(MAX_LOCAL_EDGES_CONF, "0")
+    try:
+        assert random_walks(e, walk_length=2, seed=1).count() > 0
+    finally:
+        spark.conf.unset(MAX_LOCAL_EDGES_CONF)
