@@ -1219,6 +1219,55 @@ FROM ranked WHERE rank <= {_TOPK_K}
 """
 
 
+def q_hard_negatives_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (``similarity.hard_negatives``): per anchor,
+    the top-5 highest-cosine embeddings with a DIFFERENT label — the
+    contrastive-training pair miner.  Bounded anchor broadcast + exact
+    cosine, label inequality pushed into the scan side."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.where(F.col("vec_id") < _TOPK_QUERIES)
+    out = sim.hard_negatives(emb, q, k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
+_HARD_NEGATIVES_SQL = f"""
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+qx AS (SELECT * FROM ex WHERE vec_id < {_TOPK_QUERIES}),
+dots AS (
+  SELECT qx.vec_id AS query_id, ex.vec_id AS neighbor_id, sum(qx.x * ex.x) AS dot
+  FROM qx JOIN ex ON qx.i = ex.i
+  GROUP BY qx.vec_id, ex.vec_id
+),
+lbl AS (SELECT vec_id, label FROM embeddings WHERE label IS NOT NULL),
+scored AS (
+  SELECT d.query_id, d.neighbor_id, d.dot / (nq.nrm * nc.nrm) AS cosine
+  FROM dots d
+  JOIN lbl lq ON lq.vec_id = d.query_id
+  JOIN lbl lc ON lc.vec_id = d.neighbor_id AND lc.label <> lq.label
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank::BIGINT AS rank, round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
+
 _LSH_PLANES = 6
 _EMB_DIM = 64
 
@@ -1488,6 +1537,28 @@ JOIN norms na ON na.vec_id = d.id_a
 JOIN norms nb ON nb.vec_id = d.id_b
 WHERE d.dot / (na.nrm * nb.nrm) >= {_NEAR_DUP_COS}
 """
+
+
+def q_dsir_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (``sampling.dsir_weights``): every doc
+    scored by hashed-n-gram likelihood ratio against the English slice
+    as the target distribution — the data-selection step before
+    resampling a raw crawl toward a target domain.  Exact integer sums
+    of micro-quantized per-bucket log-ratios (engine-portable)."""
+    from polars_grouper_spark.functions.sampling import dsir_weights
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = dsir_weights(docs, F.col("lang") == "en", n_buckets=2048)
+    return out.select(
+        "doc_id", "n_feats", F.round("dsir_logw", 6).alias("dsir_logw")
+    )
+
+
+def _dsir_weights_docs_sql() -> str:
+    from polars_grouper_spark.functions.sampling import dsir_weights_sql
+
+    sql = dsir_weights_sql("documents", "lang = 'en'", n_buckets=2048)
+    return f"SELECT doc_id, n_feats, round(dsir_logw, 6) AS dsir_logw FROM ({sql})"
 
 
 def q_semdedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11279,6 +11350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "dedup_embedding": q_dedup_embedding,
         "semdedup_docs": q_semdedup_docs,
+        "dsir_weights_docs": q_dsir_weights_docs,
+        "hard_negatives_emb": q_hard_negatives_emb,
         "ivf_topk": q_ivf_topk,
         "tpch_q1": q_tpch_q1,
         "revenue_by_segment": q_revenue_by_segment,
@@ -11366,6 +11439,8 @@ def oracle_sql() -> dict[str, str]:
         "lsh_topk": _lsh_topk_sql(),
         "dedup_embedding": _dedup_embedding_sql(),
         "semdedup_docs": _semdedup_docs_sql(),
+        "dsir_weights_docs": _dsir_weights_docs_sql(),
+        "hard_negatives_emb": _HARD_NEGATIVES_SQL,
         "ivf_topk": _ivf_topk_sql(),
         "tpch_q1": _TPCH_Q1_SQL,
         "revenue_by_segment": _REVENUE_BY_SEGMENT_SQL,

@@ -644,3 +644,160 @@ SELECT r.g AS {group_expr},
        CAST(coalesce(k.kept_w, 0) AS BIGINT) AS kept_w
 FROM rated r LEFT JOIN kept k USING (g)
 """
+
+
+def dsir_weights(
+    df: DataFrame,
+    target,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    bigrams: bool = True,
+    salt: str = "dsir",
+    *,
+    portable: bool = True,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169) ->
+    one row per doc ``(id_col, n_feats, dsir_logw)``.
+
+    Data Selection via Importance Resampling: score every raw doc by
+    how much more likely its hashed n-gram features are under the
+    TARGET distribution than under the RAW distribution —
+    ``log w(doc) = Σ_b c_b(doc) · ln(p̂_target[b] / p̂_raw[b])`` with
+    add-1 smoothing over ``n_buckets`` hashed buckets.  ``target`` is a
+    boolean Column marking the in-table target slice (e.g.
+    ``F.col("lang") == "en"``); raw is the whole frame.  Selection
+    (top-k / threshold) composes downstream — the weights are the
+    operator.
+
+    Engine-portable float discipline: the per-bucket log-ratio
+    micro-quantizes once (``round(ln(...) · 1e8) :: long``) and doc
+    scores are EXACT integer sums of ``count × quantized-ratio`` — no
+    float summation order anywhere (the repo's mi/entropy convention).
+    Features are lowercased whitespace unigrams (+ bigrams) hashed by
+    the salted portable hash mod ``n_buckets``.
+
+    Scale: one explode → two map-side-combinable aggregations; the
+    per-bucket ratio table is ≤ ``n_buckets`` rows and broadcast back;
+    the only O(corpus) shuffles are the (doc, bucket) count and the
+    final per-doc sum.  Totals are two bounded-scalar driver reads.
+    """
+    idc = F.col(id_col)
+    arr = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    if bigrams:
+        bi = F.when(
+            F.size(arr) >= 2,
+            F.zip_with(
+                F.slice(arr, 1, F.size(arr) - 1),
+                F.slice(arr, 2, F.size(arr) - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        feats_arr = F.concat(arr, bi)
+    else:
+        feats_arr = arr
+    h = portable_hash64(
+        F.concat(F.lit(salt + "|"), F.col("ft")), portable=portable
+    )
+    base = (
+        df.select(idc.alias("id"), target.alias("is_t"), feats_arr.alias("fa"))
+        .select("id", "is_t", F.explode("fa").alias("ft"))
+        .select("id", "is_t", F.pmod(h, F.lit(n_buckets)).alias("b"))
+    )
+    counts = base.groupBy("id", "b").agg(F.count(F.lit(1)).alias("c"))
+    bt = base.groupBy("b").agg(
+        F.count(F.lit(1)).alias("r_c"),
+        F.sum(F.col("is_t").cast("long")).alias("t_c"),
+    )
+    tot = bt.agg(F.sum("r_c").alias("r"), F.sum("t_c").alias("t")).first()
+    r_tot, t_tot = int(tot["r"] or 0), int(tot["t"] or 0)
+    lr = bt.select(
+        "b",
+        F.round(
+            F.log(
+                ((F.col("t_c") + 1.0) / float(t_tot + n_buckets))
+                / ((F.col("r_c") + 1.0) / float(r_tot + n_buckets))
+            )
+            * 1e8
+        )
+        .cast("long")
+        .alias("lr_q"),
+    )
+    scores = (
+        counts.join(F.broadcast(lr), "b")
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n_feats"),
+            F.sum(F.col("c") * F.col("lr_q")).alias("q"),
+        )
+    )
+    return (
+        df.select(idc.alias("id"))
+        .join(scores, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+            (F.coalesce("q", F.lit(0)) / 1e8).alias("dsir_logw"),
+        )
+    )
+
+
+def dsir_weights_sql(
+    table: str,
+    target_pred: str,
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    n_buckets: int = 4096,
+    bigrams: bool = True,
+    salt: str = "dsir",
+) -> str:
+    """DuckDB oracle replaying :func:`dsir_weights` exactly (same hash,
+    same quantized log-ratios, same integer sums)."""
+    hash_b = portable_hash64_sql(f"'{salt}' || '|' || ft")
+    bi_sql = f"""
+  UNION ALL
+  SELECT id, is_t, ts[i] || ' ' || ts[i + 1] AS ft
+  FROM toks, unnest(range(1, len(ts))) AS r(i)
+  WHERE len(ts) >= 2""" if bigrams else ""
+    return f"""
+WITH d AS (
+  SELECT {id_expr} AS id, {text_expr} AS text, ({target_pred}) AS is_t
+  FROM {table}
+),
+toks AS (
+  SELECT id, is_t,
+         CASE WHEN text IS NULL OR trim(text) = '' THEN []
+              ELSE list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                  x -> lower(x))
+         END AS ts
+  FROM d
+),
+feats AS (
+  SELECT id, is_t, t AS ft FROM toks, unnest(ts) AS u(t){bi_sql}
+),
+fb AS (SELECT id, is_t, ({hash_b}) % {n_buckets} AS b FROM feats),
+counts AS (SELECT id, b, count(*)::BIGINT AS c FROM fb GROUP BY 1, 2),
+bt AS (
+  SELECT b, count(*)::BIGINT AS r_c,
+         sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS t_c
+  FROM fb GROUP BY b
+),
+tot AS (SELECT sum(r_c) AS r_tot, sum(t_c) AS t_tot FROM bt),
+lr AS (
+  SELECT b,
+         CAST(round(ln(((t_c + 1.0) / (t.t_tot + {n_buckets}))
+                     / ((r_c + 1.0) / (t.r_tot + {n_buckets}))) * 1e8)
+              AS BIGINT) AS lr_q
+  FROM bt, tot t
+),
+sc AS (
+  SELECT c.id, sum(c.c)::BIGINT AS n_feats, sum(c.c * lr.lr_q) AS q
+  FROM counts c JOIN lr USING (b) GROUP BY 1
+)
+SELECT d.id AS {id_expr}, coalesce(sc.n_feats, 0) AS n_feats,
+       coalesce(sc.q, 0) / 1e8 AS dsir_logw
+FROM d LEFT JOIN sc ON sc.id = d.id
+"""

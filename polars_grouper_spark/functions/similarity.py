@@ -80,6 +80,55 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training ->
+    ``(query_id, neighbor_id, cosine, rank)``: per anchor, the top-k
+    HIGHEST-cosine vectors whose label differs — the negatives closest
+    to the decision boundary, the standard pair-mining step for
+    embedding/retrieval training.
+
+    Same shape as :func:`cosine_topk` (bounded broadcast anchor set,
+    corpus streams, exact cosine, ties by neighbor id) plus the label
+    inequality pushed into the scan side.  At corpus scale the anchors
+    come in bounded slices and the candidate set swaps to IVF/LSH
+    probes exactly like :func:`knn_label_check` — the mismatch filter
+    composes with any candidate generator.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
+        F.col(label_col).alias("q_label"),
+    )
+    c = corpus.where(F.col(label_col).isNotNull()).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+        F.col(label_col).alias("c_label"),
+    )
+    joined = c.crossJoin(F.broadcast(q)).where(
+        F.col("q_label") != F.col("c_label")
+    )
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
 def _deterministic_planes(n_planes: int, dim: int, seed: str = "lsh") -> list[list[float]]:
     """Pseudo-random unit-free hyperplanes derived from md5 — reproducible
     across engines and runs, no RNG state."""
@@ -298,9 +347,18 @@ def semdedup(
     Scale: candidate pairs are same-cell only, so the pairwise cost is
     Σ|cell|² — grow ``n_cells`` ∝ N (the paper's regime: cell size
     stays ~constant, total cost ~linear in N, and each cell's pair
-    block is an equality-partitioned self-join, never a global product).
-    ``assign="arrow"`` routes cell assignment through the numpy batch
-    kernel for production corpora.
+    block never becomes a global product).
+
+    **Use ``assign="arrow"`` for production corpora**: cell assignment
+    runs through the numpy batch kernel AND the within-cell pass swaps
+    the pair self-join (which re-ships both vectors per candidate pair)
+    for ONE shuffle by cell + a per-cell blocked GEMM
+    (``applyInPandas``: |cell| × dim floats in memory per group — the
+    quantity ``n_cells`` sizing bounds by construction; the paper's
+    per-cluster pairwise structure).  The default expression path stays
+    bit-compatible with the DuckDB oracle; the GEMM's float summation
+    order differs in the last bits, so exact-boundary threshold ties
+    can differ (same caveat as ``ivf_topk``'s arrow path).
     """
     assignments, _ = ivf_build(df, id_col, vec_col, n_cells, assign=assign)
     base = df.select(
@@ -308,6 +366,8 @@ def semdedup(
         F.col(vec_col).alias("v"),
         _norm(F.col(vec_col)).alias("nrm"),
     ).join(assignments, "id")
+    if assign == "arrow":
+        return _semdedup_cells_arrow(base, threshold)
     a = base.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"),
         F.col("nrm").alias("na"), "cell",
@@ -336,6 +396,51 @@ def semdedup(
             F.col("max_dup_cos").isNull().alias("keep"),
             "max_dup_cos",
         )
+    )
+
+
+def _semdedup_cells_arrow(base: DataFrame, threshold: float) -> DataFrame:
+    """Per-cell blocked-GEMM semdedup pass.  Input columns
+    ``(id, v, nrm, cell)``; output ``(id, cell, keep, max_dup_cos)``.
+
+    One ``applyInPandas`` group per cell: vectors are id-sorted,
+    row-normalized, and each doc's best cosine against LOWER-id cell
+    mates comes from ``Vn @ Vn.T`` computed in column blocks (block
+    width 1024 keeps the scratch at |cell| × 1024 doubles no matter how
+    big the cell grows; the |cell| × dim matrix itself is the bounded
+    per-group state).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def per_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        n = len(pdf)
+        best = np.full(n, -np.inf)
+        if n > 1:
+            V = np.asarray(list(pdf["v"]), dtype=np.float64)
+            Vn = V / pdf["nrm"].to_numpy(dtype="float64")[:, None]
+            B = 1024
+            for j0 in range(1, n, B):
+                j1 = min(j0 + B, n)
+                G = Vn[:j1] @ Vn[j0:j1].T
+                mask = np.arange(j1)[:, None] < np.arange(j0, j1)[None, :]
+                best[j0:j1] = np.where(mask, G, -np.inf).max(axis=0)
+        dup = best >= threshold
+        md = pd.array(np.where(dup, best, 0.0), dtype="Float64")
+        md[~dup] = pd.NA
+        return pd.DataFrame(
+            {
+                "id": pdf["id"],
+                "cell": pdf["cell"],
+                "keep": ~dup,
+                "max_dup_cos": md,
+            }
+        )
+
+    id_t = dict(base.dtypes)["id"]
+    return base.groupBy("cell").applyInPandas(
+        per_cell, f"id {id_t}, cell int, keep boolean, max_dup_cos double"
     )
 
 

@@ -271,3 +271,66 @@ def test_mixture_waterfill_plan_and_realization(spark):
         mixture_waterfill(df, {}, "grp", "w", "doc_id")
     with _pytest.raises(ValueError):
         mixture_waterfill(df, {"A": -1.0, "B": 1.0}, "grp", "w", "doc_id")
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    from pyspark.sql import functions as F
+
+    from polars_grouper_spark.functions.sampling import dsir_weights
+
+    rows = [
+        (1, "the cat sat on the mat", "en"),
+        (2, "the dog sat on the rug", "en"),
+        (3, "le chat est sur le tapis", "fr"),
+        (4, "le chien est sur le lit", "fr"),
+        (5, "the cat sat on the rug", "fr"),  # en-like text, raw-only slice
+        (6, "", "en"),                        # zero tokens
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {
+        r["doc_id"]: r
+        for r in dsir_weights(df, F.col("lang") == "en", n_buckets=256).collect()
+    }
+    assert len(out) == 6
+    # en-like docs outscore fr-like docs against the en target
+    assert out[5]["dsir_logw"] > out[3]["dsir_logw"]
+    assert out[1]["dsir_logw"] > out[4]["dsir_logw"]
+    # zero-token doc: no features, weight exactly 0
+    assert out[6]["n_feats"] == 0 and out[6]["dsir_logw"] == 0.0
+    # unigrams + bigrams: 6 tokens -> 11 feature instances
+    assert out[1]["n_feats"] == 11
+
+
+def test_dsir_weights_duckdb_parity(spark):
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from polars_grouper_spark.functions.sampling import (
+        dsir_weights,
+        dsir_weights_sql,
+    )
+
+    rows = [
+        (1, "alpha beta gamma", "en"),
+        (2, "beta gamma delta alpha", "en"),
+        (3, "uno dos tres cuatro", "es"),
+        (4, "alpha dos beta tres", "es"),
+        (5, None, "en"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = sorted(
+        (r["doc_id"], r["n_feats"], round(r["dsir_logw"], 9))
+        for r in dsir_weights(df, F.col("lang") == "en", n_buckets=64).collect()
+    )
+    vals = ",".join(
+        f"({i}, {('NULL' if t is None else repr(t))}, '{lg}')" for i, t, lg in rows
+    )
+    sql = dsir_weights_sql(
+        f"(SELECT * FROM (VALUES {vals}) t(doc_id, text, lang))",
+        "lang = 'en'",
+        n_buckets=64,
+    )
+    want = sorted(
+        (r[0], r[1], round(r[2], 9)) for r in duckdb.sql(sql).fetchall()
+    )
+    assert got == want

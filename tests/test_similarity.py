@@ -302,3 +302,49 @@ def test_semdedup_candidates_are_same_cell_only(spark):
     for members in by_cell.values():
         kept = {r["id"] for r in members if r["keep"]}
         assert kept == {min(r["id"] for r in members)}
+
+
+def test_semdedup_arrow_path_matches_expr_real_embeddings(spark):
+    # Production per-cell GEMM path vs the oracle-parity expression path
+    # on the real embeddings table: same cells, same keep set, same dup
+    # cosines (up to float summation order).
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    expr = {r["id"]: r for r in sim.semdedup(emb, threshold=0.4, n_cells=16).collect()}
+    arrow = {
+        r["id"]: r
+        for r in sim.semdedup(emb, threshold=0.4, n_cells=16, assign="arrow").collect()
+    }
+    assert set(expr) == set(arrow) and len(expr) == 500
+    for i, er in expr.items():
+        ar = arrow[i]
+        assert (er["cell"], er["keep"]) == (ar["cell"], ar["keep"]), i
+        if er["max_dup_cos"] is None:
+            assert ar["max_dup_cos"] is None, i
+        else:
+            assert math.isclose(er["max_dup_cos"], ar["max_dup_cos"], rel_tol=1e-9), i
+    assert any(not r["keep"] for r in expr.values())  # the threshold bites
+
+
+def test_hard_negatives_exclude_same_label(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 1),
+        (1, [0.99, 0.1, 0.0], 1),   # closest overall but SAME label
+        (2, [0.9, 0.2, 0.0], 2),    # closest cross-label
+        (3, [0.0, 1.0, 0.0], 2),
+        (4, [0.5, 0.5, 0.0], None),  # unlabeled never mined
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = sim.hard_negatives(df, df.where("vec_id = 0"), k=2).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in out] == [2, 3]
+    assert all(r["query_id"] == 0 for r in out)
+    assert out[0]["cosine"] > out[1]["cosine"]
+
+
+def test_hard_negatives_unlabeled_anchor_yields_nothing(spark):
+    rows = [
+        (0, [1.0, 0.0], None),
+        (1, [0.9, 0.1], 1),
+        (2, [0.1, 0.9], 2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    assert sim.hard_negatives(df, df.where("vec_id = 0"), k=2).count() == 0
