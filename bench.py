@@ -323,9 +323,14 @@ def _warmup_streaming(spark, sf_dir: str) -> None:
             yield pd.DataFrame({"k": [key[0]], "n": [n]})
 
         sink = f"_warm_sstate_{uuid.uuid4().hex[:8]}"
+        # The file stream source needs a DIRECTORY (a bare file path dies
+        # with "Option 'basePath' must be a directory" and the warmup
+        # silently no-ops) — stream the sf dir filtered to one table,
+        # the registry's stream_* source pattern.
         q = (
             spark.readStream.schema(schema)
-            .parquet(region)
+            .option("pathGlobFilter", "region.parquet")
+            .parquet(sf_dir)
             .groupBy("r_regionkey")
             .applyInPandasWithState(
                 touch,
