@@ -6557,6 +6557,41 @@ def _bpe_merges_sql() -> str:
     return bpe_train_sql("SELECT text FROM documents", "text", n_merges=8)
 
 
+def q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-encode BPE over the corpus (``bpe.bpe_train`` +
+    ``bpe.bpe_apply``): the 8-merge tokenizer learned by
+    ``bpe_merges`` applied to every document — the actual tokenization
+    pass of the pipeline — reduced to the top-30 tokens by corpus
+    frequency.  The encode is a chained anchored ``replace`` projection
+    per word (row-local, scan-speed, no UDF); the oracle replays the
+    train CTE chain and reads the counts off its final vocabulary state
+    (identical by words-encode-independently)."""
+    from polars_grouper_spark.functions.bpe import SENTINEL, bpe_apply, bpe_train
+
+    docs = load_table(spark, "documents", sf_dir)
+    merges = sorted(
+        bpe_train(docs, "text", n_merges=8).collect(),
+        key=lambda r: r["merge_idx"],
+    )
+    enc = bpe_apply(docs, merges)
+    counts = (
+        enc.select(F.explode("bpe_tokens").alias("tok"))
+        .groupBy(F.regexp_replace("tok", SENTINEL, "").alias("token"))
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    w = Window.orderBy(F.col("n_occ").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 30)
+    )
+
+
+def _bpe_encode_docs_sql() -> str:
+    from polars_grouper_spark.functions.bpe import bpe_encode_sql
+
+    return bpe_encode_sql("SELECT text FROM documents", "text", n_merges=8, k=30)
+
+
 def q_prefix_route_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Longest-prefix join (``operators.prefix_join``): every document's
     ``lang/source`` path matched to the MOST SPECIFIC rule of a routing
@@ -11352,6 +11387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_docs": q_semdedup_docs,
         "dsir_weights_docs": q_dsir_weights_docs,
         "hard_negatives_emb": q_hard_negatives_emb,
+        "bpe_encode_docs": q_bpe_encode_docs,
         "ivf_topk": q_ivf_topk,
         "tpch_q1": q_tpch_q1,
         "revenue_by_segment": q_revenue_by_segment,
@@ -11441,6 +11477,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup_docs": _semdedup_docs_sql(),
         "dsir_weights_docs": _dsir_weights_docs_sql(),
         "hard_negatives_emb": _HARD_NEGATIVES_SQL,
+        "bpe_encode_docs": _bpe_encode_docs_sql(),
         "ivf_topk": _ivf_topk_sql(),
         "tpch_q1": _TPCH_Q1_SQL,
         "revenue_by_segment": _REVENUE_BY_SEGMENT_SQL,

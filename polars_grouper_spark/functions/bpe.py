@@ -217,3 +217,37 @@ w{i + 1} AS (
         for i in range(n_merges)
     ]
     return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def bpe_encode_sql(
+    src_sql: str,
+    text_expr: str = "text",
+    n_merges: int = 8,
+    k: int = 30,
+) -> str:
+    """DuckDB oracle for train-then-:func:`bpe_apply` corpus token
+    counts: the :func:`bpe_train_sql` CTE chain's FINAL vocabulary
+    (``w{n_merges}``) already holds every word's fully-merged symbol
+    string with its corpus count, and words encode independently — so
+    corpus-wide token counts are the vocab's symbols weighted by word
+    count, no re-encode pass.  Emits the top-``k`` tokens by
+    ``(n_occ desc, token asc)`` with sentinels stripped (each token is
+    ``·`` + raw chars, so the strip is a bijection)."""
+    # keep only bpe_train_sql's WITH chain: cut the trailing merge-row UNION
+    train = bpe_train_sql(src_sql, text_expr, n_merges)
+    prefix = train.split("\nSELECT 1 AS merge_idx")[0]
+    return f"""{prefix}
+, toks AS (
+  SELECT unnest(list_filter(string_split(s, ' '), x -> x <> '')) AS tok, n
+  FROM w{n_merges}
+),
+tc AS (
+  SELECT replace(tok, '{SENTINEL}', '') AS token, sum(n)::BIGINT AS n_occ
+  FROM toks GROUP BY 1
+)
+SELECT token, n_occ, rank FROM (
+  SELECT token, n_occ,
+         row_number() OVER (ORDER BY n_occ DESC, token ASC)::BIGINT AS rank
+  FROM tc
+) WHERE rank <= {k}
+"""

@@ -96,3 +96,37 @@ def test_bpe_train_deterministic_under_repartition(spark):
         for r in bpe_train(df.repartition(7), "text", n_merges=6).collect()
     ]
     assert a == b
+
+
+def test_bpe_encode_sql_matches_corpus_apply(spark):
+    """The oracle's vocab-state shortcut equals a real bpe_apply pass
+    over the corpus (words encode independently)."""
+    import duckdb
+
+    from polars_grouper_spark.functions.bpe import (
+        SENTINEL,
+        bpe_apply,
+        bpe_encode_sql,
+        bpe_train,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(1, "low low lower lowest"), (2, "new newer newest low")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges = sorted(
+        bpe_train(df, "text", n_merges=4).collect(), key=lambda r: r["merge_idx"]
+    )
+    got = sorted(
+        (r["token"], r["n_occ"])
+        for r in bpe_apply(df, merges)
+        .select(F.explode("bpe_tokens").alias("tok"))
+        .groupBy(F.regexp_replace("tok", SENTINEL, "").alias("token"))
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .collect()
+    )
+    vals = ",".join(f"({i}, '{t}')" for i, t in rows)
+    sql = bpe_encode_sql(
+        f"SELECT * FROM (VALUES {vals}) t(doc_id, text)", n_merges=4, k=1000
+    )
+    want = sorted((r[0], r[1]) for r in duckdb.sql(sql).fetchall())
+    assert got == want and len(got) > 3
