@@ -110,13 +110,7 @@ def bpe_train(
                 F.lit(f"{merged} "),
             ).alias("s"),
             "n",
-        )
-        # A replace is one shallow projection — chaining a handful costs
-        # nothing, while an eager checkpoint is a whole extra job per
-        # round (measured: ~half the train wall at 8 merges).  Cut
-        # lineage only every 8 rounds so long trainings stay bounded.
-        if (i + 1) % 8 == 0 and (i + 1) < n_merges:
-            vocab = vocab.localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True)
     return spark.createDataFrame(
         merges,
         "merge_idx int, lhs string, rhs string, merged string, pair_count long",
