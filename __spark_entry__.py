@@ -6562,23 +6562,23 @@ def q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``bpe.bpe_apply``): the 8-merge tokenizer learned by
     ``bpe_merges`` applied to every document — the actual tokenization
     pass of the pipeline — reduced to the top-30 tokens by corpus
-    frequency.  The encode is a chained anchored ``replace`` projection
-    per word (row-local, scan-speed, no UDF); the oracle replays the
-    train CTE chain and reads the counts off its final vocabulary state
-    (identical by words-encode-independently)."""
-    from polars_grouper_spark.functions.bpe import SENTINEL, bpe_apply, bpe_train
+    frequency.  The oracle replays the train CTE chain and reads the
+    counts off its final vocabulary state (identical by
+    words-encode-independently).
+
+    r9-opt: the Spark side now exploits the SAME identity as the oracle
+    (``bpe.bpe_token_counts``): corpus token counts are the trained
+    final vocabulary's symbols weighted by word count, so the corpus is
+    scanned exactly once (to build the vocab) instead of twice (train +
+    per-document re-encode through a per-character regex projection) —
+    guide §1.2 "don't compute things you throw away"; the per-doc token
+    arrays were built only to be exploded and counted.  ``bpe_apply``
+    remains the per-document encode API for consumers that need the
+    tokens themselves."""
+    from polars_grouper_spark.functions.bpe import bpe_token_counts
 
     docs = load_table(spark, "documents", sf_dir)
-    merges = sorted(
-        bpe_train(docs, "text", n_merges=8).collect(),
-        key=lambda r: r["merge_idx"],
-    )
-    enc = bpe_apply(docs, merges)
-    counts = (
-        enc.select(F.explode("bpe_tokens").alias("tok"))
-        .groupBy(F.regexp_replace("tok", SENTINEL, "").alias("token"))
-        .agg(F.count(F.lit(1)).alias("n_occ"))
-    )
+    counts = bpe_token_counts(docs, "text", n_merges=8)
     w = Window.orderBy(F.col("n_occ").desc(), F.col("token").asc())
     return (
         counts.withColumn("rank", F.row_number().over(w).cast("long"))

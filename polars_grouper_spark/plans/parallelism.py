@@ -1,0 +1,67 @@
+"""Scale-adaptive fan-out for compute-dense stages (guide §2).
+
+Two small-data regimes leave heavy per-row compute (md5 shingle hashing,
+per-character regex tokenization, candidate explosion) running on a
+handful of cores:
+
+1. **Scan stages**: a parquet scan's parallelism is bounded by its row
+   groups.  A small table written as one file with one row group is ONE
+   task no matter how the splits are configured — and Spark pipelines
+   every narrow operation before the first exchange into that task, so
+   tokenize→hash→explode chains run single-threaded.
+2. **Post-shuffle stages**: AQE coalesces shuffle reads by BYTES
+   (``coalescePartitions.minPartitionSize``), but a stage whose
+   downstream work multiplies rows (bucket joins, perm explosion) and
+   hashes each one is compute-bound per byte — a 1 MB partition can
+   carry seconds of work.
+
+``fan_out`` fixes both *conditionally*: it repartitions only when the
+frame's current partitioning is below the session's configured
+parallelism.  At cluster scale a 100 TB scan is thousands of splits and
+the call is a no-op (no exchange added) — this is "derive parallelism
+from the input" rather than a constant tuned for either local mode or
+the cluster.
+
+Only apply it where downstream results are ORDER-FREE (aggregations,
+joins, hashes).  Operators whose output depends on first-appearance row
+order (``monotonically_increasing_id`` interning in connected
+components / association rules) must never fan out before the order is
+captured.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def session_parallelism(spark) -> int:
+    """The session's configured compute width: max of the shuffle width
+    and the scheduler's default parallelism (covers both a cluster that
+    sizes ``spark.sql.shuffle.partitions`` in the thousands and a local
+    session whose shuffle width is tuned below the core count)."""
+    try:
+        shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except (TypeError, ValueError):
+        shuffle = 200
+    return max(shuffle, spark.sparkContext.defaultParallelism)
+
+
+def fan_out(df: DataFrame, *cols: str) -> DataFrame:
+    """Redistribute ``df`` to the session's parallelism when its current
+    plan yields fewer partitions; no-op otherwise.
+
+    With ``cols``, hash-partitions on those columns (letting a following
+    groupBy/join on the same keys reuse the exchange); without, round-
+    robin.  Call this only on frames whose current partitioning is known
+    cheaply (scans, checkpointed frames) — ``.rdd.getNumPartitions()``
+    on an un-executed AQE plan with exchanges would finalize stages.
+    """
+    spark = df.sparkSession
+    target = session_parallelism(spark)
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 - defensive: never fail the plan
+        return df
+    if cur >= target:
+        return df
+    return df.repartition(target, *cols) if cols else df.repartition(target)

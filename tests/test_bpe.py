@@ -98,6 +98,46 @@ def test_bpe_train_deterministic_under_repartition(spark):
     assert a == b
 
 
+def test_bpe_train_local_tier_matches_distributed(spark):
+    """r9-opt: the guarded driver-local merge-round tier (default) must be
+    bit-identical to the distributed loop (max_local_vocab=0 forces it),
+    including early stop and tie-breaks."""
+    df = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    local = [tuple(r) for r in bpe_train(df, "text", n_merges=10).collect()]
+    dist = [
+        tuple(r)
+        for r in bpe_train(df, "text", n_merges=10, max_local_vocab=0).collect()
+    ]
+    assert local == dist == _classic_bpe(TEXTS, 10)
+
+
+def test_bpe_token_counts_matches_apply_both_tiers(spark):
+    """bpe_token_counts (vocab-weighted counting, no corpus re-encode)
+    equals explode+count over a real bpe_apply pass, on both tiers."""
+    from polars_grouper_spark.functions.bpe import bpe_token_counts
+
+    df = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    merges = sorted(
+        bpe_train(df, "text", n_merges=6).collect(), key=lambda r: r["merge_idx"]
+    )
+    want = sorted(
+        (r["token"], r["n_occ"])
+        for r in bpe_apply(df, [tuple(r) for r in merges])
+        .select(F.explode("bpe_tokens").alias("tok"))
+        .groupBy(F.regexp_replace("tok", SENTINEL, "").alias("token"))
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .collect()
+    )
+    for guard in (None, 0):  # local tier, then forced-distributed
+        got = sorted(
+            (r["token"], r["n_occ"])
+            for r in bpe_token_counts(
+                df, "text", n_merges=6, max_local_vocab=guard
+            ).collect()
+        )
+        assert got == want and len(got) > 3
+
+
 def test_bpe_encode_sql_matches_corpus_apply(spark):
     """The oracle's vocab-state shortcut equals a real bpe_apply pass
     over the corpus (words encode independently)."""
