@@ -47,10 +47,21 @@ _MERGES_SCHEMA = "merge_idx int, lhs string, rhs string, merged string, pair_cou
 
 def _word_symbols(df: DataFrame, text_col: str) -> DataFrame:
     """One corpus scan -> vocabulary ``(s string, n long)`` where ``s``
-    is the sentinel-prefixed space-terminated symbol string."""
-    words = df.select(
-        F.explode(tokens(F.col(text_col))).alias("w")
-    ).where(~F.col("w").contains(SENTINEL))
+    is the sentinel-prefixed space-terminated symbol string.
+
+    r9-opt (guide §2.3 "aggregate before you shuffle"): words are
+    counted FIRST and the per-character symbol split (a regex match per
+    character — the heavy expression) runs once per DISTINCT word
+    instead of once per occurrence.  The symbol string is an injective
+    function of the word, so grouping by word then mapping is identical
+    to grouping by the mapped symbol (measured at sf0.1: 270k
+    occurrence-level regex evaluations -> 31 vocab-level ones)."""
+    words = df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+    counts = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(~F.col("w").contains(SENTINEL))
+    )
     sym = F.concat(
         F.array_join(
             F.transform(
@@ -61,7 +72,7 @@ def _word_symbols(df: DataFrame, text_col: str) -> DataFrame:
         ),
         F.lit(" "),
     )
-    return words.groupBy(sym.alias("s")).agg(F.count(F.lit(1)).alias("n"))
+    return counts.select(sym.alias("s"), "n")
 
 
 def _train_local(rows: "list[tuple[str, int]]", n_merges: int):
@@ -115,7 +126,12 @@ def _train(
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     vocab = _word_symbols(df, text_col)
-    # The vocab feeds every round; materialize it once (vocab-sized).
+    # The vocab feeds every round (or the local collect); materialize it
+    # once (vocab-sized).  A probe-by-limit collect was tried instead of
+    # the count job and measured ~3x SLOWER: CollectLimit over a large
+    # limit executes partitions incrementally through the driver and
+    # re-runs the aggregation, while checkpoint+count+toPandas are three
+    # cheap jobs over materialized blocks.
     vocab = vocab.localCheckpoint(eager=True)
     guard = resolve_max_local_edges(df.sparkSession, max_local_vocab)
     if guard and vocab.count() <= guard:
@@ -177,7 +193,15 @@ def bpe_train(
     (``None`` defers to the session conf; 0 forces the distributed
     loop); either tier returns bit-identical merges."""
     merges, _ = _train(df, text_col, n_merges, max_local_vocab)
-    return df.sparkSession.createDataFrame(merges, _MERGES_SCHEMA)
+    # n_merges rows: parallelize into ONE slice up front — the default
+    # slices the handful of rows defaultParallelism ways, and a
+    # coalesce(1) would serialize one Python-worker round-trip PER
+    # empty parent slice inside a single task (measured: 5 s for 8
+    # rows at 32 slices).
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(merges, 1), _MERGES_SCHEMA
+    )
 
 
 def bpe_token_counts(
@@ -208,7 +232,8 @@ def bpe_token_counts(
                     t = tok.replace(SENTINEL, "")
                     counts[t] = counts.get(t, 0) + n
         return spark.createDataFrame(
-            sorted(counts.items()), "token string, n_occ long"
+            spark.sparkContext.parallelize(sorted(counts.items()), 1),
+            "token string, n_occ long",
         )
     return (
         final_vocab.select(

@@ -108,9 +108,18 @@ def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
     Tokenizes ONCE per row into a staged column, then builds + explodes
     the shingle array from the attribute (the shingle expression
     references its input ~n+4 times).
+
+    r9-opt: ``fan_out`` first — the tokenize/shingle/md5 chain is
+    pipelined into the SCAN stage, whose parallelism is bounded by the
+    source's row groups (a small single-file corpus = ONE task for every
+    downstream hash).  The repartition is conditional on the scan being
+    narrower than the session's parallelism, i.e. a no-op at cluster
+    scale; all consumers aggregate or join by key, so row order is free.
     """
-    staged = df.select(
-        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")
+    from polars_grouper_spark.plans.parallelism import fan_out
+
+    staged = fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
+        "id", tokens(F.col(text_col)).alias("_toks")
     )
     return staged.select(
         "id", F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("shingle")

@@ -41,6 +41,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from polars_grouper_spark.plans.parallelism import local_result
+
 
 def _grp(by: "list[str] | None") -> "list[str]":
     return list(by) if by else []
@@ -714,7 +716,7 @@ def rank_biased_overlap(
     )
     spark = df_a.sparkSession
     weights = [(d, p ** (d - 1)) for d in range(1, depth + 1)]
-    depths = spark.createDataFrame(weights, "d int, w double")
+    depths = local_result(spark, weights, "d int, w double")
     terms = (
         depths.join(common, F.col("m") <= F.col("d"), "left")
         .groupBy("d", "w")

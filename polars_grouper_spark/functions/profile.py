@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from polars_grouper_spark.plans.parallelism import local_result
+
 from .hashing import portable_hash64, portable_hash64_sql
 from .sketches import _HASH_BITS, _alpha
 
@@ -95,8 +97,10 @@ def profile_table(
         )
         for c in cols
     ]
-    stats = spark.createDataFrame(
-        stat_rows, "col string, n_rows long, n_nulls long, min_str string, max_str string"
+    stats = local_result(
+        spark,
+        stat_rows,
+        "col string, n_rows long, n_nulls long, min_str string, max_str string",
     )
     return (
         stats.join(dist, "col", "left")

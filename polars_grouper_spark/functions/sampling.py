@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from polars_grouper_spark.plans.parallelism import local_result
+
 from .hashing import portable_hash64, portable_hash64_sql
 
 N_BUCKETS = 10_000
@@ -553,8 +555,8 @@ def mixture_waterfill(
     tot = df.groupBy(group_col).agg(
         F.sum(F.col(weight_col).cast("long")).alias("available_w")
     )
-    share_df = spark.createDataFrame(
-        shares, f"{group_col} string, _share double"
+    share_df = local_result(
+        spark, shares, f"{group_col} string, _share double"
     )
     plan = tot.join(F.broadcast(share_df), group_col)
     cap = plan.select(

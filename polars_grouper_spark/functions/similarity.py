@@ -23,6 +23,8 @@ import hashlib
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from polars_grouper_spark.plans.parallelism import local_result
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -642,6 +644,11 @@ def ivf_build(
     partial aggregation, so it was also the skew-sensitive step.)
     A cell that loses all members keeps its previous centroid.
     """
+    # r9-opt note: a fan_out of ``base`` was tried and REVERTED — each
+    # Lloyd round became repartition + kernel over ~60-row slices, and
+    # the per-task mapInPandas overhead exceeded the parallelism win
+    # (measured +1.1 s/build at sf0.1).  The scoring joins in ivf_topk
+    # are where the fan-out pays (they multiply rows); see below.
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     seed = base.orderBy("id").limit(n_cells).collect()
     cents = [[float(x) for x in r["v"]] for r in seed]
@@ -730,8 +737,18 @@ def ivf_topk(
 
     if assign == "arrow":
         if shared:
+            # r9-opt: this cached frame is BOTH join sides — its
+            # partition count (the scan's, 1 for a small file) bounds
+            # the probe kernel AND the entire scoring join downstream
+            # (measured: one 4.6 s single-task job at sf0.1).
+            from polars_grouper_spark.plans.parallelism import fan_out
+
             both = _probe_cell_arrow(
-                corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+                fan_out(
+                    corpus.select(
+                        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+                    )
+                ),
                 "v",
                 cents,
                 n_probe,
@@ -766,10 +783,14 @@ def ivf_topk(
                     F.explode("probes").alias("cell"),
                 )
             )
+            from polars_grouper_spark.plans.parallelism import fan_out
+
             c = _probe_cell_arrow(
-                corpus.select(
-                    F.col(id_col).alias("neighbor_id"),
-                    F.col(vec_col).alias("cv"),
+                fan_out(
+                    corpus.select(
+                        F.col(id_col).alias("neighbor_id"),
+                        F.col(vec_col).alias("cv"),
+                    )
                 ),
                 "cv",
                 cents,
@@ -814,11 +835,15 @@ def ivf_topk(
         .select("query_id", "qv", "qn", F.col("p.cell").alias("cell"))
     )
 
+    from polars_grouper_spark.plans.parallelism import fan_out
+
     c = _cell_col(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("cv"),
-            _norm(F.col(vec_col)).alias("cn"),
+        fan_out(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("cv"),
+                _norm(F.col(vec_col)).alias("cn"),
+            )
         ),
         "cv",
         cents,
@@ -1000,7 +1025,7 @@ def matryoshka_energy(
         for d in dims
     ]
     row = comps.agg(*aggs)
-    d_df = df.sparkSession.createDataFrame([(int(d),) for d in dims], "d int")
+    d_df = local_result(df.sparkSession, [(int(d),) for d in dims], "d int")
     out = d_df.crossJoin(F.broadcast(row))
     pick = F.coalesce(
         *[F.when(F.col("d") == d, F.col(f"_e{d}")) for d in dims]

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from polars_grouper_spark.plans.parallelism import local_result
+
 from .hashing import portable_hash64
 
 _HASH_BITS = 60
@@ -475,7 +477,7 @@ def hist_quantiles(
         "bucket", F.sum("cnt").over(w).alias("cum"),
         F.sum("cnt").over(Window.partitionBy()).alias("total"),
     )
-    q_tbl = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    q_tbl = local_result(spark, [(float(q),) for q in qs], "q double")
     # target rank = ceil(q * total), at least 1
     joined = q_tbl.crossJoin(cum).where(
         F.col("cum") >= F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("total")))
@@ -904,7 +906,7 @@ def hist_quantiles_by(
         F.sum("cnt").over(w).alias("cum"),
         F.sum("cnt").over(Window.partitionBy("key")).alias("total"),
     )
-    q_tbl = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    q_tbl = local_result(spark, [(float(q),) for q in qs], "q double")
     joined = q_tbl.crossJoin(cum).where(
         F.col("cum") >= F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("total")))
     )

@@ -48,6 +48,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from polars_grouper_spark.plans.parallelism import local_result
+
 from polars_grouper_spark.plans.iteration import fingerprint, truncate_lineage
 from polars_grouper_spark.plans.skew import salted_agg
 
@@ -101,7 +103,7 @@ def _pattern_labels(assoc_edges: DataFrame) -> DataFrame:
     sample = assoc_edges.limit(_PATTERN_DRIVER_MAX_EDGES + 1).collect()
     if len(sample) <= _PATTERN_DRIVER_MAX_EDGES:
         labeled = _pattern_labels_local([(r["a"], r["c"]) for r in sample])
-        return spark.createDataFrame(labeled, schema="iid long, root long")
+        return local_result(spark, labeled, "iid long, root long")
     nodes = assoc_edges.select(F.col("a").alias("iid")).union(
         assoc_edges.select(F.col("c").alias("iid"))
     ).distinct()

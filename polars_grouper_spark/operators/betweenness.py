@@ -55,6 +55,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from polars_grouper_spark.plans.parallelism import local_result
+
 from polars_grouper_spark.plans.iteration import truncate_lineage
 
 
@@ -203,8 +205,10 @@ def betweenness_centrality(
         rng = random.Random(42)
         source_ids = rng.sample(range(n), sample_sources)
         scale = n / float(sample_sources)
-        src_df = spark.createDataFrame(
-            [(s, s % n_chunks) for s in source_ids], schema="source long, chunk long"
+        src_df = local_result(
+            spark,
+            [(s, s % n_chunks) for s in source_ids],
+            "source long, chunk long",
         )
     else:
         scale = 1.0
@@ -307,7 +311,7 @@ def betweenness_centrality_distributed(
         rng = random.Random(42)
         ids = rng.sample(range(n), sample_sources)
         scale = n / float(sample_sources)
-        src = spark.createDataFrame([(s,) for s in ids], schema="s long")
+        src = local_result(spark, [(s,) for s in ids], "s long")
     else:
         scale = 1.0
         src = spark.range(n).select(F.col("id").alias("s"))
@@ -384,6 +388,6 @@ def betweenness_centrality_distributed(
         delta_next = delta_cur
 
     if sums is None:
-        sums = spark.createDataFrame([], schema="s long, v long, delta double")
+        sums = local_result(spark, [], "s long, v long, delta double")
     totals = sums.groupBy("v").agg(F.sum("delta").alias("s")).withColumnRenamed("v", "nid")
     return _finalize(nid_map, totals, n, scale, directed, normalized)

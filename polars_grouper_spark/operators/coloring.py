@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from polars_grouper_spark.plans.parallelism import local_result
+
 from ..plans.iteration import truncate_lineage
 from ..plans.tiering import resolve_max_local_edges
 from ..functions.hashing import portable_hash64_sql
@@ -130,8 +132,8 @@ def greedy_coloring(
             max_colors,
             mis_max_rounds,
         )
-        return df.sparkSession.createDataFrame(
-            sorted(colors.items()), "node string, color long"
+        return local_result(
+            df.sparkSession, sorted(colors.items()), "node string, color long"
         )
     remaining = truncate_lineage(
         edges.select(F.col("a").alias("node"))
@@ -140,7 +142,7 @@ def greedy_coloring(
     )
     residual = edges
     spark = df.sparkSession
-    out = spark.createDataFrame([], "node string, color int")
+    out = local_result(spark, [], "node string, color int")
     for color in range(1, max_colors + 1):
         # count() instead of isEmpty(): same one job per probe, but the
         # counts double as the per-color tier re-evaluation inputs
@@ -175,8 +177,8 @@ def greedy_coloring(
                 start_color=color,
                 extra_nodes=rem_nodes,
             )
-            tail_df = df.sparkSession.createDataFrame(
-                sorted(tail.items()), "node string, color int"
+            tail_df = local_result(
+                df.sparkSession, sorted(tail.items()), "node string, color int"
             )
             out = out.unionAll(tail_df)
             remaining = truncate_lineage(remaining.limit(0), cache=False)

@@ -25,6 +25,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from polars_grouper_spark.plans.parallelism import local_result
+
 
 def _degrees(df: DataFrame, src: str, dst: str, directed: bool) -> DataFrame:
     from ..plans.iteration import truncate_lineage
@@ -242,7 +244,7 @@ def rich_club(
     n_row = deg.agg(*n_aggs)
     both = e_row.crossJoin(n_row)
     spark = df.sparkSession
-    k_df = spark.createDataFrame([(int(k),) for k in ks], "k int")
+    k_df = local_result(spark, [(int(k),) for k in ks], "k int")
     out = k_df.crossJoin(F.broadcast(both))
     pick_e = F.coalesce(
         *[F.when(F.col("k") == k, F.col(f"_e{k}")) for k in ks]

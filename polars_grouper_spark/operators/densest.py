@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from polars_grouper_spark.plans.parallelism import local_result
+
 from ..plans.iteration import truncate_lineage
 
 
@@ -84,7 +86,8 @@ def densest_subgraph_rounds(
             cache=False,
         )
 
-    out = spark.createDataFrame(
+    out = local_result(
+        spark,
         [(r, v, e) for r, v, e in stats],
         "round int, n_nodes long, n_edges long",
     )

@@ -33,6 +33,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from polars_grouper_spark.plans.parallelism import local_result
+
 
 def funnel_depths(
     df: DataFrame,
@@ -119,8 +121,10 @@ def funnel_counts(
     for i in range(n_steps, 0, -1):
         prev = counts[-1][2] if counts else 0
         counts.append((i, steps[i - 1], prev + depth_hist.get(i, 0)))
-    return df.sparkSession.createDataFrame(
-        list(reversed(counts)), "step_index int, step string, n_users long"
+    return local_result(
+        df.sparkSession,
+        list(reversed(counts)),
+        "step_index int, step string, n_users long",
     )
 
 

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from polars_grouper_spark.plans.parallelism import local_result
+
 from ..plans.iteration import truncate_lineage
 from ..plans.tiering import resolve_max_local_edges
 
@@ -100,8 +102,8 @@ def katz_centrality(
         rows = _katz_local(
             [(r["u"], r["v"]) for r in edges.collect()], m, iters
         )
-        return df.sparkSession.createDataFrame(
-            rows, "node string, raw long, katz double"
+        return local_result(
+            df.sparkSession, rows, "node string, raw long, katz double"
         )
     nodes = truncate_lineage(
         edges.select(F.col("u").alias("node"))

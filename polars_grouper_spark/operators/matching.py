@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from polars_grouper_spark.plans.parallelism import local_result
+
 from ..functions.hashing import (
     portable_hash64,
     portable_hash64_py,
@@ -131,7 +133,8 @@ def greedy_matching(
         import pandas as pd
 
         pdf = cleaned.toPandas().drop_duplicates(ignore_index=True)
-        return spark.createDataFrame(
+        return local_result(
+            spark,
             sorted(
                 _matching_local(
                     list(zip(pdf["a"], pdf["b"])), seed, max_rounds
@@ -161,7 +164,7 @@ def greedy_matching(
             ).alias("p"),
         )
     )
-    matched = spark.createDataFrame([], "a string, b string")
+    matched = local_result(spark, [], "a string, b string")
     # Matched-node sets are at most 2x the round's winners; broadcast
     # them into the anti-joins while they fit (same guard as MIS —
     # checkpointed frames give AQE no size estimate to make this call).

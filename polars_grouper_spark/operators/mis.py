@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from polars_grouper_spark.plans.parallelism import local_result
+
 from ..functions.hashing import (
     portable_hash64,
     portable_hash64_py,
@@ -113,8 +115,8 @@ def maximal_independent_set(
         flags = _mis_local(
             [(r["a"], r["b"]) for r in edges.collect()], seed, max_rounds
         )
-        return df.sparkSession.createDataFrame(
-            sorted(flags.items()), "node string, in_mis boolean"
+        return local_result(
+            df.sparkSession, sorted(flags.items()), "node string, in_mis boolean"
         )
     sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
@@ -129,7 +131,7 @@ def maximal_independent_set(
         .select("node", pri(F.col("node")).alias("p"))
     )
     spark = df.sparkSession
-    mis = spark.createDataFrame([], "node string")
+    mis = local_result(spark, [], "node string")
     # The active set is O(V) rows and only shrinks; broadcasting it into
     # the two symmetric-edge joins keeps the O(E) edge side un-shuffled
     # every round (checkpointed frames have no size estimate — AQE cannot

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from polars_grouper_spark.plans.parallelism import local_result
+
 from ..plans.iteration import truncate_lineage
 from ..plans.tiering import resolve_max_local_edges
 from .connected_components import components
@@ -103,7 +105,8 @@ def minimum_spanning_forest(
     )
     max_local_edges = resolve_max_local_edges(df.sparkSession, max_local_edges)
     if max_local_edges and edges.count() <= max_local_edges:
-        return df.sparkSession.createDataFrame(
+        return local_result(
+            df.sparkSession,
             sorted(
                 _kruskal_local(
                     [(r["a"], r["b"], r["wq"]) for r in edges.collect()]
@@ -172,8 +175,8 @@ def minimum_spanning_forest(
         )
 
     if forest is None:
-        return df.sparkSession.createDataFrame(
-            [], "edge_a string, edge_b string, weight double"
+        return local_result(
+            df.sparkSession, [], "edge_a string, edge_b string, weight double"
         )
     return forest.distinct().select(
         F.col("a").alias("edge_a"),

@@ -87,8 +87,16 @@ def negative_samples(
             h(F.concat(F.col("node"), F.lit("|"), F.col("j")), "d"), F.lit(B)
         ).alias("bkt"),
     )
+    # Guarded broadcast (pagerank's _BROADCAST_NODES_MAX posture): the
+    # bucket table is exactly V rows and V was just counted for B; a
+    # checkpointed frame carries no stats, so without the hint the
+    # planner shuffle-joins on bkt — re-partitioning the candidate
+    # stream on the bucket key and undoing the fan_out above.  Broadcast
+    # keeps the join in the draws' partitioning, so the per-candidate
+    # hash work runs at session width and the groupBy below reuses it.
+    bucket_side = buckets if n_nodes > 5_000_000 else F.broadcast(buckets)
     picked = (
-        draws.join(buckets, "bkt")
+        draws.join(bucket_side, "bkt")
         .where(F.col("cand") != F.col("node"))
         .groupBy("node", "j")
         .agg(

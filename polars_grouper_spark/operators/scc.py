@@ -48,6 +48,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from polars_grouper_spark.plans.parallelism import local_result
+
 from ..plans.iteration import fingerprint, truncate_lineage
 from ..plans.tiering import resolve_max_local_edges
 
@@ -188,7 +190,8 @@ def strongly_connected_components(
             nm = id2name[nid]
             if rep not in best or nm < best[rep]:
                 best[rep] = nm
-        return spark.createDataFrame(
+        return local_result(
+            spark,
             sorted((id2name[nid], best[rep]) for nid, rep in comp.items()),
             "node string, scc string",
         )
@@ -201,7 +204,7 @@ def strongly_connected_components(
     )
     act_edges = edges
     # Finished membership rows (id, comp) accumulate across rounds.
-    finished = spark.createDataFrame([], "id long, comp long")
+    finished = local_result(spark, [], "id long, comp long")
 
     def _exhausted(what: str):
         raise RuntimeError(
@@ -444,7 +447,7 @@ def _bowtie_local(spark, edge_rows) -> DataFrame:
 
     pairs = [(r["u"], r["v"]) for r in edge_rows]
     if not pairs:
-        return spark.createDataFrame([], "node string, region string")
+        return local_result(spark, [], "node string, region string")
     comp = _scc_local(pairs)
     label: dict = {}
     for n, rep in comp.items():
@@ -485,7 +488,7 @@ def _bowtie_local(spark, edge_rows) -> DataFrame:
         else:
             region = "OTHER"
         rows.append((n, region))
-    return spark.createDataFrame(sorted(rows), "node string, region string")
+    return local_result(spark, sorted(rows), "node string, region string")
 
 
 def bowtie_decomposition(

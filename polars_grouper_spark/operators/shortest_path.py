@@ -32,6 +32,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from polars_grouper_spark.plans.parallelism import local_result
+
 from polars_grouper_spark.plans.iteration import truncate_lineage
 from polars_grouper_spark.plans.tiering import resolve_max_local_edges
 
@@ -406,8 +408,10 @@ def calculate_shortest_path(
                 )
                 rows = _dijkstra_local(edge_rows, src_list, directed, q_cut)
                 if rows is not None:
-                    return df.sparkSession.createDataFrame(
-                        rows, "from string, to string, distance double"
+                    return local_result(
+                        df.sparkSession,
+                        rows,
+                        "from string, to string, distance double",
                     )
             elif q_cut is not None:
                 # Cutoff queries: true work is the cutoff-ball volume,

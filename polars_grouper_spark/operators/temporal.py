@@ -29,6 +29,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from polars_grouper_spark.plans.parallelism import local_result
+
 from ..functions.timeutil import epoch_us_ntz
 from ..plans.iteration import truncate_lineage
 
@@ -71,7 +73,7 @@ def temporal_reachability(
     spark = df.sparkSession
     # arrival: NULL = seed (reachable from -infinity)
     dist = truncate_lineage(
-        spark.createDataFrame([(x,) for x in src_list], "node string").select(
+        local_result(spark, [(x,) for x in src_list], "node string").select(
             "node", F.lit(None).cast("long").alias("arr")
         )
     )

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from polars_grouper_spark.plans.parallelism import local_result
+
 from ..plans.iteration import truncate_lineage
 from ..plans.tiering import resolve_max_local_edges
 
@@ -67,8 +69,8 @@ def _kahn_local(spark, edge_rows, max_rounds: int) -> DataFrame:
             f"cycle detected: {len(nodes) - len(level)} nodes remain with "
             f"no source at level {lvl} (run scc.condensation first)"
         )
-    return spark.createDataFrame(
-        [(n, int(l)) for n, l in level.items()], "node string, level int"
+    return local_result(
+        spark, [(n, int(l)) for n, l in level.items()], "node string, level int"
     )
 
 
@@ -123,7 +125,7 @@ def topological_levels(
     if max_local_edges:
         n_edges = edges.count()
         if n_edges == 0:
-            return spark.createDataFrame([], "node string, level int")
+            return local_result(spark, [], "node string, level int")
         if n_edges <= max_local_edges:
             return _kahn_local(spark, edges.collect(), max_rounds)
     # state = one row per node: surviving in-degree + assigned level
@@ -145,7 +147,7 @@ def topological_levels(
     )
     n_left = state.count()
     if n_left == 0:
-        return spark.createDataFrame([], "node string, level int")
+        return local_result(spark, [], "node string, level int")
 
     lvl = 0
     while lvl < max_rounds:

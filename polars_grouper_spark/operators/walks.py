@@ -40,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from polars_grouper_spark.plans.parallelism import local_result
+
 from ..functions.hashing import portable_hash64, portable_hash64_py, portable_hash64_sql
 from ..plans.iteration import truncate_lineage
 from ..plans.tiering import resolve_max_local_edges
@@ -109,7 +111,7 @@ def _local_adjacency(pdf, weight: bool = False):
 
 def _walks_frame(spark, rows):
     """(walk_id, step, node) rows -> DataFrame with the distributed schema."""
-    return spark.createDataFrame(rows, schema="walk_id string, step int, node string")
+    return local_result(spark, rows, "walk_id string, step int, node string")
 
 
 def _collect_for_local(edges: DataFrame, guard: int):

@@ -46,19 +46,63 @@ def session_parallelism(spark) -> int:
     return max(shuffle, spark.sparkContext.defaultParallelism)
 
 
+def local_result(spark, rows, schema: str, rows_per_slice: int = 100_000):
+    """Driver-local rows -> DataFrame with size-appropriate slicing.
+
+    ``spark.createDataFrame(list, schema)`` parallelizes into
+    ``defaultParallelism`` slices regardless of size, so a k-row
+    local-tier result (k in the tens..thousands) pays one Python-worker
+    round-trip per EMPTY slice on every subsequent action — measured
+    0.3-0.5 s per query at 32 cores for single-digit-row results.  One
+    slice per ``rows_per_slice`` rows (min 1, capped at the session's
+    parallelism) keeps small results at one task while a guard-sized
+    (~2M row) tier result still fans out.
+    """
+    rows = [tuple(_native(v) for v in r) for r in rows]
+    n_slices = max(1, -(-len(rows) // rows_per_slice))
+    n_slices = min(n_slices, max(1, spark.sparkContext.defaultParallelism))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n_slices), schema
+    )
+
+
+def _native(v):
+    """numpy scalar -> Python native.  The createDataFrame(list) path
+    converts on the driver, but the RDD path ships pickled rows to the
+    JVM unpickler, which rejects numpy dtypes — normalize up front so
+    local-tier kernels may return numpy values either way."""
+    if v is None or type(v) in (bool, int, float, str, bytes):
+        return v
+    if isinstance(v, (list, tuple)):
+        return [_native(x) for x in v]
+    if hasattr(v, "item"):  # numpy scalars incl. np.str_/np.bool_
+        return v.item()
+    return v
+
+
 def fan_out(df: DataFrame, *cols: str) -> DataFrame:
     """Redistribute ``df`` to the session's parallelism when its current
     plan yields fewer partitions; no-op otherwise.
 
     With ``cols``, hash-partitions on those columns (letting a following
     groupBy/join on the same keys reuse the exchange); without, round-
-    robin.  Call this only on frames whose current partitioning is known
-    cheaply (scans, checkpointed frames) — ``.rdd.getNumPartitions()``
-    on an un-executed AQE plan with exchanges would finalize stages.
+    robin.
+
+    Self-guarding: ``.rdd.getNumPartitions()`` on an AQE plan containing
+    exchanges EXECUTES those stages (measured: 2 jobs for a probe on a
+    join frame), so frames whose analyzed plan is not narrow-from-scan
+    are returned unchanged — they already have a shuffle that sets their
+    parallelism, which is exactly the case fan_out does not need to fix.
     """
     spark = df.sparkSession
     target = session_parallelism(spark)
     try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+        if any(
+            k in plan
+            for k in ("Join", "Aggregate", "Window", "Deduplicate", "Sort", "Repartition")
+        ):
+            return df
         cur = df.rdd.getNumPartitions()
     except Exception:  # noqa: BLE001 - defensive: never fail the plan
         return df

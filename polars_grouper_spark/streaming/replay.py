@@ -28,6 +28,8 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from polars_grouper_spark.plans.parallelism import local_result
+
 
 def write_time_ordered_chunks(
     df: DataFrame,
@@ -139,8 +141,8 @@ def replay_attribution(
         ).select("user_id", "event_id", "event_type", "ts")
         n = write_time_ordered_chunks(slim, "ts", out, n_chunks)
         if n == 0:
-            empty = spark.createDataFrame(
-                [], "user_id long, view_id long, purchase_id long, lag_secs long"
+            empty = local_result(
+                spark, [], "user_id long, view_id long, purchase_id long, lag_secs long"
             )
             return empty, []
         schema = spark.read.parquet(f"{out}/c0000").schema

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from polars_grouper_spark.plans.parallelism import local_result
+
 from ..functions.sketches import hll_estimate, hll_registers
 
 
@@ -59,7 +61,8 @@ class StreamingHll:
         self.batches += 1
 
     def register_df(self, spark: SparkSession) -> DataFrame:
-        return spark.createDataFrame(
+        return local_result(
+            spark,
             [(k, v) for k, v in sorted(self.registers.items())],
             "bucket int, max_rho int",
         )
