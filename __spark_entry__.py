@@ -3907,7 +3907,7 @@ def q_user_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.to_date("ts")).alias("t"),
         F.max(F.to_date("ts")).alias("last_d"),
     )
-    edge = span.agg(F.max("last_d")).first()[0]
+    edge = span.agg(F.max("last_d")).collect()[0][0]
     subjects = span.select(
         "t",
         (F.datediff(F.lit(edge), F.col("last_d")) >= 7).cast("int").alias("obs"),

@@ -49,7 +49,7 @@ def profile_table(
         aggs.append(F.count(sc).alias(f"_nn_{c}"))
         aggs.append(F.min(sc).alias(f"_min_{c}"))
         aggs.append(F.max(sc).alias(f"_max_{c}"))
-    base = df.agg(*aggs).first()
+    base = df.agg(*aggs).collect()[0]
     n_rows = int(base["_n"])
 
     # HLL registers for all columns in one exploded pass.

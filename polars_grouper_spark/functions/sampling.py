@@ -714,7 +714,7 @@ def dsir_weights(
         F.count(F.lit(1)).alias("r_c"),
         F.sum(F.col("is_t").cast("long")).alias("t_c"),
     )
-    tot = bt.agg(F.sum("r_c").alias("r"), F.sum("t_c").alias("t")).first()
+    tot = bt.agg(F.sum("r_c").alias("r"), F.sum("t_c").alias("t")).collect()[0]
     r_tot, t_tot = int(tot["r"] or 0), int(tot["t"] or 0)
     lr = bt.select(
         "b",

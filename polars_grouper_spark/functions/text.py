@@ -459,7 +459,7 @@ def vocab_coverage(
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    total = counts.agg(F.sum("cnt")).first()[0] or 0
+    total = counts.agg(F.sum("cnt")).collect()[0][0] or 0
     top = counts.orderBy(F.col("cnt").desc(), "token").limit(k)
     w = Window.orderBy(F.col("cnt").desc(), "token").rowsBetween(
         Window.unboundedPreceding, 0
@@ -538,7 +538,7 @@ def pmi_pairs(
         .agg(F.count(F.lit(1)).alias("n"))
     )
     uni = truncate_lineage(uni)
-    n_uni = uni.agg(F.sum("n")).first()[0] or 0
+    n_uni = uni.agg(F.sum("n")).collect()[0][0] or 0
     bi = staged.select(
         F.explode(
             F.zip_with(

@@ -68,7 +68,7 @@ def densest_subgraph_rounds(
         deg = truncate_lineage(deg, cache=False)
         agg = deg.agg(
             F.count(F.lit(1)).alias("v"), F.sum("deg").alias("two_e")
-        ).first()
+        ).collect()[0]
         v, two_e = int(agg["v"] or 0), int(agg["two_e"] or 0)
         if v == 0:
             break

@@ -177,7 +177,7 @@ def hits(
     )
     mx = out.agg(
         F.max("authority").alias("ma"), F.max("hub").alias("mh")
-    ).first()
+    ).collect()[0]
     ma, mh = int(mx["ma"] or 0), int(mx["mh"] or 0)
     if ma >= (1 << 62) or mh >= (1 << 62):
         raise ValueError(

@@ -57,16 +57,6 @@ def page_rank_nodes(
         F.col(to_col).cast("string").alias("dst"),
     ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
 
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    nodes = truncate_lineage(nodes)
-    n = nodes.count()
-    if n == 0:
-        return nodes.select("node", F.lit(0.0).alias("score"))
-
     # Collapse parallel edges once, up front: k copies of (src, dst) are
     # exactly one edge of weight k (outdegree counts edge ROWS, and each
     # copy contributes rank/outdeg to the target — reference
@@ -84,6 +74,19 @@ def page_rank_nodes(
             (F.col("cnt") / F.sum("cnt").over(Window.partitionBy("src"))).alias("w"),
         )
     )
+    # Node set from the CHECKPOINTED pair table, not the raw edges
+    # (r9-opt): the raw rows are scanned once instead of twice and the
+    # distinct dedups 2·|distinct pairs| rows, not 2·|raw rows| — same
+    # set either way (interning is membership-only, no order semantics).
+    nodes = (
+        edges_w.select(F.col("src").alias("node"))
+        .union(edges_w.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nodes = truncate_lineage(nodes)
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("score"))
 
     if broadcast_ranks is None:
         broadcast_ranks = n <= _BROADCAST_NODES_MAX
@@ -115,21 +118,33 @@ def _power_iteration(
     # checkpointed and the projection on top of it is lineage-flat.
     ranks = nodes.select("node", F.lit(1.0 / n).alias("score"))
     zeros = nodes.select("node", F.lit(0.0).alias("c"))
-    for _ in range(max_iterations):
+    for i in range(max_iterations):
         rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
         new_ranks = _round(edges_w, rank_side, zeros, base, damping_factor)
-        new_ranks = truncate_lineage(new_ranks)
         if convergence_threshold > 0.0:
+            # Convergence mode: the round MUST materialize (the L1 diff
+            # reads both old and new state), so checkpoint eagerly.
+            new_ranks = truncate_lineage(new_ranks)
             diff = (
                 new_ranks.alias("n")
                 .join(ranks.alias("o"), "node")
                 .agg(F.sum(F.abs(F.col("n.score") - F.col("o.score"))).alias("d"))
-                .first()["d"]
+                .collect()[0]["d"]
             )
         else:
-            # fixed-iteration mode: skip the L1 job entirely (the eager
-            # checkpoint above already materialized the round).
+            # Fixed-iteration mode (r9-opt): CHAIN rounds instead of
+            # eager-checkpointing each — the per-round localCheckpoint
+            # was one job + 2-3 AQE stage jobs of pure driver overhead
+            # per iteration, and nothing reads intermediate rounds.
+            # Each round's output feeds exactly one consumer (the next
+            # round), so one final action evaluates the chain ONCE —
+            # linear work, unlike an action-per-round unchained loop.
+            # A checkpoint every 8 rounds caps plan depth for long
+            # trains; the returned frame is materialized so callers'
+            # repeated actions do not re-run the chain.
             diff = None
+            if (i + 1) % 8 == 0 or (i + 1) == max_iterations:
+                new_ranks = truncate_lineage(new_ranks)
         ranks = new_ranks
         if diff is not None and diff < convergence_threshold:
             break
@@ -199,9 +214,16 @@ def page_rank_nodes_bucketed(
         F.col(to_col).cast("string").alias("dst"),
     ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
 
+    # Collapse + checkpoint the pair table first, then intern nodes from
+    # it (r9-opt, same shape as page_rank_nodes): one raw-edge scan
+    # total, and the node distinct runs over distinct pairs, not raw
+    # multiplicity.
+    pair_cnt = truncate_lineage(
+        edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("cnt"))
+    )
     nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
+        pair_cnt.select(F.col("src").alias("node"))
+        .union(pair_cnt.select(F.col("dst").alias("node")))
         .distinct()
     )
     nodes = truncate_lineage(nodes)
@@ -209,7 +231,6 @@ def page_rank_nodes_bucketed(
     if n == 0:
         return nodes.select("node", F.lit(0.0).alias("score"))
 
-    pair_cnt = edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("cnt"))
     edges_w = pair_cnt.select(
         "src",
         "dst",
@@ -310,16 +331,6 @@ def personalized_page_rank(
         F.col(to_col).cast("string").alias("dst"),
     ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
 
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    nodes = truncate_lineage(nodes)
-    n = nodes.count()
-    if n == 0:
-        return nodes.select("node", F.lit(0.0).alias("score"))
-
     pair_cnt = edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("cnt"))
     edges_w = truncate_lineage(
         pair_cnt.select(
@@ -328,6 +339,17 @@ def personalized_page_rank(
             (F.col("cnt") / F.sum("cnt").over(Window.partitionBy("src"))).alias("w"),
         )
     )
+    # Node set from the checkpointed pair table (r9-opt): one raw scan,
+    # distinct over distinct pairs — same set, membership-only semantics.
+    nodes = (
+        edges_w.select(F.col("src").alias("node"))
+        .union(edges_w.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nodes = truncate_lineage(nodes)
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("score"))
 
     d = damping_factor
     src_list = [str(s) for s in sources]
@@ -346,15 +368,20 @@ def personalized_page_rank(
     )
     if broadcast_ranks is None:
         broadcast_ranks = n <= _BROADCAST_NODES_MAX
-    for _ in range(max_iterations):
+    for i in range(max_iterations):
         rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
-        ranks = truncate_lineage(
+        ranks = (
             edges_w.join(rank_side, edges_w["src"] == rank_side["node"])
             .select(F.col("dst").alias("node"), (F.col("score") * F.col("w")).alias("c"))
             .unionAll(base_rows)
             .groupBy("node")
             .agg((F.lit(d) * F.sum("c")).alias("score"))
         )
+        # Fixed-depth walk: chain rounds, checkpoint every 8th and the
+        # last (same rationale as _power_iteration's fixed-iteration
+        # mode — intermediate rounds have exactly one consumer).
+        if (i + 1) % 8 == 0 or (i + 1) == max_iterations:
+            ranks = truncate_lineage(ranks)
     return ranks
 
 
@@ -397,16 +424,6 @@ def weighted_page_rank_nodes(
         .agg(F.sum("q").alias("q"))
         .where(F.col("q") > 0)
     )
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    nodes = truncate_lineage(nodes)
-    n = nodes.count()
-    if n == 0:
-        return nodes.select("node", F.lit(0.0).alias("score"))
-
     edges_w = truncate_lineage(
         edges.select(
             "src",
@@ -417,6 +434,18 @@ def weighted_page_rank_nodes(
             ).alias("w"),
         )
     )
+    # Node set from the checkpointed weighted table (r9-opt): one pass
+    # over the grouped edges instead of two — same set.
+    nodes = (
+        edges_w.select(F.col("src").alias("node"))
+        .union(edges_w.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nodes = truncate_lineage(nodes)
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("score"))
+
     if broadcast_ranks is None:
         broadcast_ranks = n <= _BROADCAST_NODES_MAX
     return _power_iteration(

@@ -353,7 +353,7 @@ def calculate_shortest_path(
             F.count(F.lit(1)).alias("n"),
             F.min("q").alias("lo"),
             F.max("q").alias("hi"),
-        ).first()
+        ).collect()[0]
         n_raw, wlo, whi = stats["n"], stats["lo"], stats["hi"]
     else:
         n_raw, wlo, whi = 0, None, None

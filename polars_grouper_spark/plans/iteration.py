@@ -26,6 +26,20 @@ def truncate_lineage(df: DataFrame, *, cache: bool = True) -> DataFrame:
     return df.localCheckpoint(eager=cache)
 
 
+def agg_row(df: DataFrame):
+    """Read a GLOBAL-AGGREGATE (single-row) frame's row with ONE job.
+
+    ``.first()``/``.head(1)`` go through ``executeTake``, which under AQE
+    materializes query stages incrementally and retries with a scaled-up
+    partition range — measured 3 jobs / ~1.3 s per call at local[32]
+    where a plain ``collect()`` is 1 job / ~0.15 s.  Only for frames
+    KNOWN to be one row (global aggregates): ``collect`` fetches every
+    output partition, which is exactly right here and would be a full
+    scan on a non-aggregated frame (keep ``first()``/``take(1)`` there).
+    """
+    return df.collect()[0]
+
+
 def fingerprint(df: DataFrame, *cols: str) -> tuple:
     """One-job fingerprint of a DataFrame: (count, bit_xor(hash64(cols))).
 
@@ -34,8 +48,10 @@ def fingerprint(df: DataFrame, *cols: str) -> tuple:
     ensure rows are distinct (all loop states here are ``.distinct()`` or
     group-by outputs) so XOR cancellation of duplicate rows cannot occur.
     """
-    row = df.agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.bit_xor(F.xxhash64(*cols)).alias("_h"),
-    ).first()
+    row = agg_row(
+        df.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.bit_xor(F.xxhash64(*cols)).alias("_h"),
+        )
+    )
     return tuple(row)

@@ -57,7 +57,7 @@ def write_time_ordered_chunks(
     lohi = df.agg(
         F.min(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("lo"),
         F.max(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("hi"),
-    ).first()
+    ).collect()[0]
     if lohi["lo"] is None:
         return 0
     lo, hi = int(lohi["lo"]), int(lohi["hi"])
