@@ -100,8 +100,14 @@ def _pattern_labels(assoc_edges: DataFrame) -> DataFrame:
     Larger item vocabularies fall back to the min-label propagation loop.
     """
     spark = assoc_edges.sparkSession
-    sample = assoc_edges.limit(_PATTERN_DRIVER_MAX_EDGES + 1).collect()
-    if len(sample) <= _PATTERN_DRIVER_MAX_EDGES:
+    # Probe via checkpoint + count + collect (r9-opt): ``limit(K+1)``
+    # goes through executeTake, which under AQE executes partitions
+    # incrementally through the driver (the bpe probe measured it 3x
+    # slower than checkpoint+count); the checkpoint is also what the
+    # distributed fallback would want materialized anyway.
+    assoc_edges = truncate_lineage(assoc_edges)
+    if assoc_edges.count() <= _PATTERN_DRIVER_MAX_EDGES:
+        sample = assoc_edges.collect()
         labeled = _pattern_labels_local([(r["a"], r["c"]) for r in sample])
         return local_result(spark, labeled, "iid long, root long")
     nodes = assoc_edges.select(F.col("a").alias("iid")).union(
@@ -250,9 +256,6 @@ def graph_association_rules(
     )
     pairs = truncate_lineage(pairs)
 
-    # lift = sum of ALL association confidences (before top-5 truncation).
-    lifts = pairs.groupBy("a_iid").agg(F.sum("confidence").alias("lift_score"))
-
     # top-5 by confidence desc, tie-break consequent asc, as parallel arrays.
     # Struct sort is lexicographic by field order, so (-confidence,
     # consequent) ascending == (confidence desc, consequent asc); the raw
@@ -263,18 +266,29 @@ def graph_association_rules(
         F.col("consequent").alias("consequent"),
         F.col("confidence").alias("confidence"),
     )
+    # r9-opt: lift (sum of ALL confidences, pre-truncation) rides in the
+    # same pass as the top-5 instead of a second aggregation over
+    # ``pairs`` plus a third join in the assembly below — one shuffle
+    # and one join fewer.  Summation order differs from the old separate
+    # groupBy, which is safe here for the same reason the result matches
+    # DuckDB's order at 9 dp: the per-pair confidences sum exactly.
     if skew_safe:
         top5 = salted_agg(
-            pairs.select("a_iid", _rank_struct.alias("s")),
+            pairs.select("a_iid", "confidence", _rank_struct.alias("s")),
             ["a_iid"],
-            [F.slice(F.sort_array(F.collect_list("s")), 1, 5).alias("part")],
+            [
+                F.slice(F.sort_array(F.collect_list("s")), 1, 5).alias("part"),
+                F.sum("confidence").alias("lift_part"),
+            ],
             lambda p: [
                 F.slice(
                     F.sort_array(F.flatten(F.collect_list("part"))), 1, 5
-                ).alias("assoc")
+                ).alias("assoc"),
+                F.sum("lift_part").alias("lift_score"),
             ],
         ).select(
             "a_iid",
+            "lift_score",
             F.transform("assoc", lambda x: x["consequent"]).alias("consequents"),
             F.transform("assoc", lambda x: x["confidence"]).alias("confidence_scores"),
         )
@@ -306,7 +320,6 @@ def graph_association_rules(
     out = (
         valid_items.select("item", "iid", F.col("support_count").alias("support"))
         .join(patterns.select("iid", "pattern"), "iid")
-        .join(lifts.withColumnRenamed("a_iid", "iid"), "iid", "left")
         .join(top5.withColumnRenamed("a_iid", "iid"), "iid", "left")
         .select(
             "item",
@@ -326,25 +339,32 @@ def graph_association_rules(
 
 
 def _window_top5(pairs: DataFrame) -> DataFrame:
-    """Default top-5 path: row_number window + collect_list."""
+    """Default top-5 path: row_number window + collect_list.
+
+    The lift sum shares the window's exchange (same partition key), and
+    the following groupBy on that key reuses the partitioning — top-5,
+    lift and the list assembly all ride ONE shuffle of ``pairs``.
+    """
+    w = Window.partitionBy("a_iid")
     return (
         pairs.withColumn(
             "rn",
             F.row_number().over(
-                Window.partitionBy("a_iid").orderBy(
-                    F.col("confidence").desc(), F.col("consequent").asc()
-                )
+                w.orderBy(F.col("confidence").desc(), F.col("consequent").asc())
             ),
         )
+        .withColumn("lift", F.sum("confidence").over(w))
         .where(F.col("rn") <= 5)
         .groupBy("a_iid")
         .agg(
+            F.max("lift").alias("lift_score"),
             F.sort_array(
                 F.collect_list(F.struct("rn", "consequent", "confidence"))
-            ).alias("assoc")
+            ).alias("assoc"),
         )
         .select(
             "a_iid",
+            "lift_score",
             F.transform("assoc", lambda x: x["consequent"]).alias("consequents"),
             F.transform("assoc", lambda x: x["confidence"]).alias("confidence_scores"),
         )

@@ -24,6 +24,36 @@ from pyspark.sql import functions as F
 from polars_grouper_spark.plans.parallelism import local_result
 
 from ..plans.iteration import truncate_lineage
+from ..plans.tiering import resolve_max_local_edges
+
+
+def _peel_local(
+    rows: "list[tuple[str, str]]",
+    eps_num: int,
+    eps_den: int,
+    max_rounds: int,
+) -> "list[tuple[int, int, int]]":
+    """Driver-local replay of the peel — every decision is the same
+    exact integer comparison as the distributed loop (deg·V·eps_den >
+    2E·eps_num), so the round stats are bit-identical by construction
+    (asserted in tests/test_densest.py)."""
+    edges = rows
+    stats: list[tuple[int, int, int]] = []
+    for rnd in range(max_rounds + 1):
+        deg: dict[str, int] = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        v = len(deg)
+        two_e = 2 * len(edges)
+        if v == 0:
+            break
+        stats.append((rnd, v, two_e // 2))
+        if rnd == max_rounds:
+            break
+        keep = {n for n, dg in deg.items() if dg * v * eps_den > two_e * eps_num}
+        edges = [(a, b) for a, b in edges if a in keep and b in keep]
+    return stats
 
 
 def densest_subgraph_rounds(
@@ -34,6 +64,7 @@ def densest_subgraph_rounds(
     eps_num: int = 11,
     eps_den: int = 10,
     max_rounds: int = 50,
+    max_local_edges: int | None = None,
 ) -> DataFrame:
     """Per-round stats of the peeling ->
     ``(round, n_nodes, n_edges, density)`` for every non-empty round
@@ -57,6 +88,25 @@ def densest_subgraph_rounds(
     )
 
     spark = df.sparkSession
+    # Guarded local tier (r9-opt, the repo's standard two-tier shape):
+    # the distributed peel is O(rounds) driver-round-trip jobs over a
+    # shrinking MB-scale edge set — under the guard, one collect and a
+    # driver-local replay of the SAME integer peel is bit-identical and
+    # removes every per-round job.  Above the guard (or with the tier
+    # disabled) the distributed loop below is unchanged.
+    max_local_edges = resolve_max_local_edges(spark, max_local_edges)
+    if max_local_edges and edges.count() <= max_local_edges:
+        rows = [(r["a"], r["b"]) for r in edges.collect()]
+        out = local_result(
+            spark,
+            _peel_local(rows, eps_num, eps_den, max_rounds),
+            "round int, n_nodes long, n_edges long",
+        )
+        return out.select(
+            "round", "n_nodes", "n_edges",
+            F.round(F.col("n_edges") / F.col("n_nodes"), 6).alias("density"),
+        )
+
     stats: list[tuple[int, int, int]] = []
     for rnd in range(max_rounds + 1):
         deg = (

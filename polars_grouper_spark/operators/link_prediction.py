@@ -225,15 +225,29 @@ def project_bipartite(
     and near-zero-signal edges (the same argument as link_scores' hub
     cap).  One distinct + one self-join + one map-side-combinable count.
     """
+    return _project_from_pairs(
+        _distinct_anchor_item(df, anchor, item), max_anchor_degree
+    )
+
+
+def _distinct_anchor_item(df: DataFrame, anchor: str, item: str) -> DataFrame:
+    """Checkpointed distinct (anchor, item) table — shared by the
+    projection and any consumer needing per-item anchor totals
+    (item_cosine_pairs), so the raw rows are scanned and deduped ONCE."""
     a = F.col(anchor).cast("string")
     it = F.col(item).cast("string")
-    # The distinct pair table feeds the degree cap and BOTH self-join
-    # sides — materialize once.
-    pairs = truncate_lineage(
+    return truncate_lineage(
         df.where(a.isNotNull() & it.isNotNull())
         .select(a.alias("anchor"), it.alias("item"))
         .distinct()
     )
+
+
+def _project_from_pairs(
+    pairs: DataFrame, max_anchor_degree: int | None
+) -> DataFrame:
+    """Projection body of :func:`project_bipartite` over an already
+    checkpointed distinct pair table."""
     if max_anchor_degree is not None:
         keep = (
             pairs.groupBy("anchor")
@@ -303,18 +317,14 @@ def item_cosine_pairs(
     generates degree² pairs), item totals joined back as broadcast
     metadata.
     """
-    pairs = project_bipartite(
-        df, anchor_col, item_col, max_anchor_degree=max_anchor_degree
-    ).where(F.col("weight") >= min_cooccur)
-    totals = (
-        df.select(
-            F.col(anchor_col).cast("string").alias("_a"),
-            F.col(item_col).cast("string").alias("item"),
-        )
-        .distinct()
-        .groupBy("item")
-        .agg(F.count(F.lit(1)).alias("_n"))
+    # One distinct pass serves both the projection and the totals
+    # (r9-opt): the old shape deduped the raw rows twice — once inside
+    # project_bipartite and once for the per-item anchor counts.
+    pairs_tbl = _distinct_anchor_item(df, anchor_col, item_col)
+    pairs = _project_from_pairs(pairs_tbl, max_anchor_degree).where(
+        F.col("weight") >= min_cooccur
     )
+    totals = pairs_tbl.groupBy("item").agg(F.count(F.lit(1)).alias("_n"))
     na = totals.select(
         F.col("item").alias("item_a"), F.col("_n").alias("n_a")
     )

@@ -45,3 +45,23 @@ def test_duckdb_round_parity(spark):
     )
     want = sorted(duckdb.sql(sql).fetchall())
     assert got == want
+
+
+def test_local_tier_matches_distributed(spark):
+    # r9-opt: the guarded driver-local peel must be bit-identical to the
+    # distributed loop (max_local_edges=0 forces the distributed path).
+    edges = [(f"n{(5 * i) % 17}", f"n{(2 * i + 3) % 17}") for i in range(60)]
+    df = spark.createDataFrame(edges, ["from", "to"])
+    local = sorted(
+        tuple(r)
+        for r in densest_subgraph_rounds(
+            df, eps_num=11, eps_den=10, max_rounds=20
+        ).collect()
+    )
+    dist = sorted(
+        tuple(r)
+        for r in densest_subgraph_rounds(
+            df, eps_num=11, eps_den=10, max_rounds=20, max_local_edges=0
+        ).collect()
+    )
+    assert local == dist
