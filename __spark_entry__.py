@@ -10830,27 +10830,42 @@ def q_graph_growth_sp(spark: SparkSession, sf_dir: str) -> DataFrame:
     (anti-joins on the canonical pair), one row out; the
     snapshot-over-snapshot readout for any evolving relationship
     graph."""
-    li = load_table(spark, "lineitem", sf_dir)
+    from polars_grouper_spark.plans.iteration import truncate_lineage
+    from polars_grouper_spark.plans.parallelism import fan_out
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_partkey"
+    )
     orders = load_table(spark, "orders", sf_dir).select(
         "o_orderkey", "o_orderdate"
     )
-    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-    pair = lambda d: d.select(  # noqa: E731
+    cut = F.lit(_GG_SPLIT).cast("timestamp_ntz")
+    # One distinct-pair pass carries everything: a pair is OLD iff any of
+    # its orders predates the cut, a node is OLD iff any pair touching it
+    # is old — so new_edges = pairs never seen before the cut and
+    # new_nodes = nodes whose every pair is new.  Same sets as the
+    # old/full anti-join algebra (the oracle's form) with ONE aggregation
+    # over the join instead of four distinct subtrees + two anti-joins.
+    j = fan_out(li).join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    pairs = j.groupBy(
         F.concat(F.lit("S"), F.col("l_suppkey")).alias("src"),
         F.concat(F.lit("P"), F.col("l_partkey")).alias("dst"),
-    ).distinct()
-    cut = F.lit(_GG_SPLIT).cast("timestamp_ntz")
-    old = pair(j.where(F.col("o_orderdate") < cut))
-    full = pair(j)
-    new_edges = full.join(old, ["src", "dst"], "left_anti")
-    nodes = lambda d: d.select(F.col("src").alias("n")).union(  # noqa: E731
-        d.select(F.col("dst").alias("n"))
-    ).distinct()
-    new_nodes = nodes(full).join(nodes(old), "n", "left_anti")
-    a = old.agg(F.count(F.lit(1)).alias("n_edges_old"))
-    b = new_edges.agg(F.count(F.lit(1)).alias("n_edges_new"))
-    c = new_nodes.agg(F.count(F.lit(1)).alias("n_nodes_new"))
-    out = a.crossJoin(b).crossJoin(c)
+    ).agg(
+        F.max(F.when(F.col("o_orderdate") < cut, 1).otherwise(0)).alias("_old")
+    )
+    pairs = truncate_lineage(pairs)  # two consumers: edge + node readout
+    edges = pairs.agg(
+        F.sum("_old").cast("long").alias("n_edges_old"),
+        F.sum(1 - F.col("_old")).cast("long").alias("n_edges_new"),
+    )
+    node_new = (
+        pairs.select(F.col("src").alias("n"), "_old")
+        .unionAll(pairs.select(F.col("dst").alias("n"), "_old"))
+        .groupBy("n")
+        .agg(F.max("_old").alias("_nold"))
+        .agg(F.sum(1 - F.col("_nold")).cast("long").alias("n_nodes_new"))
+    )
+    out = edges.crossJoin(node_new)
     return out.select(
         "n_edges_old",
         "n_edges_new",

@@ -201,20 +201,75 @@ def minhash_signatures(
     remains reproducible in the SQL oracle.  minhash_i = min over the
     doc's distinct shingles; the aggregation is map-side combinable.
     """
+    wide = _minhash_wide(df, id_col, text_col, num_hashes, shingle_n, portable)
+    pairs = ", ".join(f"{i}, m{i}" for i in range(num_hashes))
+    return wide.selectExpr(
+        "id", f"stack({num_hashes}, {pairs}) AS (perm, minhash)"
+    )
+
+
+def _minhash_wide(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    shingle_n: int,
+    portable: bool,
+) -> DataFrame:
+    """Wide MinHash layout → (id, m0..m{num_hashes-1}) — one row per doc.
+
+    The long (id, perm, minhash) format explodes every shingle
+    ``num_hashes``× BEFORE its min-aggregation, so the pre-shuffle stage
+    materializes hashes×perms rows and the partial-agg hashmap holds
+    (id, perm) keys (guide §2.3: aggregate before you shuffle — and
+    don't multiply what you're about to aggregate).  Computing the
+    ``num_hashes`` mins as agg COLUMNS of one groupBy(id) keeps the
+    pre-shuffle volume at one row per shingle and the shuffle at one
+    row per doc; the long format, where needed, is a free ``stack``
+    over this frame.  Values are bit-identical (same min over the same
+    H_i = (h1 + i*h2) mod 2^60 multiset)."""
     assert num_hashes <= 64, "num_hashes > 64 risks 64-bit overflow in the hash mix"
     sh = _shingle_table(df, id_col, text_col, shingle_n)
     h1, h2 = hash_pair64(F.col("shingle"), portable=portable)
-    hashed = sh.select("id", h1.alias("h1"), h2.alias("h2")).select(
-        "id",
-        "h1",
-        "h2",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("perm"),
-    ).select(
-        "id",
-        "perm",
-        F.pmod(F.col("h1") + F.col("perm") * F.col("h2"), F.lit(HASH_SPACE)).alias("h"),
+    hashed = sh.select("id", h1.alias("h1"), h2.alias("h2"))
+    return hashed.groupBy("id").agg(
+        *[
+            F.min(
+                F.pmod(F.col("h1") + F.lit(i) * F.col("h2"), F.lit(HASH_SPACE))
+            ).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
     )
-    return hashed.groupBy("id", "perm").agg(F.min("h").alias("minhash"))
+
+
+def _band_signatures_wide(
+    wide: DataFrame, num_hashes: int, rows_per_band: int
+) -> DataFrame:
+    """(id, band, bsig) from the wide signature frame — md5 over the
+    band's minhashes in perm order (the exact string the SQL oracle
+    builds), via one stack instead of a groupBy(id, band) +
+    collect_list shuffle."""
+    n_bands = num_hashes // rows_per_band
+    entries = []
+    for b in range(n_bands):
+        cols = ", ".join(
+            f"cast(m{i} as string)"
+            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        )
+        entries.append(f"{b}, md5(concat_ws(',', {cols}))")
+    return wide.selectExpr(
+        "id", f"stack({n_bands}, {', '.join(entries)}) AS (band, bsig)"
+    )
+
+
+def _est_jaccard_wide(num_hashes: int, a: str = "a", b: str = "b"):
+    """Row-wise estimated-Jaccard expression over two aliased wide
+    signature frames: fraction of agreeing minhash columns."""
+    total = None
+    for i in range(num_hashes):
+        term = (F.col(f"{a}.m{i}") == F.col(f"{b}.m{i}")).cast("int")
+        total = term if total is None else total + term
+    return total / F.lit(num_hashes)
 
 
 def minhash_lsh_pairs(
@@ -236,22 +291,15 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0, "num_hashes must divide evenly into bands"
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, portable)
-    # Checkpoint: the signature table feeds band hashing AND both sides of
+    # Checkpoint: the signature frame feeds band hashing AND both sides of
     # the verification join — uncached it would recompute the shingle+hash
-    # pipeline three times.
-    sig = truncate_lineage(sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int")))
-    band_sig = (
-        sig.groupBy("id", "band")
-        .agg(F.sort_array(F.collect_list(F.struct("perm", "minhash"))).alias("mh"))
-        .select(
-            "id",
-            "band",
-            F.md5(F.concat_ws(",", F.transform("mh", lambda x: x["minhash"].cast("string")))).alias(
-                "bsig"
-            ),
-        )
+    # pipeline three times.  Wide layout: one row per doc, so the band
+    # signatures are a stack (no groupBy(id, band) shuffle) and the
+    # verification is a row-wise column comparison (no ×num_hashes join).
+    wide = truncate_lineage(
+        _minhash_wide(df, id_col, text_col, num_hashes, shingle_n, portable)
     )
+    band_sig = _band_signatures_wide(wide, num_hashes, rows_per_band)
     cand = (
         band_sig.alias("x")
         .join(band_sig.alias("y"), ["band", "bsig"])
@@ -259,16 +307,13 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    sa = sig.select(F.col("id").alias("id_a"), "perm", F.col("minhash").alias("mh_a"))
-    sb = sig.select(F.col("id").alias("id_b"), "perm", F.col("minhash").alias("mh_b"))
     est = (
-        cand.join(sa, "id_a")
-        .join(sb, ["id_b", "perm"])
-        .groupBy("id_a", "id_b")
-        .agg(
-            (F.sum((F.col("mh_a") == F.col("mh_b")).cast("int")) / F.lit(num_hashes)).alias(
-                "est_jaccard"
-            )
+        cand.join(wide.alias("a"), F.col("id_a") == F.col("a.id"))
+        .join(wide.alias("b"), F.col("id_b") == F.col("b.id"))
+        .select(
+            "id_a",
+            "id_b",
+            _est_jaccard_wide(num_hashes).alias("est_jaccard"),
         )
         .where(F.col("est_jaccard") >= F.lit(threshold))
     )
@@ -521,26 +566,6 @@ def ngram_contamination(
     )
 
 
-def _band_signatures(sig: DataFrame, rows_per_band: int) -> DataFrame:
-    """(id, band, bsig) band-signature strings from a signature table
-    ``(id, perm, minhash)`` — md5 over the band's minhashes in perm
-    order, the exact format the SQL oracle reproduces."""
-    banded = sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
-    return (
-        banded.groupBy("id", "band")
-        .agg(F.sort_array(F.collect_list(F.struct("perm", "minhash"))).alias("mh"))
-        .select(
-            "id",
-            "band",
-            F.md5(
-                F.concat_ws(
-                    ",", F.transform("mh", lambda x: x["minhash"].cast("string"))
-                )
-            ).alias("bsig"),
-        )
-    )
-
-
 def dedup_against_corpus(
     batch: DataFrame,
     corpus: DataFrame,
@@ -588,31 +613,23 @@ def dedup_against_corpus(
     with_exact = b_ids.join(exact, "_bt", "left").select("id", "exact_dup_of")
 
     sig_b = truncate_lineage(
-        minhash_signatures(batch, id_col, text_col, num_hashes, shingle_n, portable)
+        _minhash_wide(batch, id_col, text_col, num_hashes, shingle_n, portable)
     )
     sig_c = truncate_lineage(
-        minhash_signatures(corpus, id_col, text_col, num_hashes, shingle_n, portable)
+        _minhash_wide(corpus, id_col, text_col, num_hashes, shingle_n, portable)
     )
-    bands_b = _band_signatures(sig_b, rows_per_band)
-    bands_c = _band_signatures(sig_c, rows_per_band)
+    bands_b = _band_signatures_wide(sig_b, num_hashes, rows_per_band)
+    bands_c = _band_signatures_wide(sig_c, num_hashes, rows_per_band)
     cand = (
         bands_b.select(F.col("id").alias("bid"), "band", "bsig")
         .join(bands_c.select(F.col("id").alias("cid"), "band", "bsig"), ["band", "bsig"])
         .select("bid", "cid")
         .distinct()
     )
-    sa = sig_b.select(F.col("id").alias("bid"), "perm", F.col("minhash").alias("mh_a"))
-    sb = sig_c.select(F.col("id").alias("cid"), "perm", F.col("minhash").alias("mh_b"))
     est = (
-        cand.join(sa, "bid")
-        .join(sb, ["cid", "perm"])
-        .groupBy("bid", "cid")
-        .agg(
-            (
-                F.sum((F.col("mh_a") == F.col("mh_b")).cast("int"))
-                / F.lit(num_hashes)
-            ).alias("est")
-        )
+        cand.join(sig_b.alias("a"), F.col("bid") == F.col("a.id"))
+        .join(sig_c.alias("b"), F.col("cid") == F.col("b.id"))
+        .select("bid", "cid", _est_jaccard_wide(num_hashes).alias("est"))
         .where(F.col("est") >= F.lit(threshold))
     )
     # tie-break on the STRING form of the corpus id (ids may arrive as

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_hash64
 from ..functions.sketches import bloom_bits
+from .parallelism import fan_out
 
 
 def bloom_filtered_join(
@@ -67,7 +68,12 @@ def bloom_filtered_join(
     # so instead probe each position independently and AND them: the
     # first unset position kills the row.  With k small this is k
     # broadcast hash semi-joins, each at scan speed, zero shuffles.
-    out = fact
+    # The k probes cost k portable hashes per fact row BEFORE the first
+    # exchange, so a single-row-group scan would run them one-threaded;
+    # fan_out redistributes only when the scan is narrower than the
+    # session width (no-op on a many-split 100 TB scan), and the join
+    # result is order-free by contract.
+    out = fan_out(fact)
     for i in range(k):
         h = portable_hash64(
             F.concat(F.lit(str(i) + "|"), F.col(fact_key).cast("string")),

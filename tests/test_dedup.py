@@ -325,3 +325,28 @@ def test_containment_join_lossless_and_directional(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_band_signatures_wide_matches_reference_md5(spark):
+    # The wide band path must byte-match the oracle's
+    # md5(string_agg(minhash, ',' ORDER BY perm)) per band.
+    import hashlib
+
+    wide = dd._minhash_wide(_docs(spark), "doc_id", "text", 8, 3, True)
+    rows = {r["id"]: r for r in wide.collect()}
+    got = {
+        (r["id"], r["band"]): r["bsig"]
+        for r in dd._band_signatures_wide(wide, 8, 4).collect()
+    }
+    for i, r in rows.items():
+        for band in (0, 1):
+            ref = ",".join(str(r[f"m{j}"]) for j in range(band * 4, band * 4 + 4))
+            assert got[(i, band)] == hashlib.md5(ref.encode()).hexdigest()
+
+
+def test_minhash_signatures_is_stack_of_wide(spark):
+    wide = {
+        r["id"]: r for r in dd._minhash_wide(_docs(spark), "doc_id", "text", 8, 3, True).collect()
+    }
+    for r in dd.minhash_signatures(_docs(spark), num_hashes=8).collect():
+        assert r["minhash"] == wide[r["id"]][f"m{r['perm']}"]
