@@ -576,39 +576,68 @@ def _probe_cell_arrow(
     )
 
 
-def _score_pairs_arrow(joined: DataFrame, k: int) -> DataFrame:
-    """Arrow-batched candidate scoring + per-query top-k.  Input columns:
-    (query_id, qv, qn, neighbor_id, cv, cn); output
-    (query_id, neighbor_id, cosine, rank).  The row-wise dot is one
-    vectorized multiply-sum per batch instead of a per-element JVM HOF
-    fold per pair; the top-k stays a window (shuffle on query_id) so the
-    ranking semantics — cosine desc, neighbor_id asc — are byte-identical
-    to the expression path."""
+def _score_cells_cogrouped(c: DataFrame, q: DataFrame, k: int) -> DataFrame:
+    """Per-CELL candidate scoring (guide §8: ship heavy bytes once,
+    decide on light rows): cogroup the corpus cells with the probe rows
+    on ``cell`` and let each group score its |Q_cell| × |C_cell| block
+    in numpy, emitting only (query_id, neighbor_id, cosine).
+
+    The pair-join formulation this replaces attached BOTH 64-dim vectors
+    to every candidate pair and shipped candidates × 2·dim doubles
+    through the Python boundary (~1 KB/pair — measured ~1 GB and one
+    4 s single-task job for a 2k-vector k-NN graph); here each vector
+    crosses once per cell it participates in, and the boundary output is
+    three scalars per pair.  Per-pair float ops are kept IDENTICAL to
+    the pair-join arrow scorer this replaces — expand the pair index, elementwise
+    multiply, ``sum(axis=1)``, divide by the norm product — so cosines
+    are bit-equal to the pair-join arrow path.  Query blocks are chunked
+    so the expanded block stays bounded regardless of cell skew
+    (~2M pairs per chunk).  Group-at-a-time memory is |cell| × dim
+    doubles per side — the same per-cell envelope semdedup's kernel
+    documents; n_cells ~ √N keeps it bounded at corpus scale.
+    """
     import numpy as np
-    import pandas as pd  # noqa: F401
+    import pandas as pd
 
-    def kernel(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield pdf[["query_id", "neighbor_id"]].assign(
-                    cosine=np.array([], dtype="float64")
-                )
-                continue
-            Q = np.asarray(list(pdf["qv"]), dtype=np.float64)
-            C = np.asarray(list(pdf["cv"]), dtype=np.float64)
-            dot = (Q * C).sum(axis=1)
-            cos = dot / (
-                pdf["qn"].to_numpy(dtype="float64")
-                * pdf["cn"].to_numpy(dtype="float64")
+    qid_t = dict(q.dtypes)["query_id"]
+    nid_t = dict(c.dtypes)["neighbor_id"]
+
+    def kernel(cd: "pd.DataFrame", qd: "pd.DataFrame") -> "pd.DataFrame":
+        if len(cd) == 0 or len(qd) == 0:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cosine": []}
             )
-            out = pdf[["query_id", "neighbor_id"]].copy()
-            out["cosine"] = cos
-            yield out
+        C = np.asarray(list(cd["cv"]), dtype=np.float64)
+        Q = np.asarray(list(qd["qv"]), dtype=np.float64)
+        cn = cd["cn"].to_numpy(dtype="float64")
+        qn = qd["qn"].to_numpy(dtype="float64")
+        qids = qd["query_id"].to_numpy()
+        nids = cd["neighbor_id"].to_numpy()
+        nc = len(cd)
+        out = []
+        block = max(1, 2_000_000 // nc)
+        for s in range(0, len(qd), block):
+            e = min(s + block, len(qd))
+            qidx = np.repeat(np.arange(s, e), nc)
+            cidx = np.tile(np.arange(nc), e - s)
+            dot = (Q[qidx] * C[cidx]).sum(axis=1)
+            cos = dot / (qn[qidx] * cn[cidx])
+            qi, ni = qids[qidx], nids[cidx]
+            mask = qi != ni
+            out.append(
+                pd.DataFrame(
+                    {"query_id": qi[mask], "neighbor_id": ni[mask], "cosine": cos[mask]}
+                )
+            )
+        return pd.concat(out, ignore_index=True)
 
-    qid_t = dict(joined.dtypes)["query_id"]
-    nid_t = dict(joined.dtypes)["neighbor_id"]
-    scored = joined.mapInPandas(
-        kernel, f"query_id {qid_t}, neighbor_id {nid_t}, cosine double"
+    scored = (
+        c.select("cell", "neighbor_id", "cv", "cn")
+        .groupBy("cell")
+        .cogroup(q.select("cell", "query_id", "qv", "qn").groupBy("cell"))
+        .applyInPandas(
+            kernel, f"query_id {qid_t}, neighbor_id {nid_t}, cosine double"
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -796,13 +825,10 @@ def ivf_topk(
                 cents,
                 1,
             ).select("neighbor_id", "cv", F.col("nrm").alias("cn"), "cell")
-        joined = c.join(
-            F.broadcast(q) if broadcast_queries else q, "cell"
-        ).where(F.col("query_id") != F.col("neighbor_id"))
-        return _score_pairs_arrow(
-            joined.select("query_id", "qv", "qn", "neighbor_id", "cv", "cn"),
-            k,
-        )
+        # Cogrouped per-cell scoring instead of join-then-score: the
+        # pair join would attach both vectors to every candidate row
+        # and ship candidates × 2·dim doubles into the scoring kernel.
+        return _score_cells_cogrouped(c, q, k)
 
     # Expression path (bit-compatible with the DuckDB oracle replay).
     # Per-query probe cells: sort (distance, cell) structs in-array and
