@@ -269,31 +269,50 @@ def graph_association_rules(
     # r9-opt: lift (sum of ALL confidences, pre-truncation) rides in the
     # same pass as the top-5 instead of a second aggregation over
     # ``pairs`` plus a third join in the assembly below — one shuffle
-    # and one join fewer.  Summation order differs from the old separate
-    # groupBy, which is safe here for the same reason the result matches
-    # DuckDB's order at 9 dp: the per-pair confidences sum exactly.
+    # and one join fewer.  In the UNWEIGHTED case every pair of an
+    # antecedent carries the same confidence (a_support / total_tx), so
+    # the sum is computed algebraically as pair_count × confidence —
+    # exact, order-free, and therefore bit-identical between the window
+    # and salted paths (a float accumulation's order differs between
+    # plan shapes; the old separate groupBy only matched because both
+    # paths shared it).  The weighted sum stays a per-path float
+    # accumulation, stable at the oracle's 9 dp like every other float
+    # aggregate in the engine.
     if skew_safe:
-        top5 = salted_agg(
+        # lift_part: integer pair count (unweighted — counts merge
+        # exactly, the single n × c multiply happens once after the
+        # merge) or the float partial sum (weighted).
+        lift_part = (
+            F.count(F.lit(1)) if not weighted else F.sum("confidence")
+        ).alias("lift_part")
+        merged = salted_agg(
             pairs.select("a_iid", "confidence", _rank_struct.alias("s")),
             ["a_iid"],
             [
                 F.slice(F.sort_array(F.collect_list("s")), 1, 5).alias("part"),
-                F.sum("confidence").alias("lift_part"),
+                lift_part,
             ],
             lambda p: [
                 F.slice(
                     F.sort_array(F.flatten(F.collect_list("part"))), 1, 5
                 ).alias("assoc"),
-                F.sum("lift_part").alias("lift_score"),
+                F.sum("lift_part").alias("lift_raw"),
             ],
-        ).select(
+        )
+        lift_score = (
+            F.col("lift_raw").cast("double")
+            * F.element_at("assoc", 1)["confidence"]
+            if not weighted
+            else F.col("lift_raw")
+        )
+        top5 = merged.select(
             "a_iid",
-            "lift_score",
+            lift_score.alias("lift_score"),
             F.transform("assoc", lambda x: x["consequent"]).alias("consequents"),
             F.transform("assoc", lambda x: x["confidence"]).alias("confidence_scores"),
         )
     else:
-        top5 = _window_top5(pairs)
+        top5 = _window_top5(pairs, weighted=weighted)
 
     # patterns over the distinct directed association graph.
     if with_patterns:
@@ -338,14 +357,22 @@ def graph_association_rules(
     return out
 
 
-def _window_top5(pairs: DataFrame) -> DataFrame:
+def _window_top5(pairs: DataFrame, *, weighted: bool) -> DataFrame:
     """Default top-5 path: row_number window + collect_list.
 
     The lift sum shares the window's exchange (same partition key), and
     the following groupBy on that key reuses the partitioning — top-5,
     lift and the list assembly all ride ONE shuffle of ``pairs``.
+    Unweighted lift is the algebraic pair_count × confidence (exact and
+    order-free — matches the salted path bit-for-bit); weighted lift is
+    the float sum.
     """
     w = Window.partitionBy("a_iid")
+    lift = (
+        F.count(F.lit(1)).over(w) * F.col("confidence")
+        if not weighted
+        else F.sum("confidence").over(w)
+    )
     return (
         pairs.withColumn(
             "rn",
@@ -353,7 +380,7 @@ def _window_top5(pairs: DataFrame) -> DataFrame:
                 w.orderBy(F.col("confidence").desc(), F.col("consequent").asc())
             ),
         )
-        .withColumn("lift", F.sum("confidence").over(w))
+        .withColumn("lift", lift)
         .where(F.col("rn") <= 5)
         .groupBy("a_iid")
         .agg(
