@@ -61,28 +61,82 @@ def bloom_filtered_join(
         )
     m = 1 << m_bits
     bits = bloom_bits(dim, dim_key, m_bits=m_bits, k=k, portable=portable)
-    # Fact side: k positions per key; a row survives iff ALL k are set.
-    # Expressed as k successive broadcast LEFT SEMI joins folded into a
-    # conjunction via groupBy-count == k over (row-key, position) --
-    # cheaper: join on ANY position match would admit rows with one hit,
-    # so instead probe each position independently and AND them: the
-    # first unset position kills the row.  With k small this is k
-    # broadcast hash semi-joins, each at scan speed, zero shuffles.
-    # The k probes cost k portable hashes per fact row BEFORE the first
-    # exchange, so a single-row-group scan would run them one-threaded;
-    # fan_out redistributes only when the scan is narrower than the
-    # session width (no-op on a many-split 100 TB scan), and the join
-    # result is order-free by contract.
-    out = fan_out(fact)
-    for i in range(k):
-        h = portable_hash64(
-            F.concat(F.lit(str(i) + "|"), F.col(fact_key).cast("string")),
-            portable=portable,
+    # Pack the set positions into 64-bit words (word index -> OR of its
+    # set bits) and test the k probe positions with a PURE EXPRESSION on
+    # the fact side.  The previous form — k successive broadcast LEFT
+    # SEMI joins on a ``_pos`` key — made the optimizer infer
+    # ``isnotnull(_pos)`` for every probe and push all k md5 derivations
+    # into the scan's Filter while each join's Project re-derived its
+    # hash above: 2k portable hashes per fact row, half of them pinned
+    # inside the (row-group-bounded) scan stage.  The expression form
+    # evaluates each hash once (whole-stage-codegen CSE across the
+    # word-lookup and mask uses) and the probe never leaves the scan
+    # stage.  The filter state is the same fixed-size contract as
+    # ``bloom_bits``: the dense word array is 2^m_bits/64 longs — a
+    # driver-held literal (the centroid-literal pattern) up to the
+    # 512 KB of m_bits=22; above that it rides as a one-row broadcast
+    # map of only the NONZERO words (≤ k·|dim| entries) with the
+    # positions pre-projected on the fact side so the heavy hashes stay
+    # in the fact's codegen stage, not the nested-loop join condition.
+    words = bits.groupBy(
+        (F.col("pos") / 64).cast("int").alias("w")
+    ).agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), pos % 64))").alias("bw")
+    )
+
+    def positions() -> "list":
+        cols = []
+        for i in range(k):
+            h = portable_hash64(
+                F.concat(F.lit(str(i) + "|"), F.col(fact_key).cast("string")),
+                portable=portable,
+            )
+            cols.append(F.pmod(h, F.lit(m)).cast("int"))
+        return cols
+
+    # fan_out: the k portable hashes per fact row run BEFORE the first
+    # exchange, so a single-row-group scan would compute them
+    # one-threaded; conditional, a no-op on a many-split 100 TB scan.
+    # When the repartition DID happen (small-scan regime), checkpoint it:
+    # the probe filter is deterministic, so the optimizer would otherwise
+    # push it back through the exchange into the scan stage — measured:
+    # the 3-task scan re-absorbed all k md5s and the fan-out bought
+    # nothing.  At scale fan_out is an identity and the filter pushes
+    # down to the scan, which is exactly right there.
+    fact_w = fan_out(fact)
+    if fact_w is not fact:
+        from .iteration import truncate_lineage
+
+        fact_w = truncate_lineage(fact_w)
+
+    if m_bits <= 22:
+        n_words = max(1, m // 64)
+        dense = [0] * n_words
+        for r in words.collect():  # bounded: ≤ n_words rows by construction
+            dense[int(r["w"])] = int(r["bw"])
+        arr = F.lit(dense)
+        cond = None
+        for pos in positions():
+            word = F.element_at(arr, (pos / 64).cast("int") + 1)
+            mask = F.call_function("shiftleft", F.lit(1).cast("long"), pos % 64)
+            hit = word.bitwiseAND(mask) != 0
+            cond = hit if cond is None else cond & hit
+        out = fact_w.where(cond)
+    else:
+        bitmap = words.agg(
+            F.map_from_entries(F.collect_list(F.struct("w", "bw"))).alias("_bloom_bm")
         )
-        probe = out.withColumn("_pos", F.pmod(h, F.lit(m)).cast("int"))
-        out = probe.join(
-            F.broadcast(bits.withColumnRenamed("pos", "_pos")),
-            "_pos",
-            "left_semi",
-        ).drop("_pos")
+        pos_names = [f"_bloom_pos{i}" for i in range(k)]
+        probed = fact_w
+        for name, pos in zip(pos_names, positions()):
+            probed = probed.withColumn(name, pos)
+        probe = probed.crossJoin(F.broadcast(bitmap))
+        cond = None
+        for name in pos_names:
+            pos = F.col(name)
+            word = F.element_at(F.col("_bloom_bm"), (pos / 64).cast("int"))
+            mask = F.call_function("shiftleft", F.lit(1).cast("long"), pos % 64)
+            hit = F.coalesce(word, F.lit(0).cast("long")).bitwiseAND(mask) != 0
+            cond = hit if cond is None else cond & hit
+        out = probe.where(cond).drop("_bloom_bm", *pos_names)
     return out.join(dim, out[fact_key] == dim[dim_key], how)

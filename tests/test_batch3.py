@@ -128,7 +128,16 @@ def test_bloom_filtered_join_plan_is_broadcast_prefilter(spark):
     fact = spark.createDataFrame([(i, i % 10) for i in range(100)], "row_id long, fk long")
     dim = spark.createDataFrame([(2, "x")], "pk long, name string")
     plan = bloom_filtered_join(fact, dim, "fk", "pk", m_bits=10)._jdf.queryExecution().executedPlan().toString()
-    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+    # Small m: the packed bit-set rides as a dense array LITERAL, so the
+    # probe is a pure filter expression in the fact's own stage — no
+    # per-probe semi-join chain, no extra join of any kind.
+    assert "LeftSemi" not in plan
+    assert "shiftleft" in plan and "md5" in plan
+    assert plan.count("Join") == 1  # only the re-check join itself
+    # Big m: the nonzero words ride as a one-row broadcast map instead.
+    plan_big = bloom_filtered_join(fact, dim, "fk", "pk", m_bits=24)._jdf.queryExecution().executedPlan().toString()
+    assert "_bloom_bm" in plan_big and "BroadcastNestedLoopJoin" in plan_big
+    assert "LeftSemi" not in plan_big
 
 
 def test_bloom_filtered_join_rejects_outer(spark):
