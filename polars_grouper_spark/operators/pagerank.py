@@ -132,19 +132,16 @@ def _power_iteration(
                 .collect()[0]["d"]
             )
         else:
-            # Fixed-iteration mode (r9-opt): CHAIN rounds instead of
-            # eager-checkpointing each — the per-round localCheckpoint
-            # was one job + 2-3 AQE stage jobs of pure driver overhead
-            # per iteration, and nothing reads intermediate rounds.
-            # Each round's output feeds exactly one consumer (the next
-            # round), so one final action evaluates the chain ONCE —
-            # linear work, unlike an action-per-round unchained loop.
-            # A checkpoint every 8 rounds caps plan depth for long
-            # trains; the returned frame is materialized so callers'
-            # repeated actions do not re-run the chain.
+            # Fixed-iteration mode: eager checkpoint per round.  A
+            # chained variant (checkpoint every 8th round, one final
+            # action) was tried in r9 and REVERTED: the work stays
+            # linear, but each broadcast round's build plans the whole
+            # accumulated chain, and the driver-side planning gaps grew
+            # past what the per-round checkpoint jobs cost — measured
+            # 3.3 s (eager) vs 6.9-13 s (chained) for pagerank_sp at
+            # sf0.1/local[32], with profile gaps of 3.2 s between jobs.
             diff = None
-            if (i + 1) % 8 == 0 or (i + 1) == max_iterations:
-                new_ranks = truncate_lineage(new_ranks)
+            new_ranks = truncate_lineage(new_ranks)
         ranks = new_ranks
         if diff is not None and diff < convergence_threshold:
             break
@@ -377,11 +374,11 @@ def personalized_page_rank(
             .groupBy("node")
             .agg((F.lit(d) * F.sum("c")).alias("score"))
         )
-        # Fixed-depth walk: chain rounds, checkpoint every 8th and the
-        # last (same rationale as _power_iteration's fixed-iteration
-        # mode — intermediate rounds have exactly one consumer).
-        if (i + 1) % 8 == 0 or (i + 1) == max_iterations:
-            ranks = truncate_lineage(ranks)
+        # Fixed-depth walk: eager checkpoint per round (chaining
+        # reverted with _power_iteration's — see the note there: the
+        # broadcast build plans the accumulated chain and driver gaps
+        # outgrew the per-round checkpoint jobs).
+        ranks = truncate_lineage(ranks)
     return ranks
 
 
