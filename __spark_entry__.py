@@ -1387,7 +1387,16 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SQL oracle."""
     emb = load_table(spark, "embeddings", sf_dir)
     q = emb.where(F.col("vec_id") < _TOPK_QUERIES)
-    out = sim.ivf_topk(emb, q, k=_TOPK_K, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE)
+    # r9-opt: the arrow assignment/probe/scoring kernels replace the
+    # interpreted per-row argmin + HOF fold (three corpus-wide ~1 s
+    # jobs at sf0.1).  Output verified hash-identical to the expr path
+    # (and the DuckDB oracle) at sf0.001/0.01/0.1 — same argument as
+    # knn_graph: the oracle replays Lloyd with its own float order
+    # anyway, and inter-cell gaps dwarf float noise.
+    out = sim.ivf_topk(
+        emb, q, k=_TOPK_K, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE,
+        assign="arrow",
+    )
     return out.select(
         "query_id",
         "neighbor_id",
