@@ -323,31 +323,63 @@ def betweenness_centrality_distributed(
     visited = frontier.select("s", "v", F.lit(0).alias("dist"), "sigma")
     levels = [frontier]  # per-depth (s, v, sigma) — reused by the backward pass
     depth = 0
-    while depth < max_depth:
+
+    def _expand(front: DataFrame, seen: DataFrame) -> DataFrame:
         cand = (
-            frontier.join(edges, frontier["v"] == edges["u"])
+            front.join(edges, front["v"] == edges["u"])
             .select("s", edges["v"].alias("v"), (F.col("sigma") * F.col("m")).alias("c"))
             .groupBy("s", "v")
             .agg(F.sum("c").alias("sigma"))
         )
-        # Lazy checkpoint: the isEmpty probe starts materializing the round
-        # (remaining partitions complete when visited/levels consume them)
-        # — one job per round, as in calculate_shortest_path.
-        new = truncate_lineage(
-            cand.join(visited.select("s", "v"), ["s", "v"], "left_anti"),
+        # Lazy checkpoint: the termination probe starts materializing the
+        # chain (remaining partitions complete when visited/levels consume
+        # them).
+        return truncate_lineage(
+            cand.join(seen.select("s", "v"), ["s", "v"], "left_anti"),
             cache=False,
         )
-        if new.isEmpty():
+
+    # r9-opt: TWO BFS levels per termination probe.  The level-d+1 and
+    # level-d+2 expansions chain lazily and one isEmpty materializes
+    # both — half the per-round driver sync barriers of probing every
+    # level, with identical state (level d+2's anti-join sees visited
+    # THROUGH d+1, preserving the level-synchronous invariant; sigma at
+    # d+2 sums only final d+1 sigmas).  When the probe finds d+2 empty,
+    # d+1 (already materialized by the same job) may still hold the
+    # final level.
+    while depth < max_depth:
+        new1 = _expand(frontier, visited)
+        visited1 = truncate_lineage(
+            visited.unionByName(
+                new1.select("s", "v", F.lit(depth + 1).alias("dist"), "sigma")
+            ),
+            cache=False,
+        )
+        if depth + 2 > max_depth:
+            if new1.isEmpty():
+                break
+            depth += 1
+            levels.append(new1)
+            visited = visited1
+            frontier = new1
+            continue
+        new2 = _expand(new1, visited1)
+        if new2.isEmpty():
+            if not new1.isEmpty():
+                depth += 1
+                levels.append(new1)
+                visited = visited1
             break
-        depth += 1
-        # Lazy: the next round's isEmpty (via the anti-join) materializes
-        # it — keeps the loop at one job per round instead of two.
+        depth += 2
+        levels.append(new1)
+        levels.append(new2)
         visited = truncate_lineage(
-            visited.unionByName(new.select("s", "v", F.lit(depth).alias("dist"), "sigma")),
+            visited1.unionByName(
+                new2.select("s", "v", F.lit(depth).alias("dist"), "sigma")
+            ),
             cache=False,
         )
-        levels.append(new)
-        frontier = new
+        frontier = new2
 
     # ---- backward pass: delta per (s, v), deepest level first ---------
     # Successor relation: (s, v) -> (s, w) along edge (v, w, m) with
