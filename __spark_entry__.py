@@ -9717,6 +9717,13 @@ def q_conformal_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_grouper_spark.functions.regression import ols2
     from polars_grouper_spark.functions.sketches import hist_quantiles
 
+    # r9-opt note: builder-level fan_out of the shared projection was
+    # tried in both forms and REVERTED — bare, each consumer re-ran the
+    # repartition + its SPARK-23207 sort (2.6 -> 8-9 s); checkpointed
+    # (fan_out_shared), the eager materialization outweighed the
+    # histogram pass it parallelized (~3.5-4.3 vs ~3 s).  ols2's
+    # internal fan_out already parallelizes the moments pass; the
+    # residual histogram stays in the scan stage.
     li = load_table(spark, "lineitem", sf_dir)
     coef = ols2(
         li, "l_quantity", "l_discount", "l_extendedprice", q1=1, q2=100,
@@ -9822,8 +9829,19 @@ def q_ransac_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered, never a global sort), ALL candidates scored in one
     conditional-count pass, eps = 1000 currency units."""
     from polars_grouper_spark.functions.regression import ransac_line
+    from polars_grouper_spark.plans.parallelism import fan_out
 
-    li = load_table(spark, "lineitem", sf_dir).withColumn(
+    # r9-opt: candidate sampling + scoring are per-row passes pipelined
+    # into the one-row-group scan; hash-sampled candidates and exact
+    # counts are partitioning-free, so redistribution is safe.  Bare
+    # fan_out measured best here (1.6-1.9 s vs 2.1-2.5 checkpointed vs
+    # 2.5-2.8 without): two consumers, but the second pass reuses the
+    # exchange.
+    li = fan_out(
+        load_table(spark, "lineitem", sf_dir).select(
+            "l_quantity", "l_extendedprice", "l_orderkey", "l_linenumber"
+        )
+    ).withColumn(
         "_rid",
         F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber")),
     )
@@ -10055,8 +10073,16 @@ def q_reg_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
     the calibration readout for a regressor (classifier calibration is
     already in the suite)."""
     from polars_grouper_spark.functions.regression import ols2
+    from polars_grouper_spark.plans.parallelism import fan_out_shared
 
-    li = load_table(spark, "lineitem", sf_dir)
+    # r9-opt: three per-row passes (moments, min/max, binning) over a
+    # one-row-group scan — fan_out_shared the projection once (see
+    # conformal's note on why the checkpointed form).
+    li = fan_out_shared(
+        load_table(spark, "lineitem", sf_dir).select(
+            "l_quantity", "l_discount", "l_extendedprice"
+        )
+    )
     coef = ols2(
         li, "l_quantity", "l_discount", "l_extendedprice", q1=1, q2=100,
         qy=100,

@@ -248,6 +248,13 @@ def ols2(
         qz(x2_col, q2).alias("b"),
         qz(y_col, qy).alias("y"),
     )
+    # r9-opt: the nine decimal moment products otherwise pipeline into
+    # the scan stage, which a single-row-group file bounds to one task;
+    # the sums are exact decimals, so redistribution is order-free.
+    # No-op at cluster scale (fan_out is conditional on scan width).
+    from ..plans.parallelism import fan_out
+
+    src = fan_out(src)
     s = lambda e: F.sum(e).cast("double")  # noqa: E731
     agg = src.agg(
         F.count(F.lit(1)).alias("n_i"),

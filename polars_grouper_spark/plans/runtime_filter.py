@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_hash64
 from ..functions.sketches import bloom_bits
-from .parallelism import fan_out
+from .parallelism import fan_out_shared
 
 
 def bloom_filtered_join(
@@ -103,11 +103,7 @@ def bloom_filtered_join(
     # the 3-task scan re-absorbed all k md5s and the fan-out bought
     # nothing.  At scale fan_out is an identity and the filter pushes
     # down to the scan, which is exactly right there.
-    fact_w = fan_out(fact)
-    if fact_w is not fact:
-        from .iteration import truncate_lineage
-
-        fact_w = truncate_lineage(fact_w)
+    fact_w = fan_out_shared(fact)
 
     if m_bits <= 22:
         n_words = max(1, m // 64)
