@@ -6,13 +6,17 @@ cohesion notion than the k-core (every k-truss is inside a (k−1)-core),
 standard for extracting communities that survive hub removal.
 
 Computed by iterative support peeling: count each edge's triangle
-support, delete edges below k−2, repeat until stable.  Each round is the
-triangle-support pipeline of ``operators.triangles`` restricted to the
-surviving edges — wedge generation bounded by the degree orientation
-(O(√E) out-degrees), everything joins/aggregations on interned 64-bit
-ids, nothing driver-sized.  Like k-core, the edge set only shrinks, so
-per-round cost is monotone non-increasing; rounds are bounded by the
-peeling depth (``max_iter`` guards adversarial chains of triangles).
+support, delete edges below k−2, repeat until stable.  The distributed
+tier enumerates triangles ONCE (the wedge pipeline of
+``operators.triangles``, degree-orientation-bounded at O(√E)
+out-degrees, with a packed-bitset wedge pre-filter above the broadcast
+budget) and peels on the materialized triangle list — a residual
+triangle is an original triangle all of whose edges survive, so each
+round only prunes the shrinking T-row list by that round's peeled-edge
+delta and recounts corners (Cohen 2008's MapReduce k-truss shape).
+Everything is joins/aggregations on interned 64-bit ids, nothing
+driver-sized; rounds are bounded by the peeling depth (``max_iter``
+guards adversarial chains of triangles).
 """
 
 from __future__ import annotations
@@ -29,24 +33,25 @@ from .triangles import _interned_edges
 _WEDGE_CHUNK = 8_000_000
 
 
-def _edge_support(edges: DataFrame, *, broadcast_small: bool = False) -> DataFrame:
-    """Triangle support per canonical edge -> (a, b, support).
+def _enumerate_triangles(
+    edges: DataFrame, *, broadcast_small: bool = False, wedge_filter=None
+) -> DataFrame:
+    """All triangles of the canonical (a < b, long id) edge set, each
+    exactly once -> ``(u, v1, v2)`` with ``v1 < v2`` (degree-ordered
+    wedge enumeration, see triangles.triangle_count).
 
-    Degree-ordered wedge enumeration (see triangles.triangle_count);
-    every triangle (u, v1, v2) contributes support to its three edges
-    {u,v1}, {u,v2}, {v1,v2}.
-
-    ``broadcast_small`` (round-9, set per peel round from the edge count
-    the loop already takes): the wedge set is the data-sized
-    intermediate — sum(out_deg²)/2 rows, orders of magnitude larger than
-    E — yet the plan's default shape SHUFFLES it twice (once to close
-    triangles against the edge table, once into the support
-    aggregation's exchange).  When the edge set fits the broadcast
-    budget, hinting the E- and V-sized tables broadcast keeps the wedge
-    stream entirely map-side: it is generated, closed and
-    partially-aggregated inside one stage and only triangle corners
-    (bounded by 3 × triangle count after partial agg) ever hit a
-    shuffle.  Above the budget the sort-merge shape stands unchanged.
+    ``broadcast_small``: the wedge set is the data-sized intermediate —
+    sum(out_deg²)/2 rows, orders of magnitude larger than E — yet the
+    plan's default shape SHUFFLES it into the closing join.  When the
+    edge set fits the broadcast budget, hinting the E- and V-sized
+    tables broadcast keeps the wedge stream entirely map-side: it is
+    generated and closed inside one stage.  Above the budget the
+    sort-merge shape stands, with ``wedge_filter`` (a
+    ``plans.runtime_filter.packed_bitset_prefilter`` over the edge set)
+    dropping the non-closing wedges at map speed BEFORE the closing
+    join's exchange — in sparse graphs almost no wedge closes, so the
+    filter removes most of the shuffle; false positives are eliminated
+    by the exact join itself.
     """
     bc = F.broadcast if broadcast_small else (lambda d: d)
     deg = (
@@ -68,27 +73,11 @@ def _edge_support(edges: DataFrame, *, broadcast_small: bool = False) -> DataFra
     e1 = oriented.select(F.col("u"), F.col("v").alias("v1"))
     e2 = oriented.select(F.col("u"), F.col("v").alias("v2"))
     wedges = e1.join(e2, "u").where(F.col("v1") < F.col("v2"))
-    triangles = wedges.join(
+    if wedge_filter is not None and not broadcast_small:
+        wedges = wedge_filter(wedges, ["v1", "v2"])
+    return wedges.join(
         bc(edges), (F.col("v1") == F.col("a")) & (F.col("v2") == F.col("b"))
     ).select("u", "v1", "v2")
-    tri_edges = (
-        triangles.select(
-            F.least("u", "v1").alias("a"), F.greatest("u", "v1").alias("b")
-        )
-        .unionAll(
-            triangles.select(
-                F.least("u", "v2").alias("a"), F.greatest("u", "v2").alias("b")
-            )
-        )
-        .unionAll(triangles.select(F.col("v1").alias("a"), F.col("v2").alias("b")))
-    )
-    support = tri_edges.groupBy("a", "b").agg(
-        F.count(F.lit(1)).alias("support")
-    )
-    return (
-        edges.join(bc(support), ["a", "b"], "left")
-        .select("a", "b", F.coalesce("support", F.lit(0)).alias("support"))
-    )
 
 
 def _k_truss_local(spark, cleaned, min_support: int, max_iter: int):
@@ -280,11 +269,14 @@ def k_truss(
     ``(src, dst, support)`` (endpoint names, src < dst in string order);
     empty result if the k-truss is empty.
 
-    ``max_broadcast_edges``: per-round broadcast budget for the support
-    pipeline's E/V-sized tables (re-evaluated every peel round from the
-    termination fingerprint's count — zero extra jobs).  Under it the
-    data-sized wedge stream stays map-side end to end; above it the
-    sort-merge shape is unchanged.  Raise it on clusters with roomy
+    ``max_broadcast_edges``: broadcast budget for (a) the one-off
+    triangle enumeration's E/V-sized tables — under it the data-sized
+    wedge stream is generated and closed map-side in one stage; above it
+    the sort-merge shape stands with a packed-bitset wedge pre-filter
+    dropping non-closing wedges before the exchange — and (b) each peel
+    round's prune side (the peeled-edge delta or the survivor set,
+    whichever is smaller; the count comes from the termination
+    fingerprint, zero extra jobs).  Raise it on clusters with roomy
     executors when peeling graphs in the 2M-30M edge range.
 
     >>> edges = spark.createDataFrame(
@@ -320,15 +312,49 @@ def k_truss(
     edges, names = _interned_edges(df, src, dst)
     edges = truncate_lineage(edges, cache=False)
     prev = fingerprint(edges, "a", "b")
+    # Triangle-list peel (round-9 optimization, the classic MapReduce
+    # k-truss shape — Cohen 2008): a triangle of the residual graph IS a
+    # triangle of the original graph all of whose edges survive, so the
+    # O(E^1.5) wedge enumeration runs EXACTLY ONCE and every peel round
+    # works off the materialized triangle list — per-round cost drops
+    # from re-enumerating Σ outdeg² wedges to pruning/recounting the
+    # (monotonically shrinking) T-row triangle table.  The trade is
+    # checkpoint storage O(T) instead of per-round recompute; identical
+    # output by construction (supports against the same triangle sets).
+    bc0 = prev[0] <= max_broadcast_edges
+    wedge_filter = None
+    if not bc0:
+        from ..plans.runtime_filter import packed_bitset_prefilter
+
+        wedge_filter = packed_bitset_prefilter(edges, ["a", "b"], prev[0])
+    tri = _enumerate_triangles(
+        edges, broadcast_small=bc0, wedge_filter=wedge_filter
+    )
+    # Canonical corner-pair keys, computed once: the peel only ever
+    # touches these six columns.
+    tri = truncate_lineage(
+        tri.select(
+            F.least("u", "v1").alias("e1a"),
+            F.greatest("u", "v1").alias("e1b"),
+            F.least("u", "v2").alias("e2a"),
+            F.greatest("u", "v2").alias("e2b"),
+            F.col("v1").alias("e3a"),
+            F.col("v2").alias("e3b"),
+        ),
+        cache=False,
+    )
+    corner_keys = (("e1a", "e1b"), ("e2a", "e2b"), ("e3a", "e3b"))
     for _ in range(max_iter):
-        # Per-round broadcast re-evaluation (round-9, the matching/MIS r8
-        # pattern): prev[0] IS this round's edge count (taken for
-        # termination anyway).  Under the budget the E/V-sized tables
-        # broadcast and the data-sized wedge stream never shuffles; the
-        # residual only shrinks, so a graph entering above the budget
-        # falls under it as it peels.
-        sup = _edge_support(
-            edges, broadcast_small=prev[0] <= max_broadcast_edges
+        corners = (
+            tri.select(F.col("e1a").alias("a"), F.col("e1b").alias("b"))
+            .unionAll(tri.select(F.col("e2a").alias("a"), F.col("e2b").alias("b")))
+            .unionAll(tri.select(F.col("e3a").alias("a"), F.col("e3b").alias("b")))
+        )
+        support = corners.groupBy("a", "b").agg(
+            F.count(F.lit(1)).alias("support")
+        )
+        sup = edges.join(support, ["a", "b"], "left").select(
+            "a", "b", F.coalesce("support", F.lit(0)).alias("support")
         )
         new_edges = sup.where(F.col("support") >= min_support).select("a", "b")
         new_edges = truncate_lineage(new_edges, cache=False)
@@ -355,6 +381,35 @@ def k_truss(
                     "support",
                 )
             )
+        # Prune the triangle list: a dead triangle never revives.  The
+        # per-round delta (peeled edges) is usually tiny, so the prune is
+        # three broadcast ANTI joins — map-side, no shuffle of tri; when
+        # the delta is the bigger side (mass-extinction rounds, e.g. a
+        # sparse random graph at k=3), SEMI-join against the (then small)
+        # survivor set instead.  Broadcast only under the budget.
+        n_dead = prev[0] - cur[0]
+        if n_dead <= cur[0]:
+            side = sup.where(F.col("support") < min_support).select("a", "b")
+            bcs = n_dead <= max_broadcast_edges
+            jt = "left_anti"
+        else:
+            side = new_edges
+            bcs = cur[0] <= max_broadcast_edges
+            jt = "left_semi"
+        pruned = tri
+        for i, (ca, cb) in enumerate(corner_keys):
+            si = side.select(
+                F.col("a").alias(f"_ka{i}"), F.col("b").alias(f"_kb{i}")
+            )
+            if bcs:
+                si = F.broadcast(si)
+            pruned = pruned.join(
+                si,
+                (F.col(ca) == F.col(f"_ka{i}"))
+                & (F.col(cb) == F.col(f"_kb{i}")),
+                jt,
+            )
+        tri = truncate_lineage(pruned, cache=False)
         edges, prev = new_edges, cur
     raise RuntimeError(
         f"k_truss did not converge within max_iter={max_iter} peeling rounds; "

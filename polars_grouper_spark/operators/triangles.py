@@ -112,17 +112,23 @@ def triangle_count(
     """
     edges, names = _interned_edges(df, src, dst)
 
-    # Broadcast guard (round-9, mirrors ktruss._edge_support): the wedge
-    # stream is the data-sized intermediate; under the budget (one cheap
-    # count over the eagerly checkpointed edges) the E/V-sized tables
-    # broadcast and the wedges are generated, closed and
-    # partially-aggregated map-side in one stage.  Above it, sort-merge
-    # + AQE unchanged.
-    bc = (
-        F.broadcast
-        if max_broadcast_edges and edges.count() <= max_broadcast_edges
-        else (lambda d: d)
-    )
+    # Broadcast guard (round-9, mirrors ktruss._enumerate_triangles): the
+    # wedge stream is the data-sized intermediate; under the budget (one
+    # cheap count over the eagerly checkpointed edges) the E/V-sized
+    # tables broadcast and the wedges are generated, closed and
+    # partially-aggregated map-side in one stage.  Above it, sort-merge +
+    # AQE with a packed-bitset wedge pre-filter: almost no wedge of a
+    # sparse graph closes, so probing (v1, v2) against a bitmap of the
+    # edge set drops the non-closers BEFORE the closing join's exchange
+    # (false positives are removed by the exact join).
+    n_edges = edges.count()
+    bc_small = bool(max_broadcast_edges) and n_edges <= max_broadcast_edges
+    bc = F.broadcast if bc_small else (lambda d: d)
+    wedge_filter = None
+    if not bc_small:
+        from ..plans.runtime_filter import packed_bitset_prefilter
+
+        wedge_filter = packed_bitset_prefilter(edges, ["a", "b"], n_edges)
 
     # Total order by (degree, id): bounds out-degree by O(sqrt(E)).
     deg = (
@@ -149,6 +155,8 @@ def triangle_count(
     e1 = oriented.select(F.col("u"), F.col("v").alias("v1"))
     e2 = oriented.select(F.col("u"), F.col("v").alias("v2"))
     wedges = e1.join(e2, "u").where(F.col("v1") < F.col("v2"))
+    if wedge_filter is not None:
+        wedges = wedge_filter(wedges, ["v1", "v2"])
     triangles = wedges.join(
         bc(edges), (F.col("v1") == F.col("a")) & (F.col("v2") == F.col("b"))
     ).select("u", "v1", "v2")
@@ -452,7 +460,8 @@ def edge_embeddedness(
     and the pre-aggregation keeps its duplicate compression)."""
     edges = _canonical_edges(df, src, dst)
     edges = truncate_lineage(edges)
-    bc_small = bool(max_broadcast_edges) and edges.count() <= max_broadcast_edges
+    n_edges = edges.count()
+    bc_small = bool(max_broadcast_edges) and n_edges <= max_broadcast_edges
     bc = F.broadcast if bc_small else (lambda d: d)
     sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
@@ -474,6 +483,15 @@ def edge_embeddedness(
             .agg(F.count(F.lit(1)).alias("nc"))
         )
     else:
+        # Above the budget, a packed-bitset pre-filter over the edge set
+        # (round-9) drops the non-edge wedge pairs at map speed BEFORE
+        # the aggregation's exchange; its false positives are removed by
+        # the exact edge join after the count.
+        from ..plans.runtime_filter import packed_bitset_prefilter
+
+        wedge_filter = packed_bitset_prefilter(edges, ["a", "b"], n_edges)
+        if wedge_filter is not None:
+            wedge_pairs = wedge_filter(wedge_pairs, ["a", "b"])
         common = (
             wedge_pairs.groupBy("a", "b")
             .agg(F.count(F.lit(1)).alias("nc"))

@@ -136,3 +136,94 @@ def bloom_filtered_join(
             cond = hit if cond is None else cond & hit
         out = probe.where(cond).drop("_bloom_bm", *pos_names)
     return out.join(dim, out[fact_key] == dim[dim_key], how)
+
+
+def packed_bitset_prefilter(
+    keys: DataFrame,
+    key_cols: "list[str]",
+    n_keys: int,
+    *,
+    k: int = 2,
+    bits_per_key: int = 12,
+    max_m_bits: int = 28,
+    max_fp: float = 0.3,
+):
+    """Approximate-membership pre-filter over a composite key, built once
+    and applied map-side to arbitrarily many probe streams (guide §3.2's
+    Bloom pre-filter, for INTERNAL intermediates whose probe result is
+    re-checked exactly downstream — false positives cost bytes, never
+    correctness).
+
+    Built for the wedge-closing joins of the triangle/k-truss pipelines:
+    the wedge stream is the data-sized intermediate (Σ outdeg² rows) and
+    in sparse graphs almost none of it closes into a triangle, yet the
+    default plan shuffles ALL of it into the closing join.  Probing each
+    wedge against a packed bitmap of the edge set BEFORE the exchange
+    drops the non-closers at map speed.
+
+    State: a ``(word long, bw long)`` table of at most ``2^m_bits/64``
+    rows — broadcast-joined (k left joins sharing one broadcast build)
+    against the probe stream, so nothing is collected to the driver and
+    the probe is an O(1) hash-relation lookup per row (a dense-array
+    literal would bloat every round's task binary; a one-row map column
+    is a linear scan per probe in Spark's ``GetMapValue``).
+
+    Returns ``apply(df, probe_cols) -> df`` filtered, or ``None`` when
+    ``n_keys`` is too large for the bit budget to prune anything
+    (expected false-positive rate above ``max_fp``) — callers skip the
+    filter and keep the plain plan, which stays correct.  Hash functions
+    are ``xxhash64(i, *cols)`` — JVM codegen, no Python boundary.
+    """
+    import math
+
+    if n_keys <= 0:
+        return None
+    m_bits = min(max_m_bits, max(16, math.ceil(math.log2(n_keys * bits_per_key))))
+    m = 1 << m_bits
+    fill = 1.0 - math.exp(-(k * n_keys) / m)
+    if fill**k > max_fp:
+        return None
+
+    def _positions(cols: "list") -> "list[Column]":
+        return [
+            F.pmod(F.xxhash64(F.lit(i), *cols), F.lit(m)).cast("long")
+            for i in range(k)
+        ]
+
+    from .iteration import truncate_lineage
+
+    sets = None
+    for p in _positions([F.col(c) for c in key_cols]):
+        s = keys.select(p.alias("pos"))
+        sets = s if sets is None else sets.unionAll(s)
+    words = truncate_lineage(
+        sets.groupBy((F.col("pos") / 64).cast("long").alias("w")).agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))"
+            ).alias("bw")
+        )
+    )
+
+    def apply(df: DataFrame, probe_cols: "list[str]") -> DataFrame:
+        out = df
+        scratch: "list[str]" = []
+        cond = None
+        for i, p in enumerate(_positions([F.col(c) for c in probe_cols])):
+            pcol, wcol, bcol = f"_pb_p{i}", f"_pb_w{i}", f"_pb_b{i}"
+            scratch += [pcol, wcol, bcol]
+            out = out.withColumn(pcol, p).withColumn(
+                wcol, (F.col(pcol) / 64).cast("long")
+            )
+            w_i = words.select(F.col("w").alias(wcol), F.col("bw").alias(bcol))
+            out = out.join(F.broadcast(w_i), wcol, "left")
+            mask = F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col(pcol) % 64).cast("int")
+            )
+            hit = (
+                F.coalesce(F.col(bcol), F.lit(0).cast("long")).bitwiseAND(mask)
+                != 0
+            )
+            cond = hit if cond is None else cond & hit
+        return out.where(cond).drop(*scratch)
+
+    return apply

@@ -79,6 +79,59 @@ def test_ktruss_invalid_k(spark):
         k_truss(edges, 1)
 
 
+def test_ktruss_distributed_triangle_list_parity(spark):
+    """r9-opt: the distributed tier peels a ONCE-enumerated triangle list
+    (prune by the round's peeled-edge delta) instead of re-running the
+    wedge pipeline per round.  Both prune sides (anti on the dead delta /
+    semi on the survivors) and both enumeration regimes (broadcast /
+    bitset-prefiltered sort-merge) must match the local tier exactly —
+    including on multi-round cascades."""
+    import random
+
+    rnd = random.Random(11)
+    nodes = ["a", "b", "c", "d"]
+    k4 = [(x, y) for x in nodes for y in nodes if x < y]
+    chain = [("d", "e"), ("e", "f"), ("f", "d"), ("f", "g"), ("g", "e")]
+    graphs = [
+        k4 + chain,  # multi-round cascade (anti-join prune path)
+        [(f"n{rnd.randrange(15)}", f"n{rnd.randrange(15)}") for _ in range(80)],
+    ]
+    for es in graphs:
+        edges = spark.createDataFrame(es, ["from", "to"])
+        for k in (3, 4):
+            base = rows(k_truss(edges, k))  # local tier = ground truth
+            for mbe in (0, 2_000_000):  # bitset-prefilter / broadcast regime
+                got = rows(
+                    k_truss(
+                        edges, k, max_local_edges=0, max_broadcast_edges=mbe
+                    )
+                )
+                assert got == base, (k, mbe, es[:3])
+
+
+def test_packed_bitset_prefilter_no_false_negatives(spark):
+    """The membership pre-filter may pass extra rows (false positives are
+    re-checked by the exact join downstream) but must NEVER drop a true
+    member."""
+    from pyspark.sql import functions as F
+
+    from polars_grouper_spark.plans.runtime_filter import packed_bitset_prefilter
+
+    keys = spark.range(500).select(
+        (F.col("id") * 3).alias("a"), (F.col("id") * 7 + 1).alias("b")
+    )
+    filt = packed_bitset_prefilter(keys, ["a", "b"], 500)
+    assert filt is not None
+    probe = spark.range(5000).select(
+        (F.col("id")).alias("x"), (F.col("id") * 2).alias("y")
+    ).unionAll(keys.select(F.col("a").alias("x"), F.col("b").alias("y")))
+    kept = {(r["x"], r["y"]) for r in filt(probe, ["x", "y"]).collect()}
+    members = {(r["a"], r["b"]) for r in keys.collect()}
+    assert members <= kept  # every true member survives
+    # and the filter is actually selective on this shape
+    assert len(kept) < 5500
+
+
 def test_ktruss_subset_of_kcore(spark):
     """Every k-truss lives inside a (k-1)-core (Cohen 2008)."""
     from polars_grouper_spark.operators.kcore import k_core
