@@ -4880,12 +4880,13 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash-LSH near-match against the corpus only — the production
     new-data-vs-index pattern, with both matchers oracle-replayed."""
     docs = load_table(spark, "documents", sf_dir)
-    batch = docs.where(F.col("doc_id") % 10 == 7)
-    corpus = docs.where(F.col("doc_id") % 10 != 7)
+    # r9-opt: batch and corpus are complementary id-slices of one frame,
+    # so the shared-source form computes the MinHash signature pass once.
     return dd.dedup_against_corpus(
-        batch, corpus, "doc_id", "text",
+        id_col="doc_id", text_col="text",
         num_hashes=_MH_HASHES, bands=_MH_BANDS, shingle_n=_SHINGLE_N,
         threshold=_INC_THRESHOLD,
+        source=docs, batch_pred=lambda c: c % 10 == 7,
     )
 
 

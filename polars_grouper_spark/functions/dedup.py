@@ -567,8 +567,8 @@ def ngram_contamination(
 
 
 def dedup_against_corpus(
-    batch: DataFrame,
-    corpus: DataFrame,
+    batch: DataFrame = None,
+    corpus: DataFrame = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     *,
@@ -577,6 +577,8 @@ def dedup_against_corpus(
     shingle_n: int = 3,
     threshold: float = 0.5,
     portable: bool = True,
+    source: DataFrame = None,
+    batch_pred=None,
 ) -> DataFrame:
     """Incremental dedup: flag each BATCH document against an existing
     CORPUS -> ``(id, exact_dup_of, near_dup_of, near_est)``.
@@ -595,9 +597,28 @@ def dedup_against_corpus(
     Every join is equality-keyed; candidate volume is bounded by band
     collisions exactly as in :func:`minhash_lsh_pairs`.  A batch doc with
     no match reports nulls in both match columns.
+
+    ``source``/``batch_pred`` (round-9 optimization): when today's batch
+    and the corpus are complementary slices of ONE frame (the crawl
+    pattern: split on the id), pass the common frame as ``source`` and a
+    callable ``batch_pred(id_column) -> boolean Column``; ``batch`` /
+    ``corpus`` are then derived internally and — the point — the MinHash
+    signature pass (tokenize → shingle → hash → per-doc min aggregation,
+    the expensive leg) runs ONCE over ``source`` and is split by the
+    predicate afterwards, instead of twice over two filtered scans.
+    Per-doc signatures are independent, so the split frames are
+    value-identical to two separate passes.  Rows where the predicate is
+    NULL belong to neither side (exactly as if the caller had filtered).
     """
     assert num_hashes % bands == 0, "num_hashes must divide evenly into bands"
     rows_per_band = num_hashes // bands
+    if source is not None:
+        if batch_pred is None or batch is not None or corpus is not None:
+            raise ValueError(
+                "pass either (batch, corpus) or (source, batch_pred), not both"
+            )
+        batch = source.where(batch_pred(F.col(id_col)))
+        corpus = source.where(~batch_pred(F.col(id_col)))
 
     b_ids = batch.select(
         F.col(id_col).cast("string").alias("id"), F.col(text_col).alias("_bt")
@@ -612,12 +633,19 @@ def dedup_against_corpus(
     )
     with_exact = b_ids.join(exact, "_bt", "left").select("id", "exact_dup_of")
 
-    sig_b = truncate_lineage(
-        _minhash_wide(batch, id_col, text_col, num_hashes, shingle_n, portable)
-    )
-    sig_c = truncate_lineage(
-        _minhash_wide(corpus, id_col, text_col, num_hashes, shingle_n, portable)
-    )
+    if source is not None:
+        sig_all = truncate_lineage(
+            _minhash_wide(source, id_col, text_col, num_hashes, shingle_n, portable)
+        )
+        sig_b = sig_all.where(batch_pred(F.col("id")))
+        sig_c = sig_all.where(~batch_pred(F.col("id")))
+    else:
+        sig_b = truncate_lineage(
+            _minhash_wide(batch, id_col, text_col, num_hashes, shingle_n, portable)
+        )
+        sig_c = truncate_lineage(
+            _minhash_wide(corpus, id_col, text_col, num_hashes, shingle_n, portable)
+        )
     bands_b = _band_signatures_wide(sig_b, num_hashes, rows_per_band)
     bands_c = _band_signatures_wide(sig_c, num_hashes, rows_per_band)
     cand = (

@@ -236,6 +236,39 @@ def test_incremental_never_matches_within_batch(spark):
     assert got["10"]["near_dup_of"] is None and got["11"]["near_dup_of"] is None
 
 
+def test_incremental_shared_source_parity(spark):
+    """r9-opt: the (source, batch_pred) form — one shared MinHash
+    signature pass split by the predicate — must return exactly what the
+    explicit (batch, corpus) form returns."""
+    import random
+
+    from polars_grouper_spark.functions.dedup import dedup_against_corpus
+
+    rnd = random.Random(3)
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    docs = [
+        (i, " ".join(rnd.choice(words) for _ in range(12))) for i in range(40)
+    ]
+    src = spark.createDataFrame(docs, ["doc_id", "text"])
+    explicit = dedup_against_corpus(
+        src.where("doc_id % 4 = 1"),
+        src.where("doc_id % 4 <> 1"),
+        num_hashes=16,
+        bands=8,
+        threshold=0.3,
+    )
+    shared = dedup_against_corpus(
+        num_hashes=16,
+        bands=8,
+        threshold=0.3,
+        source=src,
+        batch_pred=lambda c: c % 4 == 1,
+    )
+    assert sorted(map(tuple, explicit.collect())) == sorted(
+        map(tuple, shared.collect())
+    )
+
+
 def test_jaccard_threshold_join_lossless_vs_bruteforce(spark):
     """The prefix filter must be LOSSLESS: exact pair-set equality with
     a brute-force all-pairs oracle (which replays no prefix logic)."""
