@@ -254,39 +254,62 @@ def graph_association_rules(
         .select("antecedent", "a_iid", "consequent", "c_iid", conf.alias("confidence"))
         .where(F.col("confidence") >= F.lit(min_confidence))
     )
-    pairs = truncate_lineage(pairs)
+    # r9-opt: collapse duplicate pair instances straight out of the
+    # self-join (guide §2.3, aggregate before you shuffle).  The
+    # reference accumulates pairs WITHOUT dedup across transactions/row
+    # positions, so the same (antecedent, consequent, confidence) row
+    # repeats once per co-occurrence — measured 3840× multiplicity on
+    # the sf0.1 brand-pair data (2.3M instances, 600 groups).  Counting
+    # the multiplicity in a map-side-combinable aggregation makes the
+    # checkpoint, the top-5 pass and the pattern-edge distinct all run
+    # on the group table; the top-5 *instances* (duplicates included)
+    # are reconstructed exactly from the counts downstream.  Grouping
+    # by the confidence value is exact: equal float bits collapse,
+    # different bits stay distinct — the instance multiset is preserved
+    # verbatim.
+    grouped = truncate_lineage(
+        pairs.groupBy("a_iid", "consequent", "c_iid", "confidence").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+    )
 
     # top-5 by confidence desc, tie-break consequent asc, as parallel arrays.
     # Struct sort is lexicographic by field order, so (-confidence,
     # consequent) ascending == (confidence desc, consequent asc); the raw
     # confidence rides along as the third field so the output never
-    # round-trips through negation (-0.0 hygiene).
+    # round-trips through negation (-0.0 hygiene); the instance count is
+    # the fourth field (never reached — (nc, consequent) is unique per
+    # antecedent after the collapse).
     _rank_struct = F.struct(
         (-F.col("confidence")).alias("nc"),
         F.col("consequent").alias("consequent"),
         F.col("confidence").alias("confidence"),
+        F.col("cnt").alias("cnt"),
     )
     # r9-opt: lift (sum of ALL confidences, pre-truncation) rides in the
-    # same pass as the top-5 instead of a second aggregation over
-    # ``pairs`` plus a third join in the assembly below — one shuffle
-    # and one join fewer.  In the UNWEIGHTED case every pair of an
-    # antecedent carries the same confidence (a_support / total_tx), so
-    # the sum is computed algebraically as pair_count × confidence —
-    # exact, order-free, and therefore bit-identical between the window
-    # and salted paths (a float accumulation's order differs between
-    # plan shapes; the old separate groupBy only matched because both
-    # paths shared it).  The weighted sum stays a per-path float
-    # accumulation, stable at the oracle's 9 dp like every other float
-    # aggregate in the engine.
+    # same pass as the top-5 instead of a second aggregation plus a
+    # third join in the assembly below — one shuffle and one join
+    # fewer.  In the UNWEIGHTED case every pair of an antecedent
+    # carries the same confidence (a_support / total_tx), so the sum is
+    # computed algebraically as pair_count × confidence — exact,
+    # order-free, and therefore bit-identical between the window and
+    # salted paths.  The weighted sum is Σ confidence × count over the
+    # collapsed groups — a per-path float accumulation, stable at the
+    # oracle's 9 dp like every other float aggregate in the engine.
     if skew_safe:
-        # lift_part: integer pair count (unweighted — counts merge
+        # lift_part: integer instance count (unweighted — counts merge
         # exactly, the single n × c multiply happens once after the
-        # merge) or the float partial sum (weighted).
+        # merge) or the float partial sum (weighted).  A collapsed
+        # group lands in exactly ONE salt bucket, so per-bucket group
+        # lists never split a group and the first 5 groups of any
+        # bucket contain at least the bucket's top-5 instances.
         lift_part = (
-            F.count(F.lit(1)) if not weighted else F.sum("confidence")
+            F.sum("cnt")
+            if not weighted
+            else F.sum(F.col("confidence") * F.col("cnt"))
         ).alias("lift_part")
         merged = salted_agg(
-            pairs.select("a_iid", "confidence", _rank_struct.alias("s")),
+            grouped.select("a_iid", "confidence", "cnt", _rank_struct.alias("s")),
             ["a_iid"],
             [
                 F.slice(F.sort_array(F.collect_list("s")), 1, 5).alias("part"),
@@ -305,18 +328,19 @@ def graph_association_rules(
             if not weighted
             else F.col("lift_raw")
         )
+        cons_arr, conf_arr = _top5_instance_arrays(F.col("assoc"))
         top5 = merged.select(
             "a_iid",
             lift_score.alias("lift_score"),
-            F.transform("assoc", lambda x: x["consequent"]).alias("consequents"),
-            F.transform("assoc", lambda x: x["confidence"]).alias("confidence_scores"),
+            cons_arr,
+            conf_arr,
         )
     else:
-        top5 = _window_top5(pairs, weighted=weighted)
+        top5 = _window_top5(grouped, _rank_struct, weighted=weighted)
 
     # patterns over the distinct directed association graph.
     if with_patterns:
-        assoc_edges = pairs.select(
+        assoc_edges = grouped.select(
             F.col("a_iid").alias("a"), F.col("c_iid").alias("c")
         ).distinct()
         labels = _pattern_labels(assoc_edges)
@@ -357,42 +381,64 @@ def graph_association_rules(
     return out
 
 
-def _window_top5(pairs: DataFrame, *, weighted: bool) -> DataFrame:
-    """Default top-5 path: row_number window + collect_list.
+def _top5_instance_arrays(groups):
+    """Expand a (nc, consequent, confidence, cnt)-struct array — sorted,
+    ≤5 groups, each carrying its instance count — into the exact top-5
+    INSTANCE arrays (duplicates included, the reference's no-dedup
+    accumulation) via a pure-expression fold: walk the groups in rank
+    order, taking ``min(cnt, remaining)`` copies of each until 5
+    instances are emitted.  ``array_repeat`` clamps a non-positive count
+    to an empty array, so exhausted remainders contribute nothing."""
+    take = lambda a, x: F.least(x["cnt"], a["rem"]).cast("int")  # noqa: E731
+    folded = F.aggregate(
+        groups,
+        F.struct(
+            F.lit(5).cast("long").alias("rem"),
+            F.array().cast("array<string>").alias("cs"),
+            F.array().cast("array<double>").alias("vs"),
+        ),
+        lambda a, x: F.struct(
+            (a["rem"] - F.least(x["cnt"], a["rem"])).alias("rem"),
+            F.concat(a["cs"], F.array_repeat(x["consequent"], take(a, x))).alias("cs"),
+            F.concat(a["vs"], F.array_repeat(x["confidence"], take(a, x))).alias("vs"),
+        ),
+    )
+    return (
+        folded["cs"].alias("consequents"),
+        folded["vs"].alias("confidence_scores"),
+    )
+
+
+def _window_top5(grouped: DataFrame, rank_struct, *, weighted: bool) -> DataFrame:
+    """Default top-5 path over the COLLAPSED pair groups: a running
+    instance-count window keeps only the groups that contribute to the
+    top 5 instances, then one groupBy assembles the arrays.
 
     The lift sum shares the window's exchange (same partition key), and
     the following groupBy on that key reuses the partitioning — top-5,
-    lift and the list assembly all ride ONE shuffle of ``pairs``.
-    Unweighted lift is the algebraic pair_count × confidence (exact and
-    order-free — matches the salted path bit-for-bit); weighted lift is
-    the float sum.
+    lift and the list assembly all ride ONE shuffle of the group table
+    (≤ |valid items|² rows, however heavy the raw co-occurrence data).
+    Unweighted lift is the algebraic instance_count × confidence (exact
+    and order-free — matches the salted path bit-for-bit); weighted lift
+    is Σ confidence × count over the groups.
     """
     w = Window.partitionBy("a_iid")
+    wo = w.orderBy(
+        F.col("confidence").desc(), F.col("consequent").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lift = (
-        F.count(F.lit(1)).over(w) * F.col("confidence")
+        F.sum("cnt").over(w) * F.col("confidence")
         if not weighted
-        else F.sum("confidence").over(w)
+        else F.sum(F.col("confidence") * F.col("cnt")).over(w)
     )
-    return (
-        pairs.withColumn(
-            "rn",
-            F.row_number().over(
-                w.orderBy(F.col("confidence").desc(), F.col("consequent").asc())
-            ),
-        )
+    kept = (
+        grouped.withColumn("_end", F.sum("cnt").over(wo))
         .withColumn("lift", lift)
-        .where(F.col("rn") <= 5)
-        .groupBy("a_iid")
-        .agg(
-            F.max("lift").alias("lift_score"),
-            F.sort_array(
-                F.collect_list(F.struct("rn", "consequent", "confidence"))
-            ).alias("assoc"),
-        )
-        .select(
-            "a_iid",
-            "lift_score",
-            F.transform("assoc", lambda x: x["consequent"]).alias("consequents"),
-            F.transform("assoc", lambda x: x["confidence"]).alias("confidence_scores"),
-        )
+        .where(F.col("_end") - F.col("cnt") < 5)
     )
+    assembled = kept.groupBy("a_iid").agg(
+        F.max("lift").alias("lift_score"),
+        F.sort_array(F.collect_list(rank_struct)).alias("assoc"),
+    )
+    cons_arr, conf_arr = _top5_instance_arrays(F.col("assoc"))
+    return assembled.select("a_iid", "lift_score", cons_arr, conf_arr)
