@@ -35,8 +35,68 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import portable_hash64, portable_hash64_sql
+from ..functions.hashing import portable_hash64, portable_hash64_py, portable_hash64_sql
 from ..plans.iteration import truncate_lineage
+from ..plans.tiering import resolve_max_local_edges
+
+
+def _fastrp_local(u_names, v_names, dim, sparsity, w1, w2):
+    """Driver-local mirror of the two-level recursion — bit-identical by
+    construction: the same md5 draws feed integer sums (order-free), and
+    per-cell presence (any contributing in-neighbor) reproduces the
+    sparse "absent means no row" semantics exactly, including
+    cancelled-to-zero cells.
+
+    Segment sums run as ``np.bincount(weights=...)`` — float64
+    accumulation, which is EXACT here: every summand and every partial
+    sum is an integer, and under the 2M-edge guard
+    |lvl2| <= max_degree^2 <= (2M)^2 = 4e12 << 2^53.  (``np.add.at`` was
+    measured ~15x slower; per-dim processing keeps every temporary at
+    |E| elements — full |E|×dim fancy-index temporaries measured ~10x
+    slower on this host's throttled memory.)
+
+    Returns numpy columns ``(node, dim, val)`` for the Arrow path back.
+    """
+    import numpy as np
+    import pandas as pd
+
+    inv, names = pd.factorize(
+        np.concatenate([np.asarray(u_names), np.asarray(v_names)])
+    )
+    names = np.asarray(names)
+    n = len(names)
+    uids, vids = inv[: len(u_names)], inv[len(u_names):]
+    r = np.zeros((n, dim), np.int64)
+    for idx, name in enumerate(names):
+        for i in range(dim):
+            draw = portable_hash64_py(f"{name}#{i}") % (2 * sparsity)
+            if draw == 0:
+                r[idx, i] = 1
+            elif draw == 1:
+                r[idx, i] = -1
+
+    def _seg(weights) -> "np.ndarray":
+        # length-n integer segment sum of one per-edge column over vids.
+        return np.bincount(vids, weights=weights, minlength=n).astype(
+            np.int64
+        )
+
+    l1 = np.empty((n, dim), np.int64)
+    p1 = np.empty((n, dim), bool)
+    for i in range(dim):
+        rui = r[uids, i]
+        l1[:, i] = _seg(rui)
+        p1[:, i] = _seg(rui != 0) > 0
+    l2 = np.empty((n, dim), np.int64)
+    p2 = np.empty((n, dim), bool)
+    for i in range(dim):
+        p1ui = p1[uids, i]
+        l2[:, i] = _seg(np.where(p1ui, l1[uids, i], 0))
+        p2[:, i] = _seg(p1ui) > 0
+    val = w1 * l1 + w2 * l2  # absent cells hold 0 and are dropped below
+    pres = p1 | p2
+    cell = np.argwhere(pres)
+    return names[cell[:, 0]], cell[:, 1].astype(np.int32), val[pres]
 
 
 def fastrp_embedding(
@@ -49,6 +109,8 @@ def fastrp_embedding(
     weights: "tuple[int, int]" = (1, 1),
     directed: bool = False,
     portable: bool = True,
+    max_broadcast_nodes: int = 2_000_000,
+    max_local_edges: int | None = None,
 ) -> DataFrame:
     """Two-level FastRP -> sparse ``(node, dim, val)`` rows where
     ``val = w1·(A·R)[node, dim] + w2·(A²·R)[node, dim]`` (exact bigint;
@@ -58,6 +120,18 @@ def fastrp_embedding(
     ``sparsity`` is Li et al.'s s: P(R=+1) = P(R=-1) = 1/(2·ceil(s/... )
     — here drawn as hash % (2·s) ∈ {0 → +1, 1 → -1, else 0}, so the
     expected nonzero density per node is dim/s.
+
+    ``max_broadcast_nodes``: the repo's standard broadcast guard — when
+    the node set has at most this many rows, the projection and level-1
+    joins broadcast their O(V)-row wide sides instead of shuffling the
+    edge table; above the guard the shuffle join stands (the 100 TB
+    plan).
+
+    ``max_local_edges``: the repo's standard two-tier guard
+    (``plans.tiering``) — a deduplicated edge set within it runs the
+    integer recursion driver-local (bit-exact: integer sums have no
+    order sensitivity; only for ``portable=True``, whose hash has a
+    Python mirror), larger graphs take the distributed joins.
     """
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
@@ -66,54 +140,147 @@ def fastrp_embedding(
     w1, w2 = weights
     s = F.col(src).cast("string")
     d = F.col(dst).cast("string")
-    edges = (
-        df.where(s.isNotNull() & d.isNotNull() & (s != d))
-        .select(s.alias("u"), d.alias("v"))
-        .distinct()
-    )
-    if not directed:
-        edges = edges.union(
-            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    base = df.where(s.isNotNull() & d.isNotNull() & (s != d))
+    if directed:
+        half = base.select(s.alias("u"), d.alias("v")).distinct()
+    else:
+        # Canonicalize BEFORE deduplicating (r9-opt): least/greatest
+        # folds (a, b) and (b, a) into one row, so the symmetric
+        # closure is canon ∪ swap(canon) — two disjoint halves (u < v
+        # vs u > v), no second |2E|-row distinct exchange AND only the
+        # |E|-row canonical half ever materializes (the closure is a
+        # lazy map-only union over its checkpoint blocks).  Same edge
+        # set as distinct-then-mirror-then-distinct.
+        half = base.select(
+            F.least(s, d).alias("u"), F.greatest(s, d).alias("v")
         ).distinct()
-    edges = truncate_lineage(edges)
-
-    nodes = edges.select(F.col("u").alias("node")).distinct()
-    dims = edges.sparkSession.range(dim).select(F.col("id").cast("int").alias("dim"))
-    h = portable_hash64(
-        F.concat(F.col("node"), F.lit("#"), F.col("dim").cast("string")),
-        portable=portable,
+    half = truncate_lineage(half)
+    edges = (
+        half
+        if directed
+        else half.union(
+            half.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
     )
-    draw = F.pmod(h, F.lit(2 * sparsity))
-    proj = (
-        nodes.crossJoin(dims)
-        .select(
-            "node",
-            "dim",
+
+    mle = resolve_max_local_edges(df.sparkSession, max_local_edges)
+    if portable and mle:
+        n_half = half.count()
+        if (n_half if directed else 2 * n_half) <= mle:
+            import numpy as np
+            import pandas as pd
+
+            pdf = half.toPandas()
+            u, v = pdf["u"].to_numpy(), pdf["v"].to_numpy()
+            if not directed:
+                u, v = np.concatenate([u, v]), np.concatenate([v, u])
+            node_c, dim_c, val_c = _fastrp_local(u, v, dim, sparsity, w1, w2)
+            return df.sparkSession.createDataFrame(
+                pd.DataFrame({"node": node_c, "dim": dim_c, "val": val_c}),
+                "node string, dim int, val long",
+            )
+
+    # WIDE layout (r9-opt, same trick as the MinHash signature layout):
+    # the sparse (node, dim, val) pipeline multiplied every edge row by
+    # the per-node nonzero-dim count BEFORE each grouped sum — the
+    # level-2 join alone emitted ~|E|·dim rows.  Carrying the dim axis
+    # as ``dim`` integer COLUMNS instead makes each join emit exactly
+    # |E| rows and each aggregation hash |V| group keys instead of
+    # |V|·dim, with map-side partial aggregation unchanged.  Values are
+    # bit-identical: the same integer summands reach the same (node,
+    # dim) cell, integer addition is order-free, and a per-dim presence
+    # flag (max of |r| / carried forward) reproduces the sparse form's
+    # implicit "absent means no contribution" semantics exactly —
+    # including cancelled-to-zero cells, which stay present.
+    #
+    # Both joins build against O(V)-row wide tables (the projection and
+    # the level-1 state): under ``max_broadcast_nodes`` they broadcast,
+    # so the edge table is NEVER shuffled — above the guard the shuffle
+    # join stands (the 100 TB plan).  One count decides both (the
+    # level-1 state has at most one row per node).  The projection is
+    # computed per NODE, not per edge: dim portable md5s per node is
+    # |V|·dim hashes; inlining them on edge rows was measured 3× the
+    # whole lvl1 pass at avg degree ~40.
+    def _r(node_col, i: int):
+        h = portable_hash64(
+            F.concat(node_col, F.lit(f"#{i}")), portable=portable
+        )
+        draw = F.pmod(h, F.lit(2 * sparsity))
+        return (
             F.when(draw == 0, F.lit(1))
             .when(draw == 1, F.lit(-1))
             .otherwise(F.lit(0))
-            .alias("r"),
+            .alias(f"r{i}")
         )
-        .where(F.col("r") != 0)
-    )
-    proj = truncate_lineage(proj)
 
-    # level 1: (A·R)[v] = sum of R[u] over edges u -> v
-    lvl1 = (
-        edges.join(proj.select(F.col("node").alias("u"), "dim", "r"), "u")
-        .groupBy(F.col("v").alias("node"), "dim")
-        .agg(F.sum("r").cast("long").alias("val"))
+    nodes = edges.select(F.col("u").alias("node")).distinct()
+    proj = truncate_lineage(
+        nodes.select("node", *[_r(F.col("node"), i) for i in range(dim)])
     )
-    lvl1 = truncate_lineage(lvl1)
-    # level 2: (A·lvl1)[v]
+    small = bool(max_broadcast_nodes) and proj.count() <= max_broadcast_nodes
+    proj_u = proj.withColumnRenamed("node", "u")
+    if small:
+        proj_u = F.broadcast(proj_u)
+
+    # level 1: (A·R)[v, i] = sum of R[u, i] over edges u -> v.
+    # s_i = the sum; p_i = 1 iff any in-neighbor drew nonzero on dim i
+    # (the sparse form's row-existence bit).
+    lvl1 = truncate_lineage(
+        edges.join(proj_u, "u")
+        .groupBy(F.col("v").alias("node"))
+        .agg(
+            *[F.sum(f"r{i}").cast("long").alias(f"s{i}") for i in range(dim)],
+            *[F.max(F.abs(F.col(f"r{i}"))).alias(f"p{i}") for i in range(dim)],
+        )
+    )
+    # level 2: (A·lvl1)[v, i] — a u-row contributes s_i only where the
+    # sparse lvl1 had a (u, i) row (p_i = 1); a cell with no contributing
+    # neighbor stays NULL (= absent in the sparse form).
+    lvl1_u = lvl1.withColumnRenamed("node", "u")
+    if small:
+        lvl1_u = F.broadcast(lvl1_u)
     lvl2 = (
-        edges.join(lvl1.select(F.col("node").alias("u"), "dim", "val"), "u")
-        .groupBy(F.col("v").alias("node"), "dim")
-        .agg(F.sum("val").cast("long").alias("val"))
+        edges.join(lvl1_u, "u")
+        .groupBy(F.col("v").alias("node"))
+        .agg(
+            *[
+                F.sum(F.when(F.col(f"p{i}") == 1, F.col(f"s{i}")))
+                .cast("long")
+                .alias(f"s{i}")
+                for i in range(dim)
+            ],
+            *[F.max(f"p{i}").alias(f"p{i}") for i in range(dim)],
+        )
     )
+    # Unpivot each level back to the sparse (node, dim, val) rows the
+    # public contract uses, dropping never-contributed cells exactly as
+    # the sparse form did, and combine with the original narrow union +
+    # grouped sum (2·|V|·dim tiny rows) — keeping the final plan narrow
+    # instead of dragging the 2·dim-column layout through one more
+    # union/aggregate (driver planning on the wide trees was measured
+    # to outweigh the executor-side win).
+    stack_args = ", ".join(
+        f"cast({i} as int), s{i}, p{i}" for i in range(dim)
+    )
+
+    def _unpivot(wide: DataFrame) -> DataFrame:
+        return (
+            wide.select(
+                "node",
+                F.expr(f"stack({dim}, {stack_args}) as (dim, val, pres)"),
+            )
+            .where(F.col("pres") == 1)
+            .select("node", "dim", "val")
+        )
+
     combined = (
-        lvl1.select("node", "dim", (F.lit(w1) * F.col("val")).alias("p"))
-        .unionAll(lvl2.select("node", "dim", (F.lit(w2) * F.col("val")).alias("p")))
+        _unpivot(lvl1)
+        .select("node", "dim", (F.lit(w1) * F.col("val")).alias("p"))
+        .unionAll(
+            _unpivot(lvl2).select(
+                "node", "dim", (F.lit(w2) * F.col("val")).alias("p")
+            )
+        )
         .groupBy("node", "dim")
         .agg(F.sum("p").cast("long").alias("val"))
     )

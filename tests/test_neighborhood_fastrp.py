@@ -129,3 +129,48 @@ def test_fastrp_validation(spark):
         fastrp_embedding(edges, "from", "to", dim=0)
     with pytest.raises(ValueError):
         fastrp_embedding(edges, "from", "to", sparsity=0)
+
+
+def test_fastrp_local_tier_matches_distributed(spark):
+    """r9-opt parity: the guarded driver-local tier (default here — the
+    graph is tiny) must be frame-identical to the distributed wide-join
+    path (forced via max_local_edges=0), for both directed and
+    undirected closures."""
+    edge_list = [(f"n{i % 11}", f"n{(i * 3 + 1) % 11}") for i in range(25)]
+    edges = spark.createDataFrame(edge_list, ["from", "to"])
+    for directed in (False, True):
+        local = {
+            (r["node"], r["dim"]): r["val"]
+            for r in fastrp_embedding(
+                edges, "from", "to", dim=8, directed=directed
+            ).collect()
+        }
+        dist = {
+            (r["node"], r["dim"]): r["val"]
+            for r in fastrp_embedding(
+                edges, "from", "to", dim=8, directed=directed,
+                max_local_edges=0,
+            ).collect()
+        }
+        assert local == dist
+
+
+def test_fastrp_distributed_small_broadcast_guard(spark):
+    """Above-guard distributed path (max_broadcast_nodes=0 → shuffle
+    joins) is value-identical too."""
+    edge_list = [(i % 13, (i * 5 + 2) % 13) for i in range(40)]
+    edges = spark.createDataFrame(edge_list, ["from", "to"])
+    a = {
+        (r["node"], r["dim"]): r["val"]
+        for r in fastrp_embedding(
+            edges, "from", "to", dim=8, max_local_edges=0
+        ).collect()
+    }
+    b = {
+        (r["node"], r["dim"]): r["val"]
+        for r in fastrp_embedding(
+            edges, "from", "to", dim=8, max_local_edges=0,
+            max_broadcast_nodes=0,
+        ).collect()
+    }
+    assert a == b
