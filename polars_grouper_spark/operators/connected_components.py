@@ -310,6 +310,7 @@ def connected_components(
     to_col: str = "to",
     order_col: str | None = None,
     skew_safe: bool = False,
+    max_local_edges: int | None = None,
 ) -> DataFrame:
     """Table function: one row per distinct node.
 
@@ -333,6 +334,14 @@ def connected_components(
     a ``createDataFrame`` local relation, which is where numbering parity
     matters.  At cluster scale pass an explicit ordering column.
 
+    Two-tier (r9-opt): a raw edge frame within ``max_local_edges``
+    (``plans.tiering`` resolution) solves driver-local — vectorized
+    union-find for the partition plus a local dense-rank of each
+    component's min first-seen index for the numbering, bit-identical to
+    the distributed result by construction (the partition is exact and
+    the numbering is a pure function of it plus the same frozen ``_i``
+    values).  Larger frames run the unchanged star loop below.
+
     The star loop runs on ``xxhash64`` node ids — a pure map over the edge
     scan, so NO relabel joins touch the |E|-sized table (same trust model
     as :func:`components`).  First-appearance numbering no longer needs
@@ -342,6 +351,57 @@ def connected_components(
     label — one join instead of the former numbering + label pair).
     """
     edges = _edge_pairs(df, from_col, to_col, order_col)
+
+    # Guarded driver-local tier (r9-opt, same shape as ``components``):
+    # the membership partition is partition-pure and the 1..k numbering
+    # is a pure function of (partition, min first_seen per component),
+    # so a raw edge frame under the guard solves with the vectorized
+    # union-find and numbers locally — replacing the node-table shuffle,
+    # the star rounds (4+ jobs each) and the label/numbering joins with
+    # one Arrow collect.  The raw-count caveat documented on
+    # ``components`` applies here too.
+    max_local_edges = resolve_max_local_edges(df.sparkSession, max_local_edges)
+    if max_local_edges and edges.count() <= max_local_edges:
+        import numpy as np
+        import pandas as pd
+
+        pdf = edges.toPandas()  # one evaluation: _i frozen with the rows
+        codes, names = pd.factorize(
+            pd.concat([pdf["src"], pdf["dst"]], ignore_index=True)
+        )
+        m = len(pdf)
+        eu, ev = codes[:m], codes[m:]
+        i = pdf["_i"].to_numpy()
+        seen = np.concatenate([2 * i, 2 * i + 1])
+        # first_seen per node code (codes are dense 0..k-1, groupby
+        # sorts by key, so the result aligns with ``names``).
+        nid = pd.Series(seen).groupby(codes).min().to_numpy()
+        parent = np.arange(len(names), dtype=np.int64)
+        while True:
+            while True:  # full path compression (pointer jumping)
+                gp = parent[parent]
+                if np.array_equal(gp, parent):
+                    break
+                parent = gp
+            ru, rv = parent[eu], parent[ev]
+            if np.array_equal(ru, rv):
+                break
+            lo = np.minimum(ru, rv)
+            hi = np.maximum(ru, rv)
+            np.minimum.at(parent, hi, lo)
+        out = pd.DataFrame({"node": names, "_root": parent, "_nid": nid})
+        grp = out.groupby("_root").agg(
+            component=("node", "min"), _first=("_nid", "min")
+        )
+        grp["group"] = grp["_first"].rank(method="dense").astype(np.int64)
+        out = out.merge(
+            grp[["component", "group"]], left_on="_root", right_index=True
+        )
+        return df.sparkSession.createDataFrame(
+            out[["node", "component", "group"]].sort_values("node"),
+            "node string, component string, group long",
+        )
+
     # (node, nid = first_seen).  Checkpoint: nid must be frozen once
     # derived (monotonically_increasing_id is nondeterministic), and the
     # table is reused by the label join below.

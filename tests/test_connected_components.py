@@ -247,3 +247,25 @@ def test_components_local_and_distributed_tiers_identical(spark):
         tuple(r) for r in components(edges, max_local_edges=0).collect()
     )
     assert loc == dist
+
+
+def test_connected_components_local_and_distributed_tiers_identical(spark):
+    """r9-opt: the numbering variant's local tier (union-find + local
+    dense-rank of min first-seen) must equal the distributed star loop
+    frame-for-frame — component labels AND 1..k group numbers — on a
+    graph with self-loops, duplicate edges and singletons."""
+    from polars_grouper_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(f"n{(3 * i) % 15}", f"n{(7 * i + 1) % 15}") for i in range(25)]
+        + [("solo", "solo"), ("a", "b"), ("a", "b"), ("z9", "z1")],
+        ["from", "to"],
+    )
+    loc = sorted(tuple(r) for r in connected_components(edges).collect())
+    dist = sorted(
+        tuple(r)
+        for r in connected_components(edges, max_local_edges=0).collect()
+    )
+    assert loc == dist
