@@ -111,7 +111,15 @@ def triangle_count(
     <BLANKLINE>
     """
     edges, names = _interned_edges(df, src, dst)
+    return _triangle_count_interned(edges, names, max_broadcast_edges)
 
+
+def _triangle_count_interned(
+    edges: DataFrame, names: DataFrame, max_broadcast_edges: int
+) -> DataFrame:
+    """:func:`triangle_count` body over an already-interned (edges,
+    names) pair — shared so composites (clustering_coefficient) intern
+    once instead of running the checkpoint pipeline per consumer."""
     # Broadcast guard (round-9, mirrors ktruss._enumerate_triangles): the
     # wedge stream is the data-sized intermediate; under the budget (one
     # cheap count over the eagerly checkpointed edges) the E/V-sized
@@ -201,6 +209,9 @@ def clustering_coefficient(
     +----+------+-----------+----+
     <BLANKLINE>
     """
+    # Intern ONCE and share with the triangle pipeline (r9-opt: the old
+    # shape ran the full _interned_edges checkpoint chain twice — once
+    # here for degrees, once inside triangle_count).
     edges, names = _interned_edges(df, src, dst)
     deg = (
         edges.select(F.col("a").alias("nid"))
@@ -208,7 +219,7 @@ def clustering_coefficient(
         .groupBy("nid")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
-    tri = triangle_count(df, src, dst)
+    tri = _triangle_count_interned(edges, names, 2_000_000)
     named_deg = names.join(deg, names["id"] == deg["nid"]).select("node", "degree")
     d = F.col("degree").cast("double")
     return (
