@@ -74,8 +74,27 @@ def neighbor_agg(
         s.alias("u"), d.alias("v")
     )
     if not directed:
-        e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    e = truncate_lineage(e.distinct())
+        # Canonicalize BEFORE deduplicating (r9-opt, same shape as
+        # fastrp): least/greatest folds (a, b) and (b, a) into one row,
+        # so the symmetric closure is canon ∪ swap(canon \ self-loops) —
+        # disjoint pieces, no second 2|E|-row distinct exchange, and
+        # only the canonical half materializes (the closure is a lazy
+        # map-only union over its checkpoint blocks).  Self-loops are
+        # KEPT here (a node aggregates itself through one) and excluded
+        # from the swap so they appear exactly once, as before.
+        canon = truncate_lineage(
+            e.select(
+                F.least(F.col("u"), F.col("v")).alias("u"),
+                F.greatest(F.col("u"), F.col("v")).alias("v"),
+            ).distinct()
+        )
+        e = canon.union(
+            canon.where(F.col("u") != F.col("v")).select(
+                F.col("v").alias("u"), F.col("u").alias("v")
+            )
+        )
+    else:
+        e = truncate_lineage(e.distinct())
 
     state = features.where(
         F.col(id_col).isNotNull() & F.col(feat_col).isNotNull()

@@ -68,3 +68,23 @@ def test_duckdb_parity(spark):
     )
     want = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
     assert got == want
+
+
+def test_undirected_self_loop_counts_once(spark):
+    """r9-opt mirror canonicalization: a self-loop must contribute its
+    own feature exactly once per hop (it folded to one row under the old
+    mirror+distinct too)."""
+    from pyspark.sql import functions as F
+    from polars_grouper_spark.operators.neighbor_agg import neighbor_agg
+
+    edges = spark.createDataFrame(
+        [("a", "a"), ("a", "b"), ("b", "a")], ["from", "to"]
+    )
+    feats = spark.createDataFrame([("a", 1.0), ("b", 10.0)], ["node", "feat"])
+    got = {
+        (r["node"], r["hop"]): (r["n_paths"], r["feat_sum"])
+        for r in neighbor_agg(edges, feats, hops=1, directed=False).collect()
+    }
+    # undirected edge set: {(a,a), (a,b), (b,a)} -> a sees a and b once
+    # each; b sees a once.
+    assert got == {("a", 1): (2, 11.0), ("b", 1): (1, 1.0)}, got
