@@ -60,12 +60,24 @@ def negative_samples(
     )
     from ..plans.iteration import truncate_lineage
 
-    # und feeds the rejection anti join AND the node extraction; nodes
-    # feeds three branches (count, buckets, draws) — materialize both.
-    und = truncate_lineage(
-        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    # Canonical (least, greatest) edge table instead of the full
+    # symmetric closure (r9-opt): half the distinct exchange and half
+    # the materialized rows; the undirected rejection below probes it
+    # with the candidate pair canonicalized the same way — (node, neg)
+    # is in the closure iff (least, greatest) is in canon.  canon feeds
+    # the rejection anti join AND the node extraction; nodes feeds
+    # three branches (count, buckets, draws) — materialize both.
+    canon = truncate_lineage(
+        e.select(
+            F.least(F.col("u"), F.col("v")).alias("u"),
+            F.greatest(F.col("u"), F.col("v")).alias("v"),
+        ).distinct()
     )
-    nodes = truncate_lineage(und.select(F.col("u").alias("n")).distinct())
+    nodes = truncate_lineage(
+        canon.select(
+            F.explode(F.array(F.col("u"), F.col("v"))).alias("n")
+        ).distinct()
+    )
     n_nodes = nodes.count()
     B = max(n_nodes // bucket_factor, 1)
 
@@ -120,8 +132,9 @@ def negative_samples(
         .distinct()
     )
     return picked.join(
-        und.select(F.col("u").alias("node"), F.col("v").alias("negative")),
-        ["node", "negative"],
+        canon.select(F.col("u").alias("_cu"), F.col("v").alias("_cv")),
+        (F.least(F.col("node"), F.col("negative")) == F.col("_cu"))
+        & (F.greatest(F.col("node"), F.col("negative")) == F.col("_cv")),
         "left_anti",
     )
 
