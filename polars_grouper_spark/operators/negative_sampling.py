@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_hash64
+from ..plans.parallelism import fan_out
 
 
 def negative_samples(
@@ -73,10 +74,16 @@ def negative_samples(
             F.greatest(F.col("u"), F.col("v")).alias("v"),
         ).distinct()
     )
-    nodes = truncate_lineage(
-        canon.select(
-            F.explode(F.array(F.col("u"), F.col("v"))).alias("n")
-        ).distinct()
+    # fan_out: the per-candidate md5 stage below (draws ⋈ buckets,
+    # |nodes|·k·bucket_size hash rows) inherits nodes' partitioning —
+    # an AQE-coalesced 1-partition node table serializes it (measured:
+    # a 1.7 s single-task stage at sf0.1).  Identity at cluster scale.
+    nodes = fan_out(
+        truncate_lineage(
+            canon.select(
+                F.explode(F.array(F.col("u"), F.col("v"))).alias("n")
+            ).distinct()
+        )
     )
     n_nodes = nodes.count()
     B = max(n_nodes // bucket_factor, 1)
