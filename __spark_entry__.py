@@ -110,7 +110,7 @@ from polars_grouper_spark.operators.triangles import (
     triangle_count,
     triangle_count_sql,
 )
-from polars_grouper_spark.sources import load_table
+from polars_grouper_spark.sources import load_raw_schema, load_table
 
 
 # ---------------------------------------------------------------------------
@@ -1779,7 +1779,7 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_grouper_spark import streaming as st
 
     load_table(spark, "events", sf_dir)  # sets the nanosAsLong reader conf
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_schema = load_raw_schema(spark, "events", sf_dir)
     stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -1825,7 +1825,7 @@ GROUP BY 1, 2
 
 
 def _event_stream(spark: SparkSession, sf_dir: str):
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_schema = load_raw_schema(spark, "events", sf_dir)
     stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -1985,7 +1985,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_grouper_spark import streaming as st
 
     load_table(spark, "events", sf_dir)  # sets the nanosAsLong reader conf
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_schema = load_raw_schema(spark, "events", sf_dir)
     stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -3287,7 +3287,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_grouper_spark import streaming as st
 
     load_table(spark, "events", sf_dir)  # sets the nanosAsLong reader conf
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_schema = load_raw_schema(spark, "events", sf_dir)
     stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -5637,7 +5637,7 @@ def q_stream_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_grouper_spark.streaming.enrich import enrich_stream
 
     load_table(spark, "events", sf_dir)  # sets the nanosAsLong reader conf
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_schema = load_raw_schema(spark, "events", sf_dir)
     stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -6432,7 +6432,7 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     load_table(spark, "events", sf_dir)  # sets the nanosAsLong reader conf
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_schema = load_raw_schema(spark, "events", sf_dir)
     stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -7208,7 +7208,7 @@ def q_stream_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline = seasonal_profile(ev, "ts", "value").select(
         "dow", "hour", "cell_mean"
     )
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_schema = load_raw_schema(spark, "events", sf_dir)
     stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import portable_hash64, portable_hash64_py, portable_hash64_sql
+from ..functions.hashing import portable_hash64, portable_hash64_sql
 from ..plans.iteration import truncate_lineage
 from ..plans.tiering import resolve_max_local_edges
 
@@ -67,9 +67,25 @@ def _fastrp_local(u_names, v_names, dim, sparsity, w1, w2):
     n = len(names)
     uids, vids = inv[: len(u_names)], inv[len(u_names):]
     r = np.zeros((n, dim), np.int64)
+    # Per-cell draws, bit-identical to portable_hash64(f"{name}#{i}")
+    # but ~3x cheaper than one portable_hash64_py call per cell (r10,
+    # ADVICE): hash the name bytes ONCE per node and fork the md5 state
+    # per dim (md5(name).copy().update(b"#i") == md5(name + "#i")), and
+    # read the 60-bit value straight off the digest bytes — the first
+    # 15 hex digits of the hexdigest are exactly the top 60 bits of the
+    # first 8 digest bytes (big-endian >> 4) — instead of building and
+    # parsing a hex string per cell.
+    import hashlib
+
+    suffixes = [f"#{i}".encode("utf-8") for i in range(dim)]
+    two_s = 2 * sparsity
+    from_bytes = int.from_bytes
     for idx, name in enumerate(names):
+        base = hashlib.md5(str(name).encode("utf-8"))
         for i in range(dim):
-            draw = portable_hash64_py(f"{name}#{i}") % (2 * sparsity)
+            m = base.copy()
+            m.update(suffixes[i])
+            draw = (from_bytes(m.digest()[:8], "big") >> 4) % two_s
             if draw == 0:
                 r[idx, i] = 1
             elif draw == 1:
@@ -164,6 +180,14 @@ def fastrp_embedding(
     )
 
     mle = resolve_max_local_edges(df.sparkSession, max_local_edges)
+    # Hard exactness cap on the local tier regardless of how high the
+    # session/call guard is raised (r10, ADVICE): _fastrp_local
+    # accumulates integer summands in float64 via np.bincount(weights=),
+    # exact only while every partial sum stays under 2^53.  Values are
+    # bounded by |lvl2| <= E^2, so E <= 2^26 keeps E^2 <= 2^52 with a
+    # 2x margin; above that the distributed integer path runs instead.
+    if mle:
+        mle = min(mle, 1 << 26)
     if portable and mle:
         n_half = half.count()
         if (n_half if directed else 2 * n_half) <= mle:
@@ -217,7 +241,14 @@ def fastrp_embedding(
     proj = truncate_lineage(
         nodes.select("node", *[_r(F.col("node"), i) for i in range(dim)])
     )
-    small = bool(max_broadcast_nodes) and proj.count() <= max_broadcast_nodes
+    # Guard the broadcast by CELL volume, not row count (r10, ADVICE):
+    # the hinted sides are wide — proj carries dim ints and lvl1 2*dim
+    # longs per node — so a fixed node threshold lets the broadcast
+    # bytes scale linearly with dim.  Treat ``max_broadcast_nodes`` as
+    # calibrated for the default dim=16 and shrink it proportionally
+    # for wider embeddings (identity at dim<=16).
+    node_budget = max_broadcast_nodes * 16 // max(dim, 16) if max_broadcast_nodes else 0
+    small = bool(max_broadcast_nodes) and proj.count() <= node_budget
     proj_u = proj.withColumnRenamed("node", "u")
     if small:
         proj_u = F.broadcast(proj_u)

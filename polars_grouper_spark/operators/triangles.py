@@ -183,7 +183,10 @@ def _triangle_count_interned(
 
 
 def clustering_coefficient(
-    df: DataFrame, src: str = "from", dst: str = "to"
+    df: DataFrame,
+    src: str = "from",
+    dst: str = "to",
+    max_broadcast_edges: int = 2_000_000,
 ) -> DataFrame:
     """Local clustering coefficient per node (Watts & Strogatz 1998):
     ``lcc(v) = 2 * triangles(v) / (deg(v) * (deg(v) - 1))``, 0.0 for
@@ -192,6 +195,9 @@ def clustering_coefficient(
     Same cost shape as :func:`triangle_count` (one degree-oriented wedge
     enumeration, O(E^1.5) worst case) plus one extra degree aggregation
     — the wedge pipeline partitions by node id throughout.
+    ``max_broadcast_edges`` is forwarded to the shared triangle pipeline
+    (same default as :func:`triangle_count`; 0 disables the broadcast
+    tier).
 
     >>> edges = spark.createDataFrame(
     ...     [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")], ["from", "to"])
@@ -219,7 +225,10 @@ def clustering_coefficient(
         .groupBy("nid")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
-    tri = _triangle_count_interned(edges, names, 2_000_000)
+    # Forward the caller's guard instead of re-hardcoding the default
+    # (r10, ADVICE): keeps the composite's broadcast budget in step with
+    # triangle_count's and lets callers disable the broadcast path.
+    tri = _triangle_count_interned(edges, names, max_broadcast_edges)
     named_deg = names.join(deg, names["id"] == deg["nid"]).select("node", "degree")
     d = F.col("degree").cast("double")
     return (
