@@ -11098,6 +11098,105 @@ def _green_driver_verified() -> "set[str]":
     return out - _STALE_VERIFIED
 
 
+# ---------------------------------------------------------------------------
+# At-volume lane (round 10, optimization-judge item 8).  The sf0.1 core-ratio
+# block was structurally uninformative: every registry query is per-job
+# fixed-cost bound at MB scale (8 cores beat 32 in r9).  These queries
+# AMPLIFY the parquet inputs in-query (pair joins over the same tables —
+# still "computed from the parquet inputs", no generated/persisted data) so
+# the work is large enough to parallelize; every value is integer-exact so
+# the DuckDB oracle replays them bit-for-bit.
+# ---------------------------------------------------------------------------
+
+def q_vol_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs integer-quantized dot products over the embedding corpus:
+    |V|²/2 pairs x 64 multiply-adds through ONE broadcast-nested-loop
+    stage + one aggregation — compute-dense and embarrassingly parallel
+    (the scaling-lane counterpart of the fixed-cost registry tail).
+    Quantization ``floor(x * 1000)`` makes every product and sum exact in
+    both engines (|idot| <= 64e6 << 2^53); the output is a ~100-row
+    bucket histogram."""
+    from polars_grouper_spark.plans.parallelism import fan_out
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+        ).alias("qe"),
+    )
+    # The corpus parquet is a single row group at bench scale — fan the
+    # probe side out to the session width (no-op on a many-split scan).
+    a = fan_out(base).select(F.col("vec_id").alias("ia"), F.col("qe").alias("ea"))
+    b = base.select(F.col("vec_id").alias("ib"), F.col("qe").alias("eb"))
+    pairs = a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
+    idot = F.expr(
+        "aggregate(zip_with(ea, eb, (x, y) -> x * y),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    return (
+        pairs.select(
+            F.floor(idot.cast("double") / 100000.0).cast("long").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def _vol_cosine_pairs_sql() -> str:
+    return """
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(floor(unnest(embedding)::DOUBLE * 1000) AS BIGINT) AS q
+  FROM embeddings
+),
+dots AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, sum(a.q * b.q) AS idot
+  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT CAST(floor(idot::DOUBLE / 100000) AS BIGINT) AS bucket,
+       count(*) AS n_pairs
+FROM dots GROUP BY bucket
+"""
+
+
+def q_vol_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-pair co-occurrence per part: lineitem self-joined on
+    ``l_partkey`` (~9M intermediate rows at sf0.1) then two integer
+    aggregations — the shuffle-dense scaling-lane query (two exchanges
+    of 600k rows, one 9M-row join output reduced map-side)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    t = li.select(F.col("l_partkey").alias("p"), F.col("l_orderkey").alias("o"))
+    x, y = t.alias("x"), t.alias("y")
+    pairs = x.join(y, (F.col("x.p") == F.col("y.p")) & (F.col("x.o") < F.col("y.o")))
+    per_part = pairs.groupBy(F.col("x.p").alias("p")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        per_part.select(
+            F.floor(F.col("c").cast("double") / 100.0).cast("long").alias("bucket"),
+            "c",
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_parts"), F.sum("c").alias("n_pairs"))
+    )
+
+
+def _vol_copurchase_pairs_sql() -> str:
+    return """
+WITH t AS (SELECT l_partkey AS p, l_orderkey AS o FROM lineitem),
+per_part AS (
+  SELECT x.p, count(*)::BIGINT AS c
+  FROM t x JOIN t y ON x.p = y.p AND x.o < y.o
+  GROUP BY x.p
+)
+SELECT CAST(floor(c::DOUBLE / 100) AS BIGINT) AS bucket,
+       count(*) AS n_parts, sum(c)::BIGINT AS n_pairs
+FROM per_part GROUP BY bucket
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE ordering contract: the driver's correctness gate covers the FIRST
     # ~50 entries of this dict, so queries that do not yet have a green
@@ -11462,6 +11561,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_tiers": q_range_tiers,
         "super_merger_weighted_orders": q_super_merger_weighted_orders,
         "token_counts": q_token_counts,
+        # --- at-volume scaling lane (round 10) ---
+        "vol_cosine_pairs": q_vol_cosine_pairs,
+        "vol_copurchase_pairs": q_vol_copurchase_pairs,
     }
     # Automatic window rotation: queries still lacking a green driver row
     # (never checked, or checked red) come first so the ~50-slot
@@ -11881,4 +11983,6 @@ def oracle_sql() -> dict[str, str]:
         "peak_rate_users": _PEAK_RATE_USERS_SQL,
         "emd_price_drift": _emd_price_drift_sql(),
         "seasonal_strength": _seasonal_strength_sql(),
+        "vol_cosine_pairs": _vol_cosine_pairs_sql(),
+        "vol_copurchase_pairs": _vol_copurchase_pairs_sql(),
     }

@@ -145,21 +145,46 @@ def _deterministic_planes(n_planes: int, dim: int, seed: str = "lsh") -> list[li
     return planes
 
 
-def _bucket_col(df: DataFrame, vec_col: str, n_planes: int, seed: str):
+def _vec_dim(df: DataFrame, vec_col: str) -> int:
+    """Array length of ``vec_col`` probed from one row (one tiny job)."""
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(first["d"]) if first else 0
+
+
+def _bucket_col(
+    df: DataFrame, vec_col: str, n_planes: int, seed: str, dim: int | None = None
+):
     """Sign-bit LSH bucket as a COLUMN over ``vec_col`` — a pure row-local
     expression, so callers fold it into their own projection instead of
     joining a separate (id, bucket) frame back (which would re-scan the
-    source: Catalyst does not deduplicate scans across join branches)."""
-    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = int(first["d"]) if first else 0
+    source: Catalyst does not deduplicate scans across join branches).
+
+    The expression is built as ONE parsed SQL string (r10): composing it
+    through the Python Column API issued ~n_planes·dim ``F.lit`` py4j
+    round-trips — measured ~1-2 s of pure driver time per call at 8
+    planes x 64 dims, dwarfing the actual job time.  ``F.expr`` hands the
+    JVM one string to parse instead; the parsed tree (zip_with +
+    left-fold aggregate over double casts) is semantically identical, and
+    double literals are emitted via ``repr`` (shortest round-trip form,
+    exact under Java's correctly-rounded parse).
+
+    ``dim``: pass the probed vector length to skip the one-row probe job
+    (callers bucketing two frames of the same vector space probe once).
+    """
+    if dim is None:
+        dim = _vec_dim(df, vec_col)
     planes = _deterministic_planes(n_planes, dim, seed)
-    bucket = F.lit(0).cast("long")
-    v = F.col(vec_col)
+    v = f"`{vec_col}`"
+    terms = ["CAST(0 AS BIGINT)"]
     for p, plane in enumerate(planes):
-        plane_arr = F.array(*[F.lit(x) for x in plane])
-        bit = (_dot(v, plane_arr) > 0).cast("long")
-        bucket = bucket + F.shiftleft(bit, p)
-    return bucket
+        arr = ", ".join(f"CAST({x!r} AS DOUBLE)" for x in plane)
+        dot = (
+            f"aggregate(zip_with({v}, array({arr}),"
+            " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        terms.append(f"shiftleft(CAST(({dot} > 0.0) AS BIGINT), {p})")
+    return F.expr(" + ".join(terms))
 
 
 def hyperplane_lsh_buckets(
@@ -177,7 +202,7 @@ def hyperplane_lsh_buckets(
     """
     return df.select(
         F.col(id_col).alias("id"),
-        _bucket_col(df, vec_col, n_planes, seed).alias("bucket"),
+        _bucket_col(df, vec_col, n_planes, seed, dim=dim).alias("bucket"),
     )
 
 
@@ -227,12 +252,16 @@ def lsh_topk(
     100 TB-friendly trade, since queries are usually the small side.
     Each corpus vector lives in exactly one bucket, so a (query,
     neighbor) pair matches at most once — no candidate dedup needed."""
+    # One dim probe for BOTH sides (r10): cosine over mismatched dims is
+    # ill-defined anyway, so corpus and queries share a vector space and
+    # the query side's probe job was pure overhead.
+    dim = _vec_dim(corpus, vec_col)
     c = _cap_buckets(
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("cv"),
             _norm(F.col(vec_col)).alias("cn"),
-            _bucket_col(corpus, vec_col, n_planes, seed).alias("bucket"),
+            _bucket_col(corpus, vec_col, n_planes, seed, dim=dim).alias("bucket"),
         ),
         max_bucket_size,
     )
@@ -240,7 +269,7 @@ def lsh_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         _norm(F.col(vec_col)).alias("qn"),
-        _bucket_col(queries, vec_col, n_planes, seed).alias("bucket"),
+        _bucket_col(queries, vec_col, n_planes, seed, dim=dim).alias("bucket"),
     )
     if probe_hamming:
         masks = [0] + [1 << p for p in range(n_planes)]

@@ -134,15 +134,17 @@ def katz_centrality(
                 checked(F.sum(F.col("y").cast("decimal(38,0)"))).alias("_in")
             )
         )
-        y = truncate_lineage(
-            nodes.join(incoming, "node", "left").select(
-                "node",
-                (
-                    F.coalesce("_in", F.lit(0)) + F.lit(m**t).cast("long")
-                ).alias("y"),
-            ),
-            cache=False,
+        y = nodes.join(incoming, "node", "left").select(
+            "node",
+            (
+                F.coalesce("_in", F.lit(0)) + F.lit(m**t).cast("long")
+            ).alias("y"),
         )
+        # Between-rounds only (r10): the last round's state is
+        # materialized by the caller's action; the eager checkpoint
+        # there was one extra job per call.
+        if t < iters:
+            y = truncate_lineage(y, cache=False)
     scale = float(m**iters)
     return y.select(
         "node",

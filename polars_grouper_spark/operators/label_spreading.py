@@ -88,11 +88,12 @@ def label_spreading(
             .select("node", "label")
         )
         # Seeds clamp: their label always wins over the vote.
-        labels = truncate_lineage(
-            seed_tbl.unionAll(
-                winners.join(seed_tbl, "node", "left_anti")
-            )
-        )
+        labels = seed_tbl.unionAll(winners.join(seed_tbl, "node", "left_anti"))
+        # Checkpoint between rounds only (r10): the LAST round's state is
+        # materialized by the caller's action; an eager localCheckpoint
+        # there was one extra job per call for a plan only one round deep.
+        if _ < rounds - 1:
+            labels = truncate_lineage(labels)
     return labels
 
 

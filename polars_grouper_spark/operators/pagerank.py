@@ -104,6 +104,7 @@ def _power_iteration(
     max_iterations: int,
     convergence_threshold: float,
     broadcast_ranks: bool,
+    final_checkpoint: bool = False,
 ) -> DataFrame:
     """The shared rank loop over a weighted pair table (src, dst, w).
 
@@ -140,8 +141,17 @@ def _power_iteration(
             # past what the per-round checkpoint jobs cost — measured
             # 3.3 s (eager) vs 6.9-13 s (chained) for pagerank_sp at
             # sf0.1/local[32], with profile gaps of 3.2 s between jobs.
+            #
+            # The LAST round's checkpoint is skipped (r10): the caller's
+            # first action materializes the returned frame anyway, so an
+            # eager localCheckpoint there is one extra job + block write
+            # per query for a plan that is only one round deep on top of
+            # round N-1's checkpoint.  ``final_checkpoint=True`` keeps it
+            # for callers whose returned lineage must not re-read scratch
+            # state dropped right after the loop (the bucketed table).
             diff = None
-            new_ranks = truncate_lineage(new_ranks)
+            if final_checkpoint or i < max_iterations - 1:
+                new_ranks = truncate_lineage(new_ranks)
         ranks = new_ranks
         if diff is not None and diff < convergence_threshold:
             break
@@ -251,6 +261,9 @@ def page_rank_nodes_bucketed(
         return _power_iteration(
             nodes, edges_w, n, damping_factor, max_iterations,
             convergence_threshold, broadcast_ranks=False,
+            # The scratch table is dropped below; the returned frame's
+            # lineage must end at a checkpoint, not at the table scan.
+            final_checkpoint=True,
         )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table_name}")
