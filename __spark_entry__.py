@@ -11129,14 +11129,24 @@ def q_vol_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probe side out to the session width (no-op on a many-split scan).
     a = fan_out(base).select(F.col("vec_id").alias("ia"), F.col("qe").alias("ea"))
     b = base.select(F.col("vec_id").alias("ib"), F.col("qe").alias("eb"))
-    pairs = a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
+    # FULL ordered-pair matrix (ia != ib) and TWO folds per pair (the
+    # straight dot and the dot against the 1-rotated vector) — the lane
+    # exists to carry enough parallel compute that the 8-vs-32-core
+    # ratio measures scaling, not per-job fixed cost.
+    pairs = a.join(F.broadcast(b), F.col("ia") != F.col("ib"))
     idot = F.expr(
         "aggregate(zip_with(ea, eb, (x, y) -> x * y),"
         " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
+    rot = F.expr(
+        "aggregate(zip_with(ea, concat(slice(eb, 2, size(eb) - 1), slice(eb, 1, 1)),"
+        " (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
     return (
         pairs.select(
-            F.floor(idot.cast("double") / 100000.0).cast("long").alias("bucket")
+            F.floor((idot + rot).cast("double") / 200000.0)
+            .cast("long")
+            .alias("bucket")
         )
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
@@ -11145,19 +11155,34 @@ def q_vol_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _vol_cosine_pairs_sql() -> str:
     return """
-WITH ex AS (
-  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-         CAST(floor(unnest(embedding)::DOUBLE * 1000) AS BIGINT) AS q
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qe
   FROM embeddings
+),
+ex AS (
+  SELECT vec_id, generate_subscripts(qe, 1) AS i, unnest(qe) AS q FROM q
+),
+rx AS (
+  -- the 1-rotated partner: element i of rot(qe) is qe[i+1], wrapping
+  SELECT vec_id, generate_subscripts(qe, 1) AS i,
+         unnest(qe[2:len(qe)] || qe[1:1]) AS q
+  FROM q
 ),
 dots AS (
   SELECT a.vec_id AS ia, b.vec_id AS ib, sum(a.q * b.q) AS idot
-  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id <> b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+rots AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, sum(a.q * b.q) AS rdot
+  FROM ex a JOIN rx b ON a.i = b.i AND a.vec_id <> b.vec_id
   GROUP BY a.vec_id, b.vec_id
 )
-SELECT CAST(floor(idot::DOUBLE / 100000) AS BIGINT) AS bucket,
+SELECT CAST(floor((d.idot + r.rdot)::DOUBLE / 200000) AS BIGINT) AS bucket,
        count(*) AS n_pairs
-FROM dots GROUP BY bucket
+FROM dots d JOIN rots r ON d.ia = r.ia AND d.ib = r.ib
+GROUP BY bucket
 """
 
 
@@ -11166,20 +11191,32 @@ def q_vol_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``l_partkey`` (~9M intermediate rows at sf0.1) then two integer
     aggregations — the shuffle-dense scaling-lane query (two exchanges
     of 600k rows, one 9M-row join output reduced map-side)."""
+    from polars_grouper_spark.plans.parallelism import fan_out
+
     li = load_table(spark, "lineitem", sf_dir)
     t = li.select(F.col("l_partkey").alias("p"), F.col("l_orderkey").alias("o"))
+    # Hash-partition on the join key once: BOTH aliases reuse the same
+    # exchange (ReusedExchange) and the 9M-row join + aggregation runs
+    # at session width with no extra shuffle.
+    t = fan_out(t, "p")
     x, y = t.alias("x"), t.alias("y")
     pairs = x.join(y, (F.col("x.p") == F.col("y.p")) & (F.col("x.o") < F.col("y.o")))
     per_part = pairs.groupBy(F.col("x.p").alias("p")).agg(
-        F.count(F.lit(1)).alias("c")
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.pmod(F.col("y.o") - F.col("x.o"), F.lit(97))).alias("spread"),
     )
     return (
         per_part.select(
             F.floor(F.col("c").cast("double") / 100.0).cast("long").alias("bucket"),
             "c",
+            "spread",
         )
         .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n_parts"), F.sum("c").alias("n_pairs"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("c").alias("n_pairs"),
+            F.sum("spread").alias("spread"),
+        )
     )
 
 
@@ -11187,12 +11224,14 @@ def _vol_copurchase_pairs_sql() -> str:
     return """
 WITH t AS (SELECT l_partkey AS p, l_orderkey AS o FROM lineitem),
 per_part AS (
-  SELECT x.p, count(*)::BIGINT AS c
+  SELECT x.p, count(*)::BIGINT AS c,
+         sum((y.o - x.o) % 97)::BIGINT AS spread
   FROM t x JOIN t y ON x.p = y.p AND x.o < y.o
   GROUP BY x.p
 )
 SELECT CAST(floor(c::DOUBLE / 100) AS BIGINT) AS bucket,
-       count(*) AS n_parts, sum(c)::BIGINT AS n_pairs
+       count(*)::BIGINT AS n_parts, sum(c)::BIGINT AS n_pairs,
+       sum(spread)::BIGINT AS spread
 FROM per_part GROUP BY bucket
 """
 
