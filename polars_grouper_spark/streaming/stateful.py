@@ -99,16 +99,35 @@ def streaming_funnel(
     n_steps = len(step_list)
 
     def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        # Per-GROUP hot path (r10, same rationale as streaming_debounce):
+        # numpy timestamp decode replaces a pd.Timestamp construction per
+        # ROW (datetime64[ns].astype(int64) // 1000 is exactly
+        # pd.Timestamp(ts).value // 1000), and a stable argsort on the
+        # event time replaces sort_values — identical visit order
+        # including original-order ties.
+        import numpy as np
+
         depth, last_us = state.get if state.exists else (0, None)
         if last_us is not None and last_us < 0:
             last_us = None  # -1 sentinel: no step credited yet
-        batch = pd.concat(list(pdfs), ignore_index=True)
-        batch = batch[batch[type_col].isin(step_list)]
-        batch = batch.sort_values(ts_col, kind="mergesort")
-        for ts, et in zip(batch[ts_col], batch[type_col]):
+        first = next(pdfs, None)
+        rest = list(pdfs)
+        batch = first if not rest else pd.concat([first, *rest], ignore_index=True)
+        mask = batch[type_col].isin(step_list).to_numpy()
+        tsv = batch[ts_col]
+        raw = tsv.to_numpy()
+        if raw.dtype == object:
+            # tz-aware series materialize as object arrays of Timestamps;
+            # Series.astype(int64) yields the same UTC ns as .value did.
+            raw = tsv.astype("int64").to_numpy()
+        else:
+            raw = raw.astype("datetime64[ns]").astype("int64")
+        ts_us = (raw // 1000)[mask]
+        ets = batch[type_col].to_numpy()[mask]
+        order = np.argsort(ts_us, kind="stable")
+        for us, et in zip(ts_us[order].tolist(), ets[order].tolist()):
             if depth >= n_steps:
                 break
-            us = int(pd.Timestamp(ts).value // 1000)
             if et == step_list[depth] and (last_us is None or us > last_us):
                 depth += 1
                 last_us = us
@@ -154,7 +173,10 @@ def running_user_stats(df: DataFrame) -> DataFrame:
         def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
             n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
             for pdf in pdfs:
-                for v in pdf["value"].dropna():
+                # .tolist() iteration: identical values in identical
+                # order (Welford is sequence-sensitive — the arithmetic
+                # must NOT be vectorized), just cheaper per element.
+                for v in pdf["value"].dropna().tolist():
                     n += 1
                     delta = float(v) - mean
                     mean += delta / n
@@ -219,19 +241,30 @@ def streaming_debounce(
     gap_us = int(gap_seconds) * 1_000_000
 
     def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        # Per-GROUP hot path (r10): this body runs once per key per
+        # micro-batch — 1500x per batch at sf0.1 — and the pandas
+        # concat/sort_values/iloc chain cost ~1.3 ms per call (2.0 s of
+        # the measured ~2.4 s per micro-batch).  The numpy form below is
+        # ~6x cheaper and semantically identical: lexsort(ids, ts) is
+        # the same total order as sort_values(["ts_us", "id"]), and the
+        # greedy chain walks the same values.
+        import numpy as np
+
         last = state.get[0] if state.exists else None
-        batch = pd.concat(list(pdfs), ignore_index=True)
-        batch = batch.sort_values(["ts_us", "id"], kind="mergesort")
+        first = next(pdfs, None)
+        rest = list(pdfs)
+        batch = first if not rest else pd.concat([first, *rest], ignore_index=True)
+        ts = batch["ts_us"].to_numpy()
+        ids = batch["id"].to_numpy()
+        order = np.lexsort((ids, ts))
+        ts, ids = ts[order], ids[order]
         keep = []
-        for i, t in enumerate(batch["ts_us"].to_numpy()):
+        for i, t in enumerate(ts.tolist()):
             if last is None or t >= last + gap_us:
                 keep.append(i)
                 last = int(t)
         state.update((int(last),))
-        out = batch.iloc[keep]
-        yield pd.DataFrame(
-            {"key": [key[0]] * len(out), "id": out["id"], "ts_us": out["ts_us"]}
-        )
+        yield pd.DataFrame({"key": key[0], "id": ids[keep], "ts_us": ts[keep]})
 
     from pyspark.sql import functions as F
 
