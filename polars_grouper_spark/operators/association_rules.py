@@ -171,10 +171,14 @@ def graph_association_rules(
         freq.alias("freq"),
         F.monotonically_increasing_id().alias("_i"),
     ).where(F.col("tx").isNotNull() & F.col("item").isNotNull() & F.col("freq").isNotNull())
-    # ``t`` is NOT checkpointed: every re-computation is a columnar scan +
-    # narrow projection, and its nondeterministic ``_i`` is read by exactly
-    # one consumer (the ``items`` aggregation below, itself checkpointed),
-    # so no consumer can observe two different id assignments.
+    # ``t`` IS checkpointed (r10): it has THREE consumers (tx_sizes,
+    # items, tv) and the callers' transaction frames are join-bearing
+    # (brand tx = lineitem ⋈ part), so each re-computation re-ran that
+    # join — profiled as four separate 0.2-0.4 s scan+join stage jobs in
+    # assoc_top5.  Materializing once also freezes the nondeterministic
+    # ``_i`` for every consumer (strictly safer than the previous
+    # single-reader argument).
+    t = truncate_lineage(t)
 
     # One shuffle serves both transaction-level needs: the per-transaction
     # sizes (for the max_itemset_size filter) and the distinct-transaction
@@ -267,11 +271,14 @@ def graph_association_rules(
     # by the confidence value is exact: equal float bits collapse,
     # different bits stay distinct — the instance multiset is preserved
     # verbatim.
-    grouped = truncate_lineage(
-        pairs.groupBy("a_iid", "consequent", "c_iid", "confidence").agg(
-            F.count(F.lit(1)).alias("cnt")
-        )
+    grouped = pairs.groupBy("a_iid", "consequent", "c_iid", "confidence").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
+    # Checkpoint only when a second consumer exists (r10): the top-5
+    # pass is the sole reader when with_patterns=False — an eager
+    # materialization there was one extra job chain per call.
+    if with_patterns:
+        grouped = truncate_lineage(grouped)
 
     # top-5 by confidence desc, tie-break consequent asc, as parallel arrays.
     # Struct sort is lexicographic by field order, so (-confidence,
