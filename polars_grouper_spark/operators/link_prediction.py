@@ -118,6 +118,18 @@ def link_scores(
     )
 
     wedge_src = adj.join(centers, "w")
+    # Explicitly size and SHARE the wedge join's exchange (r10): AQE
+    # coalesces the shuffle read by its ~MB of input bytes, but the work
+    # downstream is quadratic in center degree (the wedge explosion) —
+    # profiled as one 2.1 s stage on 7 tasks at 32 cores.  A keyed
+    # repartition at session width feeds BOTH join aliases from one
+    # exchange (the second side is a ReusedExchange, so this is the same
+    # single shuffle the join needed anyway, now explicitly wide).
+    from ..plans.parallelism import session_parallelism
+
+    wedge_src = wedge_src.repartition(
+        session_parallelism(df.sparkSession), "w"
+    )
     e1 = wedge_src.select("w", "aa_term", F.col("n").alias("x"))
     e2 = wedge_src.select("w", F.col("n").alias("y"))
     wedges = e1.join(e2, "w").where(F.col("x") < F.col("y"))
