@@ -5,6 +5,8 @@ Reference: /root/reference/tests/test_graph_solver.py:90-189.
 
 import math
 
+import pytest
+
 from polars_grouper_spark import betweenness_centrality
 
 
@@ -134,18 +136,22 @@ def _parity(spark, frm, to, **kw):
             k, exact[k], dist[k])
 
 
+@pytest.mark.slow
 def test_distributed_parity_line(spark):
     _parity(spark, ["A", "B", "C"], ["B", "C", "D"])
 
 
+@pytest.mark.slow
 def test_distributed_parity_star_directed(spark):
     _parity(spark, ["C", "C", "C"], ["A", "B", "D"], directed=True)
 
 
+@pytest.mark.slow
 def test_distributed_parity_disconnected_unnormalized(spark):
     _parity(spark, ["A", "B", "D"], ["B", "C", "E"], normalized=False)
 
 
+@pytest.mark.slow
 def test_distributed_parity_duplicate_edges(spark):
     # duplicate A-B edge: multiplicities must multiply path counts in the
     # joins exactly as in the in-memory kernel
@@ -157,6 +163,7 @@ def test_distributed_parity_duplicate_edges(spark):
     )
 
 
+@pytest.mark.slow
 def test_distributed_parity_cycle_with_chords(spark):
     n = 8
     frm = [f"n{i}" for i in range(n)] + ["n0", "n2"]

@@ -1,3 +1,4 @@
+import pytest
 from pyspark.sql import functions as F
 
 from polars_grouper_spark.plans.bucketing import bucket_table, co_bucketed_join, exchange_count
@@ -98,6 +99,7 @@ def test_pagerank_round_plan_has_no_edge_side_exchange(spark):
         spark.sql("DROP TABLE IF EXISTS b_pr_round")
 
 
+@pytest.mark.slow
 def test_bucketed_pagerank_cleans_up_and_reruns(spark):
     """page_rank_nodes_bucketed must leave no managed table behind and be
     safely re-runnable in one session (unique per-call table names)."""

@@ -79,6 +79,7 @@ def test_ktruss_invalid_k(spark):
         k_truss(edges, 1)
 
 
+@pytest.mark.slow
 def test_ktruss_distributed_triangle_list_parity(spark):
     """r9-opt: the distributed tier peels a ONCE-enumerated triangle list
     (prune by the round's peeled-edge delta) instead of re-running the

@@ -7,8 +7,11 @@ edges, disconnected nodes), not volume.
 
 import heapq
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+
+pytestmark = pytest.mark.slow
 
 from polars_grouper_spark import calculate_shortest_path, graph_solver, page_rank_nodes
 

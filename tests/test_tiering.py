@@ -127,6 +127,7 @@ def test_conf_default_engages_local_tier(conf_guard, monkeypatch):
     assert len(counts) == 1
 
 
+@pytest.mark.slow
 def test_conf_zero_respected_across_operators(conf_guard, monkeypatch):
     """Every tiered operator family resolves through the conf: with it at
     0 none of them Arrow-collects, and the distributed results match the
@@ -173,6 +174,7 @@ def test_conf_zero_respected_across_operators(conf_guard, monkeypatch):
     assert dist == local
 
 
+@pytest.mark.slow
 def test_per_call_zero_transitive_through_composites(conf_guard, monkeypatch):
     """Per-call ``max_local_edges=0`` must disable the local tier
     TRANSITIVELY (r8 ADVICE): composite operators forward the resolved
